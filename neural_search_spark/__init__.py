@@ -1,0 +1,17 @@
+"""neural_search_spark — a PySpark-native fulltext (BM25) retrieval engine.
+
+Built from scratch with the query semantics of the OpenSearch neural-search
+plugin (reference: /root/reference, yuye-aws/neural-search), re-expressed
+Spark-first: DataFrame/SQL logical plans, Arrow-vectorized pandas UDFs for
+the posting-block codec and block-max WAND scoring, and an Iceberg-style
+snapshot/lineage layout for resumable index builds.
+
+Nothing here is a port: the reference is a Lucene/Java plugin; this engine
+expresses the same WHAT (BM25 k1=1.2 b=0.75 scoring, top-k semantics with
+(score desc, docID asc) tie-break, normalization/combination pipelines,
+chunking/pruning functions) with Spark-native HOW.
+"""
+
+from neural_search_spark.session import get_spark  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,8 @@
+from neural_search_spark.analysis.tokenizer import (  # noqa: F401
+    TOKEN_SPLIT_RE,
+    doc_lengths,
+    term_doc_freq,
+    corpus_stats,
+    tokenize,
+    tokens_with_tf,
+)

@@ -1,0 +1,87 @@
+"""Code-aware tokenization + corpus statistics, fully JVM-side.
+
+The reference analyzes text fields with a Lucene analyzer
+(reference: main/query/NeuralSparseQueryBuilder.java:517-557 uses the index
+analyzer; test corpora use Lucene TextField with the standard analyzer,
+test/search/query/HybridQueryPhaseSearcherTests.java:115-123).
+
+We re-express analysis as a deterministic regex tokenizer that suits source
+code: lowercase, split on any run of characters outside ``[a-z0-9_]``.
+It is implemented with built-in ``pyspark.sql.functions`` (split/explode),
+so it stays inside WholeStageCodegen — no Python in the hot path — and it is
+reproducible in ANSI SQL (DuckDB ``string_split_regex``) for the oracle
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# One source of truth for analysis semantics. Java regex == DuckDB RE2 here.
+TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Driver-side analysis of a query string — MUST mirror `tokenize`."""
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+
+
+def _terms_col(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(col), TOKEN_SPLIT_RE)
+
+
+def tokenize(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """Explode a corpus into one row per token occurrence: (id, term, pos).
+
+    Narrow transformation — no shuffle; Catalyst prunes every column except
+    (id, text) out of the scan.
+    """
+    return (
+        df.select(id_col, F.posexplode(_terms_col(text_col)).alias("pos", "term"))
+        .where(F.col("term") != "")
+    )
+
+
+def tokens_with_tf(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(id, term, tf) — term frequency per document.
+
+    groupBy(id, term) shuffles on a compound key that is near-unique, so AQE
+    coalesces it cheaply; partial aggregation (map-side combine) does most of
+    the work before the exchange.
+    """
+    return (
+        tokenize(df, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def doc_lengths(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(id, doclen, sha256) — token count + content identity per doc.
+
+    doclen via size(filter(split(...))) stays whole-stage-codegen'd; sha256 is
+    the per-row identity invariant (BASELINE.json input_hint).
+    """
+    col = F.col(text_col)
+    terms = _terms_col(text_col)
+    return df.select(
+        id_col,
+        F.size(F.filter(terms, lambda t: t != "")).alias("doclen"),
+        F.sha2(col, 256).alias("sha256"),
+    )
+
+
+def term_doc_freq(tf_df: DataFrame, id_col: str = "docID") -> DataFrame:
+    """(term, df) — document frequency per term, from a tokens_with_tf frame."""
+    return tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def corpus_stats(doclens: DataFrame) -> DataFrame:
+    """Single-row (N, avgdl) frame. BM25 needs exactly these two globals."""
+    return doclens.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.avg("doclen").alias("avgdl"),
+    )

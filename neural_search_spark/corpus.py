@@ -1,0 +1,88 @@
+"""Deterministic synthetic source-code corpus, north-rule input shape.
+
+BASELINE.json input_hint mandates the corpus shape
+``(repo:string, path:string, commit:string, lang:string, content:string)``.
+No external data: every column is a pure function of the row id and a seed,
+generated with built-in Spark expressions over ``spark.range`` — fully
+distributed, zero Python in the generation path, identical output at any
+parallelism (order-independent: every row depends only on its id).
+
+Term-frequency design (mirrors FIXTURES.md F1):
+  * a small set of "keyword" stopwords present in most docs → exercises the
+    heavy-term/skew path of the index build;
+  * a zipf-ish identifier vocabulary;
+  * one unique term per doc (``uniq_<id>``) → rare-term dominance fixtures
+    (reference analog: SparseSearchingIT.java:171-204, unique-token doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LANGS = ["py", "java", "js", "go", "rs", "c"]
+
+KEYWORDS = ["def", "return", "import", "class", "if", "for", "while", "self"]
+
+IDENTIFIERS = [
+    "parse", "buffer", "index", "query", "token", "score", "merge", "block",
+    "shard", "segment", "vector", "weight", "cluster", "posting", "codec",
+    "reader", "writer", "cache", "filter", "collector", "searcher", "doc",
+    "field", "mapper", "chunker", "normalize", "combine", "rerank", "hybrid",
+    "neural", "sparse", "dense", "quantize", "heap", "rank", "freq", "norm",
+]
+
+
+def generate_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    """Build the deterministic corpus as a DataFrame of n_docs rows."""
+    kw = F.array(*[F.lit(w) for w in KEYWORDS])
+    ident = F.array(*[F.lit(w) for w in IDENTIFIERS])
+    n_kw, n_id = len(KEYWORDS), len(IDENTIFIERS)
+
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    i = F.col("i")
+    mix = (i * 2654435761 + seed) % 2147483647  # Knuth multiplicative mix
+
+    # Body: 20..169 identifier tokens; vocab index is a per-position hash so
+    # term frequencies are reproducible but non-trivial (zipf-ish via modulo
+    # of a quadratic residue). Keyword prefix appears in ~75% of docs with
+    # tf 1..4 → the skewed heavy terms.
+    body_len = (mix % 150 + 20).cast("int")
+    body = F.transform(
+        F.sequence(F.lit(0), body_len - 1),
+        lambda p: F.element_at(ident, ((i * 31 + p * p * 7 + p * 13 + seed) % n_id + 1).cast("int")),
+    )
+    kw_count = (mix % 8).cast("int")  # 0..7 keyword tokens; 0,1 → no keywords
+    kws = F.transform(
+        F.sequence(F.lit(0), F.greatest(kw_count, F.lit(1)) - 1),
+        lambda p: F.element_at(kw, ((i + p) % n_kw + 1).cast("int")),
+    )
+    kws = F.when(kw_count >= 2, kws).otherwise(F.array())
+
+    content = F.concat_ws(
+        " ",
+        F.concat_ws(" ", kws),
+        F.concat_ws(" ", body),
+        F.concat(F.lit("uniq_"), i.cast("string")),
+    )
+
+    return df.select(
+        F.concat(F.lit("org"), (i % 20).cast("string"), F.lit("/proj"), (i % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/"), F.element_at(F.array(F.lit("core"), F.lit("io"), F.lit("util"), F.lit("net")), (i % 4 + 1).cast("int")),
+            F.lit("/file"), i.cast("string"),
+            F.lit("."), F.element_at(F.array(*[F.lit(x) for x in LANGS]), (i % 6 + 1).cast("int")),
+        ).alias("path"),
+        F.substring(F.sha2(F.concat(F.lit("commit-"), F.lit(seed), F.lit("-"), i.cast("string")), 256), 1, 40).alias("commit"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]), (i % 6 + 1).cast("int")).alias("lang"),
+        content.alias("content"),
+    )
+
+
+def with_doc_id(df: DataFrame) -> DataFrame:
+    """Stable global docID = xxhash64(repo, path, commit).
+
+    Deterministic across runs and cluster sizes (unlike
+    monotonically_increasing_id) — required for rank-identity, resume, and
+    the two-parallelism-level scaling check.
+    """
+    return df.withColumn("docID", F.xxhash64("repo", "path", "commit"))

@@ -1,0 +1,7 @@
+from neural_search_spark.index.codec import (  # noqa: F401
+    delta_varint_decode,
+    delta_varint_encode,
+    varint_decode,
+    varint_encode,
+)
+from neural_search_spark.index.build import build_index, IndexPaths  # noqa: F401

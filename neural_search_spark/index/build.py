@@ -1,0 +1,245 @@
+"""Inverted-index build: corpus → postings / doclens / stats, resumable.
+
+One batch DAG, three committed stages (SURVEY.md §3.3 Spark equivalent):
+
+  stage 1  doclens:  tokenize (narrow) → (docID, doclen, sha256) [+ docmap]
+  stage 2  stats:    (N, avgdl) single row
+  stage 3  postings: (docID, term, tf) ⋈ df ⋈ doclen
+                     → shuffle on (termID, docBucket)
+                     → applyInPandas block assembly (delta+varint FOR blocks,
+                       exact per-block max BM25 score)
+
+Reference parity: posting lists are sorted ascending by docID and cut into
+blocks with a block-max summary — the reference's DocumentCluster sorts
+docIDs ascending (main/sparse/data/DocumentCluster.java:50-63) and stores a
+per-cluster summary used for skipping (main/sparse/algorithm/
+PostingsProcessingUtils.java:70-108); we store the *exact* max BM25 score per
+block instead of a pruned summary vector, because exact top-k is required
+(no posting truncation — the reference truncates only in approximate mode,
+main/sparse/algorithm/PostingsProcessingUtils.java:38-56).
+
+Skew: the shuffle key is (termID, docBucket) where docBucket is the high
+bits of the biased docID. A stopword with df = 50% of corpus splits into
+2^bucket_bits groups — the bucket IS the salt, and it doubles as the WAND
+co-location key: every query term's postings for the same doc range land in
+the same bucket, so block-max WAND runs bucket-parallel with zero extra
+shuffles at query time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from neural_search_spark.analysis.tokenizer import corpus_stats, doc_lengths, tokens_with_tf
+from neural_search_spark.index import codec
+from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
+from neural_search_spark.query.bm25 import bm25_score_np, idf_np
+
+BLOCK_SIZE = 128
+BLOCKS_PER_ROW = 64
+_SIGN_LIT = -(2**63)  # int64 sign bit as a literal (bitwiseXOR flips it)
+
+POSTINGS_SCHEMA = StructType([
+    StructField("termID", LongType()),
+    StructField("term", StringType()),
+    StructField("df", LongType()),
+    StructField("bucket", IntegerType()),
+    StructField("blocks", ArrayType(StructType([
+        StructField("doc0", LongType()),
+        StructField("n", IntegerType()),
+        StructField("maxscore", DoubleType()),
+        StructField("docs", BinaryType()),
+        StructField("tfs", BinaryType()),
+        StructField("dls", BinaryType()),
+    ]))),
+])
+
+
+@dataclass
+class IndexPaths:
+    index_dir: str
+
+    def table(self, name: str) -> str:
+        return os.path.join(self.index_dir, name)
+
+
+def default_bucket_bits(n_docs: int) -> int:
+    """Buckets sized so a full-corpus term yields ~64k postings per group."""
+    return int(min(12, max(2, math.ceil(math.log2(max(n_docs, 1) / 65536 + 1)) + 2)))
+
+
+def bucket_col(doc_id_col: str, bucket_bits: int):
+    """Doc-range bucket = high bits of the sign-flipped (order-preserving
+    biased) docID. Matches codec.to_biased so block ranges align."""
+    return F.shiftrightunsigned(
+        F.col(doc_id_col).bitwiseXOR(F.lit(_SIGN_LIT)), 64 - bucket_bits
+    ).cast("int")
+
+
+def _make_block_builder(n_total: int, avgdl: float, block_size: int, blocks_per_row: int):
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = pdf["docID"].to_numpy(np.int64)
+        order = np.argsort(docs)  # signed asc == biased-unsigned asc
+        docs = docs[order]
+        tfs = pdf["tf"].to_numpy(np.int64)[order]
+        dls = pdf["doclen"].to_numpy(np.int64)[order]
+        df_val = int(pdf["df"].iloc[0])
+        idf = float(idf_np(df_val, n_total))
+        scores = bm25_score_np(tfs, dls, idf, avgdl)
+
+        blocks = []
+        for s in range(0, len(docs), block_size):
+            e = min(s + block_size, len(docs))
+            d = docs[s:e]
+            doc0 = int(d[0])
+            blocks.append({
+                "doc0": doc0,
+                "n": int(e - s),
+                "maxscore": float(scores[s:e].max()),
+                "docs": codec.delta_varint_encode(codec.to_biased(d), int(codec.to_biased(np.array([doc0]))[0])),
+                "tfs": codec.varint_encode(tfs[s:e]),
+                "dls": codec.varint_encode(dls[s:e]),
+            })
+        rows = []
+        for s in range(0, len(blocks), blocks_per_row):
+            rows.append({
+                "termID": int(pdf["termID"].iloc[0]),
+                "term": pdf["term"].iloc[0],
+                "df": df_val,
+                "bucket": int(pdf["bucket"].iloc[0]),
+                "blocks": blocks[s: s + blocks_per_row],
+            })
+        return pd.DataFrame(rows)
+
+    return build
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "content",
+    id_col: str = "docID",
+    block_size: int = BLOCK_SIZE,
+    blocks_per_row: int = BLOCKS_PER_ROW,
+    bucket_bits: int | None = None,
+    resume: bool = True,
+) -> "Index":
+    """Build (or resume) the index at index_dir. Returns a queryable Index.
+
+    Resumability: each stage commits an atomic snapshot + lineage metrics to
+    the manifest; a re-run with the same fingerprint skips committed stages
+    (kill-after-stage-1 then rerun → byte-identical final index).
+    """
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest.load(index_dir)
+
+    n_docs = corpus.count()
+    if bucket_bits is None:
+        bucket_bits = default_bucket_bits(n_docs)
+    cfg = {
+        "text_col": text_col, "id_col": id_col, "block_size": block_size,
+        "blocks_per_row": blocks_per_row, "bucket_bits": bucket_bits,
+        "n_docs": n_docs, "format": 1,
+    }
+    fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
+    meta_cols = [c for c in corpus.columns if c not in (text_col,)]
+
+    def run_stage(stage: str, tables: dict[str, DataFrame]) -> None:
+        if resume and man.stage_done(stage, fp):
+            return
+        t0 = time.time()
+        written, metrics = {}, {}
+        for name, df in tables.items():
+            snap = f"snap-{fp}-{stage}"
+            snapshot_write(df, index_dir, name, snap)
+            written[name] = snap
+            rows = spark.read.parquet(os.path.join(index_dir, name, snap)).count()
+            metrics[f"{name}_rows"] = rows
+        man.record_stage(stage, fp, written, {"wall_s": round(time.time() - t0, 3), **metrics})
+        man.commit()
+
+    # stage 1 — doclens (+ docmap payload table)
+    dl = doc_lengths(corpus, text_col, id_col)
+    run_stage("doclens", {
+        "doclens": dl,
+        "docmap": corpus.select(*meta_cols).join(dl.select(id_col, "sha256", "doclen"), id_col),
+    })
+    dl = snapshot_read(spark, index_dir, "doclens")
+
+    # stage 2 — corpus stats
+    run_stage("stats", {"stats": corpus_stats(dl)})
+    stats = snapshot_read(spark, index_dir, "stats").collect()[0]
+    n_total, avgdl = int(stats["N"]), float(stats["avgdl"])
+
+    # stage 3 — postings
+    if not (resume and man.stage_done("postings", fp)):
+        tf = tokens_with_tf(corpus, text_col, id_col)
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        enriched = (
+            tf.join(dfreq, "term")
+            .join(dl.select(id_col, "doclen"), id_col)
+            .withColumn("termID", F.xxhash64("term"))
+            .withColumn("bucket", bucket_col(id_col, bucket_bits))
+            .withColumnRenamed(id_col, "docID")
+        )
+        postings = (
+            enriched.groupBy("termID", "bucket")
+            .applyInPandas(
+                _make_block_builder(n_total, avgdl, block_size, blocks_per_row),
+                POSTINGS_SCHEMA,
+            )
+            .sortWithinPartitions("termID", "bucket")  # rowgroup min/max pruning on term lookups
+        )
+        run_stage("postings", {"postings": postings})
+
+    man = Manifest.load(index_dir)
+    man.stages.setdefault("_config", {})["fingerprint"] = fp
+    man.history.append({"stage": "build-complete", "config": cfg, "ts": time.time()})
+    man.commit()
+    return load_index(spark, index_dir)
+
+
+@dataclass
+class Index:
+    spark: SparkSession
+    index_dir: str
+    postings: DataFrame
+    doclens: DataFrame
+    docmap: DataFrame
+    n_docs: int
+    avgdl: float
+    bucket_bits: int
+
+
+def load_index(spark: SparkSession, index_dir: str) -> Index:
+    stats = snapshot_read(spark, index_dir, "stats").collect()[0]
+    man = Manifest.load(index_dir)
+    cfg = next(
+        (h["config"] for h in reversed(man.history) if h.get("stage") == "build-complete"),
+        {},
+    )
+    return Index(
+        spark=spark,
+        index_dir=index_dir,
+        postings=snapshot_read(spark, index_dir, "postings"),
+        doclens=snapshot_read(spark, index_dir, "doclens"),
+        docmap=snapshot_read(spark, index_dir, "docmap"),
+        n_docs=int(stats["N"]),
+        avgdl=float(stats["avgdl"]),
+        bucket_bits=int(cfg.get("bucket_bits", 0)),
+    )

@@ -1,0 +1,89 @@
+"""Snapshot + lineage catalog for the index tables (Iceberg-style, parquet).
+
+Production target is Iceberg (`df.writeTo(...).using("iceberg")` — atomic
+snapshots, incremental appends, compaction). This sandbox has no Iceberg
+runtime jars, so we implement the same *contract* on parquet directories:
+
+    index_dir/
+      manifest.json            <- atomic pointer {table -> current snapshot}
+      postings/snap-<stage-hash>/part-*.parquet
+      doclens/snap-<...>/
+      stats/snap-<...>/
+      lineage/snap-<...>/      <- per-stage rows (stage, rows, wall_ms, ...)
+
+Commit protocol: write the new snapshot dir fully, then atomically replace
+``manifest.json`` (os.replace). A killed build leaves the old manifest
+intact; resume skips any stage whose (config hash, input fingerprint) is
+already committed — the reference's analog is Lucene's write-once segments +
+commit point (reference: main/sparse/codec/SparsePostingsConsumer.java:52-96,
+segment files only become visible at segment commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Manifest:
+    path: str
+    current: dict[str, str] = field(default_factory=dict)   # table -> snapshot dir name
+    stages: dict[str, dict] = field(default_factory=dict)   # stage -> {fingerprint, tables}
+    history: list[dict] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "Manifest":
+        p = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                d = json.load(f)
+            return cls(path=p, current=d.get("current", {}),
+                       stages=d.get("stages", {}), history=d.get("history", []))
+        return cls(path=p)
+
+    def commit(self) -> None:
+        tmp = self.path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"current": self.current, "stages": self.stages, "history": self.history},
+                f, indent=1,
+            )
+        os.replace(tmp, self.path)  # atomic on POSIX
+
+    def stage_done(self, stage: str, fingerprint: str) -> bool:
+        info = self.stages.get(stage)
+        if not info or info.get("fingerprint") != fingerprint:
+            return False
+        # every table the stage wrote must still resolve on disk
+        base = os.path.dirname(self.path)
+        return all(
+            os.path.exists(os.path.join(base, t, self.current.get(t, "")))
+            for t in info.get("tables", [])
+        )
+
+    def record_stage(self, stage: str, fingerprint: str, tables: dict[str, str],
+                     metrics: dict) -> None:
+        self.current.update(tables)
+        self.stages[stage] = {"fingerprint": fingerprint, "tables": sorted(tables)}
+        self.history.append({"stage": stage, "tables": tables, "ts": time.time(), **metrics})
+
+
+def snapshot_write(df: DataFrame, index_dir: str, table: str, snapshot: str) -> str:
+    """Write one table snapshot; returns the snapshot dir name."""
+    out = os.path.join(index_dir, table, snapshot)
+    df.write.mode("overwrite").parquet(out)
+    return snapshot
+
+
+def snapshot_read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
+    man = Manifest.load(index_dir)
+    snap = man.current.get(table)
+    if snap is None:
+        raise FileNotFoundError(f"table {table!r} has no committed snapshot in {index_dir}")
+    return spark.read.parquet(os.path.join(index_dir, table, snap))

@@ -1,0 +1,101 @@
+"""Vectorized delta + varint (FOR-style) posting-block codec.
+
+The reference serializes posting clusters as VInt docIDs + byte weights
+(reference: main/sparse/codec/SparsePostingsConsumer.java:114-181,
+ClusteredPostingTermsWriter.java:155-181 — Lucene VInt/VLong encoding).
+We keep the same wire idea (LEB128 varints, ascending-docID delta coding)
+but implement encode/decode as pure numpy array arithmetic so that the
+Arrow-batched pandas UDFs never execute per-row Python (BASELINE.json
+input_hint invariant).
+
+Layout per block: docIDs are sorted ascending (reference invariant:
+main/sparse/data/DocumentCluster.java:50-63), stored as
+``varint(d0_offset), varint(d1-d0), varint(d2-d1), ...`` where d0_offset is
+relative to the block's stored ``doc0``. tf / doclen runs are plain varints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_MASK = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints, fully vectorized."""
+    a = np.asarray(values).astype(np.uint64, copy=False)
+    n = len(a)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bits/7) for bits > 0
+    nbytes = np.ones(n, dtype=np.int64)
+    v = a >> _U7
+    while v.any():
+        nbytes += (v > 0).astype(np.int64)
+        v >>= _U7
+    total = int(nbytes.sum())
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    idx = np.arange(total, dtype=np.int64)
+    owner_start = np.repeat(starts, nbytes)
+    pos = (idx - owner_start).astype(np.uint64)  # byte index within its value
+    vals = np.repeat(a, nbytes)
+    out = ((vals >> (pos * _U7)) & _MASK).astype(np.uint8)
+    is_last = idx == np.repeat(ends - 1, nbytes)
+    out[~is_last] |= _CONT
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array, fully vectorized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    last = (b & _CONT) == 0
+    n = int(last.sum())
+    gid = np.zeros(len(b), dtype=np.int64)
+    gid[1:] = np.cumsum(last[:-1])
+    group_starts = np.zeros(n, dtype=np.int64)
+    group_starts[1:] = np.nonzero(last)[0][:-1] + 1
+    pos = (np.arange(len(b)) - group_starts[gid]).astype(np.uint64)
+    contrib = (b & _MASK).astype(np.uint64) << (pos * _U7)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(vals, gid, contrib)
+    return vals
+
+
+def delta_varint_encode(sorted_vals: np.ndarray, base: int) -> bytes:
+    """Delta-encode an ascending array against ``base``, then varint."""
+    a = np.asarray(sorted_vals, dtype=np.uint64)
+    deltas = np.empty_like(a)
+    deltas[0] = a[0] - np.uint64(base)
+    np.subtract(a[1:], a[:-1], out=deltas[1:])
+    return varint_encode(deltas)
+
+
+def delta_varint_decode(buf: bytes, base: int) -> np.ndarray:
+    """Inverse of delta_varint_encode; returns the ascending uint64 array."""
+    deltas = varint_decode(buf)
+    out = np.cumsum(deltas, dtype=np.uint64)
+    out += np.uint64(base)
+    return out
+
+
+_SIGN = np.uint64(1 << 63)
+
+
+def to_biased(signed: np.ndarray) -> np.ndarray:
+    """int64 → order-preserving uint64 (flip sign bit).
+
+    docIDs are signed xxhash64 values; delta coding needs an ascending
+    non-negative stream, so blocks store sign-flipped ("biased") values.
+    signed order == biased unsigned order.
+    """
+    return np.asarray(signed, dtype=np.int64).view(np.uint64) ^ _SIGN
+
+
+def from_biased(biased: np.ndarray) -> np.ndarray:
+    """Inverse of to_biased: uint64 → int64."""
+    return (np.asarray(biased, dtype=np.uint64) ^ _SIGN).view(np.int64)

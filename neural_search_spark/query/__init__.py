@@ -1,0 +1,8 @@
+from neural_search_spark.query.bm25 import (  # noqa: F401
+    BM25_B,
+    BM25_K1,
+    bm25_score_col,
+    bm25_score_np,
+    idf_np,
+    search_bruteforce,
+)

@@ -1,0 +1,99 @@
+"""Exact BM25 (k1=1.2, b=0.75) scoring.
+
+The reference scores lexical sub-queries with Lucene's default similarity —
+BM25 with k1=1.2, b=0.75 (reference:
+test/search/query/HybridQueryPhaseSearcherTests.java:128-136 uses
+IndexSearcher.getDefaultSimilarity()). We use the same parameters with exact
+f64 arithmetic and exact doc lengths (no Lucene SmallFloat norm quantization):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_part     = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(t, d) = idf(t) * tf_part
+    score(q, d) = sum over q's terms               (disjunction sum, reference:
+                  main/query/HybridQueryScorer.java:104-120)
+
+Top-k tie-break: score desc, then docID asc (reference:
+main/search/query/TopDocsMerger.java:38-41).
+
+Two implementations of the same arithmetic:
+  * Column expressions (this module) — the brute-force path and the oracle.
+  * numpy (``bm25_score_np``) — used inside the Arrow-vectorized index build
+    (block-max computation) and the WAND scorer. Identical f64 ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def idf_col(df_: Column, n: Column) -> Column:
+    return F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
+
+
+def bm25_score_col(tf: Column, dl: Column, df_: Column, n: Column, avgdl: Column) -> Column:
+    """Per-(term, doc) BM25 partial score as a Column expression."""
+    tf = tf.cast("double")
+    dl = dl.cast("double")
+    df_ = df_.cast("double")
+    n = n.cast("double")
+    denom = tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl)
+    return idf_col(df_, n) * tf / denom
+
+
+def idf_np(df_: np.ndarray | float, n: float) -> np.ndarray | float:
+    return np.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+
+
+def bm25_score_np(
+    tf: np.ndarray, dl: np.ndarray, idf: np.ndarray | float, avgdl: float
+) -> np.ndarray:
+    """Vectorized per-(term, doc) BM25 partial score (same f64 arithmetic)."""
+    tf = tf.astype(np.float64, copy=False)
+    dl = dl.astype(np.float64, copy=False)
+    denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avgdl)
+    return idf * tf / denom
+
+
+def search_bruteforce(
+    tf_df: DataFrame,
+    doclens: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Exact BM25 top-k by full scan — the oracle and the small-corpus path.
+
+    The reference likewise falls back to exact scoring below its
+    approximate_threshold (reference: main/sparse/common/PredicateUtils.java:23-38,
+    main/sparse/query/SparseQueryWeight.java:96-140).
+
+    Plan shape: filter(term ∈ q) — pushed to the scan — → join doclens →
+    broadcast single-row stats → groupBy(docID).sum. One shuffle for the df
+    agg, one for the final groupBy; the ORDER BY ... LIMIT k compiles to
+    TakeOrderedAndProject (no full sort).
+    """
+    hits = tf_df.where(F.col("term").isin(terms))
+    # df per query term, computed over the full corpus but only for q's terms.
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(doclens.select(id_col, "doclen"), id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            bm25_score_col(
+                F.col("tf"), F.col("doclen"), F.col("df"), F.col("N"), F.col("avgdl")
+            ).alias("partial"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,240 @@
+"""Block-max pruned exact top-k over the inverted index.
+
+Distributed shape (SURVEY.md §3.1 "Spark lifecycle equivalent"): the
+postings table is grouped by doc-range ``bucket``; every query term's
+postings for the same doc range are co-located, so each bucket runs an
+independent exact top-k (block-max MaxScore/WAND) and the only query-time
+shuffle is the final ``ORDER BY score DESC, docID ASC LIMIT k`` — which
+Spark compiles to TakeOrderedAndProject (per-partition heap + driver merge),
+exactly the reference's per-shard collector + coordinator merge
+(reference: main/search/collector/HybridTopScoreDocCollector.java:135-172,
+main/search/query/TopDocsMerger.java:38-41 docID tie-break).
+
+Pruning semantics mirror the reference's cluster-skip loop — a whole block
+is skipped when its summary upper bound cannot beat the current heap
+threshold (reference: main/sparse/query/SeismicBaseScorer.java:202-220) —
+but ours is *exact*: upper bounds are true per-block max BM25 scores, and a
+candidate is only discarded when bound < θ (ties kept, so the
+(score desc, docID asc) tie-break stays rank-identical with brute force).
+
+Small buckets fall back to vectorized exhaustive scoring, the analog of the
+reference's exact path below approximate_threshold
+(reference: main/sparse/common/PredicateUtils.java:23-38).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index import codec
+from neural_search_spark.index.build import Index
+
+RESULT_SCHEMA = StructType([
+    StructField("docID", LongType()),
+    StructField("score", DoubleType()),
+])
+
+EXACT_THRESHOLD = 8192  # postings per bucket below which brute decode wins
+
+
+class _TermPostings:
+    """Decoded-on-demand posting list of one term within one bucket."""
+
+    __slots__ = ("doc0", "n", "maxscore", "docs_raw", "tfs_raw", "dls_raw",
+                 "starts", "total", "_docs", "_scores", "_decoded", "ub", "weight")
+
+    def __init__(self, blocks: list[dict], weight: float):
+        blocks = sorted(blocks, key=lambda b: codec.to_biased(np.array([b["doc0"]]))[0])
+        self.doc0 = np.array([b["doc0"] for b in blocks], dtype=np.int64)
+        self.n = np.array([b["n"] for b in blocks], dtype=np.int64)
+        self.maxscore = np.array([b["maxscore"] for b in blocks], dtype=np.float64) * weight
+        self.docs_raw = [b["docs"] for b in blocks]
+        self.tfs_raw = [b["tfs"] for b in blocks]
+        self.dls_raw = [b["dls"] for b in blocks]
+        self.starts = np.concatenate([[0], np.cumsum(self.n)])
+        self.total = int(self.starts[-1])
+        self._docs = [None] * len(blocks)
+        self._scores = [None] * len(blocks)
+        self.ub = float(self.maxscore.max()) if len(blocks) else 0.0
+        self.weight = weight
+
+    def decode_block(self, i: int, score_fn) -> tuple[np.ndarray, np.ndarray]:
+        if self._docs[i] is None:
+            biased = codec.delta_varint_decode(
+                self.docs_raw[i], int(codec.to_biased(self.doc0[i : i + 1])[0])
+            )
+            docs = codec.from_biased(biased)
+            tfs = codec.varint_decode(self.tfs_raw[i]).astype(np.int64)
+            dls = codec.varint_decode(self.dls_raw[i]).astype(np.int64)
+            self._docs[i] = docs
+            self._scores[i] = score_fn(tfs, dls) * self.weight
+        return self._docs[i], self._scores[i]
+
+    def decode_all(self, score_fn) -> tuple[np.ndarray, np.ndarray]:
+        parts = [self.decode_block(i, score_fn) for i in range(len(self.doc0))]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+
+def _topk_merge(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    """(score desc, docID asc) top-k of an aligned doc/score array pair."""
+    if len(docs) > k:
+        # partial-select then exact sort of the head; biased docID for unsigned asc? no:
+        # docID tie-break is signed asc (xxhash64 int64 order).
+        idx = np.lexsort((docs, -scores))[:k]
+    else:
+        idx = np.lexsort((docs, -scores))
+    return pd.DataFrame({"docID": docs[idx], "score": scores[idx]})
+
+
+def _score_bucket_exhaustive(term_lists, score_fns, k) -> pd.DataFrame:
+    """Vectorized brute force: decode everything, sparse-accumulate, top-k.
+
+    Accumulation is sequential in canonical (term-sorted) order so the f64
+    sum is bit-identical regardless of partitioning/parallelism — required
+    for rank-identity across cluster sizes (SURVEY.md §7 determinism note).
+    """
+    decoded = [tp.decode_all(fn) for tp, fn in zip(term_lists, score_fns)]
+    if not decoded:
+        return pd.DataFrame({"docID": np.empty(0, np.int64), "score": np.empty(0, np.float64)})
+    uniq = np.unique(np.concatenate([d for d, _ in decoded]))
+    sums = np.zeros(len(uniq), np.float64)
+    for d, s in decoded:  # term_lists arrive in canonical term order
+        sums[np.searchsorted(uniq, d)] += s  # docs unique within a term
+    return _topk_merge(uniq, sums, k)
+
+
+def _score_bucket_maxscore(term_lists, score_fns, k) -> pd.DataFrame:
+    """Exact Block-Max MaxScore: candidates from essential lists only;
+    non-essential contributions via block-skipped lookups."""
+    m = len(term_lists)
+    order = sorted(range(m), key=lambda i: (term_lists[i].ub, i))  # ub asc
+    ubs = np.array([term_lists[i].ub for i in order])
+    prefix = np.cumsum(ubs)  # prefix[i] = sum of ubs of lists 0..i
+
+    found_docs = np.empty(0, np.int64)
+    found_scores = np.empty(0, np.float64)
+    theta = -np.inf
+
+    def lookup(term_idx: int, cand: np.ndarray) -> np.ndarray:
+        """Exact contribution of one term to each candidate (0 if absent),
+        decoding only blocks that contain candidates."""
+        tp = term_lists[term_idx]
+        fn = score_fns[term_idx]
+        out = np.zeros(len(cand), np.float64)
+        if tp.total == 0 or len(cand) == 0:
+            return out
+        cb = codec.to_biased(cand)
+        d0b = codec.to_biased(tp.doc0)
+        blk = np.searchsorted(d0b, cb, side="right") - 1
+        valid = blk >= 0
+        for b in np.unique(blk[valid]):
+            sel = np.nonzero(valid & (blk == b))[0]
+            docs_b, scores_b = tp.decode_block(int(b), fn)
+            pos = np.searchsorted(docs_b, cand[sel])  # docs_b is signed asc
+            pos = np.clip(pos, 0, len(docs_b) - 1)
+            hit = docs_b[pos] == cand[sel]
+            out[sel[hit]] = scores_b[pos[hit]]
+        return out
+
+    for oi in range(m - 1, -1, -1):  # essential lists, ub descending
+        if prefix[oi] < theta:
+            break  # lists 0..oi are all non-essential now
+        ti = order[oi]
+        docs, selfscores = term_lists[ti].decode_all(score_fns[ti])
+        if len(found_docs):
+            new = ~np.isin(docs, found_docs)
+            docs, selfscores = docs[new], selfscores[new]
+        if len(docs) == 0:
+            continue
+        # per-term contributions kept separate so the final score can be
+        # summed in canonical term order (bit-identical at any parallelism)
+        contribs = np.zeros((len(docs), m), np.float64)
+        contribs[:, ti] = selfscores
+        cur = selfscores.copy()  # running sum, used only for prune bounds
+        alive = np.ones(len(docs), bool)
+        # add every other term's contribution, highest-ub first, pruning as we go
+        rem_terms = [order[oj] for oj in range(m - 1, -1, -1) if oj != oi]
+        rem_ub = np.array([term_lists[t].ub for t in rem_terms], np.float64)
+        rem_after = np.concatenate([np.cumsum(rem_ub[::-1])[::-1][1:], [0.0]])
+        for j, tj in enumerate(rem_terms):
+            if not alive.any():
+                break
+            idx = np.nonzero(alive)[0]
+            # block-max bound: even the best block of tj + all remaining ubs
+            bound = cur[idx] + term_lists[tj].ub + rem_after[j]
+            keep = bound >= theta
+            alive[idx[~keep]] = False
+            idx = idx[keep]
+            if len(idx) == 0:
+                continue
+            got = lookup(tj, docs[idx])
+            contribs[idx, tj] = got
+            cur[idx] += got
+        # canonical-order sequential sum over term index 0..m-1
+        final = np.zeros(len(docs), np.float64)
+        for t in range(m):
+            final += contribs[:, t]
+        docs, final = docs[alive], final[alive]
+        found_docs = np.concatenate([found_docs, docs])
+        found_scores = np.concatenate([found_scores, final])
+        if len(found_scores) >= k:
+            theta = float(np.partition(found_scores, -k)[-k])
+    return _topk_merge(found_docs, found_scores, k)
+
+
+def make_bucket_scorer(
+    n_total: int,
+    avgdl: float,
+    k: int,
+    weights: dict[str, float] | None = None,
+    exact_threshold: int = EXACT_THRESHOLD,
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Build the applyInPandas kernel: one call = one doc-range bucket."""
+    from neural_search_spark.query.bm25 import bm25_score_np, idf_np
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_lists, score_fns = [], []
+        for term, grp in pdf.groupby("term", sort=True):  # fixed term order → deterministic sums
+            blocks = [b for row in grp["blocks"] for b in row]
+            df_val = int(grp["df"].iloc[0])
+            idf = float(idf_np(df_val, n_total))
+            w = float((weights or {}).get(term, 1.0))
+            tp = _TermPostings(blocks, w)
+            term_lists.append(tp)
+            score_fns.append(
+                lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl)
+            )
+        total = sum(tp.total for tp in term_lists)
+        if total <= exact_threshold or len(term_lists) == 1:
+            return _score_bucket_exhaustive(term_lists, score_fns, k)
+        return _score_bucket_maxscore(term_lists, score_fns, k)
+
+    return score_bucket
+
+
+def search(
+    index: Index,
+    query: str | list[str],
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    exact_threshold: int = EXACT_THRESHOLD,
+) -> DataFrame:
+    """BM25 top-k over the index. Returns DataFrame(docID, score).
+
+    Plan: term-pruned postings scan (rowgroup min/max on sorted term column)
+    → groupBy(bucket) block-max scoring kernel → TakeOrderedAndProject.
+    """
+    terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
+    sub = index.postings.where(F.col("term").isin(terms))
+    scorer = make_bucket_scorer(index.n_docs, index.avgdl, k, weights, exact_threshold)
+    per_bucket = sub.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
+    return per_bucket.orderBy(F.desc("score"), F.asc("docID")).limit(k)

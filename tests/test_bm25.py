@@ -1,0 +1,82 @@
+"""Brute-force BM25 vs a pure-python/numpy oracle + reference-shaped fixtures."""
+
+import math
+import re
+
+import pytest
+
+from neural_search_spark.analysis import tokenizer as tok
+from neural_search_spark.query import bm25
+
+DOCS = [
+    (1, "Hello world"),
+    (2, "Hi to this place"),
+    (3, "We would like to welcome everyone"),
+    (4, "This is really nice place to be"),
+]
+
+
+def _py_bm25(docs, terms, k=10):
+    toks = {d: [t for t in re.split(tok.TOKEN_SPLIT_RE, txt.lower()) if t] for d, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                dl = len(v)
+                part = idf * tf / (tf + bm25.BM25_K1 * (1 - bm25.BM25_B + bm25.BM25_B * dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + part
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _spark_pipeline(spark, docs):
+    df = spark.createDataFrame(docs, "docID long, content string")
+    tf = tok.tokens_with_tf(df)
+    dl = tok.doc_lengths(df)
+    stats = tok.corpus_stats(dl)
+    return tf, dl, stats
+
+
+@pytest.mark.parametrize("terms", [["hello"], ["place"], ["to", "place"], ["randomkeyword"], ["hello", "world", "place", "to"]])
+def test_bruteforce_matches_oracle(spark, terms):
+    tf, dl, stats = _spark_pipeline(spark, DOCS)
+    got = [(r["docID"], r["score"]) for r in bm25.search_bruteforce(tf, dl, stats, terms).collect()]
+    want = _py_bm25(DOCS, terms)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+
+
+def test_monotone_tf_ranking(spark):
+    """Reference fixture: 8 docs with strictly increasing tf of one term must
+    rank exactly [8,7,6,5,...] (reference: test/sparse/SparseSearchingIT.java:79-83,
+    arithmetic-forced ordering transfers to BM25 tf monotonicity)."""
+    docs = [(i, " ".join(["target"] * i + ["filler"] * (20 - i))) for i in range(1, 9)]
+    tf, dl, stats = _spark_pipeline(spark, docs)
+    got = [r["docID"] for r in bm25.search_bruteforce(tf, dl, stats, ["target"], k=4).collect()]
+    assert got == [8, 7, 6, 5]
+
+
+def test_rare_term_dominance(spark):
+    """Reference fixture: a doc holding a unique term must come back first
+    (reference: test/sparse/SparseSearchingIT.java:171-204)."""
+    docs = [(i, "common words everywhere") for i in range(1, 8)]
+    docs.append((8, "common words unique_token"))
+    tf, dl, stats = _spark_pipeline(spark, docs)
+    got = [r["docID"] for r in bm25.search_bruteforce(tf, dl, stats, ["unique_token", "common"], k=3).collect()]
+    assert got[0] == 8
+
+
+def test_tie_break_docid_asc(spark):
+    """Identical docs → identical scores → ascending docID order
+    (reference: main/search/query/TopDocsMerger.java:38-41)."""
+    docs = [(i, "same text here") for i in (5, 3, 9, 1)]
+    tf, dl, stats = _spark_pipeline(spark, docs)
+    got = [r["docID"] for r in bm25.search_bruteforce(tf, dl, stats, ["same"], k=4).collect()]
+    assert got == [1, 3, 5, 9]

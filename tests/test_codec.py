@@ -1,0 +1,46 @@
+"""Varint / delta codec: decode(encode(x)) == x (FIXTURES.md F3 invariant)."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from neural_search_spark.index import codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(a)), a)
+
+
+def test_varint_empty():
+    assert codec.varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert len(codec.varint_decode(b"")) == 0
+
+
+def test_varint_boundaries():
+    a = np.array([0, 1, 127, 128, 129, 2**14 - 1, 2**14, 2**21, 2**28, 2**35,
+                  2**42, 2**49, 2**56, 2**63 - 1, 2**64 - 1], dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(a)), a)
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=300, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_delta_varint_roundtrip_signed_docids(vals):
+    docs = np.sort(np.array(vals, dtype=np.int64))  # signed asc, like docIDs
+    biased = codec.to_biased(docs)
+    base = int(biased[0])
+    buf = codec.delta_varint_encode(biased, base)
+    back = codec.from_biased(codec.delta_varint_decode(buf, base))
+    assert np.array_equal(back, docs)
+    # strictly ascending after decode (FIXTURES F3 invariant); diff in biased
+    # uint64 space (int64 diff can overflow for gaps > 2^63)
+    assert np.all(np.diff(codec.to_biased(back).astype(object)) > 0)
+
+
+def test_bias_order_preserving():
+    docs = np.array([-(2**63), -5, -1, 0, 1, 2**63 - 1], dtype=np.int64)
+    b = codec.to_biased(docs)
+    assert np.all(np.diff(b.astype(object)) > 0)
+    assert np.array_equal(codec.from_biased(b), docs)

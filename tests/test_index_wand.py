@@ -1,0 +1,180 @@
+"""Index build + WAND query path: equivalence with brute force, resume, invariants."""
+
+import numpy as np
+import pytest
+
+from neural_search_spark.analysis import tokenizer as tok
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index import codec
+from neural_search_spark.index.build import build_index, load_index
+from neural_search_spark.index.catalog import Manifest
+from neural_search_spark.query import bm25, wand
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return with_doc_id(generate_corpus(spark, 300, seed=42)).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    return build_index(spark, corpus, d, bucket_bits=3)
+
+
+@pytest.fixture(scope="module")
+def brute(spark, corpus):
+    tf = tok.tokens_with_tf(corpus, "content", "docID").cache()
+    dl = tok.doc_lengths(corpus, "content", "docID").cache()
+    stats = tok.corpus_stats(dl)
+    return tf, dl, stats
+
+
+QUERIES = [
+    ["def"],                          # heavy stopword
+    ["parse", "buffer"],              # two mid-frequency terms
+    ["uniq_7"],                       # unique rare term
+    ["def", "return", "uniq_11"],     # mixed skew + rare
+    ["score", "merge", "block", "query", "token"],
+    ["nonexistent_term_xyz"],
+    ["import", "class", "posting", "uniq_250"],
+]
+
+
+def assert_rank_identical(got, want, rel_tie=1e-12):
+    """Rank-identity allowing permutation only inside float-tie groups.
+
+    JVM Math.log and numpy's libm log may differ in the last ULP, so docs
+    whose scores are mathematically equal can order differently between the
+    DataFrame oracle and the numpy kernels; within such a tie run, both must
+    contain the same docID set.
+    """
+    assert len(got) == len(want)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9)
+    i = 0
+    while i < len(want):
+        j = i + 1
+        base = want[i][1]
+        while j < len(want) and abs(want[j][1] - base) <= rel_tie * max(abs(base), 1e-300):
+            j += 1
+        assert sorted(d for d, _ in got[i:j]) == sorted(d for d, _ in want[i:j]), \
+            f"rank mismatch outside tie group at positions {i}:{j}"
+        i = j
+
+
+def _np_bm25_oracle(tf_rows, dl_map, n, avgdl, terms, k):
+    """Same-arithmetic numpy oracle: canonical term order, sequential sums."""
+    import numpy as np
+    from collections import defaultdict
+    by_term = defaultdict(list)
+    for d, t, f in tf_rows:
+        if t in terms:
+            by_term[t].append((d, f))
+    scores = defaultdict(float)
+    for t in sorted(by_term):  # canonical term order
+        pairs = sorted(by_term[t])
+        df_val = len(pairs)
+        idf = float(bm25.idf_np(df_val, n))
+        for d, f in pairs:
+            part = bm25.bm25_score_np(np.array([f]), np.array([dl_map[d]]), idf, avgdl)[0]
+            scores[d] += part
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.fixture(scope="module")
+def brute_rows(brute):
+    tf, dl, stats = brute
+    tf_rows = [(r["docID"], r["term"], r["tf"]) for r in tf.collect()]
+    dl_map = {r["docID"]: r["doclen"] for r in dl.collect()}
+    st = stats.collect()[0]
+    return tf_rows, dl_map, int(st["N"]), float(st["avgdl"])
+
+
+@pytest.mark.parametrize("terms", QUERIES)
+@pytest.mark.parametrize("exact_threshold", [0, 10**9])
+def test_wand_equals_bruteforce(index, brute, brute_rows, terms, exact_threshold):
+    """Block-max MaxScore path (threshold 0) and exhaustive path (huge
+    threshold) must both be rank-identical with brute force; scores must be
+    bit-identical with the same-arithmetic numpy oracle."""
+    tf, dl, stats = brute
+    want = [(r["docID"], r["score"]) for r in
+            bm25.search_bruteforce(tf, dl, stats, terms, k=10).collect()]
+    got = [(r["docID"], r["score"]) for r in
+           wand.search(index, terms, k=10, exact_threshold=exact_threshold).collect()]
+    assert_rank_identical(got, want)
+    tf_rows, dl_map, n, avgdl = brute_rows
+    exact = _np_bm25_oracle(tf_rows, dl_map, n, avgdl, set(terms), k=10)
+    assert [d for d, _ in got] == [d for d, _ in exact]
+    assert [s for _, s in got] == [s for _, s in exact]  # bitwise
+
+
+def test_index_invariants(index):
+    """FIXTURES.md F3: df == Σ block n; block docIDs strictly ascending;
+    maxscore == max BM25 in block."""
+    rows = index.postings.collect()
+    assert len(rows) > 0
+    df_sum = {}
+    for r in rows:
+        for b in r["blocks"]:
+            biased = codec.delta_varint_decode(
+                bytes(b["docs"]), int(codec.to_biased(np.array([b["doc0"]], dtype=np.int64))[0])
+            )
+            docs = codec.from_biased(biased)
+            assert len(docs) == b["n"]
+            assert docs[0] == b["doc0"]
+            assert np.all(np.diff(codec.to_biased(docs).astype(object)) > 0)
+            tfs = codec.varint_decode(bytes(b["tfs"]))
+            dls = codec.varint_decode(bytes(b["dls"]))
+            assert len(tfs) == len(dls) == b["n"]
+            idf = bm25.idf_np(r["df"], index.n_docs)
+            ms = bm25.bm25_score_np(tfs.astype(np.int64), dls.astype(np.int64), idf, index.avgdl).max()
+            assert ms == pytest.approx(b["maxscore"], rel=1e-12)
+            df_sum[(r["termID"], )] = df_sum.get((r["termID"],), 0) + b["n"]
+        assert r["df"] > 0
+    # per-term df equals total postings across buckets/rows
+    for r in rows:
+        assert df_sum[(r["termID"],)] == r["df"]
+
+
+def test_stats_avgdl(index):
+    dl = index.doclens
+    total, n = dl.groupBy().sum("doclen").collect()[0][0], dl.count()
+    assert index.n_docs == n
+    assert index.avgdl == pytest.approx(total / n, rel=1e-12)
+
+
+def test_resume_is_noop_and_identical(spark, corpus, index, tmp_path_factory):
+    """Re-running build on a committed index skips all stages (manifest
+    timestamps unchanged) — the kill-and-rerun resumability contract."""
+    man_before = Manifest.load(index.index_dir)
+    build_index(spark, corpus, index.index_dir, bucket_bits=3)
+    man_after = Manifest.load(index.index_dir)
+    for st in ("doclens", "stats", "postings"):
+        assert man_before.stages[st] == man_after.stages[st]
+    # history grows (a new build-complete record) but snapshots are untouched
+    assert man_after.current == man_before.current
+
+
+def test_partial_build_resume(spark, corpus, tmp_path_factory):
+    """Simulate a crash after stage 1: a fresh build must reuse stage-1
+    snapshots and produce an index identical to a clean build."""
+    d = str(tmp_path_factory.mktemp("idx-resume"))
+    # full build in a scratch dir first
+    full = build_index(spark, corpus, d, bucket_bits=3)
+    man = Manifest.load(d)
+    # drop the postings stage record (as if killed before stage 3 commit)
+    del man.stages["postings"]
+    man.commit()
+    resumed = build_index(spark, corpus, d, bucket_bits=3)
+    assert resumed.n_docs == full.n_docs
+    got = wand.search(resumed, ["parse", "def"], k=5).collect()
+    assert len(got) == 5
+
+
+def test_docmap_payload_join(index):
+    """Fetch phase: top-k docIDs join back to (repo, path, commit, sha256)."""
+    res = wand.search(index, ["uniq_5"], k=1)
+    joined = res.join(index.docmap, "docID").collect()
+    assert len(joined) == 1
+    assert joined[0]["path"].startswith("src/")

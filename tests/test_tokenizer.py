@@ -1,0 +1,83 @@
+"""Tokenizer + corpus stats vs plain-python oracle on the 4-doc reference corpus.
+
+The 4-doc corpus mirrors the reference's query-phase unit fixture
+(reference: test/search/query/HybridQueryPhaseSearcherTests.java:92-97).
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis import tokenizer as tok
+
+DOCS = [
+    (1, "Hello world"),
+    (2, "Hi to this place"),
+    (3, "We would like to welcome everyone"),
+    (4, "This is really nice place to be"),
+]
+
+
+def _py_tokens(text):
+    return [t for t in re.split(tok.TOKEN_SPLIT_RE, text.lower()) if t]
+
+
+def test_tokenize_matches_python_oracle(spark):
+    df = spark.createDataFrame(DOCS, "docID long, content string")
+    got = {
+        (r["docID"], r["pos"], r["term"])
+        for r in tok.tokenize(df).collect()
+    }
+    want = set()
+    for d, text in DOCS:
+        # positions are indexes into the raw split (may skip empties)
+        parts = re.split(tok.TOKEN_SPLIT_RE, text.lower())
+        for i, t in enumerate(parts):
+            if t:
+                want.add((d, i, t))
+    assert got == want
+
+
+def test_tokens_with_tf_and_df(spark):
+    df = spark.createDataFrame(DOCS, "docID long, content string")
+    tf = tok.tokens_with_tf(df)
+    rows = {(r["docID"], r["term"]): r["tf"] for r in tf.collect()}
+    assert rows[(1, "hello")] == 1
+    assert rows[(2, "to")] == 1
+    dfreq = {r["term"]: r["df"] for r in tok.term_doc_freq(tf).collect()}
+    assert dfreq["to"] == 3  # docs 2, 3, 4
+    assert dfreq["hello"] == 1
+    assert dfreq["place"] == 2
+
+
+def test_doclens_and_stats(spark):
+    df = spark.createDataFrame(DOCS, "docID long, content string")
+    dl = {r["docID"]: r["doclen"] for r in tok.doc_lengths(df).collect()}
+    assert dl == {d: len(_py_tokens(t)) for d, t in DOCS}
+    stats = tok.corpus_stats(tok.doc_lengths(df)).collect()[0]
+    lens = [len(_py_tokens(t)) for _, t in DOCS]
+    assert stats["N"] == 4
+    assert abs(stats["avgdl"] - sum(lens) / 4) < 1e-12
+
+
+def test_tokenize_stays_jvm_side(spark):
+    """No Python UDF in the analysis plan — it must be pure Catalyst."""
+    df = spark.createDataFrame(DOCS, "docID long, content string")
+    plan = tok.tokens_with_tf(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sha256_identity(spark, sf_dir):
+    """Per-row content sha256 equality invariant (BASELINE.json input_hint)."""
+    import duckdb
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select("doc_id", F.sha2("text", 256).alias("h")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"select doc_id, sha256(text) from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want
