@@ -1,0 +1,161 @@
+"""Driver-contract query builders: Spark DataFrame ops + matching DuckDB SQL.
+
+Each pair (queries()[name], oracle_sql()[name]) must produce identical
+row-count + schema + order-insensitive value-hash at sf=0.01. Rules applied
+throughout:
+
+  * every computed column aliased identically on both sides;
+  * scores rounded to 4 dp and *ordered by the rounded value* with doc_id
+    tie-break, so sub-ULP float differences (JVM log vs DuckDB log, f64 sum
+    order) can never change the returned set or values;
+  * analysis semantics defined once (TOKEN_SPLIT_RE) and verified
+    byte-identical between Spark `split` and DuckDB `string_split_regex`.
+
+The `documents` testdata table has shape (doc_id, text, lang, source,
+n_chars); the engine itself is corpus-shape-agnostic (id col + text col).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neural_search_spark.analysis import tokenizer as tok
+from neural_search_spark.query.bm25 import bm25_score_col
+
+# ---------------------------------------------------------------- helpers
+
+_TOK_SQL = """
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS term
+    FROM documents
+"""
+
+_TF_SQL = f"""
+    SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+    FROM ({_TOK_SQL}) WHERE term <> '' GROUP BY doc_id, term
+"""
+
+_DL_SQL = f"""
+    SELECT doc_id, count(*) AS doclen
+    FROM ({_TOK_SQL}) WHERE term <> '' GROUP BY doc_id
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _bm25_sql(terms: list[str], k: int = 10) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}),
+         dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({terms_sql}) GROUP BY term)
+    SELECT tf.doc_id AS doc_id,
+           round(sum( ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                      * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / s.avgdl)) ), 4)
+             AS score
+    FROM tf
+    JOIN dfreq USING (term)
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, terms: list[str], k: int = 10) -> DataFrame:
+    """Exact BM25 top-k over documents(text), rounded contract output."""
+    docs = _docs(spark, sf_dir)
+    tf = tok.tokens_with_tf(docs, "text", "doc_id")
+    dl = tok.doc_lengths(docs, "text", "doc_id").select("doc_id", "doclen")
+    stats = tok.corpus_stats(dl).select(
+        F.col("N").alias("n_docs"), F.col("avgdl")
+    )
+    hits = tf.where(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            bm25_score_col(
+                F.col("tf"), F.col("doclen"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            ).alias("partial"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------- contract queries
+
+def q_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tok.tokens_with_tf(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def q_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = tok.doc_lengths(_docs(spark, sf_dir), "text", "doc_id")
+    # cast to long so the schema matches DuckDB's BIGINT count aggregate
+    return dl.select("doc_id", F.col("doclen").cast("long").alias("doclen"), "sha256")
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tok.term_doc_freq(q_tokenize_tf(spark, sf_dir), "doc_id")
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dl = tok.doc_lengths(_docs(spark, sf_dir), "text", "doc_id")
+    return dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doclen"), 6).alias("avgdl"),
+    )
+
+
+QUERY_TERMS_SINGLE = ["data"]
+QUERY_TERMS_MULTI = ["query", "join", "filter"]
+
+
+def q_bm25_topk_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(spark, sf_dir, QUERY_TERMS_SINGLE)
+
+
+def q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(spark, sf_dir, QUERY_TERMS_MULTI)
+
+
+SPARK_QUERIES = {
+    "tokenize_tf": q_tokenize_tf,
+    "doclens": q_doclens,
+    "term_df": q_term_df,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk_single": q_bm25_topk_single,
+    "bm25_topk_multi": q_bm25_topk_multi,
+}
+
+ORACLE_SQL = {
+    "tokenize_tf": _TF_SQL,
+    "doclens": f"""
+        SELECT d.doc_id AS doc_id, coalesce(l.doclen, 0) AS doclen,
+               sha256(d.text) AS sha256
+        FROM documents d LEFT JOIN ({_DL_SQL}) l ON d.doc_id = l.doc_id
+    """,
+    "term_df": f"SELECT term, count(*) AS df FROM ({_TF_SQL}) GROUP BY term",
+    "corpus_stats": f"""
+        SELECT count(*) AS n_docs, round(avg(doclen), 6) AS avgdl FROM ({_DL_SQL})
+    """,
+    "bm25_topk_single": _bm25_sql(QUERY_TERMS_SINGLE),
+    "bm25_topk_multi": _bm25_sql(QUERY_TERMS_MULTI),
+}

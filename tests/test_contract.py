@@ -1,0 +1,71 @@
+"""Driver-contract parity: every queries() entry vs its DuckDB oracle_sql().
+
+Mimics the driver's check (row-count + schema-ish + order-insensitive value
+comparison) at sf0.01 so contract breakage is caught by pytest first.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    spark_rows = sdf.collect()
+    if sql is None:
+        assert len(spark_rows) >= 0  # rows-only check
+        return
+    res = duck.sql(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in duck_cols), \
+        f"{name}: column names"
+    got = _norm([r.asDict() for r in spark_rows], sdf.columns)
+    want = _norm(duck_rows, duck_cols)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(gv, float) and isinstance(wv, float):
+                assert math.isclose(gv, wv, rel_tol=1e-6, abs_tol=1e-6), f"{name}: {g} vs {w}"
+            else:
+                assert gv == wv, f"{name}: {g} vs {w}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "score"}
