@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark harness: index-build throughput + BM25 query latency + scaling.
+
+Usage:
+    python bench.py                  # headline run at $SPARK_GRAFT_SF_DIR
+    python bench.py --scaling        # also run build at local[8] vs local[32]
+                                     # and report scaling efficiency
+    python bench.py --cpus 8 --json-only   # internal: single scaling leg
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metrics (BASELINE.md §b):
+  * index-build files/sec over a deterministic synthetic source-code corpus
+    (north-rule shape (repo, path, commit, lang, content));
+  * BM25 WAND query p50/p99 latency over a 24-query reference-shaped set;
+  * scaling efficiency between two parallelism levels (--scaling).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# ~4 docs of synthetic corpus per testdata document row; sf0.1 -> 20k files
+CORPUS_MULTIPLIER = 4
+
+QUERY_SET: list[list[str]] = [
+    ["def"], ["return"], ["import", "class"], ["parse"], ["buffer", "index"],
+    ["query", "token", "score"], ["merge", "block"], ["shard"],
+    ["segment", "vector"], ["weight", "cluster", "posting"], ["codec"],
+    ["reader", "writer"], ["cache", "filter"], ["collector", "searcher"],
+    ["doc", "field", "mapper"], ["uniq_17"], ["uniq_404"], ["def", "uniq_99"],
+    ["normalize", "combine", "rerank"], ["hybrid", "neural", "sparse"],
+    ["dense", "quantize"], ["heap", "rank", "freq", "norm"],
+    ["if", "for", "while", "self"], ["chunker", "uniq_1234", "return"],
+]
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    from neural_search_spark.session import get_spark
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.query import wand
+
+    spark = get_spark("nss-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_files = base_docs * CORPUS_MULTIPLIER
+        corpus = with_doc_id(generate_corpus(spark, n_files, seed=42))
+
+        idx_dir = tempfile.mkdtemp(prefix="nss-bench-idx-")
+        t0 = time.perf_counter()
+        index = build_index(spark, corpus, idx_dir, resume=False)
+        build_s = time.perf_counter() - t0
+
+        # pin postings in memory (reference /warmup analog) + one JIT warm-up
+        index.warmup()
+        wand.search(index, ["def"], k=10).collect()
+        lat = {}
+        for i, terms in enumerate(QUERY_SET):
+            t0 = time.perf_counter()
+            wand.search(index, terms, k=10).collect()
+            lat[f"q{i + 1}"] = round(time.perf_counter() - t0, 4)
+        vals = sorted(lat.values())
+        p50 = vals[len(vals) // 2]
+        p99 = vals[min(len(vals) - 1, int(len(vals) * 0.99))]
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        return {
+            "cpus": cpus,
+            "n_files": n_files,
+            "index_build_s": round(build_s, 3),
+            "index_files_per_sec": round(n_files / build_s, 1),
+            "query_p50_s": p50,
+            "query_p99_s": p99,
+            "queries": lat,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    res = run_bench(args.cpus, SF_DIR)
+    if args.json_only:
+        print(json.dumps(res))
+        return
+
+    extra: dict = {}
+    if args.scaling:
+        legs = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--json-only"],
+                capture_output=True, text=True, check=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            )
+            legs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        tput8 = legs[8]["index_files_per_sec"]
+        tput32 = legs[32]["index_files_per_sec"]
+        extra["scaling"] = {
+            "files_per_sec_local8": tput8,
+            "files_per_sec_local32": tput32,
+            "speedup_8_to_32": round(tput32 / tput8, 3),
+            "efficiency": round(tput32 / tput8 / 4.0, 3),
+        }
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    queries = dict(res["queries"])
+    queries["index_build"] = res["index_build_s"]
+    report = {
+        "metric": "index_build_plus_query_wall",
+        "value": round(res["index_build_s"] + sum(res["queries"].values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "extra": {
+            "cpus": res["cpus"],
+            "n_files": res["n_files"],
+            "index_files_per_sec": res["index_files_per_sec"],
+            "query_p50_s": res["query_p50_s"],
+            "query_p99_s": res["query_p99_s"],
+            **extra,
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

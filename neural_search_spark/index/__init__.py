@@ -4,4 +4,4 @@ from neural_search_spark.index.codec import (  # noqa: F401
     varint_decode,
     varint_encode,
 )
-from neural_search_spark.index.build import build_index, IndexPaths  # noqa: F401
+from neural_search_spark.index.build import Index, build_index, load_index  # noqa: F401

@@ -2,12 +2,14 @@
 
 One batch DAG, three committed stages (SURVEY.md §3.3 Spark equivalent):
 
-  stage 1  doclens:  tokenize (narrow) → (docID, doclen, sha256) [+ docmap]
+  stage 1  docmap:   tokenize (narrow) → (docID, meta…, doclen, sha256)
+                     — ONE corpus pass; doclens is a projection of it
   stage 2  stats:    (N, avgdl) single row
   stage 3  postings: (docID, term, tf) ⋈ df ⋈ doclen
-                     → shuffle on (termID, docBucket)
-                     → applyInPandas block assembly (delta+varint FOR blocks,
-                       exact per-block max BM25 score)
+                     → repartition(termID, docBucket) + sort within partitions
+                     → mapInPandas block assembly (delta+varint FOR blocks,
+                       exact per-block max BM25 score), vectorized across
+                       group boundaries (no per-group pandas overhead)
 
 Reference parity: posting lists are sorted ascending by docID and cut into
 blocks with a block-max summary — the reference's DocumentCluster sorts
@@ -33,6 +35,7 @@ import json
 import math
 import os
 import time
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -68,14 +71,6 @@ POSTINGS_SCHEMA = StructType([
 ])
 
 
-@dataclass
-class IndexPaths:
-    index_dir: str
-
-    def table(self, name: str) -> str:
-        return os.path.join(self.index_dir, name)
-
-
 def default_bucket_bits(n_docs: int) -> int:
     """Buckets sized so a full-corpus term yields ~64k postings per group."""
     return int(min(12, max(2, math.ceil(math.log2(max(n_docs, 1) / 65536 + 1)) + 2)))
@@ -89,42 +84,79 @@ def bucket_col(doc_id_col: str, bucket_bits: int):
     ).cast("int")
 
 
-def _make_block_builder(n_total: int, avgdl: float, block_size: int, blocks_per_row: int):
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+def _encode_group(tid, term, df_val, bkt, docs, tfs, dls, n_total, avgdl,
+                  block_size, blocks_per_row):
+    """Encode one (term, bucket) posting run, already docID-sorted."""
+    idf = float(idf_np(df_val, n_total))
+    scores = bm25_score_np(tfs, dls, idf, avgdl)
+    blocks = []
+    for s in range(0, len(docs), block_size):
+        e = min(s + block_size, len(docs))
+        d = docs[s:e]
+        doc0 = int(d[0])
+        blocks.append({
+            "doc0": doc0,
+            "n": int(e - s),
+            "maxscore": float(scores[s:e].max()),
+            "docs": codec.delta_varint_encode(
+                codec.to_biased(d), int(codec.to_biased(np.array([doc0]))[0])
+            ),
+            "tfs": codec.varint_encode(tfs[s:e]),
+            "dls": codec.varint_encode(dls[s:e]),
+        })
+    for s in range(0, len(blocks), blocks_per_row):
+        yield {
+            "termID": tid, "term": term, "df": df_val, "bucket": bkt,
+            "blocks": blocks[s: s + blocks_per_row],
+        }
+
+
+def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
+                            blocks_per_row: int):
+    """mapInPandas kernel: consumes a (termID, bucket, docID)-sorted partition
+    stream, emits postings rows. Groups may straddle Arrow batches — the tail
+    rows of the last (termID, bucket) key are carried into the next batch."""
+
+    def build_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        tid = pdf["termID"].to_numpy(np.int64)
+        bkt = pdf["bucket"].to_numpy(np.int32)
         docs = pdf["docID"].to_numpy(np.int64)
-        order = np.argsort(docs)  # signed asc == biased-unsigned asc
-        docs = docs[order]
-        tfs = pdf["tf"].to_numpy(np.int64)[order]
-        dls = pdf["doclen"].to_numpy(np.int64)[order]
-        df_val = int(pdf["df"].iloc[0])
-        idf = float(idf_np(df_val, n_total))
-        scores = bm25_score_np(tfs, dls, idf, avgdl)
-
-        blocks = []
-        for s in range(0, len(docs), block_size):
-            e = min(s + block_size, len(docs))
-            d = docs[s:e]
-            doc0 = int(d[0])
-            blocks.append({
-                "doc0": doc0,
-                "n": int(e - s),
-                "maxscore": float(scores[s:e].max()),
-                "docs": codec.delta_varint_encode(codec.to_biased(d), int(codec.to_biased(np.array([doc0]))[0])),
-                "tfs": codec.varint_encode(tfs[s:e]),
-                "dls": codec.varint_encode(dls[s:e]),
-            })
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["doclen"].to_numpy(np.int64)
+        dfv = pdf["df"].to_numpy(np.int64)
+        terms = pdf["term"].to_numpy(object)
+        change = np.nonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1]))[0] + 1
+        starts = np.concatenate([[0], change, [len(pdf)]])
         rows = []
-        for s in range(0, len(blocks), blocks_per_row):
-            rows.append({
-                "termID": int(pdf["termID"].iloc[0]),
-                "term": pdf["term"].iloc[0],
-                "df": df_val,
-                "bucket": int(pdf["bucket"].iloc[0]),
-                "blocks": blocks[s: s + blocks_per_row],
-            })
-        return pd.DataFrame(rows)
+        for gi in range(len(starts) - 1):
+            s, e = int(starts[gi]), int(starts[gi + 1])
+            rows.extend(_encode_group(
+                int(tid[s]), terms[s], int(dfv[s]), int(bkt[s]),
+                docs[s:e], tfs[s:e], dls[s:e],
+                n_total, avgdl, block_size, blocks_per_row,
+            ))
+        return pd.DataFrame(rows, columns=["termID", "term", "df", "bucket", "blocks"])
 
-    return build
+    def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = (pdf["termID"].iloc[-1], pdf["bucket"].iloc[-1])
+            mask = (pdf["termID"].to_numpy() == last_key[0]) & (
+                pdf["bucket"].to_numpy() == last_key[1]
+            )
+            split = int(np.argmax(mask))  # sorted → last key's rows are a suffix
+            carry = pdf.iloc[split:]
+            body = pdf.iloc[:split]
+            if len(body):
+                yield build_rows(body)
+        if carry is not None and len(carry):
+            yield build_rows(carry)
+
+    return build_partition
 
 
 def build_index(
@@ -148,7 +180,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest.load(index_dir)
 
-    n_docs = corpus.count()
+    n_docs = corpus.count()  # column-pruned row count: cheap even on 100 TB parquet
     if bucket_bits is None:
         bucket_bits = default_bucket_bits(n_docs)
     cfg = {
@@ -157,9 +189,10 @@ def build_index(
         "n_docs": n_docs, "format": 1,
     }
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
-    meta_cols = [c for c in corpus.columns if c not in (text_col,)]
+    meta_cols = [c for c in corpus.columns if c != text_col]
 
-    def run_stage(stage: str, tables: dict[str, DataFrame]) -> None:
+    def run_stage(stage: str, tables: dict[str, DataFrame],
+                  count_rows: bool = True) -> None:
         if resume and man.stage_done(stage, fp):
             return
         t0 = time.time()
@@ -168,17 +201,19 @@ def build_index(
             snap = f"snap-{fp}-{stage}"
             snapshot_write(df, index_dir, name, snap)
             written[name] = snap
-            rows = spark.read.parquet(os.path.join(index_dir, name, snap)).count()
-            metrics[f"{name}_rows"] = rows
+            if count_rows:
+                metrics[f"{name}_rows"] = spark.read.parquet(
+                    os.path.join(index_dir, name, snap)
+                ).count()
         man.record_stage(stage, fp, written, {"wall_s": round(time.time() - t0, 3), **metrics})
         man.commit()
 
-    # stage 1 — doclens (+ docmap payload table)
-    dl = doc_lengths(corpus, text_col, id_col)
-    run_stage("doclens", {
-        "doclens": dl,
-        "docmap": corpus.select(*meta_cols).join(dl.select(id_col, "sha256", "doclen"), id_col),
-    })
+    # stage 1 — docmap (single corpus pass; doclens is a cheap projection)
+    dl_all = doc_lengths(corpus, text_col, id_col)
+    docmap = corpus.select(*meta_cols).join(dl_all, id_col) if meta_cols != [id_col] else dl_all
+    run_stage("docmap", {"docmap": docmap})
+    docmap_df = snapshot_read(spark, index_dir, "docmap")
+    run_stage("doclens", {"doclens": docmap_df.select(id_col, "doclen", "sha256")})
     dl = snapshot_read(spark, index_dir, "doclens")
 
     # stage 2 — corpus stats
@@ -191,19 +226,19 @@ def build_index(
         tf = tokens_with_tf(corpus, text_col, id_col)
         dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         enriched = (
-            tf.join(dfreq, "term")
-            .join(dl.select(id_col, "doclen"), id_col)
+            tf.join(dl.select(id_col, "doclen"), id_col)
+            .join(dfreq, "term")  # shuffle join on term; AQE skew-handles
             .withColumn("termID", F.xxhash64("term"))
             .withColumn("bucket", bucket_col(id_col, bucket_bits))
             .withColumnRenamed(id_col, "docID")
         )
         postings = (
-            enriched.groupBy("termID", "bucket")
-            .applyInPandas(
-                _make_block_builder(n_total, avgdl, block_size, blocks_per_row),
+            enriched.repartition("termID", "bucket")
+            .sortWithinPartitions("termID", "bucket", "docID")
+            .mapInPandas(
+                _make_partition_builder(n_total, avgdl, block_size, blocks_per_row),
                 POSTINGS_SCHEMA,
             )
-            .sortWithinPartitions("termID", "bucket")  # rowgroup min/max pruning on term lookups
         )
         run_stage("postings", {"postings": postings})
 
@@ -224,6 +259,22 @@ class Index:
     n_docs: int
     avgdl: float
     bucket_bits: int
+
+    def warmup(self) -> "Index":
+        """Pin postings in executor memory — the analog of the reference's
+        /warmup API (reference: main/transport/NeuralSparseWarmupTransportAction.java:32-114,
+        which loads postings + forward index into node RAM)."""
+        from pyspark import StorageLevel
+
+        self.postings = self.postings.persist(StorageLevel.MEMORY_AND_DISK)
+        self.postings.count()
+        return self
+
+    def clear_cache(self) -> "Index":
+        """Evict cached postings (reference analog:
+        main/rest/RestNeuralSparseClearCacheHandler.java)."""
+        self.postings = self.postings.unpersist()
+        return self
 
 
 def load_index(spark: SparkSession, index_dir: str) -> Index:

@@ -1,0 +1,173 @@
+"""Hybrid multi-sub-query search: normalize → combine → re-rank.
+
+Reproduces the reference's NormalizationProcessorWorkflow
+(reference: main/processor/NormalizationProcessorWorkflow.java:66-124):
+each sub-query retrieves its own top hits; scores are normalized per
+sub-query across all shards, combined per doc, then sorted with the
+(score desc, docID asc) tie-break
+(reference: main/processor/combination/ScoreCombiner.java:45-53, 109-130).
+
+Normalization techniques (exact edge semantics from the reference):
+
+  min_max   (s−min)/(max−min); all-equal → 1.0; result 0.0 → floor 0.001
+            (reference: main/processor/normalization/
+             MinMaxScoreNormalizationTechnique.java:260-297, MIN_SCORE=0.001,
+             SINGLE_RESULT_SCORE=1.0)
+  l2        s/√Σs²; zero norm → 0.0
+            (reference: L2ScoreNormalizationTechnique.java:143-145)
+  z_score   s==μ → raw max; σ==0 → raw min; else (s−μ)/σ, ≤0 → 0.001
+            (reference: ZScoreNormalizationTechnique.java:206-224, population σ)
+  rrf       1/(rank_constant + rank), rank 1-based by (score desc, docID asc)
+            (reference: RRFNormalizationTechnique.java:46-75, default 60,
+             valid range [1, 10000])
+
+Combination techniques (missing sub-query score = 0.0, as the reference
+fills absent sub-queries with zeros in ScoreCombiner.getNormalizedScoresPerDocument,
+reference: combination/ScoreCombiner.java:361-375):
+
+  arithmetic_mean  Σwᵢsᵢ/Σwᵢ over sᵢ ≥ 0
+                   (reference: ArithmeticMeanScoreCombinationTechnique.java:43-61)
+  harmonic_mean    Σwᵢ/Σ(wᵢ/sᵢ) over sᵢ > 0
+                   (reference: HarmonicMeanScoreCombinationTechnique.java:42-58)
+  geometric_mean   exp(Σwᵢ·ln sᵢ / Σwᵢ) over sᵢ > 0
+                   (reference: GeometricMeanScoreCombinationTechnique.java:44-60)
+  rrf              Σwᵢsᵢ over sᵢ ≥ 0 — weighted SUM, no Σw division
+                   (reference: RRFScoreCombinationTechnique.java:40-62)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# reference: main/query/HybridQueryBuilder.java:67
+MAX_SUB_QUERIES = 5
+DEFAULT_RANK_CONSTANT = 60  # reference: RRFNormalizationTechnique.java:46
+MIN_SCORE = 0.001
+
+NORMALIZATION_TECHNIQUES = ("min_max", "l2", "z_score", "rrf")
+COMBINATION_TECHNIQUES = ("arithmetic_mean", "harmonic_mean", "geometric_mean", "rrf")
+
+
+def normalize_scores(
+    scores: DataFrame,
+    technique: str = "min_max",
+    rank_constant: int = DEFAULT_RANK_CONSTANT,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Normalize (subquery_idx, docID, score) per sub-query → adds `nscore`.
+
+    Whole-partition window aggregates per sub-query — the Spark shape of the
+    reference's coordinator-side pass over each sub-query's TopDocs.
+    """
+    if technique not in NORMALIZATION_TECHNIQUES:
+        raise ValueError(f"unknown normalization technique {technique!r}")
+    if not (1 <= rank_constant <= 10_000):
+        # reference: RRFNormalizationTechnique.java MIN/MAX_RANK_CONSTANT
+        raise ValueError("rank_constant must be in [1, 10000]")
+    w = Window.partitionBy("subquery_idx")
+    s = F.col("score")
+    if technique == "min_max":
+        mn, mx = F.min(s).over(w), F.max(s).over(w)
+        raw = (s - mn) / (mx - mn)
+        n = (
+            F.when(mx == mn, F.lit(1.0))
+            .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
+        )
+    elif technique == "l2":
+        norm = F.sqrt(F.sum(s * s).over(w))
+        n = F.when(norm == 0.0, F.lit(0.0)).otherwise(s / norm)
+    elif technique == "z_score":
+        mu = F.avg(s).over(w)
+        sd = F.stddev_pop(s).over(w)
+        z = (s - mu) / sd
+        n = (
+            F.when(s == mu, F.max(s).over(w))
+            .when(sd == 0.0, F.min(s).over(w))
+            .otherwise(F.when(z <= 0.0, F.lit(MIN_SCORE)).otherwise(z))
+        )
+    else:  # rrf
+        rank = F.row_number().over(w.orderBy(F.desc("score"), F.asc(id_col)))
+        n = F.lit(1.0) / (F.lit(float(rank_constant)) + rank)
+    return scores.withColumn("nscore", n)
+
+
+def combine_scores(
+    normalized: DataFrame,
+    n_subqueries: int,
+    technique: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Combine per-sub-query `nscore`s into one score per doc.
+
+    Pivot to one column per sub-query (≤5, reference cap), missing → 0.0,
+    then a single whole-stage-codegen expression per technique.
+    """
+    if technique not in COMBINATION_TECHNIQUES:
+        raise ValueError(f"unknown combination technique {technique!r}")
+    if weights is None:
+        weights = [1.0] * n_subqueries
+    if len(weights) != n_subqueries:
+        # reference: ScoreCombinationUtil.validateIfWeightsMatchScores
+        raise ValueError("number of weights must match number of sub-queries")
+
+    pivoted = (
+        normalized.groupBy(id_col)
+        .pivot("subquery_idx", list(range(n_subqueries)))
+        .agg(F.first("nscore"))
+    )
+    cols = [F.coalesce(F.col(str(i)), F.lit(0.0)) for i in range(n_subqueries)]
+    zero = F.lit(0.0)
+
+    if technique in ("arithmetic_mean", "rrf"):
+        num = sum((F.when(c >= 0.0, c * w).otherwise(zero) for c, w in zip(cols, weights)), zero)
+        wsum = sum((F.when(c >= 0.0, F.lit(w)).otherwise(zero) for c, w in zip(cols, weights)), zero)
+        if technique == "arithmetic_mean":
+            combined = F.when(wsum == 0.0, zero).otherwise(num / wsum)
+        else:
+            combined = F.when(wsum == 0.0, zero).otherwise(num)
+    elif technique == "harmonic_mean":
+        wsum = sum((F.when(c > 0.0, F.lit(w)).otherwise(zero) for c, w in zip(cols, weights)), zero)
+        harm = sum((F.when(c > 0.0, F.lit(w) / c).otherwise(zero) for c, w in zip(cols, weights)), zero)
+        combined = F.when(harm > 0.0, wsum / harm).otherwise(zero)
+    else:  # geometric_mean
+        wsum = sum((F.when(c > 0.0, F.lit(w)).otherwise(zero) for c, w in zip(cols, weights)), zero)
+        lnsum = sum((F.when(c > 0.0, F.lit(w) * F.log(c)).otherwise(zero) for c, w in zip(cols, weights)), zero)
+        combined = F.when(wsum == 0.0, zero).otherwise(F.exp(lnsum / wsum))
+
+    return pivoted.select(id_col, combined.alias("score"))
+
+
+def hybrid_search(
+    index,
+    subqueries: list[str | list[str]],
+    k: int = 10,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    rank_constant: int = DEFAULT_RANK_CONSTANT,
+    pagination_depth: int | None = None,
+) -> DataFrame:
+    """End-to-end hybrid query over the inverted index.
+
+    Each sub-query runs the block-max WAND executor to depth
+    ``pagination_depth or k`` (reference: per-shard retrieval size,
+    main/search/query/HybridCollectorManager.java:240-256), then
+    normalize → combine → global (score desc, docID asc) top-k.
+    """
+    from neural_search_spark.query import wand
+
+    if not 1 <= len(subqueries) <= MAX_SUB_QUERIES:
+        # reference: main/query/HybridQueryBuilder.java:67 (≤5 sub-queries)
+        raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
+    depth = pagination_depth or k
+    per_sub = [
+        wand.search(index, q, k=depth).withColumn("subquery_idx", F.lit(i))
+        for i, q in enumerate(subqueries)
+    ]
+    unioned = per_sub[0]
+    for df in per_sub[1:]:
+        unioned = unioned.unionByName(df)
+    normalized = normalize_scores(unioned, normalization, rank_constant)
+    combined = combine_scores(normalized, len(subqueries), combination, weights)
+    return combined.orderBy(F.desc("score"), F.asc("docID")).limit(k)

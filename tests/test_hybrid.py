@@ -1,0 +1,140 @@
+"""Normalization + combination semantics vs hand-computed oracles (FIXTURES F4)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.query import hybrid
+
+# (subquery_idx, docID, score)
+SCORES = [
+    (0, 1, 2.0), (0, 2, 1.0), (0, 3, 0.5),
+    (1, 2, 10.0), (1, 3, 30.0), (1, 4, 20.0),
+]
+
+
+@pytest.fixture(scope="module")
+def scores_df(spark):
+    return spark.createDataFrame(SCORES, "subquery_idx int, docID long, score double")
+
+
+def _norm_map(df):
+    return {(r["subquery_idx"], r["docID"]): r["nscore"] for r in df.collect()}
+
+
+def test_min_max(spark, scores_df):
+    n = _norm_map(hybrid.normalize_scores(scores_df, "min_max"))
+    assert n[(0, 1)] == pytest.approx(1.0)
+    assert n[(0, 2)] == pytest.approx(0.5 / 1.5)
+    assert n[(0, 3)] == pytest.approx(hybrid.MIN_SCORE)  # (0.5-0.5)/1.5 == 0 → floor
+    assert n[(1, 3)] == pytest.approx(1.0)
+    assert n[(1, 2)] == pytest.approx(hybrid.MIN_SCORE)
+
+
+def test_min_max_single_result(spark):
+    df = spark.createDataFrame([(0, 7, 3.3)], "subquery_idx int, docID long, score double")
+    n = _norm_map(hybrid.normalize_scores(df, "min_max"))
+    assert n[(0, 7)] == 1.0  # SINGLE_RESULT_SCORE
+
+
+def test_l2(spark, scores_df):
+    n = _norm_map(hybrid.normalize_scores(scores_df, "l2"))
+    norm0 = math.sqrt(4.0 + 1.0 + 0.25)
+    assert n[(0, 1)] == pytest.approx(2.0 / norm0)
+    norm1 = math.sqrt(100.0 + 900.0 + 400.0)
+    assert n[(1, 4)] == pytest.approx(20.0 / norm1)
+
+
+def test_z_score(spark, scores_df):
+    n = _norm_map(hybrid.normalize_scores(scores_df, "z_score"))
+    mu1 = 20.0
+    sd1 = math.sqrt(((10 - 20) ** 2 + (30 - 20) ** 2 + (20 - 20) ** 2) / 3)
+    assert n[(1, 3)] == pytest.approx((30 - mu1) / sd1)
+    assert n[(1, 4)] == pytest.approx(30.0)  # score == mean → raw max
+    assert n[(1, 2)] == pytest.approx(hybrid.MIN_SCORE)  # z < 0 → floor
+
+
+def test_rrf_normalization(spark, scores_df):
+    n = _norm_map(hybrid.normalize_scores(scores_df, "rrf"))
+    assert n[(0, 1)] == pytest.approx(1 / 61)
+    assert n[(0, 2)] == pytest.approx(1 / 62)
+    assert n[(0, 3)] == pytest.approx(1 / 63)
+    assert n[(1, 3)] == pytest.approx(1 / 61)
+    n5 = _norm_map(hybrid.normalize_scores(scores_df, "rrf", rank_constant=5))
+    assert n5[(0, 1)] == pytest.approx(1 / 6)
+
+
+def test_rrf_rank_constant_range(spark, scores_df):
+    with pytest.raises(ValueError):
+        hybrid.normalize_scores(scores_df, "rrf", rank_constant=0)
+    with pytest.raises(ValueError):
+        hybrid.normalize_scores(scores_df, "rrf", rank_constant=10001)
+
+
+def _combined_map(df):
+    return {r["docID"]: r["score"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def normalized_df(spark):
+    # already-normalized inputs for combination-only checks
+    rows = [(0, 1, 1.0), (0, 2, 0.5), (1, 2, 0.8), (1, 3, 0.2)]
+    return spark.createDataFrame(rows, "subquery_idx int, docID long, nscore double")
+
+
+def test_arithmetic_mean(normalized_df):
+    c = _combined_map(hybrid.combine_scores(normalized_df, 2, "arithmetic_mean"))
+    # missing sub-query scores are 0.0 and COUNT toward the weight sum (>= 0)
+    assert c[1] == pytest.approx((1.0 + 0.0) / 2)
+    assert c[2] == pytest.approx((0.5 + 0.8) / 2)
+    assert c[3] == pytest.approx((0.0 + 0.2) / 2)
+
+
+def test_arithmetic_mean_weighted(normalized_df):
+    c = _combined_map(hybrid.combine_scores(normalized_df, 2, "arithmetic_mean", weights=[0.3, 0.7]))
+    assert c[2] == pytest.approx((0.3 * 0.5 + 0.7 * 0.8) / 1.0)
+
+
+def test_harmonic_mean(normalized_df):
+    c = _combined_map(hybrid.combine_scores(normalized_df, 2, "harmonic_mean"))
+    # zero scores skipped entirely (weight excluded too)
+    assert c[1] == pytest.approx(1.0 / (1.0 / 1.0))
+    assert c[2] == pytest.approx(2.0 / (1 / 0.5 + 1 / 0.8))
+
+
+def test_geometric_mean(normalized_df):
+    c = _combined_map(hybrid.combine_scores(normalized_df, 2, "geometric_mean"))
+    assert c[2] == pytest.approx(math.exp((math.log(0.5) + math.log(0.8)) / 2))
+    assert c[1] == pytest.approx(1.0)  # only one positive score
+
+
+def test_rrf_combination(normalized_df):
+    c = _combined_map(hybrid.combine_scores(normalized_df, 2, "rrf", weights=[2.0, 1.0]))
+    assert c[2] == pytest.approx(2.0 * 0.5 + 1.0 * 0.8)  # weighted SUM, no division
+
+
+def test_max_subqueries_enforced():
+    with pytest.raises(ValueError):
+        hybrid.hybrid_search(None, [["a"]] * 6)
+
+
+def test_hybrid_end_to_end(spark, tmp_path):
+    """Two sub-queries over a tiny index; hand-check min_max + arithmetic."""
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    corpus = with_doc_id(generate_corpus(spark, 120, seed=7))
+    idx = build_index(spark, corpus, str(tmp_path / "hidx"), bucket_bits=2)
+    res = hybrid.hybrid_search(idx, ["parse buffer", "uniq_3"], k=5).collect()
+    assert 0 < len(res) <= 5
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # the uniq_3 doc must surface: its second sub-query nscore is 1.0 (single result)
+    uniq3 = with_doc_id(generate_corpus(spark, 120, seed=7)).where(
+        F.col("content").contains("uniq_3 ")
+    )
+    # rrf path end-to-end too
+    res2 = hybrid.hybrid_search(idx, ["parse", "buffer"], k=5,
+                                normalization="rrf", combination="rrf").collect()
+    assert len(res2) > 0
