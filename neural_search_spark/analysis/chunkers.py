@@ -1,0 +1,123 @@
+"""Text chunking processors (ingest pipeline stage).
+
+Reproduces the reference's three chunker algorithms
+(reference: main/processor/TextChunkingProcessor.java:53-138 dispatches to
+ChunkerFactory-built chunkers):
+
+  * delimiter      — split on a delimiter string, delimiter kept at the END
+                     of each chunk (reference: main/processor/chunker/
+                     DelimiterChunker.java:66-90, default "\\n\\n")
+  * fixed_char_length — char windows of char_limit with overlap_rate ∈ [0, 0.5]
+                     (reference: FixedCharLengthChunker.java:60-110,
+                     defaults 2048 / 0.0)
+  * fixed_token_length — token windows of token_limit, chunk boundaries at
+                     token start offsets so gap characters are preserved
+                     (reference: FixedTokenLengthChunker.java:119-170,
+                     defaults 384 / 0.0)
+
+delimiter and fixed_char_length are pure Catalyst expressions (JVM-side);
+fixed_token_length needs token character offsets, which the regex tokenizer
+does not expose in SQL, so it is an Arrow-vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+DEFAULT_DELIMITER = "\n\n"      # reference: DelimiterChunker.java:30
+DEFAULT_CHAR_LIMIT = 2048       # reference: FixedCharLengthChunker.java:29-40
+DEFAULT_TOKEN_LIMIT = 384       # reference: FixedTokenLengthChunker.java:49-51
+TOKEN_PATTERN = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _validate_overlap(rate: float) -> None:
+    # reference: Chunker overlap_rate must be within [0, 0.5]
+    if not 0.0 <= rate <= 0.5:
+        raise ValueError("overlap_rate must be within [0, 0.5]")
+
+
+def chunk_delimiter(col: str | Column, delimiter: str = DEFAULT_DELIMITER) -> Column:
+    """array<string> of chunks, each (but possibly the last) ending with the
+    delimiter; a trailing empty remainder is dropped."""
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty string")
+    c = F.col(col) if isinstance(col, str) else col
+    # non-regex split: escape every char (java.util.regex.Pattern.quote analog)
+    quoted = "".join("\\" + ch if not ch.isalnum() else ch for ch in delimiter)
+    parts = F.split(c, quoted, -1)
+    n = F.size(parts)
+    with_delim = F.transform(
+        parts, lambda x, i: F.when(i < n - 1, F.concat(x, F.lit(delimiter))).otherwise(x)
+    )
+    return F.filter(with_delim, lambda x: x != "")
+
+
+def chunk_fixed_char(
+    col: str | Column,
+    char_limit: int = DEFAULT_CHAR_LIMIT,
+    overlap_rate: float = 0.0,
+) -> Column:
+    """array<string> of ≤char_limit windows stepping by limit−⌊limit·rate⌋."""
+    if char_limit <= 0:
+        raise ValueError("char_limit must be a positive integer")
+    _validate_overlap(overlap_rate)
+    c = F.col(col) if isinstance(col, str) else col
+    interval = char_limit - math.floor(char_limit * overlap_rate)
+    ln = F.length(c)
+    # last chunk index J: first j with j*interval + limit >= len (that chunk
+    # absorbs the tail, exactly the reference's break-at-end behavior)
+    j_max = F.when(ln <= char_limit, F.lit(0)).otherwise(
+        F.ceil((ln - F.lit(char_limit)) / F.lit(interval)).cast("int")
+    )
+    idx = F.sequence(F.lit(0), j_max)
+    return F.when(ln == 0, F.array()).otherwise(
+        F.transform(idx, lambda j: F.substring(c, j * interval + 1, char_limit))
+    )
+
+
+def make_fixed_token_chunker(
+    token_limit: int = DEFAULT_TOKEN_LIMIT, overlap_rate: float = 0.0
+):
+    """pandas UDF string → array<string>: token-count windows cut at token
+    start offsets (gap characters stay with the preceding chunk)."""
+    if token_limit <= 0:
+        raise ValueError("token_limit must be a positive integer")
+    _validate_overlap(overlap_rate)
+    overlap_tokens = int(math.floor(token_limit * overlap_rate))
+    step = token_limit - overlap_tokens
+
+    def chunk_one(content: str) -> list[str]:
+        if content is None:
+            return None
+        starts = [m.start() for m in TOKEN_PATTERN.finditer(content)]
+        if not starts:
+            return [content] if content else []
+        chunks = []
+        i = 0
+        while i < len(starts):
+            begin = 0 if i == 0 else starts[i]
+            if i + token_limit >= len(starts):
+                chunks.append(content[begin:])
+                break
+            chunks.append(content[begin: starts[i + token_limit]])
+            i += step
+        return chunks
+
+    @pandas_udf(ArrayType(StringType()))
+    def fixed_token_chunker(s: pd.Series) -> pd.Series:
+        return s.map(chunk_one)
+
+    return fixed_token_chunker
+
+
+CHUNKERS = {
+    "delimiter": chunk_delimiter,
+    "fixed_char_length": chunk_fixed_char,
+    "fixed_token_length": make_fixed_token_chunker,
+}

@@ -1,0 +1,108 @@
+"""Sparse-vector pruning over MapType(token → weight) columns.
+
+Reproduces the reference's four prune strategies
+(reference: main/util/prune/PruneUtils.java, types main/util/prune/PruneType.java:18-23)
+as pure Catalyst higher-order-function expressions — no Python:
+
+  top_k      keep the k highest-weight tokens
+             (reference: PruneUtils.java:34-62; ties broken by key asc here,
+             the reference's PriorityQueue tie order is unspecified)
+  max_ratio  keep tokens with weight ≥ ratio · max
+             (reference: PruneUtils.java:74-93)
+  abs_value  keep tokens with weight ≥ threshold
+             (reference: PruneUtils.java:104-121)
+  alpha_mass keep the desc-sorted prefix while cumulative sum ≤ α · total
+             (reference: PruneUtils.java:133-170 — note the reference adds
+             the value BEFORE the ≤ check, so the first element above the
+             mass line is excluded)
+
+Each function returns the "kept" map; pass ``pruned=True`` to get the
+complement (the reference's two-phase split used by
+NeuralSparseTwoPhaseProcessor, main/processor/NeuralSparseTwoPhaseProcessor.java:206-217).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _sorted_entries(m: Column) -> Column:
+    """Entries sorted by (weight desc, token asc) — deterministic."""
+    return F.sort_array(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(
+                (-e["value"]).cast(DoubleType()).alias("negv"),
+                e["key"].alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    )
+
+
+def prune_top_k(map_col: str | Column, k: int, pruned: bool = False) -> Column:
+    m = _col(map_col)
+    ordered = _sorted_entries(m)
+    part = F.slice(ordered, k + 1, F.greatest(F.size(ordered) - k, F.lit(0))) if pruned \
+        else F.slice(ordered, 1, k)
+    return F.map_from_entries(F.transform(part, lambda e: F.struct(e["key"], e["value"])))
+
+
+def prune_max_ratio(map_col: str | Column, ratio: float, pruned: bool = False) -> Column:
+    m = _col(map_col)
+    mx = F.array_max(F.map_values(m))
+    if pruned:
+        return F.map_filter(m, lambda k, v: v < ratio * mx)
+    return F.map_filter(m, lambda k, v: v >= ratio * mx)
+
+
+def prune_abs_value(map_col: str | Column, threshold: float, pruned: bool = False) -> Column:
+    m = _col(map_col)
+    if pruned:
+        return F.map_filter(m, lambda k, v: v < threshold)
+    return F.map_filter(m, lambda k, v: v >= threshold)
+
+
+def prune_alpha_mass(map_col: str | Column, alpha: float, pruned: bool = False) -> Column:
+    m = _col(map_col)
+    ordered = _sorted_entries(m)
+    total = F.aggregate(F.map_values(m), F.lit(0.0), lambda acc, v: acc + v)
+    # running sum over desc-sorted entries; keep while (sum + v) <= alpha*total
+    acc0 = F.struct(
+        F.lit(0.0).alias("run"),
+        F.array().cast("array<struct<key:string,value:double>>").alias("kept"),
+        F.array().cast("array<struct<key:string,value:double>>").alias("cut"),
+    )
+    folded = F.aggregate(
+        ordered,
+        acc0,
+        lambda acc, e: F.struct(
+            (acc["run"] + e["value"]).alias("run"),
+            F.when(
+                acc["run"] + e["value"] <= alpha * total,
+                F.concat(acc["kept"], F.array(F.struct(
+                    e["key"].alias("key"), e["value"].cast(DoubleType()).alias("value")
+                ))),
+            ).otherwise(acc["kept"]).alias("kept"),
+            F.when(
+                acc["run"] + e["value"] <= alpha * total,
+                acc["cut"],
+            ).otherwise(F.concat(acc["cut"], F.array(F.struct(
+                e["key"].alias("key"), e["value"].cast(DoubleType()).alias("value")
+            )))).alias("cut"),
+        ),
+    )
+    return F.map_from_entries(folded["cut" if pruned else "kept"])
+
+
+PRUNERS = {
+    "top_k": prune_top_k,
+    "max_ratio": prune_max_ratio,
+    "abs_value": prune_abs_value,
+    "alpha_mass": prune_alpha_mass,
+}

@@ -1,0 +1,120 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst expressions (whole-stage codegen, no Python), designed to
+run as narrow projections over a 100 TB documents scan:
+
+  * token_count        — whitespace/identifier token count
+  * quality features   — length, punctuation ratio, stopword ratio, mean
+                         token length, uppercase ratio → composite score
+  * language ID        — n-gram/stopword heuristic over a small built-in
+                         profile table (deterministic, no model)
+  * fingerprint        — order-sensitive polynomial rolling hash over tokens
+                         (cross-engine reproducible: only length/ascii/mod)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from neural_search_spark.analysis.tokenizer import TOKEN_SPLIT_RE
+
+# tiny per-language stopword profiles for the heuristic language ID
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "de": ["der", "die", "und", "das", "von", "mit", "ist", "den"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "du"],
+    "zh": ["de", "shi", "bu", "le", "zai", "ren", "you", "wo"],
+}
+
+_STOPWORDS_EN = LANG_PROFILES["en"] + ["a", "an", "it", "on", "at", "this", "that"]
+
+FP_BASE = 1000003
+FP_MOD = 2147483647  # 2^31 − 1; keeps acc*base < 2^62 (no BIGINT overflow)
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_array(col: str | Column) -> Column:
+    return F.filter(F.split(F.lower(_c(col)), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens_array(col))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[^\p{Punct}]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens_array(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or _STOPWORDS_EN)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def mean_token_len(col: str | Column) -> Column:
+    toks = tokens_array(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def uppercase_ratio(col: str | Column) -> Column:
+    c = _c(col)
+    uppers = F.length(F.regexp_replace(c, "[^A-Z]", ""))
+    letters = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return F.when(letters == 0, F.lit(0.0)).otherwise(uppers.cast("double") / letters)
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation noise,
+    sane token lengths. Deterministic; weights are engine-defined."""
+    tc = token_count(col)
+    length_ok = F.least(tc.cast("double") / 50.0, F.lit(1.0))
+    punct_ok = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
+    mtl = mean_token_len(col)
+    wordlen_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round((length_ok * 0.4 + punct_ok * 0.3 + wordlen_ok * 0.3), 6)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Heuristic language ID: the profile with the highest stopword-hit
+    count wins; ties and zero hits → 'unknown'."""
+    toks = tokens_array(col)
+    scores = [
+        (lang, F.size(F.filter(toks, lambda t, ws=words: F.array_contains(
+            F.array(*[F.lit(w) for w in ws]), t))))
+        for lang, words in LANG_PROFILES.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("unknown")
+    # build reversed so earlier profiles win ties deterministically
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Order-sensitive rolling hash of the token stream.
+
+    fp = fold(tokens, 0, acc -> (acc·B + ascii(first char)·31 + len(token)) mod M)
+    Uses only ascii/length/mod so DuckDB reproduces it bit-for-bit (the
+    driver oracle cannot call xxhash64)."""
+    toks = tokens_array(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t))
+        % FP_MOD,
+    )

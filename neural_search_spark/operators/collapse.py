@@ -1,0 +1,32 @@
+"""Collapse (group-top) operator.
+
+Reproduces the reference's field-collapsing semantics: one best hit per
+collapse-field group, ordered by score with docID tie-break
+(reference: main/search/collector/HybridCollapsingTopDocsCollector.java —
+flat per-group queues, keyword & numeric collapse strategies
+main/processor/collapse/CollapseStrategy.java:22-75).
+
+Spark shape: ranking window per group — whole-stage, one shuffle on the
+collapse field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def collapse(
+    df: DataFrame,
+    collapse_field: str,
+    score_col: str = "score",
+    id_col: str = "docID",
+    per_group: int = 1,
+) -> DataFrame:
+    """Keep the top `per_group` rows per collapse_field group by
+    (score desc, id asc)."""
+    w = Window.partitionBy(collapse_field).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= per_group)
+        .drop("_rank")
+    )

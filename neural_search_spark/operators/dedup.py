@@ -1,0 +1,277 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, each expressed Spark-first and designed for 100 TB inputs:
+
+  exact          sha256 content hash → groupBy; survivor = min id
+  ngram_jaccard  word-shingle inverted index → pair intersection counts →
+                 exact Jaccard; frequent-shingle cap bounds the self-join
+  minhash_lsh    64 universal-hash min-signatures → banded buckets →
+                 candidate pairs → exact-Jaccard verify (classic MinHash+LSH)
+  simhash        64-bit tf-weighted simhash, fully JVM-side (64 bit-plane
+                 sums); near-dups via 16-bit band blocking + bit_count verify
+  embedding      cosine near-dup over embedding vectors (see similarity.py
+                 for the ANN path)
+
+Scale notes: every stage is a narrow projection or a keyed shuffle; the
+pair-generation joins are bounded by banding / shingle-df caps so no
+quadratic blowup on skewed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import TOKEN_SPLIT_RE
+
+MERSENNE31 = 2147483647  # 2^31 − 1 (prime), universal-hash modulus
+
+
+def dedup_exact(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """Survivors after exact dedup: the minimum id per identical content.
+
+    One hash-shuffle on sha256(content); survivor choice is deterministic.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    keeper = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keeper, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(sha256, group_size, keeper_id) for groups with >1 member."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("sha256"))
+        .groupBy("sha256")
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+def shingles(
+    df: DataFrame, text_col: str = "content", id_col: str = "docID", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
+    tokenize → sliding windows via transform over index sequence."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join on shingle; shingles shared by more than
+    ``max_shingle_df`` docs are dropped from pair *generation* (boilerplate
+    shingles would otherwise explode the join quadratically) but still count
+    in the exact Jaccard denominator via the per-doc set sizes.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= max_shingle_df),
+        "shingle",
+        "left_semi",
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    b = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_hashes).tolist()
+    b = rng.integers(0, MERSENNE31, size=num_hashes).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    num_hashes: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]) MinHash signature per doc.
+
+    h_i(s) = (a_i·x + b_i) mod (2^31−1) with x = xxhash64(shingle) folded to
+    31 bits — all JVM expressions; the per-i min is num_hashes aggregate
+    columns (map-side combined before the shuffle).
+    """
+    a, b = _hash_params(num_hashes, seed)
+    sh = shingles(df, text_col, id_col, n)
+    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    hashed = sh.select(
+        id_col,
+        *[((F.lit(a[i]) * x + F.lit(b[i])) % MERSENNE31).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    bands × rows = num_hashes; two docs collide if any band matches
+    (P[collide] = 1 − (1 − j^rows)^bands). Candidates are verified against
+    the true shingle sets so the output has no false positives.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.element_at("sig", i * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ])).alias("key"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verify of the candidate pairs only
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b")), "id_b")
+        .where(F.col("shingle") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+    """(id, simhash long): 64-bit tf-weighted SimHash, fully JVM-side.
+
+    Each token contributes ±tf to 64 bit-plane sums (64 aggregate columns,
+    map-side combined); the sign vector packs into one long.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    planes = tf.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ])
+    packed = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** j if j < 63 else -(2 ** 63)).cast("long")
+         for j in range(64)),
+        F.lit(0).cast("long"),
+    )
+    return planes.select(id_col, packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: 4 × 16-bit chunks — any pair within Hamming ≤ 3 must agree on
+    at least one chunk (pigeonhole), so candidate generation is an equi-join;
+    verify with bit_count(a XOR b).
+    """
+    sh = simhash64(df, text_col, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ])).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    x, y = chunks.alias("x"), chunks.alias("y")
+    return (
+        x.join(y, ["chunk", "key"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,119 @@
+"""Chunkers + prune strategies vs reference-semantics python oracles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis import chunkers, prune
+
+
+def _chunk_delim_oracle(content, delim):
+    # reference: DelimiterChunker.java:66-90
+    out, start = [], 0
+    pos = content.find(delim)
+    while pos != -1:
+        end = pos + len(delim)
+        out.append(content[start:end])
+        start = end
+        pos = content.find(delim, start)
+    if start < len(content):
+        out.append(content[start:])
+    return out
+
+
+def _chunk_char_oracle(content, limit, rate):
+    # reference: FixedCharLengthChunker.java:84-110
+    out, start = [], 0
+    interval = limit - int(limit * rate)
+    while start < len(content):
+        if start + limit >= len(content):
+            out.append(content[start:])
+            break
+        out.append(content[start: start + limit])
+        start += interval
+    return out
+
+
+@pytest.mark.parametrize("text,delim", [
+    ("a\n\nb\n\nc", "\n\n"),
+    ("a\n\n\n\nb", "\n\n"),
+    ("\n\nx", "\n\n"),
+    ("x\n\n", "\n\n"),
+    ("no delim here", "\n\n"),
+    ("a.b.c.", "."),
+    ("", "\n\n"),
+])
+def test_chunk_delimiter(spark, text, delim):
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(chunkers.chunk_delimiter("t", delim).alias("c")).collect()[0]["c"]
+    assert got == _chunk_delim_oracle(text, delim)
+
+
+@pytest.mark.parametrize("limit,rate", [(5, 0.0), (5, 0.4), (10, 0.5), (3, 0.0)])
+@pytest.mark.parametrize("text", ["abcdefghijklmnop", "ab", "", "abcde", "abcdef"])
+def test_chunk_fixed_char(spark, text, limit, rate):
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(chunkers.chunk_fixed_char("t", limit, rate).alias("c")).collect()[0]["c"]
+    assert got == _chunk_char_oracle(text, limit, rate)
+
+
+def test_chunk_fixed_token(spark):
+    text = "alpha beta gamma; delta epsilon zeta eta"
+    df = spark.createDataFrame([(text,)], "t string")
+    f = chunkers.make_fixed_token_chunker(token_limit=3, overlap_rate=0.0)
+    got = df.select(f(F.col("t")).alias("c")).collect()[0]["c"]
+    # boundaries at token start offsets; gap chars stay with preceding chunk
+    assert got == ["alpha beta gamma; ", "delta epsilon zeta ", "eta"]
+    assert "".join(got) == text
+    f2 = chunkers.make_fixed_token_chunker(token_limit=4, overlap_rate=0.5)
+    got2 = df.select(f2(F.col("t")).alias("c")).collect()[0]["c"]
+    # step = 4 - floor(4*0.5) = 2 → overlapping windows
+    assert got2[0] == "alpha beta gamma; delta "
+    assert got2[1].startswith("gamma; delta ")
+
+
+def test_overlap_validation():
+    with pytest.raises(ValueError):
+        chunkers.make_fixed_token_chunker(overlap_rate=0.6)
+    with pytest.raises(ValueError):
+        chunkers.chunk_fixed_char("t", 10, 0.7)
+
+
+VEC = {"a": 5.0, "b": 3.0, "c": 1.0, "d": 0.5}
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame([(VEC,)], "m map<string,double>")
+
+
+def _m(df, col="p"):
+    return dict(df.collect()[0][col])
+
+
+def test_prune_top_k(vec_df):
+    assert _m(vec_df.select(prune.prune_top_k("m", 2).alias("p"))) == {"a": 5.0, "b": 3.0}
+    assert _m(vec_df.select(prune.prune_top_k("m", 2, pruned=True).alias("p"))) == {"c": 1.0, "d": 0.5}
+
+
+def test_prune_max_ratio(vec_df):
+    # keep >= 0.5 * 5.0 = 2.5 → a, b  (reference: PruneUtils.java:74-93)
+    assert _m(vec_df.select(prune.prune_max_ratio("m", 0.5).alias("p"))) == {"a": 5.0, "b": 3.0}
+
+
+def test_prune_abs_value(vec_df):
+    assert _m(vec_df.select(prune.prune_abs_value("m", 1.0).alias("p"))) == {"a": 5.0, "b": 3.0, "c": 1.0}
+
+
+def test_prune_alpha_mass(vec_df):
+    # total 9.5; cumulative: a=5 (≤0.9*9.5=8.55 keep), a+b=8 keep, +c=9 > 8.55 cut
+    assert _m(vec_df.select(prune.prune_alpha_mass("m", 0.9).alias("p"))) == {"a": 5.0, "b": 3.0}
+    # complement
+    assert _m(vec_df.select(prune.prune_alpha_mass("m", 0.9, pruned=True).alias("p"))) == {"c": 1.0, "d": 0.5}
+
+
+def test_collapse(spark):
+    from neural_search_spark.operators.collapse import collapse
+    rows = [(1, "py", 3.0), (2, "py", 5.0), (3, "go", 2.0), (4, "go", 2.0)]
+    df = spark.createDataFrame(rows, "docID long, lang string, score double")
+    got = {r["lang"]: r["docID"] for r in collapse(df, "lang").collect()}
+    assert got == {"py": 2, "go": 3}  # score desc, docID asc tie-break

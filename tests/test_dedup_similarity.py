@@ -1,0 +1,154 @@
+"""Dedup + similarity operators vs brute-force python/numpy oracles."""
+
+import itertools
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.tokenizer import TOKEN_SPLIT_RE
+from neural_search_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different content about spark engines"),
+    (5, "the quick brown fox leaps over the lazy dog"),
+    (6, "unrelated short text"),
+]
+
+
+def _shingle_set(text, n=3):
+    toks = [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jaccard(a, b):
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "docID long, content string")
+
+
+def test_dedup_exact(docs_df):
+    kept = sorted(r["docID"] for r in dedup.dedup_exact(docs_df).collect())
+    assert kept == [1, 2, 4, 5, 6]  # 3 removed (dup of 1, keeper = min id)
+    groups = dedup.exact_dup_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["group_size"] == 2 and groups[0]["keeper_id"] == 1
+
+
+def test_shingles(docs_df):
+    got = {
+        (r["docID"], r["shingle"])
+        for r in dedup.shingles(docs_df).collect()
+    }
+    want = {(d, s) for d, t in DOCS for s in _shingle_set(t)}
+    assert got == want
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()}
+    want = {}
+    for (ida, ta), (idb, tb) in itertools.combinations(DOCS, 2):
+        j = _jaccard(_shingle_set(ta), _shingle_set(tb))
+        if j >= 0.5:
+            want[(ida, idb)] = round(j, 6)
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()}
+    # exact dup pair must always collide in every band
+    assert got.get((1, 3)) == 1.0
+    # no false positives: every reported jaccard matches the true one
+    for (a, b), j in got.items():
+        ta = dict(DOCS)[a]
+        tb = dict(DOCS)[b]
+        assert j == pytest.approx(round(_jaccard(_shingle_set(ta), _shingle_set(tb)), 6))
+
+
+def test_simhash_identical_docs_equal(docs_df):
+    sh = {r["docID"]: r["simhash"] for r in dedup.simhash64(docs_df).collect()}
+    assert sh[1] == sh[3]
+    assert sh[1] != sh[4]
+
+
+def test_simhash_pairs(docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_pairs(docs_df, max_hamming=6).collect()}
+    assert pairs.get((1, 3)) == 0
+    # near-dup docs 1/2 and 1/5 differ by one token → small hamming expected
+    assert (1, 2) in pairs or (1, 5) in pairs
+
+
+# ------------------------------------------------------------- similarity
+
+N_VEC, DIM = 80, 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((N_VEC, DIM))
+    vecs[5] = vecs[3] * 1.7 + rng.standard_normal(DIM) * 1e-4  # near-dup of 3
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(N_VEC)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _brute_cosine(vecs, q, k):
+    vv = vecs.astype(np.float64)
+    # float32 storage: compare against float32-rounded vectors
+    vv = vecs.astype(np.float32).astype(np.float64)
+    qq = np.asarray(q, dtype=np.float64)
+    cos = (vv @ qq) / (np.linalg.norm(vv, axis=1) * np.linalg.norm(qq))
+    order = sorted(range(len(vv)), key=lambda i: (-cos[i], i))[:k]
+    return [(i, cos[i]) for i in order]
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["score"]) for r in
+           similarity.cosine_topk(df, q, k=5).collect()]
+    want = _brute_cosine(vecs, q, 5)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (g, w) in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-5)
+    assert got[0][0] == 0  # self-match first
+
+
+def test_lsh_topk_recall(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    exact = [i for i, _ in _brute_cosine(vecs, q, 3)]
+    got = [r["vec_id"] for r in similarity.lsh_topk(df, q, k=3, max_hamming=4).collect()]
+    # the self vector and its scaled near-dup share all sign bits → found
+    assert 3 in got and 5 in got
+    assert len(set(got) & set(exact)) >= 2
+
+
+def test_ivf_topk_probed_recall(emb_df):
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[3]]
+    got = [r["vec_id"] for r in
+           similarity.ivf_topk(df, q, k=3, nlist=8, nprobe=8).collect()]
+    # nprobe == nlist → exhaustive → must equal brute force exactly
+    want = [i for i, _ in _brute_cosine(vecs, q, 3)]
+    assert got == want
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    df, vecs = emb_df
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             similarity.embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (3, 5) in pairs
+    assert pairs[(3, 5)] >= 0.999
