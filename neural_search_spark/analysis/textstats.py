@@ -92,11 +92,12 @@ def lang_id(col: str | Column) -> Column:
     """Heuristic language ID: the profile with the highest stopword-hit
     count wins; ties and zero hits → 'unknown'."""
     toks = tokens_array(col)
-    scores = [
-        (lang, F.size(F.filter(toks, lambda t, ws=words: F.array_contains(
-            F.array(*[F.lit(w) for w in ws]), t))))
-        for lang, words in LANG_PROFILES.items()
-    ]
+
+    def _hits(words: list[str]) -> Column:
+        sw = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+    scores = [(lang, _hits(words)) for lang, words in LANG_PROFILES.items()]
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("unknown")
     # build reversed so earlier profiles win ties deterministically

@@ -136,6 +136,12 @@ def q_bm25_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark, sf_dir, QUERY_TERMS_MULTI)
 
 
+def _ext():
+    from neural_search_spark import contract_ops
+
+    return contract_ops
+
+
 SPARK_QUERIES = {
     "tokenize_tf": q_tokenize_tf,
     "doclens": q_doclens,
@@ -144,6 +150,7 @@ SPARK_QUERIES = {
     "bm25_topk_single": q_bm25_topk_single,
     "bm25_topk_multi": q_bm25_topk_multi,
 }
+SPARK_QUERIES.update(_ext().SPARK_QUERIES_EXT)
 
 ORACLE_SQL = {
     "tokenize_tf": _TF_SQL,
@@ -159,3 +166,4 @@ ORACLE_SQL = {
     "bm25_topk_single": _bm25_sql(QUERY_TERMS_SINGLE),
     "bm25_topk_multi": _bm25_sql(QUERY_TERMS_MULTI),
 }
+ORACLE_SQL.update(_ext().ORACLE_SQL_EXT)

@@ -1,0 +1,625 @@
+"""Extended driver-contract entries: one per operator family of SURVEY.md §2.
+
+Each entry pairs a Spark DataFrame query with a DuckDB oracle that recomputes
+the same semantics in ANSI-ish SQL. Entries whose semantics depend on
+xxhash64 (MinHash/SimHash signatures) or on byte offsets SQL cannot express
+(fixed-token chunker) are registered WITHOUT an oracle — the driver records
+the weaker rows-only check for those, as allowed by the contract.
+
+Determinism rules (same as contract.py): identical aliases both sides;
+float outputs rounded (4–6 dp) *after* exact-value ordering; every fold /
+sum that feeds a comparison is either integer-exact in f64 or evaluated in
+the same left-to-right order on both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neural_search_spark.analysis import chunkers, prune as pr, textstats as ts
+from neural_search_spark.analysis.tokenizer import tokens_with_tf
+from neural_search_spark.index.build import Index, build_index
+from neural_search_spark.operators import dedup, multimodal, similarity
+from neural_search_spark.operators.collapse import collapse
+from neural_search_spark.query import hybrid, wand
+
+# ------------------------------------------------------------ shared SQL
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> t <> '')"
+
+_TF_SQL = """
+    SELECT doc_id, term, CAST(count(*) AS INT) AS tf FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS term
+      FROM documents)
+    WHERE term <> '' GROUP BY doc_id, term
+"""
+
+_DL_SQL = """
+    SELECT doc_id, count(*) AS doclen FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS term
+      FROM documents)
+    WHERE term <> '' GROUP BY doc_id
+"""
+
+# augmented corpora with guaranteed duplicates (dedup entries)
+_AUG_DOCS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+"""
+_AUG_EMB_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.where(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 10000)
+    return d.unionByName(dup)
+
+
+def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.where(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 10000)
+    return e.unionByName(dup)
+
+
+# ------------------------------------------------- index-backed queries
+
+_INDEX_CACHE: dict[tuple[int, str], Index] = {}
+
+
+def _get_index(spark: SparkSession, sf_dir: str) -> Index:
+    """Build (or resume) the real inverted index over sf_dir's documents.
+    Cached per (session, sf_dir); the on-disk index itself is reused across
+    sessions via the manifest's resume path."""
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"nss-contract-idx-{tag}")
+        corpus = _docs(spark, sf_dir).select("doc_id", "text")
+        _INDEX_CACHE[key] = build_index(
+            spark, corpus, idx_dir, text_col="text", id_col="doc_id", resume=True
+        )
+    return _INDEX_CACHE[key]
+
+
+def _bm25_exact_sql(terms: list[str], k: int) -> str:
+    """Top-k ordered by the EXACT f64 score (round only in projection)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+WAND_TERMS_SINGLE = ["data"]
+WAND_TERMS_MULTI = ["query", "join", "filter", "merge"]
+
+
+def _wand_entry(terms: list[str], k: int = 10):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _get_index(spark, sf_dir)
+        res = wand.search(idx, terms, k=k)
+        return res.select(
+            F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+# ------------------------------------------------------- hybrid queries
+
+HYBRID_SUBS = [["data"], ["query", "join"]]
+HYBRID_DEPTH = 20
+HYBRID_K = 10
+
+
+def _hybrid_entry(normalization: str, combination: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        idx = _get_index(spark, sf_dir)
+        res = hybrid.hybrid_search(
+            idx, HYBRID_SUBS, k=HYBRID_K, normalization=normalization,
+            combination=combination, pagination_depth=HYBRID_DEPTH,
+        )
+        return res.select(
+            F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+        )
+
+    return run
+
+
+def _norm_cte(i: int, technique: str) -> str:
+    base = f"""(SELECT doc_id, score,
+        min(score) OVER () AS mn, max(score) OVER () AS mx,
+        avg(score) OVER () AS mu, stddev_pop(score) OVER () AS sd,
+        sqrt(sum(score * score) OVER ()) AS nrm,
+        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM sub{i})"""
+    if technique == "min_max":
+        ns = """CASE WHEN mx = mn THEN 1.0
+                     WHEN (score - mn) / (mx - mn) = 0.0 THEN 0.001
+                     ELSE (score - mn) / (mx - mn) END"""
+    elif technique == "l2":
+        ns = "CASE WHEN nrm = 0.0 THEN 0.0 ELSE score / nrm END"
+    elif technique == "z_score":
+        ns = """CASE WHEN score = mu THEN mx
+                     WHEN sd = 0.0 THEN mn
+                     ELSE CASE WHEN (score - mu) / sd <= 0.0 THEN 0.001
+                               ELSE (score - mu) / sd END END"""
+    else:  # rrf
+        ns = "1.0 / (60.0 + rk)"
+    return f"n{i} AS (SELECT doc_id, {ns} AS ns FROM {base})"
+
+
+def _comb_exprs(n: int, combination: str) -> tuple[str, str]:
+    cols = [f"s{i}" for i in range(n)]
+    if combination in ("arithmetic_mean", "rrf"):
+        num = " + ".join(f"(CASE WHEN {c} >= 0.0 THEN {c} ELSE 0.0 END)" for c in cols)
+        wsum = " + ".join(f"(CASE WHEN {c} >= 0.0 THEN 1.0 ELSE 0.0 END)" for c in cols)
+        if combination == "arithmetic_mean":
+            sc = f"CASE WHEN (0.0 + {wsum}) = 0.0 THEN 0.0 ELSE (0.0 + {num}) / (0.0 + {wsum}) END"
+        else:
+            sc = f"CASE WHEN (0.0 + {wsum}) = 0.0 THEN 0.0 ELSE (0.0 + {num}) END"
+    elif combination == "harmonic_mean":
+        wsum = " + ".join(f"(CASE WHEN {c} > 0.0 THEN 1.0 ELSE 0.0 END)" for c in cols)
+        harm = " + ".join(f"(CASE WHEN {c} > 0.0 THEN 1.0 / {c} ELSE 0.0 END)" for c in cols)
+        sc = f"CASE WHEN (0.0 + {harm}) > 0.0 THEN (0.0 + {wsum}) / (0.0 + {harm}) ELSE 0.0 END"
+    else:  # geometric_mean
+        wsum = " + ".join(f"(CASE WHEN {c} > 0.0 THEN 1.0 ELSE 0.0 END)" for c in cols)
+        lnsum = " + ".join(f"(CASE WHEN {c} > 0.0 THEN ln({c}) ELSE 0.0 END)" for c in cols)
+        sc = f"CASE WHEN (0.0 + {wsum}) = 0.0 THEN 0.0 ELSE exp((0.0 + {lnsum}) / (0.0 + {wsum})) END"
+    return cols[0], sc
+
+
+def _hybrid_sql(
+    subqueries: list[list[str]], normalization: str, combination: str,
+    depth: int = HYBRID_DEPTH, k: int = HYBRID_K,
+) -> str:
+    n = len(subqueries)
+    subs, norms = [], []
+    for i, terms in enumerate(subqueries):
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        subs.append(f"""
+        sub{i} AS (
+          SELECT doc_id, score FROM (
+            SELECT tf.doc_id AS doc_id,
+              sum( ln(1 + (st.n_docs - d{i}.df + 0.5) / (d{i}.df + 0.5))
+                   * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+            FROM tf JOIN (SELECT term, count(*) AS df FROM tf
+                          WHERE term IN ({tlist}) GROUP BY term) d{i} USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+            GROUP BY tf.doc_id)
+          ORDER BY score DESC, doc_id ASC LIMIT {depth}
+        )""")
+        norms.append(_norm_cte(i, normalization))
+    # pivot via chained full outer joins, missing sub-query score → 0.0
+    joined = "n0 t0"
+    id_expr = "t0.doc_id"
+    for i in range(1, n):
+        joined += f" FULL OUTER JOIN n{i} t{i} ON coalesce({id_expr}) = t{i}.doc_id"
+        id_expr += f", t{i}.doc_id"
+    sel = ", ".join(f"coalesce(t{i}.ns, 0.0) AS s{i}" for i in range(n))
+    _, comb = _comb_exprs(n, combination)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {", ".join(subs)}, {", ".join(norms)},
+         pv AS (SELECT coalesce({id_expr}) AS doc_id, {sel} FROM {joined})
+    SELECT doc_id, round(cscore, 4) AS score FROM (
+      SELECT doc_id, {comb} AS cscore FROM pv
+      ORDER BY cscore DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+# --------------------------------------------------------- collapse
+
+def q_collapse_top2_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return collapse(d, "lang", score_col="n_chars", id_col="doc_id", per_group=2)
+
+
+COLLAPSE_SQL = """
+    SELECT doc_id, lang, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) <= 2
+"""
+
+
+# --------------------------------------------------------- chunkers
+
+def q_chunk_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.posexplode(chunkers.chunk_delimiter("text", " ")).alias("chunk_idx", "chunk"),
+    )
+
+
+CHUNK_DELIM_SQL = """
+    SELECT doc_id, chunk_idx, chunk FROM (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             parts[i] || CASE WHEN i < len(parts) THEN ' ' ELSE '' END AS chunk
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts,
+                   unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+            FROM documents)
+    ) WHERE chunk <> ''
+"""
+
+CHUNK_CHAR_LIMIT = 64
+CHUNK_CHAR_OVERLAP = 0.25  # interval = 64 - floor(64*0.25) = 48
+
+
+def q_chunk_fixed_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            chunkers.chunk_fixed_char("text", CHUNK_CHAR_LIMIT, CHUNK_CHAR_OVERLAP)
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
+CHUNK_CHAR_SQL = f"""
+    SELECT doc_id, j AS chunk_idx,
+           substring(text, j * 48 + 1, {CHUNK_CHAR_LIMIT}) AS chunk
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                   CASE WHEN length(text) <= {CHUNK_CHAR_LIMIT} THEN 0
+                        ELSE CAST(ceil((length(text) - {CHUNK_CHAR_LIMIT}) / 48.0) AS INT)
+                   END)) AS j
+          FROM documents)
+    WHERE length(text) > 0
+"""
+
+
+def q_chunk_fixed_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (token byte offsets are not SQL-expressible)."""
+    d = _docs(spark, sf_dir)
+    chunker = chunkers.make_fixed_token_chunker(16, 0.25)
+    return d.select(
+        "doc_id", F.posexplode(chunker(F.col("text"))).alias("chunk_idx", "chunk")
+    )
+
+
+# ------------------------------------------------------------ prune
+
+def _tf_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = tokens_with_tf(_docs(spark, sf_dir), "text", "doc_id")
+    return tf.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("tf").cast("double")))
+        ).alias("weights")
+    )
+
+
+def _prune_entry(kind: str, arg):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        m = _tf_map(spark, sf_dir)
+        kept = pr.PRUNERS[kind]("weights", arg)
+        return m.select("doc_id", F.explode(kept).alias("term", "weight"))
+
+    return run
+
+
+PRUNE_TOPK_SQL = f"""
+    SELECT doc_id, term, CAST(tf AS DOUBLE) AS weight FROM ({_TF_SQL})
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 5
+"""
+
+PRUNE_MAXRATIO_SQL = f"""
+    SELECT doc_id, term, CAST(tf AS DOUBLE) AS weight FROM ({_TF_SQL})
+    QUALIFY CAST(tf AS DOUBLE) >= CAST(0.5 AS DOUBLE) * max(CAST(tf AS DOUBLE)) OVER (PARTITION BY doc_id)
+"""
+
+PRUNE_ABS_SQL = f"""
+    SELECT doc_id, term, CAST(tf AS DOUBLE) AS weight FROM ({_TF_SQL})
+    WHERE CAST(tf AS DOUBLE) >= 3.0
+"""
+
+PRUNE_ALPHA_SQL = f"""
+    SELECT doc_id, term, CAST(tf AS DOUBLE) AS weight FROM ({_TF_SQL})
+    QUALIFY sum(CAST(tf AS DOUBLE)) OVER (
+              PARTITION BY doc_id ORDER BY tf DESC, term ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            <= CAST(0.6 AS DOUBLE) * sum(CAST(tf AS DOUBLE)) OVER (PARTITION BY doc_id)
+"""
+
+
+# -------------------------------------------------------- text stats
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.quality_score("text").alias("quality"),
+        ts.lang_id("text").alias("lang_guess"),
+        ts.fingerprint("text").alias("fp"),
+    )
+
+
+def _text_stats_sql() -> str:
+    langs = list(ts.LANG_PROFILES)
+    hit_cols = ", ".join(
+        f"len(list_filter(toks, t -> list_contains({words!r}, t))) AS hit_{lang}"
+        for lang, words in ts.LANG_PROFILES.items()
+    )
+    best = "greatest(" + ", ".join(f"hit_{la}" for la in langs) + ")"
+    whens = "".join(
+        f" WHEN hit_{la} = best AND best > 0 THEN '{la}'" for la in langs
+    )
+    return f"""
+    SELECT doc_id, n_tokens, round(0.4 * length_ok + 0.3 * punct_ok + 0.3 * wordlen_ok, 6) AS quality,
+           CASE{whens} ELSE 'unknown' END AS lang_guess, fp
+    FROM (
+      SELECT doc_id, n_tokens,
+        least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) AS length_ok,
+        greatest(1.0 - pratio * 4.0, 0.0) AS punct_ok,
+        CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.3 END AS wordlen_ok,
+        {best} AS best, {", ".join(f"hit_{la}" for la in langs)}, fp
+      FROM (
+        SELECT doc_id, len(toks) AS n_tokens,
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                    / length(text) END AS pratio,
+          CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+          END AS mtl,
+          {hit_cols},
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, t -> CAST(ascii(t[1]) * 31 + length(t) AS BIGINT))),
+            (a, c) -> (a * {ts.FP_BASE} + c) % {ts.FP_MOD}) AS fp
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+      )
+    )
+    """
+
+
+# ------------------------------------------------------------- dedup
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(_aug_docs(spark, sf_dir), "text", "doc_id")
+
+
+DEDUP_GROUPS_SQL = f"""
+    SELECT sha256(text) AS sha256, count(*) AS group_size, min(doc_id) AS keeper_id
+    FROM ({_AUG_DOCS_SQL}) GROUP BY sha256(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_aug_docs(spark, sf_dir), "text", "doc_id").select("doc_id")
+
+
+DEDUP_SURVIVORS_SQL = f"""
+    SELECT min(doc_id) AS doc_id FROM ({_AUG_DOCS_SQL}) GROUP BY sha256(text)
+"""
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.8
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id",
+        n=JACCARD_N, threshold=JACCARD_THRESHOLD,
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(toks) - {JACCARD_N - 1}, 0)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM ({_AUG_DOCS_SQL}))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (signature hashes use xxhash64, unavailable in DuckDB)."""
+    return dedup.minhash_lsh_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", threshold=0.7
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (xxhash64 bit planes)."""
+    return dedup.simhash_pairs(_aug_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+# -------------------------------------------------------- similarity
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
+COSINE_TOPK_SQL = """
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, len(v)), i -> v[i] * q.qv[i])), (a, b) -> a + b)
+        / ( sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(q.qv, x -> x * x)), (a, b) -> a + b)) ) AS s
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings) CROSS JOIN q
+    )
+    SELECT vec_id, round(s, 4) AS score FROM scored
+    ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+NEAR_DUP_THRESHOLD = 0.95
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _aug_emb(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+NEAR_DUP_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM ({_AUG_EMB_SQL}))
+    SELECT id_a, id_b, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        round(
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+          / ( sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(a.v, x -> x * x)), (x, y) -> x + y))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(b.v, x -> x * x)), (x, y) -> x + y)) ), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate by construction (bucket recall tested in pytest
+    against the brute-force oracle instead)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.lsh_topk(emb, _query_vec(spark, sf_dir), k=10, max_hamming=4)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate by construction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=4)
+
+
+# -------------------------------------------------------- multimodal
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_media(_docs(spark, sf_dir), "text", "doc_id")
+    feats = multimodal.media_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", "width", "height", F.round("mean_byte", 6).alias("mean_byte")
+    )
+
+
+MULTIMODAL_SQL = """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+      CAST(CASE WHEN length(text) = 0 THEN 0 ELSE ascii(text[1]) END + 1 AS INT) AS height,
+      round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(generate_series(1, length(text)),
+                        i -> ascii(text[i]))) AS DOUBLE) / octet_length(encode(text)) END,
+            6) AS mean_byte
+    FROM documents
+"""
+
+
+# ----------------------------------------------------------- registry
+
+SPARK_QUERIES_EXT = {
+    "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
+    "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
+    "hybrid_minmax_arith": _hybrid_entry("min_max", "arithmetic_mean"),
+    "hybrid_l2_geometric": _hybrid_entry("l2", "geometric_mean"),
+    "hybrid_zscore_harmonic": _hybrid_entry("z_score", "harmonic_mean"),
+    "hybrid_rrf": _hybrid_entry("rrf", "rrf"),
+    "collapse_top2_lang": q_collapse_top2_lang,
+    "chunk_delimiter": q_chunk_delimiter,
+    "chunk_fixed_char": q_chunk_fixed_char,
+    "chunk_fixed_token": q_chunk_fixed_token,
+    "prune_top_k": _prune_entry("top_k", 5),
+    "prune_max_ratio": _prune_entry("max_ratio", 0.5),
+    "prune_abs_value": _prune_entry("abs_value", 3.0),
+    "prune_alpha_mass": _prune_entry("alpha_mass", 0.6),
+    "text_stats": q_text_stats,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "dedup_exact_survivors": q_dedup_exact_survivors,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup,
+    "lsh_topk": q_lsh_topk,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL_EXT = {
+    "wand_topk_single": _bm25_exact_sql(WAND_TERMS_SINGLE, 10),
+    "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
+    "hybrid_minmax_arith": _hybrid_sql(HYBRID_SUBS, "min_max", "arithmetic_mean"),
+    "hybrid_l2_geometric": _hybrid_sql(HYBRID_SUBS, "l2", "geometric_mean"),
+    "hybrid_zscore_harmonic": _hybrid_sql(HYBRID_SUBS, "z_score", "harmonic_mean"),
+    "hybrid_rrf": _hybrid_sql(HYBRID_SUBS, "rrf", "rrf"),
+    "collapse_top2_lang": COLLAPSE_SQL,
+    "chunk_delimiter": CHUNK_DELIM_SQL,
+    "chunk_fixed_char": CHUNK_CHAR_SQL,
+    # chunk_fixed_token: rows-only
+    "prune_top_k": PRUNE_TOPK_SQL,
+    "prune_max_ratio": PRUNE_MAXRATIO_SQL,
+    "prune_abs_value": PRUNE_ABS_SQL,
+    "prune_alpha_mass": PRUNE_ALPHA_SQL,
+    "text_stats": _text_stats_sql(),
+    "dedup_exact_groups": DEDUP_GROUPS_SQL,
+    "dedup_exact_survivors": DEDUP_SURVIVORS_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    # minhash_lsh_pairs / simhash_pairs: rows-only
+    "cosine_topk": COSINE_TOPK_SQL,
+    "embedding_near_dup_pairs": NEAR_DUP_SQL,
+    # lsh_topk / ivf_topk: rows-only (approximate)
+    "multimodal_features": MULTIMODAL_SQL,
+}

@@ -1,0 +1,147 @@
+"""Multimodal (image / audio / video) column plumbing.
+
+Treats media as opaque ``BinaryType`` columns with typed metadata and runs
+decode / feature-extract / resize / frame-sample as Arrow-batched
+``mapInPandas`` kernels, so each executor processes whole record batches of
+bytes with zero per-row Python dispatch. The reference has no media path
+(its ingest processors are text chunk/embed only, reference:
+main/processor/TextChunkingProcessor.java:53-138), so this module follows
+the same ingest-processor shape: a narrow per-partition transform stage that
+adds derived columns before indexing.
+
+Real codecs (PIL / librosa / av) are NOT installed in this container. The
+Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch shape
+— is real and tested; the codec step is pluggable:
+
+  * ``decode_image`` / ``decode_audio`` / ``sample_frames`` raise
+    ``NotImplementedError`` (clearly-marked stubs where PIL/librosa/av go);
+  * ``fake_decode`` is the deterministic test double — byte-level stats
+    computed with numpy — used by tests and the driver contract so the
+    pipeline is verifiable end-to-end without codecs.
+
+At 100 TB scale: media bytes dominate row size, so feature extraction runs
+as the FIRST narrow stage after the scan (column-pruned to (id, media)),
+features are written to their own table, and every downstream join uses the
+small feature table — the blob column is never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("modality", StringType()),     # image | audio | video
+    StructField("media", BinaryType()),        # opaque encoded bytes
+    StructField("media_format", StringType()), # e.g. png / wav / mp4
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_byte", DoubleType()),
+])
+
+
+def attach_media(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modality: str = "image",
+    media_format: str = "raw",
+) -> DataFrame:
+    """Deterministic media stand-in: UTF-8 bytes of a text column as the
+    binary payload. In production the binary column comes straight off the
+    Iceberg scan; this adapter lets every downstream kernel be exercised on
+    the synthetic corpus."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("media"),
+        F.lit(media_format).alias("media_format"),
+    )
+
+
+def fake_decode(buf: bytes) -> dict:
+    """Deterministic codec test double: byte-level stats via numpy.
+
+    width/height are synthesized from the byte stream so the downstream
+    schema (and any resize arithmetic) is exercised for real.
+    """
+    a = np.frombuffer(buf, dtype=np.uint8)
+    n = int(a.size)
+    return {
+        "n_bytes": n,
+        "width": n % 64 + 1,
+        "height": (int(a[0]) if n else 0) + 1,
+        # integer byte sum is exact in f64, so this mean is order-independent
+        "mean_byte": float(a.sum(dtype=np.int64)) / n if n else 0.0,
+    }
+
+
+def decode_image(buf: bytes, media_format: str) -> np.ndarray:
+    """STUB — real image decode (PIL.Image.open → np.asarray) goes here.
+    The container has no imaging libraries."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "inject a decoder via media_features(decoder=...) or use fake_decode"
+    )
+
+
+def decode_audio(buf: bytes, media_format: str) -> np.ndarray:
+    """STUB — real audio decode (soundfile/librosa) goes here."""
+    raise NotImplementedError("audio codecs are not available in this environment")
+
+
+def sample_frames(buf: bytes, media_format: str, every_n: int = 30) -> list[np.ndarray]:
+    """STUB — real video frame sampling (PyAV) goes here."""
+    raise NotImplementedError("video codecs are not available in this environment")
+
+
+def media_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], dict] = fake_decode,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode + feature-extract each media blob → FEATURE_SCHEMA rows.
+
+    mapInPandas (not a scalar UDF) so one Python call handles a whole Arrow
+    batch and the blob column never round-trips back to the JVM — only the
+    tiny feature columns do. Narrow stage: no shuffle.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(b if b is not None else b"") for b in pdf["media"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return media.select("doc_id", "media").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_plan(
+    features: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Resize *planning* over the feature table (pure Catalyst): computes the
+    scale factor and output dims per image without touching the bytes. The
+    byte-level resample would run inside media_features with a real codec."""
+    sw = F.lit(float(target_w)) / F.col("width")
+    sh = F.lit(float(target_h)) / F.col("height")
+    scale = F.least(sw, sh)
+    return features.select(
+        "doc_id",
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1)).alias("out_w"),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1)).alias("out_h"),
+    )

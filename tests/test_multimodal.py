@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schema, Arrow batch shape, stub gating, resize plan."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "a" * 300)], ["doc_id", "text"]
+    )
+    return mm.attach_media(df, "text", "doc_id")
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "doc_id", "modality", "media", "media_format"
+    ]
+    row = media.where(F.col("doc_id") == 1).first()
+    assert bytes(row["media"]) == b"hello world"
+    assert row["modality"] == "image"
+
+
+def test_fake_decode_deterministic():
+    f = mm.fake_decode(b"hello world")
+    assert f == mm.fake_decode(b"hello world")
+    assert f["n_bytes"] == 11
+    assert f["width"] == 11 % 64 + 1
+    assert f["height"] == ord("h") + 1
+    assert f["mean_byte"] == pytest.approx(sum(b"hello world") / 11)
+    empty = mm.fake_decode(b"")
+    assert empty == {"n_bytes": 0, "width": 1, "height": 1, "mean_byte": 0.0}
+
+
+def test_media_features(media):
+    rows = {r["doc_id"]: r for r in mm.media_features(media).collect()}
+    assert rows[1]["n_bytes"] == 11
+    assert rows[2]["n_bytes"] == 0 and rows[2]["mean_byte"] == 0.0
+    assert rows[3]["n_bytes"] == 300 and rows[3]["mean_byte"] == float(ord("a"))
+
+
+def test_custom_decoder(media):
+    calls = []
+
+    def decoder(buf: bytes) -> dict:
+        calls.append(len(buf))
+        return {"n_bytes": len(buf), "width": 1, "height": 1, "mean_byte": 0.0}
+
+    out = mm.media_features(media, decoder=decoder).collect()
+    assert len(out) == 3
+
+
+def test_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"x", "png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"x", "wav")
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(b"x", "mp4")
+
+
+def test_resize_plan(spark):
+    feats = spark.createDataFrame(
+        [(1, 100, 448, 112), (2, 10, 224, 224)],
+        ["doc_id", "n_bytes", "width", "height"],
+    )
+    plan = {r["doc_id"]: r for r in mm.resize_plan(feats, 224, 224).collect()}
+    # 448x112 -> scale 0.5 -> 224x56
+    assert plan[1]["out_w"] == 224 and plan[1]["out_h"] == 56
+    assert plan[2]["scale"] == 1.0
