@@ -159,6 +159,37 @@ def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
     return build_partition
 
 
+def runs_to_postings(
+    runs: DataFrame,
+    n_total: int,
+    avgdl: float,
+    bucket_bits: int,
+    block_size: int = BLOCK_SIZE,
+    blocks_per_row: int = BLOCKS_PER_ROW,
+) -> DataFrame:
+    """Stage-3 kernel: (term, docID, tf, doclen) runs → encoded postings.
+
+    Shared by the initial build and the segment-merge/append path (the
+    reference's merge likewise re-feeds united postings through the same
+    clustering writer, main/sparse/codec/SparsePostingsReader.java:47-145).
+    One shuffle on (termID, bucket); df recomputed from the runs.
+    """
+    dfreq = runs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    enriched = (
+        runs.join(dfreq, "term")  # shuffle join on term; AQE skew-handles
+        .withColumn("termID", F.xxhash64("term"))
+        .withColumn("bucket", bucket_col("docID", bucket_bits))
+    )
+    return (
+        enriched.repartition("termID", "bucket")
+        .sortWithinPartitions("termID", "bucket", "docID")
+        .mapInPandas(
+            _make_partition_builder(n_total, avgdl, block_size, blocks_per_row),
+            POSTINGS_SCHEMA,
+        )
+    )
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -224,21 +255,11 @@ def build_index(
     # stage 3 — postings
     if not (resume and man.stage_done("postings", fp)):
         tf = tokens_with_tf(corpus, text_col, id_col)
-        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        enriched = (
-            tf.join(dl.select(id_col, "doclen"), id_col)
-            .join(dfreq, "term")  # shuffle join on term; AQE skew-handles
-            .withColumn("termID", F.xxhash64("term"))
-            .withColumn("bucket", bucket_col(id_col, bucket_bits))
-            .withColumnRenamed(id_col, "docID")
+        runs = tf.join(dl.select(id_col, "doclen"), id_col).withColumnRenamed(
+            id_col, "docID"
         )
-        postings = (
-            enriched.repartition("termID", "bucket")
-            .sortWithinPartitions("termID", "bucket", "docID")
-            .mapInPandas(
-                _make_partition_builder(n_total, avgdl, block_size, blocks_per_row),
-                POSTINGS_SCHEMA,
-            )
+        postings = runs_to_postings(
+            runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row
         )
         run_stage("postings", {"postings": postings})
 

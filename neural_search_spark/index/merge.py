@@ -1,0 +1,214 @@
+"""Incremental indexing: append new documents to a committed index.
+
+The reference merges Lucene segments by uniting each term's postings from
+every segment and re-feeding them through the same clustering writer
+(reference: main/sparse/codec/SparsePostingsReader.java:47-145, batches of
+50 terms on a thread pool; docBase remap in main/sparse/codec/MergeHelper.java).
+The Spark shape: *the shuffle IS the merge* — decoded old blocks and the
+new segment's tf runs are unioned and re-encoded by the one
+(termID, bucket) shuffle of ``runs_to_postings``. No docBase remap is
+needed because docIDs are globally stable (caller-provided / hash-derived),
+exactly why SURVEY.md §2.3 picks stable IDs over Lucene's per-segment ones.
+
+Why a full re-encode is *required*, not lazy: appending documents changes
+N, avgdl and per-term df, which change idf and therefore every stored
+per-block max BM25 score. Decoding blocks (cheap numpy varint work over
+the compact index) avoids the actually-expensive stage at 100 TB —
+re-tokenizing the old corpus' raw content.
+
+Cost model at scale: decode+re-encode touches only the index
+(~5-10% the size of raw text), and the heavy tokenize stage runs over the
+delta only. For high-frequency small appends, batch deltas and merge on a
+schedule (the reference likewise merges segments asynchronously).
+
+Resumability: the append commits docmap/doclens/stats/postings snapshots
+under a new fingerprint via the same manifest protocol as the initial
+build; a crash mid-append leaves the old manifest pointers intact
+(snapshot dirs are write-once), and re-running the append resumes from
+the last committed stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from neural_search_spark.analysis.tokenizer import (
+    corpus_stats, doc_lengths, tokens_with_tf,
+)
+from neural_search_spark.index import codec
+from neural_search_spark.index.build import (
+    Index, load_index, runs_to_postings,
+)
+from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
+
+RUNS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("docID", LongType()),
+    StructField("tf", IntegerType()),
+    StructField("doclen", IntegerType()),
+])
+
+
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Inverse of the block encoder: postings rows → (term, docID, tf, doclen).
+
+    Narrow mapInPandas stage (no shuffle); all varint work is vectorized
+    numpy per block. This is the read half of the reference's merge
+    (SparsePostingsReader walking each segment's terms).
+    """
+
+    def explode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, docs, tfs, dls = [], [], [], []
+            for term, blocks in zip(pdf["term"], pdf["blocks"]):
+                for b in blocks:
+                    biased0 = int(codec.to_biased(np.array([b["doc0"]], dtype=np.int64))[0])
+                    d = codec.from_biased(codec.delta_varint_decode(b["docs"], biased0))
+                    docs.append(d)
+                    tfs.append(codec.varint_decode(b["tfs"]).astype(np.int32))
+                    dls.append(codec.varint_decode(b["dls"]).astype(np.int32))
+                    terms.append(np.full(len(d), term, dtype=object))
+            if not docs:
+                continue
+            yield pd.DataFrame({
+                "term": np.concatenate(terms),
+                "docID": np.concatenate(docs),
+                "tf": np.concatenate(tfs),
+                "doclen": np.concatenate(dls),
+            })
+
+    return postings.select("term", "blocks").mapInPandas(explode_blocks, RUNS_SCHEMA)
+
+
+def append_to_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_corpus: DataFrame,
+    *,
+    text_col: str = "content",
+    id_col: str = "docID",
+    check_disjoint: bool = True,
+) -> Index:
+    """Merge ``new_corpus`` into the committed index at ``index_dir``.
+
+    Produces an index identical to a from-scratch build over
+    old-corpus ∪ new-corpus (tested invariant), without re-reading the old
+    corpus' content. Only NEW docIDs are supported (no update/delete;
+    deletes are an anti-join tombstone at query time, SURVEY.md §2.2).
+
+    ``check_disjoint`` is the only guard against double-ingest: a *crashed*
+    append resumes correctly when re-run (same fingerprint → committed
+    stages skipped), but re-running a *completed* append re-adds the delta.
+    The default (True) turns that mistake into a ValueError; only disable
+    it when the caller enforces at-most-once delivery of deltas.
+    """
+    man = Manifest.load(index_dir)
+    cfg_old = next(
+        (h["config"] for h in reversed(man.history) if h.get("stage") == "build-complete"),
+        None,
+    )
+    if cfg_old is None:
+        raise ValueError(f"{index_dir} has no completed build to append to")
+    block_size = int(cfg_old["block_size"])
+    blocks_per_row = int(cfg_old["blocks_per_row"])
+
+    old_doclens = snapshot_read(spark, index_dir, "doclens")
+    old_docmap = snapshot_read(spark, index_dir, "docmap")
+    old_postings = snapshot_read(spark, index_dir, "postings")
+
+    n_new = new_corpus.count()
+    if check_disjoint:
+        clash = (
+            new_corpus.select(F.col(id_col))
+            .join(old_doclens.select(F.col(id_col)), id_col, "left_semi")
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                f"{clash} docIDs in the delta already exist in the index "
+                "(append supports new documents only)"
+            )
+
+    n_total = int(cfg_old["n_docs"]) + n_new
+    # bucket layout follows the merged size, same policy as a fresh build
+    from neural_search_spark.index.build import default_bucket_bits
+
+    bucket_bits = (
+        int(cfg_old["bucket_bits"])
+        if cfg_old.get("bucket_bits_pinned")
+        else default_bucket_bits(n_total)
+    )
+    cfg = {
+        **{k: cfg_old[k] for k in ("text_col", "id_col", "block_size", "blocks_per_row", "format")},
+        "bucket_bits": bucket_bits, "n_docs": n_total,
+        "appended_from": man.stages.get("_config", {}).get("fingerprint"),
+    }
+    fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
+    meta_cols = [c for c in new_corpus.columns if c != text_col]
+
+    def run_stage(stage: str, tables: dict[str, DataFrame]) -> None:
+        m = Manifest.load(index_dir)
+        if m.stage_done(stage, fp):
+            return
+        t0 = time.time()
+        written, metrics = {}, {}
+        for name, df in tables.items():
+            snap = f"snap-{fp}-{stage}"
+            snapshot_write(df, index_dir, name, snap)
+            written[name] = snap
+            metrics[f"{name}_rows"] = spark.read.parquet(
+                f"{index_dir}/{name}/{snap}"
+            ).count()
+        m.record_stage(stage, fp, written, {"wall_s": round(time.time() - t0, 3), **metrics})
+        m.commit()
+
+    # stage 1 — merged docmap / doclens (old snapshots stay on disk)
+    dl_new = doc_lengths(new_corpus, text_col, id_col)
+    docmap_new = (
+        new_corpus.select(*meta_cols).join(dl_new, id_col)
+        if meta_cols != [id_col] else dl_new
+    )
+    run_stage("docmap", {"docmap": old_docmap.unionByName(docmap_new)})
+    run_stage("doclens", {
+        "doclens": old_doclens.unionByName(dl_new.select(id_col, "doclen", "sha256"))
+    })
+    dl_all = snapshot_read(spark, index_dir, "doclens")
+
+    # stage 2 — merged stats
+    run_stage("stats", {"stats": corpus_stats(dl_all)})
+    stats = snapshot_read(spark, index_dir, "stats").collect()[0]
+    avgdl = float(stats["avgdl"])
+    assert int(stats["N"]) == n_total
+
+    # stage 3 — the merge: decoded old runs ∪ new tf runs → one shuffle
+    man = Manifest.load(index_dir)
+    if not man.stage_done("postings", fp):
+        runs_old = decode_postings(old_postings)
+        runs_new = (
+            tokens_with_tf(new_corpus, text_col, id_col)
+            .join(dl_new.select(id_col, "doclen"), id_col)
+            .withColumnRenamed(id_col, "docID")
+            .select("term", "docID", "tf", "doclen")
+        )
+        runs = runs_old.unionByName(runs_new)
+        run_stage("postings", {
+            "postings": runs_to_postings(
+                runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row
+            )
+        })
+
+    man = Manifest.load(index_dir)
+    man.stages.setdefault("_config", {})["fingerprint"] = fp
+    man.history.append({"stage": "build-complete", "config": cfg, "ts": time.time()})
+    man.commit()
+    return load_index(spark, index_dir)

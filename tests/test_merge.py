@@ -1,0 +1,101 @@
+"""Segment merge / incremental append: append(A, B) ≡ build(A ∪ B).
+
+The invariant mirrors the reference's merge correctness (a merged segment
+answers queries identically to indexing all docs at once,
+reference: main/sparse/codec/SparsePostingsReader.java:47-145).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index
+from neural_search_spark.index.merge import append_to_index, decode_postings
+from neural_search_spark.query import wand
+
+N_DOCS = 240
+SPLIT = 150
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    corpus = with_doc_id(generate_corpus(spark, N_DOCS, seed=7)).cache()
+    ids = sorted(r["docID"] for r in corpus.select("docID").collect())
+    cut = ids[SPLIT]
+    part_a = corpus.where(F.col("docID") < cut)
+    part_b = corpus.where(F.col("docID") >= cut)
+    return corpus, part_a, part_b
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, corpora):
+    corpus, part_a, part_b = corpora
+    d_full = tempfile.mkdtemp(prefix="nss-merge-full-")
+    d_incr = tempfile.mkdtemp(prefix="nss-merge-incr-")
+    full = build_index(spark, corpus, d_full, resume=False)
+    build_index(spark, part_a, d_incr, resume=False)
+    merged = append_to_index(spark, d_incr, part_b)
+    yield full, merged
+    shutil.rmtree(d_full, ignore_errors=True)
+    shutil.rmtree(d_incr, ignore_errors=True)
+
+
+def _canon_postings(idx):
+    rows = idx.postings.collect()
+    out = []
+    for r in sorted(rows, key=lambda r: (r["termID"], r["bucket"], r["blocks"][0]["doc0"])):
+        blocks = tuple(
+            (b["doc0"], b["n"], round(b["maxscore"], 12),
+             bytes(b["docs"]), bytes(b["tfs"]), bytes(b["dls"]))
+            for b in r["blocks"]
+        )
+        out.append((r["termID"], r["term"], r["df"], r["bucket"], blocks))
+    return out
+
+
+def test_postings_identical(indexes):
+    full, merged = indexes
+    assert _canon_postings(full) == _canon_postings(merged)
+
+
+def test_stats_and_doclens_identical(indexes):
+    full, merged = indexes
+    assert full.n_docs == merged.n_docs == N_DOCS
+    assert full.avgdl == merged.avgdl
+    a = sorted(tuple(r) for r in full.doclens.collect())
+    b = sorted(tuple(r) for r in merged.doclens.collect())
+    assert a == b
+
+
+def test_query_results_identical(indexes):
+    full, merged = indexes
+    for terms in (["def"], ["return", "import"], ["class", "uniq_17", "def"]):
+        ra = [(r["docID"], r["score"]) for r in wand.search(full, terms, k=10).collect()]
+        rb = [(r["docID"], r["score"]) for r in wand.search(merged, terms, k=10).collect()]
+        assert ra == rb, terms
+
+
+def test_decode_roundtrip(indexes):
+    full, _ = indexes
+    runs = decode_postings(full.postings)
+    total = runs.count()
+    # every (term, doc) posting appears exactly once
+    assert runs.select("term", "docID").distinct().count() == total
+    df_from_runs = dict(
+        runs.groupBy("term").count().collect()
+    )
+    df_stored = {r["term"]: r["df"] for r in
+                 full.postings.groupBy("term").agg(
+                     F.first("df").alias("df")).collect()}
+    # stored df equals the number of decoded postings per term
+    assert {k: v for k, v in df_from_runs.items()} == {k: int(v) for k, v in df_stored.items()}
+
+
+def test_append_rejects_duplicate_ids(spark, corpora, indexes):
+    _, part_a, _ = corpora
+    _, merged = indexes
+    with pytest.raises(ValueError, match="already exist"):
+        append_to_index(spark, merged.index_dir, part_a)
