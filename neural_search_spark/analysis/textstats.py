@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from neural_search_spark.analysis.tokenizer import TOKEN_SPLIT_RE
+from neural_search_spark.analysis.tokenizer import tokens_col
 
 # tiny per-language stopword profiles for the heuristic language ID
 LANG_PROFILES: dict[str, list[str]] = {
@@ -38,7 +38,7 @@ def _c(col: str | Column) -> Column:
 
 
 def tokens_array(col: str | Column) -> Column:
-    return F.filter(F.split(F.lower(_c(col)), TOKEN_SPLIT_RE), lambda t: t != "")
+    return tokens_col(_c(col))
 
 
 def token_count(col: str | Column) -> Column:

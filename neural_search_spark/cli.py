@@ -1,0 +1,149 @@
+"""spark-submit entry points: build / append / search / hybrid / bench-query.
+
+Ship the package with ``scripts/make_dist.sh`` (produces dist/engine.zip)
+and run any subcommand on a cluster:
+
+    spark-submit --py-files dist/engine.zip -m ... cli.py build \
+        --input iceberg_or_parquet_path --index-dir s3://bucket/idx
+
+    python -m neural_search_spark.cli search --index-dir /idx \
+        --query "block max wand" -k 10
+
+The input table follows the north-rule shape
+(repo, path, commit, lang, content); ``--id-col auto`` derives the stable
+docID = xxhash64(repo, path, commit) (corpus.with_doc_id). Any other
+parquet with an int64 id column works via --id-col/--text-col.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _load_input(spark: SparkSession, args) -> tuple[DataFrame, str]:
+    df = spark.read.parquet(args.input)
+    if args.id_col == "auto":
+        from neural_search_spark.corpus import with_doc_id
+
+        missing = {"repo", "path", "commit"} - set(df.columns)
+        if missing:
+            sys.exit(f"--id-col auto needs columns repo/path/commit (missing {missing})")
+        return with_doc_id(df), "docID"
+    return df, args.id_col
+
+
+def cmd_build(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.build import build_index
+
+    corpus, id_col = _load_input(spark, args)
+    t0 = time.perf_counter()
+    idx = build_index(
+        spark, corpus, args.index_dir,
+        text_col=args.text_col, id_col=id_col, resume=not args.no_resume,
+    )
+    print(json.dumps({
+        "action": "build", "index_dir": args.index_dir, "n_docs": idx.n_docs,
+        "avgdl": round(idx.avgdl, 4), "wall_s": round(time.perf_counter() - t0, 2),
+    }))
+
+
+def cmd_append(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.merge import append_to_index
+
+    delta, id_col = _load_input(spark, args)
+    t0 = time.perf_counter()
+    idx = append_to_index(
+        spark, args.index_dir, delta, text_col=args.text_col, id_col=id_col,
+    )
+    print(json.dumps({
+        "action": "append", "index_dir": args.index_dir, "n_docs": idx.n_docs,
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }))
+
+
+def cmd_search(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.query import wand
+
+    idx = load_index(spark, args.index_dir)
+    if args.warmup:
+        idx.warmup()
+    rows = wand.search(idx, args.query, k=args.k).collect()
+    print(json.dumps({
+        "query": args.query, "k": args.k,
+        "hits": [{"docID": r["docID"], "score": round(r["score"], 6)} for r in rows],
+    }))
+
+
+def cmd_hybrid(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.query.hybrid import hybrid_search
+
+    idx = load_index(spark, args.index_dir)
+    rows = hybrid_search(
+        idx, [q.split() if " " in q else [q] for q in args.subquery],
+        k=args.k, normalization=args.normalization, combination=args.combination,
+        pagination_depth=args.depth,
+    ).collect()
+    print(json.dumps({
+        "subqueries": args.subquery, "normalization": args.normalization,
+        "combination": args.combination,
+        "hits": [{"docID": r["docID"], "score": round(r["score"], 6)} for r in rows],
+    }))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="neural_search_spark")
+    ap.add_argument("--master", default=None, help="spark master (default: env/cluster)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common_input(p):
+        p.add_argument("--input", required=True, help="parquet path of the corpus/delta")
+        p.add_argument("--text-col", default="content")
+        p.add_argument("--id-col", default="auto",
+                       help="'auto' = xxhash64(repo,path,commit), else a column name")
+
+    b = sub.add_parser("build", help="build the inverted index")
+    common_input(b)
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--no-resume", action="store_true")
+
+    a = sub.add_parser("append", help="append a delta to a committed index")
+    common_input(a)
+    a.add_argument("--index-dir", required=True)
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--warmup", action="store_true")
+
+    h = sub.add_parser("hybrid", help="multi-sub-query hybrid search")
+    h.add_argument("--index-dir", required=True)
+    h.add_argument("--subquery", action="append", required=True,
+                   help="repeatable; space-separated terms per sub-query (max 5)")
+    h.add_argument("-k", type=int, default=10)
+    h.add_argument("--normalization", default="min_max")
+    h.add_argument("--combination", default="arithmetic_mean")
+    h.add_argument("--depth", type=int, default=None)
+
+    args = ap.parse_args(argv)
+
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("nss-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        {"build": cmd_build, "append": cmd_append,
+         "search": cmd_search, "hybrid": cmd_hybrid}[args.cmd](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,7 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-from neural_search_spark.analysis.tokenizer import corpus_stats, doc_lengths, tokens_with_tf
+from neural_search_spark.analysis.tokenizer import corpus_stats, doc_lengths, token_runs
 from neural_search_spark.index import codec
 from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
 from neural_search_spark.query.bm25 import bm25_score_np, idf_np
@@ -84,77 +84,169 @@ def bucket_col(doc_id_col: str, bucket_bits: int):
     ).cast("int")
 
 
-def _encode_group(tid, term, df_val, bkt, docs, tfs, dls, n_total, avgdl,
-                  block_size, blocks_per_row):
-    """Encode one (term, bucket) posting run, already docID-sorted."""
-    idf = float(idf_np(df_val, n_total))
-    scores = bm25_score_np(tfs, dls, idf, avgdl)
-    blocks = []
-    for s in range(0, len(docs), block_size):
-        e = min(s + block_size, len(docs))
-        d = docs[s:e]
-        doc0 = int(d[0])
-        blocks.append({
-            "doc0": doc0,
-            "n": int(e - s),
-            "maxscore": float(scores[s:e].max()),
-            "docs": codec.delta_varint_encode(
-                codec.to_biased(d), int(codec.to_biased(np.array([doc0]))[0])
-            ),
-            "tfs": codec.varint_encode(tfs[s:e]),
-            "dls": codec.varint_encode(dls[s:e]),
-        })
-    for s in range(0, len(blocks), blocks_per_row):
-        yield {
-            "termID": tid, "term": term, "df": df_val, "bucket": bkt,
-            "blocks": blocks[s: s + blocks_per_row],
-        }
+_IN_COLS = ("termID", "term", "df", "bucket", "docID", "tf", "doclen")
+# accumulate at least this many posting rows before one vectorized encode
+_CHUNK_ROWS = 1 << 19
+
+
+def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
+                  block_size: int, blocks_per_row: int):
+    """Encode a (termID, bucket, docID)-sorted run of posting rows into one
+    Arrow RecordBatch of postings rows — zero per-group / per-block Python.
+
+    All structure is derived with cumsum/reduceat over the whole chunk:
+    block boundaries, per-block byte offsets into ONE varint stream per
+    column (the per-value byte sizes from the codec give exact cut points),
+    and block-max scores via np.maximum.reduceat. The group count can be
+    huge (every rare term is its own group), which is why a per-group
+    Python loop is not viable at scale.
+    """
+    import pyarrow as pa
+
+    tid = cols["termID"]
+    bkt = cols["bucket"]
+    docs = cols["docID"]
+    tfs = cols["tf"].astype(np.int64, copy=False)
+    dls = cols["doclen"].astype(np.int64, copy=False)
+    dfv = cols["df"].astype(np.float64, copy=False)
+    n = len(tid)
+
+    # group structure: one group per (termID, bucket)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.logical_or(tid[1:] != tid[:-1], bkt[1:] != bkt[:-1], out=change[1:])
+    gid = np.cumsum(change) - 1
+    gstart = np.nonzero(change)[0]
+
+    # block structure: fixed-size cuts within each group
+    within = np.arange(n, dtype=np.int64) - gstart[gid]
+    is_bs = within % block_size == 0
+    bstart = np.nonzero(is_bs)[0]
+    nblocks = len(bstart)
+    bend = np.empty(nblocks, dtype=np.int64)
+    bend[:-1] = bstart[1:]
+    bend[-1] = n
+
+    # delta stream: doc0-relative (first delta in a block is 0)
+    biased = codec.to_biased(docs)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = 0
+    np.subtract(biased[1:], biased[:-1], out=deltas[1:])
+    deltas[bstart] = 0
+
+    docs_b, docs_nb = codec.varint_encode_with_sizes(deltas)
+    tfs_b, tfs_nb = codec.varint_encode_with_sizes(tfs)
+    dls_b, dls_nb = codec.varint_encode_with_sizes(dls)
+
+    def _bin_array(buf: bytes, nb: np.ndarray) -> "pa.BinaryArray":
+        ends = np.cumsum(nb)
+        off = np.empty(nblocks + 1, dtype=np.int32)
+        off[0] = 0
+        off[1:] = ends[bend - 1]  # blocks are consecutive value ranges
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), nblocks, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)]
+        )
+
+    scores = bm25_score_np(tfs, dls, idf_np(dfv, float(n_total)), avgdl)
+    maxscore = np.maximum.reduceat(scores, bstart)
+
+    # output rows: each group's blocks chunked blocks_per_row at a time
+    bgid = gid[bstart]                       # group of each block
+    first_block = np.nonzero(np.r_[True, bgid[1:] != bgid[:-1]])[0]
+    bwithin = np.arange(nblocks, dtype=np.int64) - first_block[
+        np.cumsum(np.r_[True, bgid[1:] != bgid[:-1]]) - 1
+    ]
+    is_rs = bwithin % blocks_per_row == 0
+    rstart = np.nonzero(is_rs)[0]
+    nrows = len(rstart)
+    row_off = np.empty(nrows + 1, dtype=np.int32)
+    row_off[:-1] = rstart
+    row_off[-1] = nblocks
+    rsrc = bstart[rstart]                    # a posting row of each output row
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(docs[bstart], type=pa.int64()),
+            pa.array((bend - bstart).astype(np.int32), type=pa.int32()),
+            pa.array(maxscore, type=pa.float64()),
+            _bin_array(docs_b, docs_nb),
+            _bin_array(tfs_b, tfs_nb),
+            _bin_array(dls_b, dls_nb),
+        ],
+        names=["doc0", "n", "maxscore", "docs", "tfs", "dls"],
+    )
+    blocks_col = pa.ListArray.from_arrays(pa.array(row_off, type=pa.int32()), struct)
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(tid[rsrc], type=pa.int64()),
+            pa.array(cols["term"][rsrc], type=pa.string()),
+            pa.array(cols["df"][rsrc], type=pa.int64()),
+            pa.array(bkt[rsrc].astype(np.int32), type=pa.int32()),
+            blocks_col,
+        ],
+        names=["termID", "term", "df", "bucket", "blocks"],
+    )
 
 
 def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
                             blocks_per_row: int):
-    """mapInPandas kernel: consumes a (termID, bucket, docID)-sorted partition
-    stream, emits postings rows. Groups may straddle Arrow batches — the tail
-    rows of the last (termID, bucket) key are carried into the next batch."""
+    """mapInArrow kernel: consumes a (termID, bucket, docID)-sorted partition
+    stream, emits postings RecordBatches. Input batches are accumulated to
+    ≥_CHUNK_ROWS before encoding (amortizes fixed numpy costs), and the tail
+    rows of the last (termID, bucket) key are carried into the next chunk so
+    groups never straddle an encode."""
 
-    def build_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-        tid = pdf["termID"].to_numpy(np.int64)
-        bkt = pdf["bucket"].to_numpy(np.int32)
-        docs = pdf["docID"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["doclen"].to_numpy(np.int64)
-        dfv = pdf["df"].to_numpy(np.int64)
-        terms = pdf["term"].to_numpy(object)
-        change = np.nonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1]))[0] + 1
-        starts = np.concatenate([[0], change, [len(pdf)]])
-        rows = []
-        for gi in range(len(starts) - 1):
-            s, e = int(starts[gi]), int(starts[gi + 1])
-            rows.extend(_encode_group(
-                int(tid[s]), terms[s], int(dfv[s]), int(bkt[s]),
-                docs[s:e], tfs[s:e], dls[s:e],
-                n_total, avgdl, block_size, blocks_per_row,
-            ))
-        return pd.DataFrame(rows, columns=["termID", "term", "df", "bucket", "blocks"])
+    def _colmajor(batches: list) -> dict[str, np.ndarray]:
+        out = {}
+        for c in _IN_COLS:
+            arrs = [b.column(c) for b in batches]
+            if c == "term":
+                out[c] = np.concatenate(
+                    [a.to_numpy(zero_copy_only=False) for a in arrs]
+                )
+            else:
+                out[c] = np.concatenate([a.to_numpy() for a in arrs])
+        return out
 
-    def build_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+    def build_partition(batches) -> "Iterator":
+        pending: list = []
+        pending_rows = 0
+        carry: dict[str, np.ndarray] | None = None
+
+        def flush(final: bool):
+            nonlocal carry, pending, pending_rows
+            cols = _colmajor(pending) if pending else None
+            pending, pending_rows = [], 0
+            if carry is not None:
+                cols = (
+                    {c: np.concatenate([carry[c], cols[c]]) for c in _IN_COLS}
+                    if cols is not None else carry
+                )
+                carry = None
+            if cols is None or len(cols["termID"]) == 0:
+                return None
+            if not final:
+                tid, bkt = cols["termID"], cols["bucket"]
+                mask = (tid == tid[-1]) & (bkt == bkt[-1])
+                split = int(np.argmax(mask))  # sorted → last key is a suffix
+                carry = {c: cols[c][split:] for c in _IN_COLS}
+                if split == 0:
+                    return None
+                cols = {c: cols[c][:split] for c in _IN_COLS}
+            return _encode_chunk(cols, n_total, avgdl, block_size, blocks_per_row)
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            last_key = (pdf["termID"].iloc[-1], pdf["bucket"].iloc[-1])
-            mask = (pdf["termID"].to_numpy() == last_key[0]) & (
-                pdf["bucket"].to_numpy() == last_key[1]
-            )
-            split = int(np.argmax(mask))  # sorted → last key's rows are a suffix
-            carry = pdf.iloc[split:]
-            body = pdf.iloc[:split]
-            if len(body):
-                yield build_rows(body)
-        if carry is not None and len(carry):
-            yield build_rows(carry)
+            pending.append(batch)
+            pending_rows += batch.num_rows
+            if pending_rows >= _CHUNK_ROWS:
+                out = flush(final=False)
+                if out is not None:
+                    yield out
+        out = flush(final=True)
+        if out is not None:
+            yield out
 
     return build_partition
 
@@ -183,7 +275,7 @@ def runs_to_postings(
     return (
         enriched.repartition("termID", "bucket")
         .sortWithinPartitions("termID", "bucket", "docID")
-        .mapInPandas(
+        .mapInArrow(
             _make_partition_builder(n_total, avgdl, block_size, blocks_per_row),
             POSTINGS_SCHEMA,
         )
@@ -252,12 +344,9 @@ def build_index(
     stats = snapshot_read(spark, index_dir, "stats").collect()[0]
     n_total, avgdl = int(stats["N"]), float(stats["avgdl"])
 
-    # stage 3 — postings
+    # stage 3 — postings (token_runs folds doclen in: no join against doclens)
     if not (resume and man.stage_done("postings", fp)):
-        tf = tokens_with_tf(corpus, text_col, id_col)
-        runs = tf.join(dl.select(id_col, "doclen"), id_col).withColumnRenamed(
-            id_col, "docID"
-        )
+        runs = token_runs(corpus, text_col, id_col).withColumnRenamed(id_col, "docID")
         postings = runs_to_postings(
             runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row
         )

@@ -23,12 +23,17 @@ _MASK = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a 1-D array of non-negative ints, fully vectorized."""
+def varint_encode_with_sizes(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a 1-D array; also return per-value byte counts.
+
+    The byte counts let a caller slice the stream at arbitrary value
+    boundaries without re-encoding — used to cut one whole-partition encode
+    into per-block binary cells with zero copies.
+    """
     a = np.asarray(values).astype(np.uint64, copy=False)
     n = len(a)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + floor(bits/7) for bits > 0
     nbytes = np.ones(n, dtype=np.int64)
     v = a >> _U7
@@ -45,7 +50,12 @@ def varint_encode(values: np.ndarray) -> bytes:
     out = ((vals >> (pos * _U7)) & _MASK).astype(np.uint8)
     is_last = idx == np.repeat(ends - 1, nbytes)
     out[~is_last] |= _CONT
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints, fully vectorized."""
+    return varint_encode_with_sizes(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 )
 
 from neural_search_spark.analysis.tokenizer import (
-    corpus_stats, doc_lengths, tokens_with_tf,
+    corpus_stats, doc_lengths, token_runs,
 )
 from neural_search_spark.index import codec
 from neural_search_spark.index.build import (
@@ -195,8 +195,7 @@ def append_to_index(
     if not man.stage_done("postings", fp):
         runs_old = decode_postings(old_postings)
         runs_new = (
-            tokens_with_tf(new_corpus, text_col, id_col)
-            .join(dl_new.select(id_col, "doclen"), id_col)
+            token_runs(new_corpus, text_col, id_col)
             .withColumnRenamed(id_col, "docID")
             .select("term", "docID", "tf", "doclen")
         )

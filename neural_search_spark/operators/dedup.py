@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from neural_search_spark.analysis.tokenizer import TOKEN_SPLIT_RE
+from neural_search_spark.analysis.tokenizer import tokens_col
 
 MERSENNE31 = 2147483647  # 2^31 − 1 (prime), universal-hash modulus
 
@@ -57,7 +57,7 @@ def shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
     tokenize → sliding windows via transform over index sequence."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
+    toks = tokens_col(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -218,7 +218,7 @@ def simhash64(df: DataFrame, text_col: str = "content", id_col: str = "docID") -
     Each token contributes ±tf to 64 bit-plane sums (64 aggregate columns,
     map-side combined); the sign vector packs into one long.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != "")
+    toks = tokens_col(F.col(text_col))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")

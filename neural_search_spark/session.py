@@ -29,9 +29,19 @@ def get_spark(
     if shuffle_partitions is None:
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         try:
-            shuffle_partitions = max(8, int(inner))
+            # ~2 waves per stage: small tasks smooth skew, AQE coalesces tails
+            shuffle_partitions = max(16, 2 * int(inner))
         except ValueError:
-            shuffle_partitions = 32
+            shuffle_partitions = 64
+
+    # Local mode writes shuffle/spill files to spark.local.dir; on this
+    # sandbox the root disk is the bottleneck (measured: shuffle-heavy
+    # stages stop scaling past ~8 threads on /tmp, scale again on tmpfs).
+    # On a real cluster each executor has its own local disks, so this
+    # local-mode-only tweak does not change the cluster story.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -47,6 +57,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

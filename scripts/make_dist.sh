@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Package the engine for spark-submit --py-files.
+#   ./scripts/make_dist.sh          -> dist/engine.zip
+set -euo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p dist
+rm -f dist/engine.zip
+# zip only the package sources (no tests, no caches)
+find neural_search_spark -name '__pycache__' -prune -o -name '*.py' -print \
+  | zip -q dist/engine.zip -@
+echo "dist/engine.zip:"
+unzip -l dist/engine.zip | tail -3
+cat <<'USAGE'
+Run on a cluster:
+  spark-submit --py-files dist/engine.zip \
+    --conf spark.sql.adaptive.enabled=true \
+    neural_search_spark/cli.py build --input <corpus.parquet> --index-dir <dir>
+  spark-submit --py-files dist/engine.zip \
+    neural_search_spark/cli.py search --index-dir <dir> --query "terms..." -k 10
+USAGE

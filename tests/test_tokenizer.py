@@ -30,12 +30,27 @@ def test_tokenize_matches_python_oracle(spark):
     }
     want = set()
     for d, text in DOCS:
-        # positions are indexes into the raw split (may skip empties)
-        parts = re.split(tok.TOKEN_SPLIT_RE, text.lower())
-        for i, t in enumerate(parts):
-            if t:
-                want.add((d, i, t))
+        for i, t in enumerate(_py_tokens(text)):  # dense 0-based positions
+            want.add((d, i, t))
     assert got == want
+
+
+def test_match_equals_split_semantics(spark):
+    """tokens_col (regexp_extract_all fast path) must produce exactly the
+    filter(split(lower, TOKEN_SPLIT_RE), != '') token stream."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=60))
+    def check(s):
+        assert tok.tokenize_query(s) == _py_tokens(s)
+
+    check()
+    # and the Column path on a few adversarial rows
+    rows = [("",), ("___",), ("a  b!!c",), ("9x_ yz-",), ("  lead trail  ",), ("ALL CAPS",)]
+    df = spark.createDataFrame(rows, ["content"])
+    got = [r["t"] for r in df.select(tok.tokens_col("content").alias("t")).collect()]
+    assert got == [_py_tokens(r[0]) for r in rows]
 
 
 def test_tokens_with_tf_and_df(spark):
