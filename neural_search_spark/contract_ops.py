@@ -132,6 +132,74 @@ def _wand_entry(terms: list[str], k: int = 10):
     return run
 
 
+WAND_WEIGHTS = {"data": 3.0, "query": 1.0, "merge": 0.5}
+
+
+def q_wand_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term weighted BM25 — the FeatureField linear-query analog."""
+    idx = _get_index(spark, sf_dir)
+    res = wand.search(idx, sorted(WAND_WEIGHTS), k=10, weights=WAND_WEIGHTS)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_weighted_sql(weights: dict[str, float], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in sorted(weights))
+    wcase = "CASE tf.term " + " ".join(
+        f"WHEN '{t}' THEN CAST({w} AS DOUBLE)" for t, w in sorted(weights.items())
+    ) + " END"
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) )
+                  * {wcase} ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+def q_wand_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 (ranks 11-20) via keyset pagination: the cursor is the last hit
+    of page 1 (reference searchAfter semantics)."""
+    idx = _get_index(spark, sf_dir)
+    page1 = wand.search(idx, WAND_TERMS_MULTI, k=10).collect()
+    cursor = (page1[-1]["score"], page1[-1]["docID"])
+    res = wand.search(idx, WAND_TERMS_MULTI, k=10, after=cursor)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_page2_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT {k} OFFSET {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
 # ------------------------------------------------------- hybrid queries
 
 HYBRID_SUBS = [["data"], ["query", "join"]]
@@ -573,6 +641,8 @@ MULTIMODAL_SQL = """
 SPARK_QUERIES_EXT = {
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
+    "wand_topk_weighted": q_wand_weighted,
+    "wand_search_after": q_wand_search_after,
     "hybrid_minmax_arith": _hybrid_entry("min_max", "arithmetic_mean"),
     "hybrid_l2_geometric": _hybrid_entry("l2", "geometric_mean"),
     "hybrid_zscore_harmonic": _hybrid_entry("z_score", "harmonic_mean"),
@@ -601,6 +671,8 @@ SPARK_QUERIES_EXT = {
 ORACLE_SQL_EXT = {
     "wand_topk_single": _bm25_exact_sql(WAND_TERMS_SINGLE, 10),
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
+    "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
+    "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
     "hybrid_minmax_arith": _hybrid_sql(HYBRID_SUBS, "min_max", "arithmetic_mean"),
     "hybrid_l2_geometric": _hybrid_sql(HYBRID_SUBS, "l2", "geometric_mean"),
     "hybrid_zscore_harmonic": _hybrid_sql(HYBRID_SUBS, "z_score", "harmonic_mean"),

@@ -369,6 +369,7 @@ class Index:
     n_docs: int
     avgdl: float
     bucket_bits: int
+    tombstones: DataFrame | None = None  # (docID) rows masked at query time
 
     def warmup(self) -> "Index":
         """Pin postings in executor memory — the analog of the reference's
@@ -387,12 +388,48 @@ class Index:
         return self
 
 
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> Index:
+    """Row-level deletes as an additive tombstone table.
+
+    The analog of the reference's live-docs mask — deleted docs are skipped
+    during scoring, not rewritten (reference:
+    main/sparse/query/SeismicBaseScorer.java:105-107 acceptedDocs check;
+    Iceberg row-level deletes are the table-format equivalent). Space is
+    reclaimed at the next ``append_to_index`` (compaction): the merge drops
+    tombstoned postings and clears the tombstone table.
+
+    ``doc_ids``: list[int] or a DataFrame with a docID column.
+    """
+    import uuid
+
+    new = (
+        doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("docID"))
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in doc_ids], "docID long")
+    )
+    man = Manifest.load(index_dir)
+    if "tombstones" in man.current:
+        new = snapshot_read(spark, index_dir, "tombstones").unionByName(new).distinct()
+    else:
+        new = new.distinct()
+    snap = f"snap-del-{uuid.uuid4().hex[:12]}"
+    snapshot_write(new, index_dir, "tombstones", snap)
+    n = spark.read.parquet(os.path.join(index_dir, "tombstones", snap)).count()
+    man.record_stage("tombstones", snap, {"tombstones": snap}, {"tombstones_rows": n})
+    man.commit()
+    return load_index(spark, index_dir)
+
+
 def load_index(spark: SparkSession, index_dir: str) -> Index:
     stats = snapshot_read(spark, index_dir, "stats").collect()[0]
     man = Manifest.load(index_dir)
     cfg = next(
         (h["config"] for h in reversed(man.history) if h.get("stage") == "build-complete"),
         {},
+    )
+    tombs = (
+        snapshot_read(spark, index_dir, "tombstones")
+        if "tombstones" in man.current else None
     )
     return Index(
         spark=spark,
@@ -403,4 +440,5 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         n_docs=int(stats["N"]),
         avgdl=float(stats["avgdl"]),
         bucket_bits=int(cfg.get("bucket_bits", 0)),
+        tombstones=tombs,
     )

@@ -126,6 +126,19 @@ def append_to_index(
     old_docmap = snapshot_read(spark, index_dir, "docmap")
     old_postings = snapshot_read(spark, index_dir, "postings")
 
+    # compaction: physically drop tombstoned docs during the merge (the
+    # reference's segment merge likewise drops deleted docs; Iceberg calls
+    # this rewriting positional deletes into data files)
+    n_deleted = 0
+    tombs = None
+    if "tombstones" in man.current:
+        tombs = snapshot_read(spark, index_dir, "tombstones").select(
+            F.col("docID").alias(id_col)
+        )
+        n_deleted = old_doclens.join(tombs, id_col, "left_semi").count()
+        old_doclens = old_doclens.join(tombs, id_col, "left_anti")
+        old_docmap = old_docmap.join(tombs, id_col, "left_anti")
+
     n_new = new_corpus.count()
     if check_disjoint:
         clash = (
@@ -139,7 +152,7 @@ def append_to_index(
                 "(append supports new documents only)"
             )
 
-    n_total = int(cfg_old["n_docs"]) + n_new
+    n_total = int(cfg_old["n_docs"]) - n_deleted + n_new
     # bucket layout follows the merged size, same policy as a fresh build
     from neural_search_spark.index.build import default_bucket_bits
 
@@ -194,6 +207,10 @@ def append_to_index(
     man = Manifest.load(index_dir)
     if not man.stage_done("postings", fp):
         runs_old = decode_postings(old_postings)
+        if tombs is not None:
+            runs_old = runs_old.join(
+                tombs.select(F.col(id_col).alias("docID")), "docID", "left_anti"
+            )
         runs_new = (
             token_runs(new_corpus, text_col, id_col)
             .withColumnRenamed(id_col, "docID")
@@ -208,6 +225,10 @@ def append_to_index(
 
     man = Manifest.load(index_dir)
     man.stages.setdefault("_config", {})["fingerprint"] = fp
-    man.history.append({"stage": "build-complete", "config": cfg, "ts": time.time()})
+    # tombstones are now physically applied — clear the mask
+    man.current.pop("tombstones", None)
+    man.stages.pop("tombstones", None)
+    man.history.append({"stage": "build-complete", "config": cfg, "ts": time.time(),
+                        "compacted_deletes": n_deleted})
     man.commit()
     return load_index(spark, index_dir)

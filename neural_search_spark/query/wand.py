@@ -44,12 +44,22 @@ EXACT_THRESHOLD = 8192  # postings per bucket below which brute decode wins
 
 
 class _TermPostings:
-    """Decoded-on-demand posting list of one term within one bucket."""
+    """Decoded-on-demand posting list of one term within one bucket.
+
+    ``deleted`` (sorted int64 array) is the live-docs mask: tombstoned docs
+    are dropped at block-decode time, so every downstream structure (top-k
+    heaps, candidate sets, θ) only ever sees live docs — the reference skips
+    deleted docs the same way during scoring
+    (reference: main/sparse/query/SeismicBaseScorer.java:105-107).
+    Stored block-max scores remain valid upper bounds.
+    """
 
     __slots__ = ("doc0", "n", "maxscore", "docs_raw", "tfs_raw", "dls_raw",
-                 "starts", "total", "_docs", "_scores", "_decoded", "ub", "weight")
+                 "starts", "total", "_docs", "_scores", "_decoded", "ub",
+                 "weight", "deleted")
 
-    def __init__(self, blocks: list[dict], weight: float):
+    def __init__(self, blocks: list[dict], weight: float,
+                 deleted: np.ndarray | None = None):
         blocks = sorted(blocks, key=lambda b: codec.to_biased(np.array([b["doc0"]]))[0])
         self.doc0 = np.array([b["doc0"] for b in blocks], dtype=np.int64)
         self.n = np.array([b["n"] for b in blocks], dtype=np.int64)
@@ -63,6 +73,7 @@ class _TermPostings:
         self._scores = [None] * len(blocks)
         self.ub = float(self.maxscore.max()) if len(blocks) else 0.0
         self.weight = weight
+        self.deleted = deleted if deleted is not None and len(deleted) else None
 
     def decode_block(self, i: int, score_fn) -> tuple[np.ndarray, np.ndarray]:
         if self._docs[i] is None:
@@ -72,6 +83,11 @@ class _TermPostings:
             docs = codec.from_biased(biased)
             tfs = codec.varint_decode(self.tfs_raw[i]).astype(np.int64)
             dls = codec.varint_decode(self.dls_raw[i]).astype(np.int64)
+            if self.deleted is not None:
+                pos = np.searchsorted(self.deleted, docs)
+                pos = np.clip(pos, 0, len(self.deleted) - 1)
+                live = self.deleted[pos] != docs
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
             self._docs[i] = docs
             self._scores[i] = score_fn(tfs, dls) * self.weight
         return self._docs[i], self._scores[i]
@@ -82,6 +98,18 @@ class _TermPostings:
             return np.empty(0, np.int64), np.empty(0, np.float64)
         return (np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]))
+
+
+def _keyset_filter(docs: np.ndarray, scores: np.ndarray,
+                   after: tuple[float, int] | None):
+    """Keep only results strictly AFTER the cursor in (score desc, docID asc)
+    order — the reference's searchAfter pagination
+    (reference: main/search/collector/PagingFieldCollector.java)."""
+    if after is None:
+        return docs, scores
+    s0, d0 = after
+    keep = (scores < s0) | ((scores == s0) & (docs > d0))
+    return docs[keep], scores[keep]
 
 
 def _topk_merge(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
@@ -95,7 +123,7 @@ def _topk_merge(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     return pd.DataFrame({"docID": docs[idx], "score": scores[idx]})
 
 
-def _score_bucket_exhaustive(term_lists, score_fns, k) -> pd.DataFrame:
+def _score_bucket_exhaustive(term_lists, score_fns, k, after=None) -> pd.DataFrame:
     """Vectorized brute force: decode everything, sparse-accumulate, top-k.
 
     Accumulation is sequential in canonical (term-sorted) order so the f64
@@ -109,10 +137,11 @@ def _score_bucket_exhaustive(term_lists, score_fns, k) -> pd.DataFrame:
     sums = np.zeros(len(uniq), np.float64)
     for d, s in decoded:  # term_lists arrive in canonical term order
         sums[np.searchsorted(uniq, d)] += s  # docs unique within a term
+    uniq, sums = _keyset_filter(uniq, sums, after)
     return _topk_merge(uniq, sums, k)
 
 
-def _score_bucket_maxscore(term_lists, score_fns, k) -> pd.DataFrame:
+def _score_bucket_maxscore(term_lists, score_fns, k, after=None) -> pd.DataFrame:
     """Exact Block-Max MaxScore: candidates from essential lists only;
     non-essential contributions via block-skipped lookups."""
     m = len(term_lists)
@@ -184,6 +213,9 @@ def _score_bucket_maxscore(term_lists, score_fns, k) -> pd.DataFrame:
         for t in range(m):
             final += contribs[:, t]
         docs, final = docs[alive], final[alive]
+        # keyset page boundary: pre-cursor docs never enter the heap, so θ
+        # only reflects docs eligible for THIS page (pruning stays exact)
+        docs, final = _keyset_filter(docs, final, after)
         found_docs = np.concatenate([found_docs, docs])
         found_scores = np.concatenate([found_scores, final])
         if len(found_scores) >= k:
@@ -197,26 +229,30 @@ def make_bucket_scorer(
     k: int,
     weights: dict[str, float] | None = None,
     exact_threshold: int = EXACT_THRESHOLD,
-) -> Callable[[pd.DataFrame], pd.DataFrame]:
-    """Build the applyInPandas kernel: one call = one doc-range bucket."""
+    after: tuple[float, int] | None = None,
+) -> Callable[..., pd.DataFrame]:
+    """Build the scoring kernel: one call = one doc-range bucket.
+
+    Returned fn has signature (postings_pdf, deleted_sorted=None)."""
     from neural_search_spark.query.bm25 import bm25_score_np, idf_np
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_bucket(pdf: pd.DataFrame,
+                     deleted: np.ndarray | None = None) -> pd.DataFrame:
         term_lists, score_fns = [], []
         for term, grp in pdf.groupby("term", sort=True):  # fixed term order → deterministic sums
             blocks = [b for row in grp["blocks"] for b in row]
             df_val = int(grp["df"].iloc[0])
             idf = float(idf_np(df_val, n_total))
             w = float((weights or {}).get(term, 1.0))
-            tp = _TermPostings(blocks, w)
+            tp = _TermPostings(blocks, w, deleted)
             term_lists.append(tp)
             score_fns.append(
                 lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl)
             )
         total = sum(tp.total for tp in term_lists)
         if total <= exact_threshold or len(term_lists) == 1:
-            return _score_bucket_exhaustive(term_lists, score_fns, k)
-        return _score_bucket_maxscore(term_lists, score_fns, k)
+            return _score_bucket_exhaustive(term_lists, score_fns, k, after)
+        return _score_bucket_maxscore(term_lists, score_fns, k, after)
 
     return score_bucket
 
@@ -227,14 +263,49 @@ def search(
     k: int = 10,
     weights: dict[str, float] | None = None,
     exact_threshold: int = EXACT_THRESHOLD,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index. Returns DataFrame(docID, score).
 
     Plan: term-pruned postings scan (rowgroup min/max on sorted term column)
     → groupBy(bucket) block-max scoring kernel → TakeOrderedAndProject.
+
+    ``weights``: per-term multipliers — the FeatureField linear-query analog
+    (reference: main/query/NeuralSparseQueryBuilder.java:576-581).
+    ``after``: (score, docID) cursor for keyset pagination (searchAfter).
+    Tombstoned docs (index.tombstones) are masked inside the kernel via a
+    bucket-cogrouped live-docs array — no post-filter can be correct, since
+    a deleted doc must not occupy a per-bucket top-k slot.
     """
     terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
     sub = index.postings.where(F.col("term").isin(terms))
-    scorer = make_bucket_scorer(index.n_docs, index.avgdl, k, weights, exact_threshold)
-    per_bucket = sub.groupBy("bucket").applyInPandas(scorer, RESULT_SCHEMA)
+    scorer = make_bucket_scorer(
+        index.n_docs, index.avgdl, k, weights, exact_threshold, after
+    )
+    if index.tombstones is not None:
+        from neural_search_spark.index.build import bucket_col
+
+        tombs = index.tombstones.select(
+            F.col("docID"), bucket_col("docID", index.bucket_bits).alias("bucket")
+        )
+
+        def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame({"docID": np.empty(0, np.int64),
+                                     "score": np.empty(0, np.float64)})
+            deleted = np.sort(right["docID"].to_numpy(np.int64)) if len(right) else None
+            return scorer(left, deleted)
+
+        per_bucket = (
+            sub.groupBy("bucket")
+            .cogroup(tombs.groupBy("bucket"))
+            .applyInPandas(score_cogroup, RESULT_SCHEMA)
+        )
+    else:
+        # single-arg wrapper: applyInPandas arity-dispatches (key, pdf) for
+        # two-parameter functions, and scorer's 2nd param is the deleted mask
+        def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+            return scorer(pdf)
+
+        per_bucket = sub.groupBy("bucket").applyInPandas(score_plain, RESULT_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("docID")).limit(k)

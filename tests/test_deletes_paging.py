@@ -1,0 +1,158 @@
+"""Tombstone deletes (live-docs mask + compaction) and searchAfter paging.
+
+Delete semantics mirror Lucene/the reference: corpus stats (N, avgdl, df)
+keep counting deleted docs until a merge physically drops them
+(reference: live-docs mask main/sparse/query/SeismicBaseScorer.java:105-107).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.tokenizer import token_runs
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index, delete_docs
+from neural_search_spark.index.merge import append_to_index
+from neural_search_spark.query import wand
+
+N_DOCS = 200
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = with_doc_id(generate_corpus(spark, N_DOCS, seed=11)).cache()
+    d = tempfile.mkdtemp(prefix="nss-del-")
+    idx = build_index(spark, corpus, d, resume=False)
+    yield corpus, idx
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _brute(spark, corpus, terms, k=10, exclude=frozenset(), after=None):
+    """Python oracle: exact BM25 with FULL-corpus stats, deleted docs
+    excluded from results only (Lucene live-docs semantics)."""
+    import math
+
+    runs = token_runs(corpus).collect()
+    dl = {}
+    tf = {}
+    for r in runs:
+        dl[r["docID"]] = r["doclen"]
+        tf[(r["docID"], r["term"])] = r["tf"]
+    n = corpus.count()
+    avgdl = sum(dl.values()) / len(dl)
+    dfreq = {t: sum(1 for (d_, t_) in tf if t_ == t) for t in terms}
+    scores = {}
+    for (d_, t_), f_ in tf.items():
+        if t_ in terms and dfreq[t_]:
+            idf = math.log(1 + (n - dfreq[t_] + 0.5) / (dfreq[t_] + 0.5))
+            part = idf * f_ / (f_ + 1.2 * (0.25 + 0.75 * dl[d_] / avgdl))
+            scores[d_] = scores.get(d_, 0.0) + part
+    items = [(d_, s) for d_, s in scores.items() if d_ not in exclude]
+    if after is not None:
+        s0, d0 = after
+        items = [(d_, s) for d_, s in items if s < s0 or (s == s0 and d_ > d0)]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return items[:k]
+
+
+def test_delete_masks_results(spark, built):
+    corpus, idx = built
+    terms = ["def", "return"]
+    base = wand.search(idx, terms, k=5).collect()
+    victims = {base[0]["docID"], base[2]["docID"]}
+    idx2 = delete_docs(spark, idx.index_dir, list(victims))
+    got = [(r["docID"], r["score"]) for r in wand.search(idx2, terms, k=10).collect()]
+    assert not victims & {d for d, _ in got}
+    want = _brute(spark, corpus, terms, k=10, exclude=victims)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg == pytest.approx(sw, abs=1e-12)
+
+
+def test_deletes_are_additive(spark, built):
+    corpus, idx = built
+    terms = ["import"]
+    got1 = wand.search(delete_docs(spark, idx.index_dir, []), terms, k=5).collect()
+    more = [got1[0]["docID"]]
+    idx3 = delete_docs(spark, idx.index_dir, more)
+    got2 = {r["docID"] for r in wand.search(idx3, terms, k=10).collect()}
+    assert got1[0]["docID"] not in got2
+
+
+def test_search_after_pages(spark, built):
+    corpus, idx = built
+    # tombstones exist in the shared index dir by now — exclude them in oracle
+    from neural_search_spark.index.build import load_index
+    idx = load_index(spark, idx.index_dir)
+    excl = frozenset(
+        r["docID"] for r in idx.tombstones.collect()
+    ) if idx.tombstones is not None else frozenset()
+    terms = ["def", "merge", "query"]
+    page1 = [(r["docID"], r["score"]) for r in wand.search(idx, terms, k=5).collect()]
+    cursor = (page1[-1][1], page1[-1][0])
+    page2 = [(r["docID"], r["score"]) for r in
+             wand.search(idx, terms, k=5, after=cursor).collect()]
+    want = _brute(spark, corpus, terms, k=10, exclude=excl)
+    assert [d for d, _ in page1 + page2] == [d for d, _ in want]
+    assert not set(d for d, _ in page1) & set(d for d, _ in page2)
+
+
+def test_weighted_query(spark, built):
+    corpus, idx = built
+    from neural_search_spark.index.build import load_index
+    idx = load_index(spark, idx.index_dir)
+    excl = frozenset(
+        r["docID"] for r in idx.tombstones.collect()
+    ) if idx.tombstones is not None else frozenset()
+    # weight one term 3x: equals brute force with the partial scaled
+    import math
+    terms = ["def", "parse"]
+    got = [(r["docID"], r["score"]) for r in
+           wand.search(idx, terms, k=8, weights={"def": 3.0}).collect()]
+    # oracle: recompute with weights
+    runs = token_runs(corpus).collect()
+    dl = {r["docID"]: r["doclen"] for r in runs}
+    n = len(dl); avgdl = sum(dl.values()) / n
+    tf = {(r["docID"], r["term"]): r["tf"] for r in runs}
+    dfreq = {t: sum(1 for (d_, t_) in tf if t_ == t) for t in terms}
+    w = {"def": 3.0, "parse": 1.0}
+    scores = {}
+    for (d_, t_), f_ in tf.items():
+        if t_ in terms and d_ not in excl:
+            idf = math.log(1 + (n - dfreq[t_] + 0.5) / (dfreq[t_] + 0.5))
+            scores[d_] = scores.get(d_, 0.0) + w[t_] * idf * f_ / (
+                f_ + 1.2 * (0.25 + 0.75 * dl[d_] / avgdl))
+    want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:8]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_compaction_on_append(spark, built):
+    corpus, _ = built
+    # fresh dirs: build A, delete some, append B -> identical to
+    # build((A - deleted) ∪ B)
+    extra = with_doc_id(generate_corpus(spark, 260, seed=11)).join(
+        corpus.select("docID"), "docID", "left_anti"
+    ).cache()
+    d_incr = tempfile.mkdtemp(prefix="nss-cmp-i-")
+    d_full = tempfile.mkdtemp(prefix="nss-cmp-f-")
+    try:
+        build_index(spark, corpus, d_incr, resume=False)
+        victims = [r["docID"] for r in corpus.select("docID").limit(13).collect()]
+        delete_docs(spark, d_incr, victims)
+        merged = append_to_index(spark, d_incr, extra)
+        assert merged.tombstones is None  # compacted away
+        live = corpus.join(
+            spark.createDataFrame([(v,) for v in victims], "docID long"),
+            "docID", "left_anti",
+        ).unionByName(extra)
+        full = build_index(spark, live, d_full, resume=False)
+        assert merged.n_docs == full.n_docs
+        for terms in (["def"], ["uniq_17", "class"]):
+            ra = [(r["docID"], r["score"]) for r in wand.search(full, terms, k=10).collect()]
+            rb = [(r["docID"], r["score"]) for r in wand.search(merged, terms, k=10).collect()]
+            assert ra == rb
+    finally:
+        shutil.rmtree(d_incr, ignore_errors=True)
+        shutil.rmtree(d_full, ignore_errors=True)

@@ -1,0 +1,77 @@
+"""Heavy-term skew: the (termID, docBucket) shuffle key IS the salt.
+
+North-rule requirement: term-frequency skew handled via salted
+repartitioning of heavy terms. A stopword appearing in EVERY document would
+put its whole posting list in one shuffle group if the key were termID
+alone; the docBucket component splits it into 2^bucket_bits near-equal
+groups (and doubles as the WAND co-location key — no second query shuffle).
+"""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query import wand
+from neural_search_spark.query.bm25 import search_bruteforce
+from neural_search_spark.analysis.tokenizer import (
+    corpus_stats, doc_lengths, tokens_with_tf,
+)
+
+N_DOCS = 2000
+BUCKET_BITS = 4  # 16 salted groups
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Every doc contains the stopword 'omni' 1-3 times + its normal body."""
+    base = with_doc_id(generate_corpus(spark, N_DOCS, seed=3))
+    corpus = base.withColumn(
+        "content",
+        F.concat_ws(
+            " ",
+            F.col("content"),
+            F.concat_ws(" ", F.array_repeat(F.lit("omni"), (F.xxhash64("docID") % 3 + 2).cast("int") % 3 + 1)),
+        ),
+    ).cache()
+    d = tempfile.mkdtemp(prefix="nss-skew-")
+    idx = build_index(spark, corpus, d, bucket_bits=BUCKET_BITS, resume=False)
+    yield corpus, idx
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_heavy_term_splits_into_buckets(skewed):
+    corpus, idx = skewed
+    rows = idx.postings.where(F.col("term") == "omni").collect()
+    buckets = {r["bucket"] for r in rows}
+    assert len(buckets) == 2 ** BUCKET_BITS  # full-corpus term hits every salt
+    per_bucket = {}
+    for r in rows:
+        per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + sum(
+            b["n"] for b in r["blocks"]
+        )
+    total = sum(per_bucket.values())
+    assert total == N_DOCS  # df == N, one posting per doc
+    # hash-uniform docIDs → groups within 2.5x of ideal (binomial slack)
+    ideal = N_DOCS / 2 ** BUCKET_BITS
+    assert max(per_bucket.values()) < 2.5 * ideal
+    assert min(per_bucket.values()) > ideal / 2.5
+
+
+def test_skewed_query_rank_identical(spark, skewed):
+    corpus, idx = skewed
+    dl = doc_lengths(corpus)
+    stats = corpus_stats(dl)
+    tf = tokens_with_tf(corpus)
+    for terms in (["omni"], ["omni", "def"], ["omni", "uniq_42", "return"]):
+        got = [(r["docID"], r["score"]) for r in wand.search(idx, terms, k=10).collect()]
+        want = [
+            (r["docID"], r["score"])
+            for r in search_bruteforce(tf, dl, stats, terms, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+        assert np.allclose([s for _, s in got], [s for _, s in want], atol=1e-12)
