@@ -200,6 +200,107 @@ def _bm25_page2_sql(terms: list[str], k: int) -> str:
     """
 
 
+FILTER_MIN_DOCLEN = 60
+
+
+def q_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered search: accepted-docs mask, global (unfiltered) stats."""
+    idx = _get_index(spark, sf_dir)
+    res = wand.search(
+        idx, WAND_TERMS_MULTI, k=10, where=F.col("doclen") >= FILTER_MIN_DOCLEN
+    )
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_filtered_sql(terms: list[str], k: int, min_doclen: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      WHERE dl.doclen >= {min_doclen}
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+TWO_PHASE_WEIGHTS = {"data": 1.0, "query": 0.2, "join": 0.15}
+
+
+def q_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.query.two_phase import two_phase_search
+
+    idx = _get_index(spark, sf_dir)
+    res = two_phase_search(idx, TWO_PHASE_WEIGHTS, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _two_phase_sql(weights: dict[str, float], k: int, window: int,
+                   ratio: float = 0.4) -> str:
+    mx = max(weights.values())
+    high = {t: w for t, w in weights.items() if w >= ratio * mx}
+    hlist = ", ".join(f"'{t}'" for t in sorted(high))
+    alist = ", ".join(f"'{t}'" for t in sorted(weights))
+    def wcase(ws):
+        return "CASE tf.term " + " ".join(
+            f"WHEN '{t}' THEN CAST({w} AS DOUBLE)" for t, w in sorted(ws.items())
+        ) + " END"
+    part = """ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))"""
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfh AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN ({hlist}) GROUP BY term),
+         dfa AS (SELECT term, count(*) AS df FROM tf
+                 WHERE term IN ({alist}) GROUP BY term),
+         cand AS (
+           SELECT tf.doc_id AS doc_id FROM tf
+           JOIN dfh dfreq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats st
+           GROUP BY tf.doc_id
+           ORDER BY sum(({part}) * {wcase(high)}) DESC, doc_id ASC LIMIT {window}
+         )
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id, sum(({part}) * {wcase(weights)}) AS s
+      FROM tf JOIN dfa dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+      WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+def q_field_sort_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.operators.sort_search import field_sort_search
+
+    idx = _get_index(spark, sf_dir)
+    dm = idx.docmap.select("doc_id", F.col("doclen").cast("long").alias("doclen"))
+    page1 = field_sort_search(dm, [("doclen", False)], 10, "doc_id").collect()
+    cursor = (page1[-1]["doclen"], page1[-1]["doc_id"])
+    return field_sort_search(dm, [("doclen", False)], 10, "doc_id", after=cursor)
+
+
+FIELD_SORT_SQL = f"""
+    SELECT doc_id, doclen FROM ({_DL_SQL})
+    ORDER BY doclen DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+
+
 # ------------------------------------------------------- hybrid queries
 
 HYBRID_SUBS = [["data"], ["query", "join"]]
@@ -643,6 +744,9 @@ SPARK_QUERIES_EXT = {
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
     "wand_topk_weighted": q_wand_weighted,
     "wand_search_after": q_wand_search_after,
+    "wand_filtered": q_wand_filtered,
+    "two_phase_rescore": q_two_phase,
+    "field_sort_page2": q_field_sort_page2,
     "hybrid_minmax_arith": _hybrid_entry("min_max", "arithmetic_mean"),
     "hybrid_l2_geometric": _hybrid_entry("l2", "geometric_mean"),
     "hybrid_zscore_harmonic": _hybrid_entry("z_score", "harmonic_mean"),
@@ -673,6 +777,9 @@ ORACLE_SQL_EXT = {
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
     "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
     "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
+    "wand_filtered": _bm25_filtered_sql(WAND_TERMS_MULTI, 10, FILTER_MIN_DOCLEN),
+    "two_phase_rescore": _two_phase_sql(TWO_PHASE_WEIGHTS, 10, 50),
+    "field_sort_page2": FIELD_SORT_SQL,
     "hybrid_minmax_arith": _hybrid_sql(HYBRID_SUBS, "min_max", "arithmetic_mean"),
     "hybrid_l2_geometric": _hybrid_sql(HYBRID_SUBS, "l2", "geometric_mean"),
     "hybrid_zscore_harmonic": _hybrid_sql(HYBRID_SUBS, "z_score", "harmonic_mean"),

@@ -370,6 +370,7 @@ class Index:
     avgdl: float
     bucket_bits: int
     tombstones: DataFrame | None = None  # (docID) rows masked at query time
+    id_col: str = "docID"                # docmap's id column name
 
     def warmup(self) -> "Index":
         """Pin postings in executor memory — the analog of the reference's
@@ -441,4 +442,5 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         avgdl=float(stats["avgdl"]),
         bucket_bits=int(cfg.get("bucket_bits", 0)),
         tombstones=tombs,
+        id_col=str(cfg.get("id_col", "docID")),
     )

@@ -1,0 +1,62 @@
+"""Field-sort collector with searchAfter keyset pagination.
+
+Reproduces the reference's field-sorted hybrid collection
+(reference: main/search/collector/HybridTopFieldDocSortCollector.java — sort
+hits by document fields instead of score; pagination via
+PagingFieldCollector.java searchAfter). Spark shape: `ORDER BY fields LIMIT
+k` compiles to TakeOrderedAndProject (per-partition heap, no global sort);
+pagination is a keyset predicate, never OFFSET (OFFSET re-reads and
+re-sorts everything it skips — unusable at 10^12 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _keyset_predicate(
+    sort_cols: list[tuple[str, bool]], id_col: str, cursor: tuple
+) -> Column:
+    """Lexicographic (col1, col2, ..., id) > cursor in the sort order.
+
+    Builds OR-of-ANDs: row is after the cursor iff some prefix of the sort
+    key is equal and the next component is strictly past it.
+    """
+    cols = [*sort_cols, (id_col, True)]  # unique tiebreak terminates ties
+    if len(cursor) != len(cols):
+        raise ValueError(f"cursor needs {len(cols)} values (sort cols + id)")
+    pred = F.lit(False)
+    for i, (name, asc) in enumerate(cols):
+        clause = F.lit(True)
+        for j in range(i):
+            clause = clause & (F.col(cols[j][0]) == F.lit(cursor[j]))
+        nxt = F.col(name) > F.lit(cursor[i]) if asc else F.col(name) < F.lit(cursor[i])
+        pred = pred | (clause & nxt)
+    return pred
+
+
+def field_sort_search(
+    df: DataFrame,
+    sort_cols: list[tuple[str, bool]],
+    k: int,
+    id_col: str,
+    after: tuple | None = None,
+    where: Column | None = None,
+) -> DataFrame:
+    """Top-k rows by (sort_cols..., id_col asc), optionally after a cursor.
+
+    ``sort_cols``: [(column, ascending)] — id_col asc is always appended as
+    the deterministic tie-break (the reference appends docID the same way,
+    TopDocsMerger.java:38-41).
+    ``after``: cursor tuple of len(sort_cols)+1 values (the last row of the
+    previous page, id last).
+    """
+    out = df
+    if where is not None:
+        out = out.where(where)
+    if after is not None:
+        out = out.where(_keyset_predicate(sort_cols, id_col, after))
+    order = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_cols
+    ] + [F.col(id_col).asc()]
+    return out.orderBy(*order).limit(k)

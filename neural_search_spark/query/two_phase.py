@@ -1,0 +1,79 @@
+"""Two-phase query: score with high-weight tokens, rescore a window exactly.
+
+Reproduces the reference's NeuralSparseTwoPhaseProcessor
+(reference: main/processor/NeuralSparseTwoPhaseProcessor.java:55-63 —
+window = size × expansion_rate (default 5.0) capped at max_window_size
+10000; token split by prune strategy :206-217, default max_ratio 0.4 via
+PruneUtils). Phase 1 runs block-max WAND over only the high-weight tokens
+to depth ``window``; phase 2 rescores exactly those candidates with the
+FULL token set (the accepted-docs path of ``wand.search``) and returns the
+top k.
+
+Approximation contract (same as the reference's): a doc can only be missed
+if its phase-1 (high-token) score falls outside the window; with
+window ≥ |matching docs| the result is exactly the full search (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from neural_search_spark.index.build import Index
+from neural_search_spark.query import wand
+
+DEFAULT_EXPANSION_RATE = 5.0   # reference: NeuralSparseTwoPhaseProcessor.java:60
+MAX_WINDOW_SIZE = 10_000       # reference: NeuralSparseTwoPhaseProcessor.java:61
+
+
+def split_weights(
+    weights: dict[str, float],
+    prune_type: str = "max_ratio",
+    prune_param: float = 0.4,
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Split query tokens into (high, low) by prune strategy — plain-python
+    mirror of PruneUtils (reference: main/util/prune/PruneUtils.java)."""
+    if not weights:
+        return {}, {}
+    items = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))
+    if prune_type == "top_k":
+        k = int(prune_param)
+        kept = dict(items[:k])
+    elif prune_type == "max_ratio":
+        mx = items[0][1]
+        kept = {t: w for t, w in items if w >= prune_param * mx}
+    elif prune_type == "abs_value":
+        kept = {t: w for t, w in items if w >= prune_param}
+    elif prune_type == "alpha_mass":
+        total = sum(w for _, w in items)
+        kept, run = {}, 0.0
+        for t, w in items:
+            run += w
+            if run <= prune_param * total:
+                kept[t] = w
+            # reference adds the value BEFORE the <= check; first element
+            # over the mass line is excluded (PruneUtils.java:133-170)
+    else:
+        raise ValueError(f"unknown prune type {prune_type!r}")
+    low = {t: w for t, w in weights.items() if t not in kept}
+    return kept, low
+
+
+def two_phase_search(
+    index: Index,
+    weights: dict[str, float],
+    k: int = 10,
+    prune_type: str = "max_ratio",
+    prune_param: float = 0.4,
+    expansion_rate: float = DEFAULT_EXPANSION_RATE,
+    max_window_size: int = MAX_WINDOW_SIZE,
+) -> DataFrame:
+    """Weighted top-k with two-phase pruning. Returns DataFrame(docID, score)."""
+    high, low = split_weights(weights, prune_type, prune_param)
+    if not high or not low:
+        return wand.search(index, sorted(weights), k=k, weights=weights)
+    window = min(int(k * expansion_rate), max_window_size)
+    phase1 = wand.search(index, sorted(high), k=window, weights=high)
+    return wand.search(
+        index, sorted(weights), k=k, weights=weights,
+        candidates=phase1.select("docID"),
+    )

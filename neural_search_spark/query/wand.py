@@ -56,10 +56,11 @@ class _TermPostings:
 
     __slots__ = ("doc0", "n", "maxscore", "docs_raw", "tfs_raw", "dls_raw",
                  "starts", "total", "_docs", "_scores", "_decoded", "ub",
-                 "weight", "deleted")
+                 "weight", "deleted", "allowed")
 
     def __init__(self, blocks: list[dict], weight: float,
-                 deleted: np.ndarray | None = None):
+                 deleted: np.ndarray | None = None,
+                 allowed: np.ndarray | None = None):
         blocks = sorted(blocks, key=lambda b: codec.to_biased(np.array([b["doc0"]]))[0])
         self.doc0 = np.array([b["doc0"] for b in blocks], dtype=np.int64)
         self.n = np.array([b["n"] for b in blocks], dtype=np.int64)
@@ -74,6 +75,7 @@ class _TermPostings:
         self.ub = float(self.maxscore.max()) if len(blocks) else 0.0
         self.weight = weight
         self.deleted = deleted if deleted is not None and len(deleted) else None
+        self.allowed = allowed  # None = everything allowed; [] = nothing
 
     def decode_block(self, i: int, score_fn) -> tuple[np.ndarray, np.ndarray]:
         if self._docs[i] is None:
@@ -88,6 +90,16 @@ class _TermPostings:
                 pos = np.clip(pos, 0, len(self.deleted) - 1)
                 live = self.deleted[pos] != docs
                 docs, tfs, dls = docs[live], tfs[live], dls[live]
+            if self.allowed is not None:
+                # accepted-docs mask (reference: filter BitSet per leaf,
+                # main/sparse/query/SparseVectorQuery.java:105-150)
+                if len(self.allowed):
+                    pos = np.searchsorted(self.allowed, docs)
+                    pos = np.clip(pos, 0, len(self.allowed) - 1)
+                    keep = self.allowed[pos] == docs
+                else:
+                    keep = np.zeros(len(docs), dtype=bool)
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
             self._docs[i] = docs
             self._scores[i] = score_fn(tfs, dls) * self.weight
         return self._docs[i], self._scores[i]
@@ -237,20 +249,24 @@ def make_bucket_scorer(
     from neural_search_spark.query.bm25 import bm25_score_np, idf_np
 
     def score_bucket(pdf: pd.DataFrame,
-                     deleted: np.ndarray | None = None) -> pd.DataFrame:
+                     deleted: np.ndarray | None = None,
+                     allowed: np.ndarray | None = None) -> pd.DataFrame:
         term_lists, score_fns = [], []
         for term, grp in pdf.groupby("term", sort=True):  # fixed term order → deterministic sums
             blocks = [b for row in grp["blocks"] for b in row]
             df_val = int(grp["df"].iloc[0])
             idf = float(idf_np(df_val, n_total))
             w = float((weights or {}).get(term, 1.0))
-            tp = _TermPostings(blocks, w, deleted)
+            tp = _TermPostings(blocks, w, deleted, allowed)
             term_lists.append(tp)
             score_fns.append(
                 lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl)
             )
         total = sum(tp.total for tp in term_lists)
-        if total <= exact_threshold or len(term_lists) == 1:
+        # small accepted set → brute-force exact scoring beats pruning
+        # (reference cardinality switch: main/sparse/query/SparseQueryWeight.java:156-166)
+        small_filter = allowed is not None and len(allowed) <= max(k, 1024)
+        if total <= exact_threshold or len(term_lists) == 1 or small_filter:
             return _score_bucket_exhaustive(term_lists, score_fns, k, after)
         return _score_bucket_maxscore(term_lists, score_fns, k, after)
 
@@ -264,6 +280,8 @@ def search(
     weights: dict[str, float] | None = None,
     exact_threshold: int = EXACT_THRESHOLD,
     after: tuple[float, int] | None = None,
+    where=None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over the index. Returns DataFrame(docID, score).
 
@@ -273,37 +291,63 @@ def search(
     ``weights``: per-term multipliers — the FeatureField linear-query analog
     (reference: main/query/NeuralSparseQueryBuilder.java:576-581).
     ``after``: (score, docID) cursor for keyset pagination (searchAfter).
-    Tombstoned docs (index.tombstones) are masked inside the kernel via a
-    bucket-cogrouped live-docs array — no post-filter can be correct, since
-    a deleted doc must not occupy a per-bucket top-k slot.
+    ``where``: Column predicate over docmap — pre-filtered search; the
+    accepted-doc set is cogrouped into the kernel per bucket, exactly the
+    reference's per-leaf filter BitSet (SparseVectorQuery.java:105-150),
+    with a brute-force switch when the accepted set is small
+    (SparseQueryWeight.java:156-166).
+    ``candidates``: explicit accepted docID DataFrame (used by two-phase).
+    Tombstoned docs (index.tombstones) are masked the same way — no
+    post-filter can be correct, since a masked doc must not occupy a
+    per-bucket top-k slot.
     """
+    from neural_search_spark.index.build import bucket_col
+
     terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
     sub = index.postings.where(F.col("term").isin(terms))
     scorer = make_bucket_scorer(
         index.n_docs, index.avgdl, k, weights, exact_threshold, after
     )
-    if index.tombstones is not None:
-        from neural_search_spark.index.build import bucket_col
 
-        tombs = index.tombstones.select(
-            F.col("docID"), bucket_col("docID", index.bucket_bits).alias("bucket")
+    mask, mode = None, None
+    if where is not None or candidates is not None:
+        allowed = (
+            candidates if candidates is not None
+            else index.docmap.where(where).select(F.col(index.id_col))
+        )
+        allowed = allowed.select(
+            F.col(allowed.columns[0]).cast("long").alias("docID")
+        )
+        if index.tombstones is not None:
+            allowed = allowed.join(
+                index.tombstones.select("docID"), "docID", "left_anti"
+            )
+        mask, mode = allowed, "allow"
+    elif index.tombstones is not None:
+        mask, mode = index.tombstones.select("docID"), "deny"
+
+    if mask is not None:
+        bucketed = mask.select(
+            "docID", bucket_col("docID", index.bucket_bits).alias("bucket")
         )
 
         def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
                 return pd.DataFrame({"docID": np.empty(0, np.int64),
                                      "score": np.empty(0, np.float64)})
-            deleted = np.sort(right["docID"].to_numpy(np.int64)) if len(right) else None
-            return scorer(left, deleted)
+            arr = np.sort(right["docID"].to_numpy(np.int64))
+            if mode == "allow":
+                return scorer(left, None, arr)
+            return scorer(left, arr if len(arr) else None, None)
 
         per_bucket = (
             sub.groupBy("bucket")
-            .cogroup(tombs.groupBy("bucket"))
+            .cogroup(bucketed.groupBy("bucket"))
             .applyInPandas(score_cogroup, RESULT_SCHEMA)
         )
     else:
         # single-arg wrapper: applyInPandas arity-dispatches (key, pdf) for
-        # two-parameter functions, and scorer's 2nd param is the deleted mask
+        # multi-parameter functions, and scorer's extra params are the masks
         def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
             return scorer(pdf)
 

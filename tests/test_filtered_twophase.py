@@ -1,0 +1,122 @@
+"""Filtered search (accepted-docs mask), two-phase rescore, field sort."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.tokenizer import (
+    corpus_stats, doc_lengths, tokens_with_tf,
+)
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index
+from neural_search_spark.operators.sort_search import field_sort_search
+from neural_search_spark.query import wand
+from neural_search_spark.query.bm25 import search_bruteforce
+from neural_search_spark.query.two_phase import split_weights, two_phase_search
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = with_doc_id(generate_corpus(spark, N_DOCS, seed=21)).cache()
+    d = tempfile.mkdtemp(prefix="nss-filt-")
+    idx = build_index(spark, corpus, d, resume=False)
+    yield corpus, idx
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_filtered_search_matches_bruteforce(spark, built):
+    corpus, idx = built
+    terms = ["def", "return", "merge"]
+    pred = F.col("lang").isin("py", "go")
+    got = [(r["docID"], r["score"]) for r in
+           wand.search(idx, terms, k=10, where=pred).collect()]
+    # oracle: global stats, results restricted to the filtered set
+    dl = doc_lengths(corpus)
+    stats = corpus_stats(dl)
+    tf = tokens_with_tf(corpus)
+    allowed = corpus.where(pred).select("docID")
+    want_df = (
+        search_bruteforce(tf, dl, stats, terms, k=N_DOCS)
+        .join(allowed, "docID", "left_semi")
+        .orderBy(F.desc("score"), F.asc("docID")).limit(10)
+    )
+    want = [(r["docID"], r["score"]) for r in want_df.collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, sg), (_, sw) in zip(got, want):
+        # kernel sums partials in canonical term order; Spark's agg order
+        # differs → sub-ULP deltas are expected and allowed
+        assert sg == pytest.approx(sw, abs=1e-10)
+    langs = {r["lang"] for r in corpus.join(
+        spark.createDataFrame([(d_,) for d_, _ in got], "docID long"), "docID"
+    ).select("lang").collect()}
+    assert langs <= {"py", "go"}
+
+
+def test_filtered_small_set_exact_path(spark, built):
+    corpus, idx = built
+    # filter down to a handful of docs → cardinality switch to brute force
+    ids = [r["docID"] for r in corpus.select("docID").limit(3).collect()]
+    cand = spark.createDataFrame([(i,) for i in ids], "docID long")
+    got = wand.search(idx, ["def", "return"], k=10, candidates=cand).collect()
+    assert {r["docID"] for r in got} <= set(ids)
+
+
+def test_split_weights_strategies():
+    w = {"a": 10.0, "b": 4.0, "c": 3.0, "d": 0.5}
+    hi, lo = split_weights(w, "max_ratio", 0.4)
+    assert set(hi) == {"a", "b"} and set(lo) == {"c", "d"}
+    hi, lo = split_weights(w, "top_k", 1)
+    assert set(hi) == {"a"}
+    hi, lo = split_weights(w, "abs_value", 3.0)
+    assert set(hi) == {"a", "b", "c"}
+    hi, lo = split_weights(w, "alpha_mass", 0.8)  # total 17.5, line at 14.0
+    assert set(hi) == {"a", "b"}  # 10 ≤ 14, 14 ≤ 14; +3 > 14 excluded
+    with pytest.raises(ValueError):
+        split_weights(w, "nope", 1)
+
+
+def test_two_phase_full_window_is_exact(spark, built):
+    corpus, idx = built
+    weights = {"def": 1.0, "parse": 0.3, "uniq_7": 0.1}
+    exact = [(r["docID"], r["score"]) for r in
+             wand.search(idx, sorted(weights), k=10, weights=weights).collect()]
+    # window ≥ N ⇒ phase-1 keeps every matching doc ⇒ identical result
+    got = [(r["docID"], r["score"]) for r in two_phase_search(
+        idx, weights, k=10, expansion_rate=float(N_DOCS), prune_param=0.9,
+    ).collect()]
+    assert got == exact
+
+
+def test_two_phase_default_window(spark, built):
+    corpus, idx = built
+    weights = {"def": 1.0, "return": 0.2}
+    got = two_phase_search(idx, weights, k=10).collect()
+    assert len(got) == 10
+    # every returned doc's score is a true full-weight score: check one
+    exact = {r["docID"]: r["score"] for r in
+             wand.search(idx, sorted(weights), k=N_DOCS, weights=weights).collect()}
+    for r in got:
+        assert r["score"] == pytest.approx(exact[r["docID"]], abs=1e-12)
+
+
+def test_field_sort_pages(spark, built):
+    corpus, idx = built
+    dm = idx.docmap.select("docID", "doclen", "lang")
+    all20 = field_sort_search(dm, [("doclen", False)], 20, "docID").collect()
+    p1 = field_sort_search(dm, [("doclen", False)], 10, "docID").collect()
+    cursor = (p1[-1]["doclen"], p1[-1]["docID"])
+    p2 = field_sort_search(dm, [("doclen", False)], 10, "docID", after=cursor).collect()
+    assert [r["docID"] for r in p1 + p2] == [r["docID"] for r in all20]
+    # multi-column sort + where
+    rows = field_sort_search(
+        dm, [("lang", True), ("doclen", False)], 5, "docID",
+        where=F.col("doclen") > 50,
+    ).collect()
+    assert all(r["doclen"] > 50 for r in rows)
+    assert rows == sorted(rows, key=lambda r: (r["lang"], -r["doclen"], r["docID"]))
+    with pytest.raises(ValueError):
+        field_sort_search(dm, [("doclen", False)], 5, "docID", after=(1,))
