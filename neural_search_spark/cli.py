@@ -73,11 +73,14 @@ def cmd_search(spark: SparkSession, args) -> None:
     idx = load_index(spark, args.index_dir)
     if args.warmup:
         idx.warmup()
-    rows = wand.search(idx, args.query, k=args.k).collect()
-    print(json.dumps({
-        "query": args.query, "k": args.k,
-        "hits": [{"docID": r["docID"], "score": round(r["score"], 6)} for r in rows],
-    }))
+    out = {"query": args.query, "k": args.k}
+    if args.profile:
+        rows, prof = wand.profile_search(idx, args.query, k=args.k)
+        out["profile"] = prof
+    else:
+        rows = wand.search(idx, args.query, k=args.k).collect()
+    out["hits"] = [{"docID": r["docID"], "score": round(r["score"], 6)} for r in rows]
+    print(json.dumps(out))
 
 
 def cmd_hybrid(spark: SparkSession, args) -> None:
@@ -122,6 +125,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--warmup", action="store_true")
+    s.add_argument("--profile", action="store_true",
+                   help="also report block-skip pruning counters")
 
     h = sub.add_parser("hybrid", help="multi-sub-query hybrid search")
     h.add_argument("--index-dir", required=True)

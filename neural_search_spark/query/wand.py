@@ -54,15 +54,17 @@ class _TermPostings:
     Stored block-max scores remain valid upper bounds.
     """
 
-    __slots__ = ("doc0", "n", "maxscore", "docs_raw", "tfs_raw", "dls_raw",
+    __slots__ = ("doc0", "d0b", "n", "maxscore", "docs_raw", "tfs_raw", "dls_raw",
                  "starts", "total", "_docs", "_scores", "_decoded", "ub",
-                 "weight", "deleted", "allowed")
+                 "weight", "deleted", "allowed", "counters")
 
     def __init__(self, blocks: list[dict], weight: float,
                  deleted: np.ndarray | None = None,
-                 allowed: np.ndarray | None = None):
+                 allowed: np.ndarray | None = None,
+                 counters: dict | None = None):
         blocks = sorted(blocks, key=lambda b: codec.to_biased(np.array([b["doc0"]]))[0])
         self.doc0 = np.array([b["doc0"] for b in blocks], dtype=np.int64)
+        self.d0b = codec.to_biased(self.doc0)  # ascending (blocks are range-sorted)
         self.n = np.array([b["n"] for b in blocks], dtype=np.int64)
         self.maxscore = np.array([b["maxscore"] for b in blocks], dtype=np.float64) * weight
         self.docs_raw = [b["docs"] for b in blocks]
@@ -76,9 +78,16 @@ class _TermPostings:
         self.weight = weight
         self.deleted = deleted if deleted is not None and len(deleted) else None
         self.allowed = allowed  # None = everything allowed; [] = nothing
+        self.counters = counters
+        if counters is not None:
+            counters["blocks_total"] += len(blocks)
+            counters["postings_total"] += self.total
 
     def decode_block(self, i: int, score_fn) -> tuple[np.ndarray, np.ndarray]:
         if self._docs[i] is None:
+            if self.counters is not None:
+                self.counters["blocks_decoded"] += 1
+                self.counters["postings_decoded"] += int(self.n[i])
             biased = codec.delta_varint_decode(
                 self.docs_raw[i], int(codec.to_biased(self.doc0[i : i + 1])[0])
             )
@@ -153,17 +162,34 @@ def _score_bucket_exhaustive(term_lists, score_fns, k, after=None) -> pd.DataFra
     return _topk_merge(uniq, sums, k)
 
 
-def _score_bucket_maxscore(term_lists, score_fns, k, after=None) -> pd.DataFrame:
+_VERIFY_BATCH_BLOCKS = 8  # essential-list blocks verified per θ update
+
+
+def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
+                           theta0=-np.inf) -> pd.DataFrame:
     """Exact Block-Max MaxScore: candidates from essential lists only;
-    non-essential contributions via block-skipped lookups."""
+    non-essential contributions via block-skipped lookups.
+
+    Each essential list is processed block-batch at a time in DESCENDING
+    block-max order, verifying candidates and raising θ between batches, so
+    the tail of a long posting list is skipped once
+    ``blockmax + Σ ub(other terms) < θ``. Skip safety: a doc whose every
+    containing block (in every query term) fails that test has true score
+    < θ, because each term's ub bounds all of its block maxes — so no doc
+    that could enter the top-k is ever skipped (ties at θ are kept).
+    """
     m = len(term_lists)
     order = sorted(range(m), key=lambda i: (term_lists[i].ub, i))  # ub asc
     ubs = np.array([term_lists[i].ub for i in order])
     prefix = np.cumsum(ubs)  # prefix[i] = sum of ubs of lists 0..i
+    total_ub = float(prefix[-1]) if m else 0.0
 
     found_docs = np.empty(0, np.int64)
     found_scores = np.empty(0, np.float64)
-    theta = -np.inf
+    # theta0: safe global seed — the exact k-th score of ANY doc subset is
+    # ≤ the global k-th score, so pruning with it can never drop a true
+    # top-k doc (ties at θ are kept throughout)
+    theta = float(theta0)
 
     def lookup(term_idx: int, cand: np.ndarray) -> np.ndarray:
         """Exact contribution of one term to each candidate (0 if absent),
@@ -180,37 +206,39 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None) -> pd.DataFrame
         for b in np.unique(blk[valid]):
             sel = np.nonzero(valid & (blk == b))[0]
             docs_b, scores_b = tp.decode_block(int(b), fn)
+            if len(docs_b) == 0:
+                continue
             pos = np.searchsorted(docs_b, cand[sel])  # docs_b is signed asc
             pos = np.clip(pos, 0, len(docs_b) - 1)
             hit = docs_b[pos] == cand[sel]
             out[sel[hit]] = scores_b[pos[hit]]
         return out
 
-    for oi in range(m - 1, -1, -1):  # essential lists, ub descending
-        if prefix[oi] < theta:
-            break  # lists 0..oi are all non-essential now
-        ti = order[oi]
-        docs, selfscores = term_lists[ti].decode_all(score_fns[ti])
+    def verify(docs, selfscores, oi, ti):
+        """Full-score the new candidates of essential list ti, pruning with
+        per-term ub bounds; returns (docs, final) that survive + keyset."""
+        nonlocal found_docs, found_scores, theta
         if len(found_docs):
             new = ~np.isin(docs, found_docs)
             docs, selfscores = docs[new], selfscores[new]
         if len(docs) == 0:
-            continue
+            return
         # per-term contributions kept separate so the final score can be
         # summed in canonical term order (bit-identical at any parallelism)
         contribs = np.zeros((len(docs), m), np.float64)
         contribs[:, ti] = selfscores
         cur = selfscores.copy()  # running sum, used only for prune bounds
         alive = np.ones(len(docs), bool)
-        # add every other term's contribution, highest-ub first, pruning as we go
         rem_terms = [order[oj] for oj in range(m - 1, -1, -1) if oj != oi]
         rem_ub = np.array([term_lists[t].ub for t in rem_terms], np.float64)
-        rem_after = np.concatenate([np.cumsum(rem_ub[::-1])[::-1][1:], [0.0]])
+        rem_after = (
+            np.concatenate([np.cumsum(rem_ub[::-1])[::-1][1:], [0.0]])
+            if len(rem_terms) else np.empty(0)
+        )
         for j, tj in enumerate(rem_terms):
             if not alive.any():
                 break
             idx = np.nonzero(alive)[0]
-            # block-max bound: even the best block of tj + all remaining ubs
             bound = cur[idx] + term_lists[tj].ub + rem_after[j]
             keep = bound >= theta
             alive[idx[~keep]] = False
@@ -220,9 +248,8 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None) -> pd.DataFrame
             got = lookup(tj, docs[idx])
             contribs[idx, tj] = got
             cur[idx] += got
-        # canonical-order sequential sum over term index 0..m-1
         final = np.zeros(len(docs), np.float64)
-        for t in range(m):
+        for t in range(m):  # canonical-order sequential sum
             final += contribs[:, t]
         docs, final = docs[alive], final[alive]
         # keyset page boundary: pre-cursor docs never enter the heap, so θ
@@ -231,7 +258,59 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None) -> pd.DataFrame
         found_docs = np.concatenate([found_docs, docs])
         found_scores = np.concatenate([found_scores, final])
         if len(found_scores) >= k:
-            theta = float(np.partition(found_scores, -k)[-k])
+            # never drop below the seed: kth-of-found can be lower than θ0
+            theta = max(theta, float(np.partition(found_scores, -k)[-k]))
+
+    def aligned_bound(tp, blocks_idx: np.ndarray, ti: int) -> np.ndarray:
+        """Doc-range-aligned upper bound per candidate block of list ti:
+        blockmax(ti, b) + Σ over other terms of the max blockmax among
+        THEIR blocks overlapping b's doc range ([doc0_b, doc0_{b+1})).
+        A rare term contributes 0 outside its narrow range — the reason
+        this bound skips where a global-ub bound cannot."""
+        lo = tp.d0b[blocks_idx]
+        hi = np.where(
+            blocks_idx + 1 < len(tp.d0b),
+            tp.d0b[np.minimum(blocks_idx + 1, len(tp.d0b) - 1)],
+            np.iinfo(np.uint64).max,
+        )
+        bound = tp.maxscore[blocks_idx].astype(np.float64).copy()
+        for tj in range(m):
+            if tj == ti:
+                continue
+            tpj = term_lists[tj]
+            if len(tpj.d0b) == 0:
+                continue
+            j0 = np.maximum(np.searchsorted(tpj.d0b, lo, side="right") - 1, 0)
+            j1 = np.searchsorted(tpj.d0b, hi, side="left")
+            for x in range(len(blocks_idx)):  # ≤ _VERIFY_BATCH_BLOCKS
+                if j1[x] > j0[x]:
+                    bound[x] += float(tpj.maxscore[j0[x]: j1[x]].max())
+        return bound
+
+    for oi in range(m - 1, -1, -1):  # essential lists, ub descending
+        if prefix[oi] < theta:
+            break  # lists 0..oi are all non-essential now
+        ti = order[oi]
+        tp = term_lists[ti]
+        other_ub = total_ub - ubs[oi]
+        # blocks in descending block-max order; θ rises between batches
+        border = np.argsort(-tp.maxscore, kind="stable")
+        pos = 0
+        while pos < len(border):
+            batch = border[pos: pos + _VERIFY_BATCH_BLOCKS]
+            pos += _VERIFY_BATCH_BLOCKS
+            # desc order → once the best remaining block can't beat θ even
+            # with the loose global bound, neither can any later one
+            if tp.maxscore[batch[0]] + other_ub < theta:
+                break
+            keep = aligned_bound(tp, batch, ti) >= theta
+            batch = batch[keep]
+            if len(batch) == 0:
+                continue
+            parts = [tp.decode_block(int(b), score_fns[ti]) for b in batch]
+            docs = np.concatenate([p[0] for p in parts])
+            selfscores = np.concatenate([p[1] for p in parts])
+            verify(docs, selfscores, oi, ti)
     return _topk_merge(found_docs, found_scores, k)
 
 
@@ -242,10 +321,15 @@ def make_bucket_scorer(
     weights: dict[str, float] | None = None,
     exact_threshold: int = EXACT_THRESHOLD,
     after: tuple[float, int] | None = None,
+    counters: dict | None = None,
+    theta0: float = -np.inf,
 ) -> Callable[..., pd.DataFrame]:
     """Build the scoring kernel: one call = one doc-range bucket.
 
-    Returned fn has signature (postings_pdf, deleted_sorted=None)."""
+    Returned fn has signature (postings_pdf, deleted_sorted=None).
+    ``counters``: optional dict of Spark accumulators
+    (blocks_total/blocks_decoded/postings_total/postings_decoded) filled by
+    the kernel — the pruning-effectiveness profile."""
     from neural_search_spark.query.bm25 import bm25_score_np, idf_np
 
     def score_bucket(pdf: pd.DataFrame,
@@ -257,7 +341,7 @@ def make_bucket_scorer(
             df_val = int(grp["df"].iloc[0])
             idf = float(idf_np(df_val, n_total))
             w = float((weights or {}).get(term, 1.0))
-            tp = _TermPostings(blocks, w, deleted, allowed)
+            tp = _TermPostings(blocks, w, deleted, allowed, counters)
             term_lists.append(tp)
             score_fns.append(
                 lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl)
@@ -266,11 +350,36 @@ def make_bucket_scorer(
         # small accepted set → brute-force exact scoring beats pruning
         # (reference cardinality switch: main/sparse/query/SparseQueryWeight.java:156-166)
         small_filter = allowed is not None and len(allowed) <= max(k, 1024)
-        if total <= exact_threshold or len(term_lists) == 1 or small_filter:
+        if (total <= exact_threshold or len(term_lists) == 1 or small_filter) \
+                and not np.isfinite(theta0):
             return _score_bucket_exhaustive(term_lists, score_fns, k, after)
-        return _score_bucket_maxscore(term_lists, score_fns, k, after)
+        return _score_bucket_maxscore(term_lists, score_fns, k, after, theta0)
 
     return score_bucket
+
+
+def profile_search(
+    index: Index,
+    query: str | list[str],
+    k: int = 10,
+    **kwargs,
+) -> tuple[list, dict]:
+    """Run a search and return (rows, pruning profile).
+
+    The profile counts, across all buckets: blocks/postings present in the
+    touched posting lists vs blocks/postings actually decoded — the measure
+    of how much work block-max pruning skipped (the reference's cluster-skip
+    analog, SeismicBaseScorer.java:202-220). Counter collection uses Spark
+    accumulators, so the numbers aggregate across executors on a cluster.
+    """
+    sc = index.spark.sparkContext
+    accs = {name: sc.accumulator(0) for name in
+            ("blocks_total", "blocks_decoded", "postings_total", "postings_decoded")}
+    rows = search(index, query, k=k, counters=accs, **kwargs).collect()
+    prof = {name: a.value for name, a in accs.items()}
+    bt, bd = prof["blocks_total"], prof["blocks_decoded"]
+    prof["block_skip_ratio"] = round(1.0 - bd / bt, 4) if bt else 0.0
+    return rows, prof
 
 
 def search(
@@ -282,6 +391,9 @@ def search(
     after: tuple[float, int] | None = None,
     where=None,
     candidates: DataFrame | None = None,
+    counters: dict | None = None,
+    seed_theta: bool = False,
+    seed_df_cap: int = 100_000,
 ) -> DataFrame:
     """BM25 top-k over the index. Returns DataFrame(docID, score).
 
@@ -300,13 +412,59 @@ def search(
     Tombstoned docs (index.tombstones) are masked the same way — no
     post-filter can be correct, since a masked doc must not occupy a
     per-bucket top-k slot.
+    ``seed_theta``: run a cheap pre-pass that exactly scores the rarest
+    query term's docs and broadcasts their k-th best score as the initial
+    pruning threshold to EVERY bucket. Distributed per-bucket top-k
+    otherwise forces buckets without rare-term docs to fully decode heavy
+    lists (each bucket must surface k candidates); the seed is exact —
+    the k-th score of a subset never exceeds the global k-th, ties kept.
     """
     from neural_search_spark.index.build import bucket_col
 
     terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
     sub = index.postings.where(F.col("term").isin(terms))
+
+    theta0 = float("-inf")
+    if seed_theta and len(terms) > 1:
+        from neural_search_spark.index.merge import decode_postings
+
+        dfs = {r["term"]: r["df"] for r in sub.select("term", "df").distinct().collect()}
+        # take the rarest terms until their union can hold a full top-k;
+        # once it can, stop before any heavier term (the seed pass must stay
+        # cheap relative to the heavy lists it will let every bucket skip)
+        seed_terms, tot = [], 0
+        for t in sorted(dfs, key=lambda t: (dfs[t], t)):
+            if dfs[t] > seed_df_cap or (tot >= k and dfs[t] > 4 * k):
+                break
+            seed_terms.append(t)
+            tot += dfs[t]
+            if tot >= 4 * k:
+                break
+        if tot >= k and len(seed_terms) < len(terms):
+            cand = decode_postings(
+                index.postings.where(F.col("term").isin(seed_terms))
+            ).select("docID").distinct()
+            if where is not None:
+                cand = cand.join(
+                    index.docmap.where(where).select(
+                        F.col(index.id_col).alias("docID")
+                    ), "docID", "left_semi",
+                )
+            if candidates is not None:
+                cand = cand.join(
+                    candidates.select(F.col(candidates.columns[0]).alias("docID")),
+                    "docID", "left_semi",
+                )
+            seed_rows = search(
+                index, terms, k=k, weights=weights, after=after,
+                candidates=cand,
+            ).collect()
+            if len(seed_rows) >= k:
+                theta0 = float(seed_rows[-1]["score"])
+
     scorer = make_bucket_scorer(
-        index.n_docs, index.avgdl, k, weights, exact_threshold, after
+        index.n_docs, index.avgdl, k, weights, exact_threshold, after, counters,
+        theta0,
     )
 
     mask, mode = None, None

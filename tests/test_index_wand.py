@@ -178,3 +178,37 @@ def test_docmap_payload_join(index):
     joined = res.join(index.docmap, "docID").collect()
     assert len(joined) == 1
     assert joined[0]["path"].startswith("src/")
+
+
+def test_profile_search_counts(index):
+    from neural_search_spark.query.wand import profile_search
+
+    rows, prof = profile_search(index, ["def", "parse", "return"], k=5,
+                                exact_threshold=0)  # force the pruned path
+    assert len(rows) == 5
+    assert prof["blocks_total"] > 0
+    assert 0 < prof["blocks_decoded"] <= prof["blocks_total"]
+    assert prof["postings_decoded"] <= prof["postings_total"]
+    assert 0.0 <= prof["block_skip_ratio"] <= 1.0
+    # profiled results identical to unprofiled
+    from neural_search_spark.query import wand
+    plain = wand.search(index, ["def", "parse", "return"], k=5).collect()
+    assert [(r["docID"], r["score"]) for r in rows] == \
+        [(r["docID"], r["score"]) for r in plain]
+
+
+def test_seeded_theta_equivalence_and_pruning(index):
+    """seed_theta: exact results, and rare-term-dominated queries skip the
+    heavy lists nearly entirely (the distributed θ-broadcast win)."""
+    from neural_search_spark.query import wand
+    from neural_search_spark.query.wand import profile_search
+
+    q = ["def"] + [f"uniq_{i}" for i in range(12)]
+    plain = wand.search(index, q, k=10).collect()
+    rows, prof = profile_search(index, q, k=10, exact_threshold=0, seed_theta=True)
+    assert [(r["docID"], r["score"]) for r in rows] == \
+        [(r["docID"], r["score"]) for r in plain]
+    # at this tiny fixture each list is 1-2 blocks so lookups decode most of
+    # them; just require SOME pruning here — the at-scale measurement
+    # (93-95% postings skipped at 100k docs) is recorded in BENCH/BASELINE.md
+    assert prof["postings_decoded"] < prof["postings_total"]
