@@ -140,7 +140,7 @@ def combine_scores(
 
 def hybrid_search(
     index,
-    subqueries: list[str | list[str]],
+    subqueries: list,
     k: int = 10,
     normalization: str = "min_max",
     combination: str = "arithmetic_mean",
@@ -154,6 +154,12 @@ def hybrid_search(
     ``pagination_depth or k`` (reference: per-shard retrieval size,
     main/search/query/HybridCollectorManager.java:240-256), then
     normalize → combine → global (score desc, docID asc) top-k.
+
+    A sub-query is a query string, a term list, or a dict
+    ``{"terms": ..., "weights": {term: w}, "where": Column}`` — the dict
+    form mirrors the reference's sub-queries being full queries that can
+    carry per-token weights (neural_sparse) and filter clauses
+    (reference: main/query/HybridQuery.java:45-87 AND-ed filters).
     """
     from neural_search_spark.query import wand
 
@@ -161,8 +167,17 @@ def hybrid_search(
         # reference: main/query/HybridQueryBuilder.java:67 (≤5 sub-queries)
         raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
     depth = pagination_depth or k
+
+    def run_sub(q):
+        if isinstance(q, dict):
+            return wand.search(
+                index, q["terms"], k=depth,
+                weights=q.get("weights"), where=q.get("where"),
+            )
+        return wand.search(index, q, k=depth)
+
     per_sub = [
-        wand.search(index, q, k=depth).withColumn("subquery_idx", F.lit(i))
+        run_sub(q).withColumn("subquery_idx", F.lit(i))
         for i, q in enumerate(subqueries)
     ]
     unioned = per_sub[0]

@@ -1,0 +1,103 @@
+"""Edge cases across the engine surface: empty docs, unknown terms,
+oversized k, zero-hit hybrid sub-queries, unicode content."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query import hybrid, wand
+
+DOCS = [
+    (1, "alpha beta gamma beta"),
+    (2, ""),                       # empty doc
+    (3, "ALPHA Beta!!"),           # case/punct
+    (4, "übermäßig straße alpha"), # unicode (non-ascii stripped by analyzer)
+    (5, "gamma " * 200),           # long doc
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(DOCS, "docID long, content string")
+    d = tempfile.mkdtemp(prefix="nss-edge-")
+    ix = build_index(spark, df, d, resume=False)
+    yield ix
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_doc_counted_in_stats(idx):
+    assert idx.n_docs == 5
+    dl = {r["docID"]: r["doclen"] for r in idx.doclens.collect()}
+    assert dl[2] == 0
+    # avgdl averages over ALL docs including the empty one
+    assert idx.avgdl == pytest.approx(sum(dl.values()) / 5)
+
+
+def test_unknown_term_returns_empty(idx):
+    assert wand.search(idx, ["zzz_not_there"], k=5).collect() == []
+    assert wand.search(idx, "zzz another_missing", k=5).collect() == []
+
+
+def test_mixed_known_unknown_terms(idx):
+    rows = wand.search(idx, ["alpha", "zzz_not_there"], k=5).collect()
+    assert {r["docID"] for r in rows} == {1, 3, 4}
+
+
+def test_k_larger_than_corpus(idx):
+    rows = wand.search(idx, ["alpha", "beta", "gamma"], k=100).collect()
+    assert 1 <= len(rows) <= 5
+
+
+def test_unicode_analyzed_as_ascii_runs(idx):
+    # "übermäßig" → tokens "bermä..."? analyzer keeps [a-z0-9_] runs:
+    # "bertm..." — just assert doc 4 matches "alpha" and has sane doclen
+    rows = wand.search(idx, ["alpha"], k=5).collect()
+    assert 4 in {r["docID"] for r in rows}
+
+
+def test_hybrid_zero_hit_subquery(idx):
+    """A sub-query with no hits (the reference's 'randomkeyword' case,
+    test/search/query/HybridQueryPhaseSearcherTests.java) must not break
+    normalization/combination; docs score via the other sub-query only."""
+    res = hybrid.hybrid_search(
+        idx, [["alpha"], ["randomkeyword"]], k=5,
+        normalization="min_max", combination="arithmetic_mean",
+    ).collect()
+    assert len(res) > 0
+    assert {r["docID"] for r in res} == {1, 3, 4}
+    # arithmetic mean over (nscore, 0-filled missing) → positive scores
+    assert all(r["score"] > 0 for r in res)
+
+
+def test_hybrid_all_zero_hit(idx):
+    res = hybrid.hybrid_search(
+        idx, [["nope"], ["randomkeyword"]], k=5,
+    ).collect()
+    assert res == []
+
+
+def test_query_string_tokenization(idx):
+    # query strings are analyzed with the same tokenizer: punctuation split
+    a = wand.search(idx, "Alpha, BETA!", k=5).collect()
+    b = wand.search(idx, ["alpha", "beta"], k=5).collect()
+    assert [(r["docID"], r["score"]) for r in a] == \
+        [(r["docID"], r["score"]) for r in b]
+
+
+def test_hybrid_structured_subqueries(idx):
+    """Dict sub-queries: per-token weights + filter clause per sub-query."""
+    res = hybrid.hybrid_search(
+        idx,
+        [
+            {"terms": ["alpha", "beta"], "weights": {"alpha": 2.0}},
+            {"terms": ["gamma"], "where": F.col("doclen") > 3},
+        ],
+        k=5, normalization="min_max", combination="arithmetic_mean",
+    ).collect()
+    assert len(res) > 0
+    # gamma sub-query is filtered to docs with doclen > 3: doc 5 qualifies,
+    # doc 1 (doclen 4) qualifies; all hits come from either sub-query
+    assert {r["docID"] for r in res} <= {1, 3, 4, 5}
