@@ -90,7 +90,8 @@ def quality_score(col: str | Column) -> Column:
 
 def lang_id(col: str | Column) -> Column:
     """Heuristic language ID: the profile with the highest stopword-hit
-    count wins; ties and zero hits → 'unknown'."""
+    count wins; ties resolve to the earliest profile in LANG_PROFILES order
+    (en first); zero hits → 'unknown'."""
     toks = tokens_array(col)
 
     def _hits(words: list[str]) -> Column:

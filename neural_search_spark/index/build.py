@@ -140,6 +140,13 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
 
     def _bin_array(buf: bytes, nb: np.ndarray) -> "pa.BinaryArray":
         ends = np.cumsum(nb)
+        if len(ends) and int(ends[-1]) > np.iinfo(np.int32).max:
+            # pa.binary() offsets are int32; int64→int32 would wrap silently
+            raise ValueError(
+                "encoded posting chunk exceeds 2 GiB; raise bucket_bits so a "
+                "single (term, bucket) group stays below the Arrow binary "
+                "offset limit"
+            )
         off = np.empty(nblocks + 1, dtype=np.int32)
         off[0] = 0
         off[1:] = ends[bend - 1]  # blocks are consecutive value ranges
@@ -303,13 +310,24 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest.load(index_dir)
 
-    n_docs = corpus.count()  # column-pruned row count: cheap even on 100 TB parquet
+    # one column-pruned pass: row count + an order-independent id-set hash.
+    # The id hash goes into the resume fingerprint so a changed corpus with
+    # the same row count cannot silently resume onto stale snapshots.
+    # (Content-only changes under identical ids are NOT detected — ids are
+    # expected to be content-derived, e.g. xxhash64(repo,path,commit); use
+    # resume=False otherwise.)
+    agg = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("idfp"),
+    ).collect()[0]
+    n_docs = int(agg["n"])
+    ids_fp = int(agg["idfp"] or 0)
     if bucket_bits is None:
         bucket_bits = default_bucket_bits(n_docs)
     cfg = {
         "text_col": text_col, "id_col": id_col, "block_size": block_size,
         "blocks_per_row": blocks_per_row, "bucket_bits": bucket_bits,
-        "n_docs": n_docs, "format": 1,
+        "n_docs": n_docs, "ids_fp": ids_fp, "format": 1,
     }
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     meta_cols = [c for c in corpus.columns if c != text_col]
@@ -354,7 +372,13 @@ def build_index(
 
     man = Manifest.load(index_dir)
     man.stages.setdefault("_config", {})["fingerprint"] = fp
-    man.history.append({"stage": "build-complete", "config": cfg, "ts": time.time()})
+    man.history.append({
+        "stage": "build-complete", "config": cfg, "ts": time.time(),
+        # pin this build's table snapshots: append/merge must read THESE even
+        # after its own early stages commit newer snapshots (resume safety)
+        "tables": {t: man.current[t] for t in
+                   ("docmap", "doclens", "stats", "postings") if t in man.current},
+    })
     man.commit()
     return load_index(spark, index_dir)
 

@@ -87,3 +87,12 @@ def snapshot_read(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
     if snap is None:
         raise FileNotFoundError(f"table {table!r} has no committed snapshot in {index_dir}")
     return spark.read.parquet(os.path.join(index_dir, table, snap))
+
+
+def snapshot_read_at(
+    spark: SparkSession, index_dir: str, table: str, snapshot: str
+) -> DataFrame:
+    """Read a PINNED snapshot (time travel). Needed wherever a multi-stage
+    job must keep reading its input version even after later stages commit
+    newer snapshots of the same table (e.g. append resume)."""
+    return spark.read.parquet(os.path.join(index_dir, table, snapshot))

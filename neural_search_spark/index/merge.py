@@ -49,7 +49,9 @@ from neural_search_spark.index import codec
 from neural_search_spark.index.build import (
     Index, load_index, runs_to_postings,
 )
-from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
+from neural_search_spark.index.catalog import (
+    Manifest, snapshot_read, snapshot_read_at, snapshot_write,
+)
 
 RUNS_SCHEMA = StructType([
     StructField("term", StringType()),
@@ -113,18 +115,30 @@ def append_to_index(
     it when the caller enforces at-most-once delivery of deltas.
     """
     man = Manifest.load(index_dir)
-    cfg_old = next(
-        (h["config"] for h in reversed(man.history) if h.get("stage") == "build-complete"),
+    done = next(
+        (h for h in reversed(man.history) if h.get("stage") == "build-complete"),
         None,
     )
-    if cfg_old is None:
+    if done is None:
         raise ValueError(f"{index_dir} has no completed build to append to")
+    cfg_old = done["config"]
     block_size = int(cfg_old["block_size"])
     blocks_per_row = int(cfg_old["blocks_per_row"])
 
-    old_doclens = snapshot_read(spark, index_dir, "doclens")
-    old_docmap = snapshot_read(spark, index_dir, "docmap")
-    old_postings = snapshot_read(spark, index_dir, "postings")
+    # read the PINNED snapshots of the last completed build, not whatever
+    # man.current points at: if a previous append crashed after committing
+    # its docmap/doclens stages, current already contains the delta and
+    # re-reading it as "old" would double-ingest (or trip check_disjoint)
+    pins = done.get("tables", {})
+
+    def read_old(table: str) -> DataFrame:
+        if table in pins:
+            return snapshot_read_at(spark, index_dir, table, pins[table])
+        return snapshot_read(spark, index_dir, table)  # pre-pinning manifests
+
+    old_doclens = read_old("doclens")
+    old_docmap = read_old("docmap")
+    old_postings = read_old("postings")
 
     # compaction: physically drop tombstoned docs during the merge (the
     # reference's segment merge likewise drops deleted docs; Iceberg calls
@@ -228,7 +242,11 @@ def append_to_index(
     # tombstones are now physically applied — clear the mask
     man.current.pop("tombstones", None)
     man.stages.pop("tombstones", None)
-    man.history.append({"stage": "build-complete", "config": cfg, "ts": time.time(),
-                        "compacted_deletes": n_deleted})
+    man.history.append({
+        "stage": "build-complete", "config": cfg, "ts": time.time(),
+        "compacted_deletes": n_deleted,
+        "tables": {t: man.current[t] for t in
+                   ("docmap", "doclens", "stats", "postings") if t in man.current},
+    })
     man.commit()
     return load_index(spark, index_dir)

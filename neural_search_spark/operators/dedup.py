@@ -58,9 +58,11 @@ def shingles(
     """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
     tokenize → sliding windows via transform over index sequence."""
     toks = tokens_col(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    sh = F.when(F.size(toks) < n, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
     )
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
@@ -83,7 +85,7 @@ def ngram_jaccard_pairs(
     shingles would otherwise explode the join quadratically) but still count
     in the exact Jaccard denominator via the per-doc set sizes.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
+    sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     rare = sh.join(
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -190,8 +192,10 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verify of the candidate pairs only
-    sh = shingles(df, text_col, id_col, n).cache()
+    # exact-Jaccard verify of the candidate pairs only (no .cache(): these
+    # frames feed one self-join each; pinning them would leak executor
+    # storage for the app lifetime since a lazy return can't unpersist)
+    sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
@@ -248,19 +252,28 @@ def simhash_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Blocking: 4 × 16-bit chunks — any pair within Hamming ≤ 3 must agree on
-    at least one chunk (pigeonhole), so candidate generation is an equi-join;
-    verify with bit_count(a XOR b).
+    Blocking: the 64 bits are cut into max_hamming+1 chunks — a pair within
+    the radius must agree on at least one whole chunk (pigeonhole), so
+    candidate generation is an equi-join on (chunk, chunk bits); verify with
+    bit_count(a XOR b). Completeness holds for ANY radius ≤ 31 (each chunk
+    needs ≥ 2 bits to stay selective; the last chunk absorbs remainder bits).
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31]")
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
     sh = simhash64(df, text_col, id_col)
+
+    def chunk_key(i: int):
+        w = 64 - width * (n_chunks - 1) if i == n_chunks - 1 else width
+        mask = (1 << w) - 1
+        return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+
     chunks = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            )
-            for i in range(4)
+            F.struct(F.lit(i).alias("chunk"), chunk_key(i).alias("key"))
+            for i in range(n_chunks)
         ])).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
     x, y = chunks.alias("x"), chunks.alias("y")

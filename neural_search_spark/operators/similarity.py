@@ -191,26 +191,50 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    nbits: int = 16,
+    nbits: int = 32,
+    bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
 
-    LSH-signature equality blocks the self-join (near-identical vectors
-    almost surely share all nbits sign bits); exact cosine verifies, so no
-    false positives."""
+    Banded hyperplane-LSH blocking (MinHash-banding shape): a pair is a
+    candidate when ANY band of nbits/bands sign bits matches, then exact
+    cosine verifies — so there are NO false positives. Recall is
+    probabilistic: P(candidate) = 1 − (1 − p^r)^b with p = 1 − acos(cos)/π;
+    at the 32-bit/4-band default, ≈0.90 at cosine 0.95 and 1.0 for
+    bit-identical vectors. Raise ``bands`` (or lower nbits) for higher
+    recall at more candidate-join cost."""
+    assert nbits % bands == 0
+    rows = nbits // bands
     dim = len(emb.select(vec_col).first()[0])
-    signed = lsh_signatures(emb, dim, nbits, seed, id_col, vec_col).cache()
-    x = signed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("sig"))
-    y = signed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("sig"))
+    signed = lsh_signatures(emb, dim, nbits, seed, id_col, vec_col)
+    banded = signed.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sig"), i * rows)
+                .bitwiseAND(F.lit((1 << rows) - 1)).alias("key"),
+            )
+            for i in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, v: acc + v * v))
     return (
-        x.join(y, "sig")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a").join(vb, "id_b")
         .withColumn("cosine", F.round(dot / (na * nb), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

