@@ -385,6 +385,40 @@ def profile_search(
     return rows, prof
 
 
+def _run_buckets(sub: DataFrame, scorer, mask: DataFrame | None, mode: str | None,
+                 bucket_bits: int) -> DataFrame:
+    """Execute the scoring kernel bucket-parallel, cogrouping the live-docs /
+    accepted-docs mask when one exists. Shared by the main pass and the
+    sampled-bucket θ-seeding pre-pass."""
+    from neural_search_spark.index.build import bucket_col
+
+    if mask is not None:
+        bucketed = mask.select(
+            "docID", bucket_col("docID", bucket_bits).alias("bucket")
+        )
+
+        def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame({"docID": np.empty(0, np.int64),
+                                     "score": np.empty(0, np.float64)})
+            arr = np.sort(right["docID"].to_numpy(np.int64))
+            if mode == "allow":
+                return scorer(left, None, arr)
+            return scorer(left, arr if len(arr) else None, None)
+
+        return (
+            sub.groupBy("bucket")
+            .cogroup(bucketed.groupBy("bucket"))
+            .applyInPandas(score_cogroup, RESULT_SCHEMA)
+        )
+    # single-arg wrapper: applyInPandas arity-dispatches (key, pdf) for
+    # multi-parameter functions, and scorer's extra params are the masks
+    def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
+        return scorer(pdf)
+
+    return sub.groupBy("bucket").applyInPandas(score_plain, RESULT_SCHEMA)
+
+
 def search(
     index: Index,
     query: str | list[str],
@@ -395,7 +429,7 @@ def search(
     where=None,
     candidates: DataFrame | None = None,
     counters: dict | None = None,
-    seed_theta: bool = False,
+    seed_theta: bool | str = "auto",
     seed_df_cap: int = 100_000,
 ) -> DataFrame:
     """BM25 top-k over the index. Returns DataFrame(docID, score).
@@ -410,75 +444,52 @@ def search(
     accepted-doc set is cogrouped into the kernel per bucket, exactly the
     reference's per-leaf filter BitSet (SparseVectorQuery.java:105-150),
     with a brute-force switch when the accepted set is small
-    (SparseQueryWeight.java:156-166).
+    (SparseQueryWeight.java:156-166). When both ``where`` and ``candidates``
+    are given, the accepted set is their INTERSECTION.
     ``candidates``: explicit accepted docID DataFrame (used by two-phase).
     Tombstoned docs (index.tombstones) are masked the same way — no
     post-filter can be correct, since a masked doc must not occupy a
     per-bucket top-k slot.
-    ``seed_theta``: run a cheap pre-pass that exactly scores the rarest
-    query term's docs and broadcasts their k-th best score as the initial
-    pruning threshold to EVERY bucket. Distributed per-bucket top-k
-    otherwise forces buckets without rare-term docs to fully decode heavy
-    lists (each bucket must surface k candidates); the seed is exact —
-    the k-th score of a subset never exceeds the global k-th, ties kept.
-    """
-    from neural_search_spark.index.build import bucket_col
 
+    ``seed_theta`` — θ-seeding policy. Distributed per-bucket top-k forces
+    every bucket to surface k candidates, so buckets holding no competitive
+    docs fully decode heavy posting lists; an exact global seed restores
+    pruning (the k-th best score of ANY doc subset never exceeds the global
+    k-th, ties kept, so the seed can never drop a true top-k doc — the
+    reference's heap-threshold pruning relies on the same monotonicity,
+    main/sparse/query/SeismicBaseScorer.java:202-220).
+
+    - ``"auto"`` (default): seed only when the query is heavy enough that
+      pruning pays — total matched postings per bucket exceed the exhaustive
+      threshold. Picks the cheaper of two exact seeds: a *rare-term
+      pre-pass* (exactly score the docs containing the rarest terms) when a
+      rare seed set exists, else a *sampled-bucket pre-pass* (exactly score
+      ONE doc-range bucket — 1/n_buckets of the matched postings — and use
+      its k-th score). Toy-scale queries skip seeding without any extra job.
+    - ``True``: always attempt the rare-term pre-pass (legacy behavior).
+    - ``False``: never seed.
+    """
     terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
     sub = index.postings.where(F.col("term").isin(terms))
+    n_buckets = 1 << max(index.bucket_bits, 0)
 
-    theta0 = float("-inf")
-    if seed_theta and len(terms) > 1:
-        from neural_search_spark.index.merge import decode_postings
-
-        dfs = {r["term"]: r["df"] for r in sub.select("term", "df").distinct().collect()}
-        # take the rarest terms until their union can hold a full top-k;
-        # once it can, stop before any heavier term (the seed pass must stay
-        # cheap relative to the heavy lists it will let every bucket skip)
-        seed_terms, tot = [], 0
-        for t in sorted(dfs, key=lambda t: (dfs[t], t)):
-            if dfs[t] > seed_df_cap or (tot >= k and dfs[t] > 4 * k):
-                break
-            seed_terms.append(t)
-            tot += dfs[t]
-            if tot >= 4 * k:
-                break
-        if tot >= k and len(seed_terms) < len(terms):
-            cand = decode_postings(
-                index.postings.where(F.col("term").isin(seed_terms))
-            ).select("docID").distinct()
-            if where is not None:
-                cand = cand.join(
-                    index.docmap.where(where).select(
-                        F.col(index.id_col).alias("docID")
-                    ), "docID", "left_semi",
-                )
-            if candidates is not None:
-                cand = cand.join(
-                    candidates.select(F.col(candidates.columns[0]).alias("docID")),
-                    "docID", "left_semi",
-                )
-            seed_rows = search(
-                index, terms, k=k, weights=weights, after=after,
-                candidates=cand,
-            ).collect()
-            if len(seed_rows) >= k:
-                theta0 = float(seed_rows[-1]["score"])
-
-    scorer = make_bucket_scorer(
-        index.n_docs, index.avgdl, k, weights, exact_threshold, after, counters,
-        theta0,
-    )
-
+    # --- accepted / deleted mask (built first: seeding passes reuse it) ---
     mask, mode = None, None
     if where is not None or candidates is not None:
-        allowed = (
-            candidates if candidates is not None
-            else index.docmap.where(where).select(F.col(index.id_col))
-        )
-        allowed = allowed.select(
-            F.col(allowed.columns[0]).cast("long").alias("docID")
-        )
+        allowed = None
+        if where is not None:
+            allowed = index.docmap.where(where).select(
+                F.col(index.id_col).cast("long").alias("docID")
+            )
+        if candidates is not None:
+            cand = candidates.select(
+                F.col(candidates.columns[0]).cast("long").alias("docID")
+            )
+            # both given → intersect (a candidate outside `where` is not
+            # accepted; silently ignoring either input would be wrong)
+            allowed = cand if allowed is None else cand.join(
+                allowed, "docID", "left_semi"
+            )
         if index.tombstones is not None:
             allowed = allowed.join(
                 index.tombstones.select("docID"), "docID", "left_anti"
@@ -487,30 +498,81 @@ def search(
     elif index.tombstones is not None:
         mask, mode = index.tombstones.select("docID"), "deny"
 
-    if mask is not None:
-        bucketed = mask.select(
-            "docID", bucket_col("docID", index.bucket_bits).alias("bucket")
-        )
+    # --- θ seeding ---
+    theta0 = float("-inf")
+    auto = seed_theta == "auto"
+    # cheap driver-side pre-check (no Spark job): an upper bound on matched
+    # postings per bucket is n_docs·|terms|/n_buckets — below the exhaustive
+    # threshold every bucket brute-forces anyway and a seed can only lose
+    want_seed = (
+        len(terms) > 1
+        and (seed_theta is True
+             or (auto and candidates is None
+                 and index.n_docs * len(terms) / n_buckets > exact_threshold))
+    )
+    if want_seed:
+        stat = sub.groupBy("term").agg(
+            F.first("df").alias("df"), F.min("bucket").alias("minb")
+        ).collect()
+        dfs = {r["term"]: int(r["df"]) for r in stat}
+        total_postings = sum(dfs.values())
+        if auto and total_postings <= max(4 * k * n_buckets, 2 * exact_threshold):
+            want_seed = False  # actual dfs too small for pruning to matter
+        if want_seed:
+            # rare seed set: take the rarest terms until their union can
+            # hold a full top-k; stop before any heavier term (the pre-pass
+            # must stay cheap relative to the lists it lets buckets skip)
+            seed_terms, tot = [], 0
+            for t in sorted(dfs, key=lambda t: (dfs[t], t)):
+                if dfs[t] > seed_df_cap or (tot >= k and dfs[t] > 4 * k):
+                    break
+                seed_terms.append(t)
+                tot += dfs[t]
+                if tot >= 4 * k:
+                    break
+            rare_viable = tot >= k and len(seed_terms) < len(terms)
+            # auto picks the cheaper exact seed: rare pre-pass touches ~tot
+            # postings per term via block lookups; the sampled bucket decodes
+            # total/n_buckets postings once
+            use_rare = rare_viable and (
+                seed_theta is True
+                or tot * len(terms) <= total_postings / n_buckets
+            )
+            if use_rare:
+                from neural_search_spark.index.merge import decode_postings
 
-        def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if not len(left):
-                return pd.DataFrame({"docID": np.empty(0, np.int64),
-                                     "score": np.empty(0, np.float64)})
-            arr = np.sort(right["docID"].to_numpy(np.int64))
-            if mode == "allow":
-                return scorer(left, None, arr)
-            return scorer(left, arr if len(arr) else None, None)
+                cand = decode_postings(
+                    index.postings.where(F.col("term").isin(seed_terms))
+                ).select("docID").distinct()
+                if mask is not None and mode == "allow":
+                    cand = cand.join(mask, "docID", "left_semi")
+                seed_rows = search(
+                    index, terms, k=k, weights=weights, after=after,
+                    candidates=cand, seed_theta=False,
+                ).collect()
+                if len(seed_rows) >= k:
+                    theta0 = float(seed_rows[-1]["score"])
+            elif auto:
+                # sampled-bucket seed: exactly top-k ONE bucket (the lowest
+                # bucket id any query term occupies — deterministic) and use
+                # its k-th score; a bucket is a doc subset, so the seed is
+                # exact-safe for the global pass
+                b0 = min(int(r["minb"]) for r in stat)
+                sample_scorer = make_bucket_scorer(
+                    index.n_docs, index.avgdl, k, weights, exact_threshold,
+                    after, counters,
+                )
+                srows = (
+                    _run_buckets(sub.where(F.col("bucket") == b0),
+                                 sample_scorer, mask, mode, index.bucket_bits)
+                    .orderBy(F.desc("score"), F.asc("docID")).limit(k).collect()
+                )
+                if len(srows) >= k:
+                    theta0 = float(srows[-1]["score"])
 
-        per_bucket = (
-            sub.groupBy("bucket")
-            .cogroup(bucketed.groupBy("bucket"))
-            .applyInPandas(score_cogroup, RESULT_SCHEMA)
-        )
-    else:
-        # single-arg wrapper: applyInPandas arity-dispatches (key, pdf) for
-        # multi-parameter functions, and scorer's extra params are the masks
-        def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
-            return scorer(pdf)
-
-        per_bucket = sub.groupBy("bucket").applyInPandas(score_plain, RESULT_SCHEMA)
+    scorer = make_bucket_scorer(
+        index.n_docs, index.avgdl, k, weights, exact_threshold, after, counters,
+        theta0,
+    )
+    per_bucket = _run_buckets(sub, scorer, mask, mode, index.bucket_bits)
     return per_bucket.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -197,6 +197,75 @@ def test_profile_search_counts(index):
         [(r["docID"], r["score"]) for r in plain]
 
 
+@pytest.mark.parametrize("terms", QUERIES)
+def test_adaptive_seed_exactness(index, brute, terms):
+    """seed_theta="auto" (default) with the exhaustive threshold forced to 0
+    — so the adaptive pre-check triggers and heavy queries take the
+    sampled-bucket seed — must stay rank-identical with the unseeded path
+    on every query shape (the seed is exact by the subset-k-th argument)."""
+    plain = wand.search(index, terms, k=10, seed_theta=False).collect()
+    auto = wand.search(index, terms, k=10, exact_threshold=0).collect()
+    assert [(r["docID"], r["score"]) for r in auto] == \
+        [(r["docID"], r["score"]) for r in plain]
+
+
+def test_adaptive_seed_profile_sane(index):
+    """Auto-seeded heavy query: profiled results identical to unseeded, and
+    the accumulators count BOTH the seed pre-pass and the main pass (honest
+    accounting — at this 300-doc toy scale each term×bucket is one block so
+    lookups re-decode everything; the ≥80% at-scale skip is measured by
+    bench.py's heavy-query profile at sf0.1 and recorded in BENCH/)."""
+    from neural_search_spark.query.wand import profile_search
+
+    q = ["def", "return", "import", "class"]
+    rows0, prof0 = profile_search(index, q, k=10, exact_threshold=0,
+                                  seed_theta=False)
+    rows1, prof1 = profile_search(index, q, k=10, exact_threshold=0)
+    assert [(r["docID"], r["score"]) for r in rows0] == \
+        [(r["docID"], r["score"]) for r in rows1]
+    assert prof1["postings_decoded"] > 0
+    assert prof1["postings_total"] >= prof0["postings_total"]  # seed pass counted
+
+
+def test_adaptive_seed_respects_filter(index):
+    """Sampled-bucket seeding under a where-filter: results must equal the
+    unseeded filtered search (the seed pre-pass applies the same mask)."""
+    from pyspark.sql import functions as F
+
+    pred = F.col("lang") == "py"
+    plain = wand.search(index, ["def", "return", "import"], k=10,
+                        where=pred, seed_theta=False).collect()
+    auto = wand.search(index, ["def", "return", "import"], k=10,
+                       where=pred, exact_threshold=0).collect()
+    assert [(r["docID"], r["score"]) for r in auto] == \
+        [(r["docID"], r["score"]) for r in plain]
+
+
+def test_where_and_candidates_intersect(spark, index):
+    """Passing BOTH where and candidates accepts only their intersection
+    (previously `where` was silently ignored when candidates was given)."""
+    from pyspark.sql import functions as F
+
+    pred = F.col("lang") == "py"
+    # py docs that actually match the query (so the intersection is non-empty
+    # by construction), plus some non-py docs that must be filtered out
+    matching_py = [r["docID"] for r in
+                   wand.search(index, ["def", "return"], k=50,
+                               where=pred).collect()]
+    assert len(matching_py) >= 3
+    picked = matching_py[:3]
+    non_py = [r["docID"] for r in
+              index.docmap.where(~pred).select("docID").limit(5).collect()]
+    cand = spark.createDataFrame(
+        [(int(d),) for d in picked + non_py], "docID long"
+    )
+    got = {r["docID"] for r in
+           wand.search(index, ["def", "return"], k=50,
+                       where=pred, candidates=cand).collect()}
+    # exactly the picked py docs: candidates ∩ where, nothing else
+    assert got == set(picked)
+
+
 def test_seeded_theta_equivalence_and_pruning(index):
     """seed_theta: exact results, and rare-term-dominated queries skip the
     heavy lists nearly entirely (the distributed θ-broadcast win)."""
