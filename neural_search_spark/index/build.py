@@ -61,6 +61,7 @@ POSTINGS_SCHEMA = StructType([
     StructField("df", LongType()),
     StructField("bucket", IntegerType()),
     StructField("blocks", ArrayType(StructType([
+        StructField("dlq", IntegerType()),
         StructField("doc0", LongType()),
         StructField("n", IntegerType()),
         StructField("maxscore", DoubleType()),
@@ -111,15 +112,35 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
     dfv = cols["df"].astype(np.float64, copy=False)
     n = len(tid)
 
+    # doclen-class layout: re-sort within each (termID, bucket) group by
+    # (dlq, biased docID) so blocks hold docs of one length class — BM25's
+    # length norm then makes per-block max scores genuinely heterogeneous
+    # and block-max pruning can skip whole classes (docID-reordering trick;
+    # pure layout change, docIDs/scores/results unchanged). Groups arrive
+    # contiguous (shuffle-sorted) and never straddle chunks, so this
+    # permutation is deterministic at any parallelism.
+    dlq = codec.dlq_np(dls)
+    biased = codec.to_biased(docs)
+    order = np.lexsort((biased, dlq, bkt, tid))
+    if not np.array_equal(order, np.arange(n)):
+        tid, bkt, docs, tfs = tid[order], bkt[order], docs[order], tfs[order]
+        dls, dfv, dlq, biased = dls[order], dfv[order], dlq[order], biased[order]
+        cols = {**cols, "term": cols["term"][order], "df": cols["df"][order]}
+
     # group structure: one group per (termID, bucket)
     change = np.empty(n, dtype=bool)
     change[0] = True
     np.logical_or(tid[1:] != tid[:-1], bkt[1:] != bkt[:-1], out=change[1:])
     gid = np.cumsum(change) - 1
-    gstart = np.nonzero(change)[0]
 
-    # block structure: fixed-size cuts within each group
-    within = np.arange(n, dtype=np.int64) - gstart[gid]
+    # block structure: fixed-size cuts within each (group, dlq) segment —
+    # a block never spans two doclen classes (the kernel's per-class lookup
+    # and aligned bounds rely on it)
+    seg = change.copy()
+    np.logical_or(seg[1:], dlq[1:] != dlq[:-1], out=seg[1:])
+    sstart = np.nonzero(seg)[0]
+    sid = np.cumsum(seg) - 1
+    within = np.arange(n, dtype=np.int64) - sstart[sid]
     is_bs = within % block_size == 0
     bstart = np.nonzero(is_bs)[0]
     nblocks = len(bstart)
@@ -128,7 +149,6 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
     bend[-1] = n
 
     # delta stream: doc0-relative (first delta in a block is 0)
-    biased = codec.to_biased(docs)
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = 0
     np.subtract(biased[1:], biased[:-1], out=deltas[1:])
@@ -173,6 +193,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
 
     struct = pa.StructArray.from_arrays(
         [
+            pa.array(dlq[bstart], type=pa.int32()),
             pa.array(docs[bstart], type=pa.int64()),
             pa.array((bend - bstart).astype(np.int32), type=pa.int32()),
             pa.array(maxscore, type=pa.float64()),
@@ -180,7 +201,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
             _bin_array(tfs_b, tfs_nb),
             _bin_array(dls_b, dls_nb),
         ],
-        names=["doc0", "n", "maxscore", "docs", "tfs", "dls"],
+        names=["dlq", "doc0", "n", "maxscore", "docs", "tfs", "dls"],
     )
     blocks_col = pa.ListArray.from_arrays(pa.array(row_off, type=pa.int32()), struct)
     return pa.RecordBatch.from_arrays(
@@ -327,7 +348,7 @@ def build_index(
     cfg = {
         "text_col": text_col, "id_col": id_col, "block_size": block_size,
         "blocks_per_row": blocks_per_row, "bucket_bits": bucket_bits,
-        "n_docs": n_docs, "ids_fp": ids_fp, "format": 1,
+        "n_docs": n_docs, "ids_fp": ids_fp, "format": 2,  # 2 = dlq block layout
     }
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     meta_cols = [c for c in corpus.columns if c != text_col]

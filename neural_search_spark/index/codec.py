@@ -93,6 +93,26 @@ def delta_varint_decode(buf: bytes, base: int) -> np.ndarray:
     return out
 
 
+def dlq_np(dl: np.ndarray) -> np.ndarray:
+    """Quantized log2 doclen class (4 sub-steps per octave), pure integer
+    arithmetic — monotone in dl and bit-identical on every platform (no
+    float log whose last ULP could differ between JVM and numpy).
+
+    Why it exists: posting blocks are cut over (dlq, docID) order instead of
+    raw hash-docID order. BM25's length normalization makes a term's top
+    score within one doclen class nearly constant, so per-block max scores
+    become genuinely heterogeneous and block-max pruning can skip whole
+    classes — the docID-reordering trick from the IR literature (assigning
+    docIDs so similar documents cluster improves BMW skipping), applied as
+    a pure layout change: docIDs, scores and results are unchanged.
+    """
+    dl = np.asarray(dl, dtype=np.int64)
+    _, e = np.frexp(dl.astype(np.float64))  # exact for dl < 2^53
+    e = e.astype(np.int64) - 1              # floor(log2(dl)) for dl >= 1
+    sub = np.where(e >= 2, (dl >> np.maximum(e - 2, 0)) & 3, dl & 3)
+    return ((e << 2) | sub).astype(np.int32)
+
+
 _SIGN = np.uint64(1 << 63)
 
 

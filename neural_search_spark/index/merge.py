@@ -71,22 +71,39 @@ def decode_postings(postings: DataFrame) -> DataFrame:
 
     def explode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            terms, docs, tfs, dls = [], [], [], []
-            for term, blocks in zip(pdf["term"], pdf["blocks"]):
-                for b in blocks:
-                    biased0 = int(codec.to_biased(np.array([b["doc0"]], dtype=np.int64))[0])
-                    d = codec.from_biased(codec.delta_varint_decode(b["docs"], biased0))
-                    docs.append(d)
-                    tfs.append(codec.varint_decode(b["tfs"]).astype(np.int32))
-                    dls.append(codec.varint_decode(b["dls"]).astype(np.int32))
-                    terms.append(np.full(len(d), term, dtype=object))
-            if not docs:
+            # flatten block metadata (cheap pointer work), then decode each
+            # varint column ONCE over the whole batch — no per-block numpy
+            # calls, no per-posting object replication (the builder's own
+            # "no per-group Python" rule applied to the read path)
+            flat = [b for blocks in pdf["blocks"] for b in blocks]
+            if not flat:
                 continue
+            nblk = np.fromiter((len(b) for b in pdf["blocks"]),
+                               dtype=np.int64, count=len(pdf))
+            doc0 = np.fromiter((b["doc0"] for b in flat), dtype=np.int64,
+                               count=len(flat))
+            ns = np.fromiter((b["n"] for b in flat), dtype=np.int64,
+                             count=len(flat))
+            docs_buf = b"".join(bytes(b["docs"]) for b in flat)
+            tfs_buf = b"".join(bytes(b["tfs"]) for b in flat)
+            dls_buf = b"".join(bytes(b["dls"]) for b in flat)
+
+            # segmented delta decode: global cumsum of all deltas, then
+            # rebase each block (its first delta is doc0-relative 0)
+            deltas = codec.varint_decode(docs_buf)
+            csum = np.cumsum(deltas, dtype=np.uint64)
+            bstart = np.concatenate([[0], np.cumsum(ns)[:-1]])
+            prev = np.zeros(len(flat), dtype=np.uint64)
+            prev[1:] = csum[bstart[1:] - 1]  # cumsum just before each block
+            biased = csum - np.repeat(prev, ns) + np.repeat(
+                codec.to_biased(doc0), ns
+            )
+            term_per_block = np.repeat(pdf["term"].to_numpy(), nblk)
             yield pd.DataFrame({
-                "term": np.concatenate(terms),
-                "docID": np.concatenate(docs),
-                "tf": np.concatenate(tfs),
-                "doclen": np.concatenate(dls),
+                "term": np.repeat(term_per_block, ns),
+                "docID": codec.from_biased(biased),
+                "tf": codec.varint_decode(tfs_buf).astype(np.int32),
+                "doclen": codec.varint_decode(dls_buf).astype(np.int32),
             })
 
     return postings.select("term", "blocks").mapInPandas(explode_blocks, RUNS_SCHEMA)

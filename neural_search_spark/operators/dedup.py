@@ -80,10 +80,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
 
-    Inverted-index self-join on shingle; shingles shared by more than
-    ``max_shingle_df`` docs are dropped from pair *generation* (boilerplate
-    shingles would otherwise explode the join quadratically) but still count
-    in the exact Jaccard denominator via the per-doc set sizes.
+    Candidate pairs come from an inverted-index self-join restricted to
+    shingles shared by ≤ ``max_shingle_df`` docs (boilerplate shingles would
+    otherwise explode the join quadratically). The Jaccard itself is then
+    recomputed against the FULL shingle sets of each candidate pair, so
+    frequent shingles count in both the numerator and the denominator —
+    the reported value is the exact Jaccard, never an undercount. The only
+    approximation is recall: a pair whose shared shingles are ALL above the
+    cap generates no candidate (boilerplate-only overlap, by construction
+    below-threshold on distinctive content).
     """
     sh = shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -95,9 +100,17 @@ def ngram_jaccard_pairs(
     )
     a = rare.select(F.col(id_col).alias("id_a"), "shingle")
     b = rare.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
+    cand = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact intersection against full shingle sets (candidates only)
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("sh_b")), "id_b")
+        .where(F.col("shingle") == F.col("sh_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -249,6 +262,7 @@ def simhash_pairs(
     text_col: str = "content",
     id_col: str = "docID",
     max_hamming: int = 3,
+    max_chunk_df: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -257,12 +271,35 @@ def simhash_pairs(
     candidate generation is an equi-join on (chunk, chunk bits); verify with
     bit_count(a XOR b). Completeness holds for ANY radius ≤ 31 (each chunk
     needs ≥ 2 bits to stay selective; the last chunk absorbs remainder bits).
+
+    ``max_hamming=0`` is exact-duplicate detection on the full fingerprint
+    and short-circuits to a direct equality self-join on simhash (no chunk
+    masks — a 64-bit mask literal would overflow LongType).
+
+    ``max_chunk_df`` caps bucket size: (chunk, key) buckets holding more
+    docs than the cap are dropped from candidate generation, bounding the
+    self-join on degenerate buckets (millions of near-identical boilerplate
+    docs sharing one 16-bit prefix would otherwise go quadratic — the
+    shingle-df cap of ``ngram_jaccard_pairs`` applied here). Recall effect:
+    a pair agreeing ONLY on capped chunks is missed; pairs within the radius
+    that agree on any uncapped chunk are still found.
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
+    sh = simhash64(df, text_col, id_col)
+    if max_hamming == 0:
+        x, y = sh.alias("x"), sh.alias("y")
+        return (
+            x.join(y, "simhash")
+            .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sh = simhash64(df, text_col, id_col)
 
     def chunk_key(i: int):
         w = 64 - width * (n_chunks - 1) if i == n_chunks - 1 else width
@@ -276,6 +313,12 @@ def simhash_pairs(
             for i in range(n_chunks)
         ])).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    ok_buckets = (
+        chunks.groupBy("chunk", "key")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .where(F.col("bdf") <= max_chunk_df)
+    )
+    chunks = chunks.join(ok_buckets, ["chunk", "key"], "left_semi")
     x, y = chunks.alias("x"), chunks.alias("y")
     return (
         x.join(y, ["chunk", "key"])

@@ -120,10 +120,14 @@ def media_features(
     tiny feature columns do. Narrow stage: no shuffle.
     """
 
+    feature_cols = [f.name for f in FEATURE_SCHEMA.fields if f.name != "doc_id"]
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue  # empty frame would miss the feature columns
             feats = [decoder(b if b is not None else b"") for b in pdf["media"]]
-            out = pd.DataFrame(feats)
+            out = pd.DataFrame(feats, columns=feature_cols)
             out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
             yield out
 

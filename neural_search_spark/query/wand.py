@@ -54,17 +54,24 @@ class _TermPostings:
     Stored block-max scores remain valid upper bounds.
     """
 
-    __slots__ = ("doc0", "d0b", "n", "maxscore", "docs_raw", "tfs_raw", "dls_raw",
-                 "starts", "total", "_docs", "_scores", "_decoded", "ub",
-                 "weight", "deleted", "allowed", "counters")
+    __slots__ = ("doc0", "d0b", "dlq", "n", "maxscore", "docs_raw", "tfs_raw",
+                 "dls_raw", "starts", "total", "_docs", "_scores", "_decoded",
+                 "ub", "weight", "deleted", "allowed", "counters")
 
     def __init__(self, blocks: list[dict], weight: float,
                  deleted: np.ndarray | None = None,
                  allowed: np.ndarray | None = None,
                  counters: dict | None = None):
-        blocks = sorted(blocks, key=lambda b: codec.to_biased(np.array([b["doc0"]]))[0])
+        # blocks sorted by (doclen class, docID range); a block never spans
+        # two classes, so d0b is ascending WITHIN each dlq class and every
+        # doc's owning block is found by (its dlq, searchsorted in-class)
+        blocks = sorted(
+            blocks,
+            key=lambda b: (b["dlq"], codec.to_biased(np.array([b["doc0"]]))[0]),
+        )
+        self.dlq = np.array([b["dlq"] for b in blocks], dtype=np.int32)
         self.doc0 = np.array([b["doc0"] for b in blocks], dtype=np.int64)
-        self.d0b = codec.to_biased(self.doc0)  # ascending (blocks are range-sorted)
+        self.d0b = codec.to_biased(self.doc0)  # ascending within each class
         self.n = np.array([b["n"] for b in blocks], dtype=np.int64)
         self.maxscore = np.array([b["maxscore"] for b in blocks], dtype=np.float64) * weight
         self.docs_raw = [b["docs"] for b in blocks]
@@ -194,36 +201,44 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
     # top-k doc (ties at θ are kept throughout)
     theta = float(theta0)
 
-    def lookup(term_idx: int, cand: np.ndarray) -> np.ndarray:
+    def lookup(term_idx: int, cand: np.ndarray, cand_dlq: np.ndarray) -> np.ndarray:
         """Exact contribution of one term to each candidate (0 if absent),
-        decoding only blocks that contain candidates."""
+        decoding only blocks that contain candidates. A doc's postings live
+        in same-dlq blocks in every term (dlq is a doc property), so the
+        search is per-class: searchsorted over that class's d0b run."""
         tp = term_lists[term_idx]
         fn = score_fns[term_idx]
         out = np.zeros(len(cand), np.float64)
         if tp.total == 0 or len(cand) == 0:
             return out
         cb = codec.to_biased(cand)
-        d0b = codec.to_biased(tp.doc0)
-        blk = np.searchsorted(d0b, cb, side="right") - 1
-        valid = blk >= 0
-        for b in np.unique(blk[valid]):
-            sel = np.nonzero(valid & (blk == b))[0]
-            docs_b, scores_b = tp.decode_block(int(b), fn)
-            if len(docs_b) == 0:
+        for q in np.unique(cand_dlq):
+            c0 = int(np.searchsorted(tp.dlq, q, side="left"))
+            c1 = int(np.searchsorted(tp.dlq, q, side="right"))
+            if c0 == c1:
                 continue
-            pos = np.searchsorted(docs_b, cand[sel])  # docs_b is signed asc
-            pos = np.clip(pos, 0, len(docs_b) - 1)
-            hit = docs_b[pos] == cand[sel]
-            out[sel[hit]] = scores_b[pos[hit]]
+            selq = np.nonzero(cand_dlq == q)[0]
+            blk = np.searchsorted(tp.d0b[c0:c1], cb[selq], side="right") - 1 + c0
+            valid = blk >= c0
+            for b in np.unique(blk[valid]):
+                inner = np.nonzero(valid & (blk == b))[0]
+                sel = selq[inner]
+                docs_b, scores_b = tp.decode_block(int(b), fn)
+                if len(docs_b) == 0:
+                    continue
+                pos = np.searchsorted(docs_b, cand[sel])  # docs_b is signed asc
+                pos = np.clip(pos, 0, len(docs_b) - 1)
+                hit = docs_b[pos] == cand[sel]
+                out[sel[hit]] = scores_b[pos[hit]]
         return out
 
-    def verify(docs, selfscores, oi, ti):
+    def verify(docs, selfscores, dlqs, oi, ti):
         """Full-score the new candidates of essential list ti, pruning with
         per-term ub bounds; returns (docs, final) that survive + keyset."""
         nonlocal found_docs, found_scores, theta
         if len(found_docs):
             new = ~np.isin(docs, found_docs)
-            docs, selfscores = docs[new], selfscores[new]
+            docs, selfscores, dlqs = docs[new], selfscores[new], dlqs[new]
         if len(docs) == 0:
             return
         # per-term contributions kept separate so the final score can be
@@ -248,7 +263,7 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
             idx = idx[keep]
             if len(idx) == 0:
                 continue
-            got = lookup(tj, docs[idx])
+            got = lookup(tj, docs[idx], dlqs[idx])
             contribs[idx, tj] = got
             cur[idx] += got
         final = np.zeros(len(docs), np.float64)
@@ -265,17 +280,17 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
             theta = max(theta, float(np.partition(found_scores, -k)[-k]))
 
     def aligned_bound(tp, blocks_idx: np.ndarray, ti: int) -> np.ndarray:
-        """Doc-range-aligned upper bound per candidate block of list ti:
-        blockmax(ti, b) + Σ over other terms of the max blockmax among
-        THEIR blocks overlapping b's doc range ([doc0_b, doc0_{b+1})).
-        A rare term contributes 0 outside its narrow range — the reason
-        this bound skips where a global-ub bound cannot."""
+        """Class-and-range-aligned upper bound per candidate block of list
+        ti: blockmax(ti, b) + Σ over other terms of the max blockmax among
+        THEIR blocks of the SAME doclen class overlapping b's doc range.
+        Restricting to the class is exact (a doc's dlq is the same in every
+        term) and is what lets heavy-term queries skip whole length classes:
+        long-doc classes have low per-term maxes in every list at once."""
+        qv = tp.dlq[blocks_idx]
         lo = tp.d0b[blocks_idx]
-        hi = np.where(
-            blocks_idx + 1 < len(tp.d0b),
-            tp.d0b[np.minimum(blocks_idx + 1, len(tp.d0b) - 1)],
-            np.iinfo(np.uint64).max,
-        )
+        nxt = np.minimum(blocks_idx + 1, len(tp.d0b) - 1)
+        same_class = (blocks_idx + 1 < len(tp.d0b)) & (tp.dlq[nxt] == qv)
+        hi = np.where(same_class, tp.d0b[nxt], np.uint64(np.iinfo(np.uint64).max))
         bound = tp.maxscore[blocks_idx].astype(np.float64).copy()
         for tj in range(m):
             if tj == ti:
@@ -283,11 +298,16 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
             tpj = term_lists[tj]
             if len(tpj.d0b) == 0:
                 continue
-            j0 = np.maximum(np.searchsorted(tpj.d0b, lo, side="right") - 1, 0)
-            j1 = np.searchsorted(tpj.d0b, hi, side="left")
+            c0 = np.searchsorted(tpj.dlq, qv, side="left")
+            c1 = np.searchsorted(tpj.dlq, qv, side="right")
             for x in range(len(blocks_idx)):  # ≤ _VERIFY_BATCH_BLOCKS
-                if j1[x] > j0[x]:
-                    bound[x] += float(tpj.maxscore[j0[x]: j1[x]].max())
+                if c0[x] >= c1[x]:
+                    continue
+                seg = tpj.d0b[c0[x]: c1[x]]
+                j0 = max(int(np.searchsorted(seg, lo[x], side="right")) - 1, 0)
+                j1 = int(np.searchsorted(seg, hi[x], side="left"))
+                if j1 > j0:
+                    bound[x] += float(tpj.maxscore[c0[x] + j0: c0[x] + j1].max())
         return bound
 
     for oi in range(m - 1, -1, -1):  # essential lists, ub descending
@@ -313,7 +333,11 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
             parts = [tp.decode_block(int(b), score_fns[ti]) for b in batch]
             docs = np.concatenate([p[0] for p in parts])
             selfscores = np.concatenate([p[1] for p in parts])
-            verify(docs, selfscores, oi, ti)
+            dlqs = np.concatenate([
+                np.full(len(p[0]), tp.dlq[b], dtype=np.int32)
+                for p, b in zip(parts, batch)
+            ])  # all docs in a block share its doclen class
+            verify(docs, selfscores, dlqs, oi, ti)
     return _topk_merge(found_docs, found_scores, k)
 
 

@@ -7,8 +7,11 @@ multi-executor cluster too (AQE, Arrow batch size, shuffle partitions).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import SparkSession
+
+_MIN_SHM_FREE_BYTES = 8 << 30  # below this, /dev/shm spill risks ENOSPC
 
 
 def get_spark(
@@ -19,33 +22,50 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
-    Defaults: ``local[$SPARK_GRAFT_CPUS or *]``, AQE on, Arrow on,
-    shuffle partitions sized to the master's core count (small local runs
-    should not produce 200 tiny shuffle files).
+    ``master=None`` leaves the builder's master untouched so that
+    ``spark-submit --master yarn/k8s/...`` (or SPARK_MASTER env config)
+    wins — calling ``.master()`` here would silently force local mode on
+    the driver. ``$SPARK_GRAFT_CPUS`` still applies for bare ``python``
+    launches: when no cluster manager is configured, Spark itself falls
+    back per ``spark.master`` below.
+
+    Defaults: AQE on, Arrow on, shuffle partitions sized to the local core
+    count (small local runs should not produce 200 tiny shuffle files).
     """
-    if master is None:
+    effective = master
+    if effective is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # bare `python` launch (no spark-submit, no live gateway): pick a
+        # local master explicitly so sizing below has something to read
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        effective = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        m = effective or ""
+        inner = m[m.find("[") + 1 : m.find("]")] if "[" in m else ""
         try:
             # ~2 waves per stage: small tasks smooth skew, AQE coalesces tails
             shuffle_partitions = max(16, 2 * int(inner))
         except ValueError:
             shuffle_partitions = 64
 
+    is_local = (effective or "").startswith("local")
+
     # Local mode writes shuffle/spill files to spark.local.dir; on this
     # sandbox the root disk is the bottleneck (measured: shuffle-heavy
     # stages stop scaling past ~8 threads on /tmp, scale again on tmpfs).
-    # On a real cluster each executor has its own local disks, so this
-    # local-mode-only tweak does not change the cluster story.
+    # Gated to local mode with ample free space: on a cluster each executor
+    # has its own local disks, and a small /dev/shm (typically half of RAM)
+    # can ENOSPC on large builds where /tmp would succeed.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
-    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/spark-local"
+    if (local_dir is None and is_local
+            and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
+        try:
+            if shutil.disk_usage("/dev/shm").free >= _MIN_SHM_FREE_BYTES:
+                local_dir = "/dev/shm/spark-local"
+        except OSError:
+            pass
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -57,6 +77,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if effective is not None:
+        builder = builder.master(effective)
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

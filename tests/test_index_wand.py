@@ -127,6 +127,8 @@ def test_index_invariants(index):
             tfs = codec.varint_decode(bytes(b["tfs"]))
             dls = codec.varint_decode(bytes(b["dls"]))
             assert len(tfs) == len(dls) == b["n"]
+            # dlq layout: every doc in a block belongs to the block's class
+            assert np.all(codec.dlq_np(dls.astype(np.int64)) == b["dlq"])
             idf = bm25.idf_np(r["df"], index.n_docs)
             ms = bm25.bm25_score_np(tfs.astype(np.int64), dls.astype(np.int64), idf, index.avgdl).max()
             assert ms == pytest.approx(b["maxscore"], rel=1e-12)
