@@ -119,6 +119,10 @@ def _bm25_exact_sql(terms: list[str], k: int) -> str:
 
 WAND_TERMS_SINGLE = ["data"]
 WAND_TERMS_MULTI = ["query", "join", "filter", "merge"]
+# four highest-df terms of the corpus — exercises the adaptive θ-seeded
+# heavy-term path (every bucket above the exhaustive threshold at sf ≥ 0.1;
+# at sf0.01 the pre-check keeps it seedless, same exact results either way)
+WAND_TERMS_HEAVY = ["batch", "hash", "join", "row"]
 
 
 def _wand_entry(terms: list[str], k: int = 10):
@@ -403,6 +407,172 @@ def _hybrid_sql(
       SELECT doc_id, {comb} AS cscore FROM pv
       ORDER BY cscore DESC, doc_id ASC LIMIT {k}
     ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+# ---------------------------------------------- hybrid: bounds / offset
+
+# min_max bound configs chosen to BITE on the sf corpora: sub0 ("data") raw
+# top-20 scores span ~[0.188, 0.205]; sub1 ("query join") ~[0.365, 0.389]
+HYBRID_LOWER_BOUNDS = [
+    {"mode": "apply", "min_score": 0.195},
+    {"mode": "clip", "min_score": 0.37},
+]
+HYBRID_UPPER_BOUNDS = [
+    {"mode": "ignore"},
+    {"mode": "apply", "max_score": 0.385},
+]
+
+
+def _norm_cte_bounded(i: int, lower: dict | None, upper: dict | None) -> str:
+    """Bounded min_max normalization CTE — the reference's per-subquery
+    bound modes (bounds/LowerBound.java, bounds/UpperBound.java) in SQL."""
+    effmn, lclip = "mn", "FALSE"
+    if lower is not None:
+        lb, mode = float(lower.get("min_score", 0.0)), lower.get("mode", "apply")
+        if mode == "apply":
+            effmn = f"CASE WHEN mx > {lb} AND score > {lb} THEN {lb} ELSE mn END"
+        elif mode == "clip":
+            effmn = f"CASE WHEN mx < {lb} THEN mn ELSE {lb} END"
+            lclip = f"score < ({effmn})"
+    effmx, uclip = "mx", "FALSE"
+    if upper is not None:
+        ub, mode = float(upper.get("max_score", 1.0)), upper.get("mode", "apply")
+        if mode == "apply":
+            effmx = f"CASE WHEN mn < {ub} AND score < {ub} THEN {ub} ELSE mx END"
+        elif mode == "clip":
+            effmx = f"CASE WHEN mn > {ub} THEN mx ELSE {ub} END"
+            uclip = f"score > ({effmx})"
+    ns = f"""CASE WHEN mx = mn AND score = mx THEN 1.0
+                  WHEN {lclip} THEN 0.001
+                  WHEN {uclip} THEN 1.0
+                  ELSE CASE WHEN ({effmx}) = ({effmn}) THEN 1.0
+                            WHEN (score - ({effmn})) / (({effmx}) - ({effmn})) = 0.0 THEN 0.001
+                            ELSE (score - ({effmn})) / (({effmx}) - ({effmn})) END END"""
+    base = f"""(SELECT doc_id, score,
+        min(score) OVER () AS mn, max(score) OVER () AS mx FROM sub{i})"""
+    return f"n{i} AS (SELECT doc_id, {ns} AS ns FROM {base})"
+
+
+def q_hybrid_minmax_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _get_index(spark, sf_dir)
+    res = hybrid.hybrid_search(
+        idx, HYBRID_SUBS, k=HYBRID_K, normalization="min_max",
+        combination="arithmetic_mean", pagination_depth=HYBRID_DEPTH,
+        lower_bounds=HYBRID_LOWER_BOUNDS, upper_bounds=HYBRID_UPPER_BOUNDS,
+    )
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_hybrid_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_=5 with explicit pagination_depth (the reference errors on
+    from>0 without depth; the error path is unit-tested in pytest)."""
+    idx = _get_index(spark, sf_dir)
+    res = hybrid.hybrid_search(
+        idx, HYBRID_SUBS, k=HYBRID_K, normalization="min_max",
+        combination="arithmetic_mean", pagination_depth=HYBRID_DEPTH, from_=5,
+    )
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explain=True exposes per-subquery normalized scores as columns."""
+    idx = _get_index(spark, sf_dir)
+    res = hybrid.hybrid_search(
+        idx, HYBRID_SUBS, k=HYBRID_K, normalization="min_max",
+        combination="arithmetic_mean", pagination_depth=HYBRID_DEPTH,
+        explain=True,
+    )
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"),
+        F.round("nscore_0", 4).alias("nscore_0"),
+        F.round("nscore_1", 4).alias("nscore_1"),
+    )
+
+
+def _hybrid_bounded_sql(
+    subqueries: list[list[str]],
+    lower_bounds, upper_bounds,
+    depth: int = HYBRID_DEPTH, k: int = HYBRID_K,
+    from_: int = 0, explain: bool = False,
+) -> str:
+    """min_max + arithmetic_mean hybrid oracle with optional bounds /
+    offset / explain columns (shares the sub-query CTE shape of _hybrid_sql)."""
+    n = len(subqueries)
+    subs, norms = [], []
+    for i, terms in enumerate(subqueries):
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        subs.append(f"""
+        sub{i} AS (
+          SELECT doc_id, score FROM (
+            SELECT tf.doc_id AS doc_id,
+              sum( ln(1 + (st.n_docs - d{i}.df + 0.5) / (d{i}.df + 0.5))
+                   * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+            FROM tf JOIN (SELECT term, count(*) AS df FROM tf
+                          WHERE term IN ({tlist}) GROUP BY term) d{i} USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+            GROUP BY tf.doc_id)
+          ORDER BY score DESC, doc_id ASC LIMIT {depth}
+        )""")
+        if lower_bounds is None and upper_bounds is None:
+            norms.append(_norm_cte(i, "min_max"))
+        else:
+            norms.append(_norm_cte_bounded(
+                i,
+                lower_bounds[i] if lower_bounds else None,
+                upper_bounds[i] if upper_bounds else None,
+            ))
+    joined = "n0 t0"
+    id_expr = "t0.doc_id"
+    for i in range(1, n):
+        joined += f" FULL OUTER JOIN n{i} t{i} ON coalesce({id_expr}) = t{i}.doc_id"
+        id_expr += f", t{i}.doc_id"
+    sel = ", ".join(f"coalesce(t{i}.ns, 0.0) AS s{i}" for i in range(n))
+    _, comb = _comb_exprs(n, "arithmetic_mean")
+    extra_out = "".join(
+        f", round(s{i}, 4) AS nscore_{i}" for i in range(n)
+    ) if explain else ""
+    extra_in = "".join(f", s{i}" for i in range(n)) if explain else ""
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {", ".join(subs)}, {", ".join(norms)},
+         pv AS (SELECT coalesce({id_expr}) AS doc_id, {sel} FROM {joined})
+    SELECT doc_id, round(cscore, 4) AS score{extra_out} FROM (
+      SELECT doc_id, {comb} AS cscore{extra_in} FROM pv
+      ORDER BY cscore DESC, doc_id ASC LIMIT {k} OFFSET {from_}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+# ------------------------------------------------------ by-field rerank
+
+def q_rerank_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.operators.rerank import rerank_by_field
+
+    idx = _get_index(spark, sf_dir)
+    hits = wand.search(idx, WAND_TERMS_MULTI, k=10).select(
+        F.col("docID").alias("doc_id"), "score"
+    )
+    res = rerank_by_field(
+        hits, idx.docmap, "doclen", id_col="doc_id", keep_previous_score=True
+    )
+    return res.select(
+        "doc_id", F.col("score"),
+        F.round("previous_score", 4).alias("previous_score"),
+    )
+
+
+def _rerank_by_field_sql(terms: list[str], k: int) -> str:
+    return f"""
+    SELECT b.doc_id AS doc_id, CAST(dl.doclen AS DOUBLE) AS score,
+           b.score AS previous_score
+    FROM ({_bm25_exact_sql(terms, k)}) b
+    JOIN ({_DL_SQL}) dl ON b.doc_id = dl.doc_id
     """
 
 
@@ -742,6 +912,7 @@ MULTIMODAL_SQL = """
 SPARK_QUERIES_EXT = {
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
+    "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
     "wand_topk_weighted": q_wand_weighted,
     "wand_search_after": q_wand_search_after,
     "wand_filtered": q_wand_filtered,
@@ -751,6 +922,10 @@ SPARK_QUERIES_EXT = {
     "hybrid_l2_geometric": _hybrid_entry("l2", "geometric_mean"),
     "hybrid_zscore_harmonic": _hybrid_entry("z_score", "harmonic_mean"),
     "hybrid_rrf": _hybrid_entry("rrf", "rrf"),
+    "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
+    "hybrid_from_offset": q_hybrid_from_offset,
+    "hybrid_explain": q_hybrid_explain,
+    "rerank_by_field": q_rerank_by_field,
     "collapse_top2_lang": q_collapse_top2_lang,
     "chunk_delimiter": q_chunk_delimiter,
     "chunk_fixed_char": q_chunk_fixed_char,
@@ -775,6 +950,7 @@ SPARK_QUERIES_EXT = {
 ORACLE_SQL_EXT = {
     "wand_topk_single": _bm25_exact_sql(WAND_TERMS_SINGLE, 10),
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
+    "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),
     "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
     "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
     "wand_filtered": _bm25_filtered_sql(WAND_TERMS_MULTI, 10, FILTER_MIN_DOCLEN),
@@ -784,6 +960,11 @@ ORACLE_SQL_EXT = {
     "hybrid_l2_geometric": _hybrid_sql(HYBRID_SUBS, "l2", "geometric_mean"),
     "hybrid_zscore_harmonic": _hybrid_sql(HYBRID_SUBS, "z_score", "harmonic_mean"),
     "hybrid_rrf": _hybrid_sql(HYBRID_SUBS, "rrf", "rrf"),
+    "hybrid_minmax_bounded": _hybrid_bounded_sql(
+        HYBRID_SUBS, HYBRID_LOWER_BOUNDS, HYBRID_UPPER_BOUNDS),
+    "hybrid_from_offset": _hybrid_bounded_sql(HYBRID_SUBS, None, None, from_=5),
+    "hybrid_explain": _hybrid_bounded_sql(HYBRID_SUBS, None, None, explain=True),
+    "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "collapse_top2_lang": COLLAPSE_SQL,
     "chunk_delimiter": CHUNK_DELIM_SQL,
     "chunk_fixed_char": CHUNK_CHAR_SQL,

@@ -1,0 +1,68 @@
+"""Response-side rerank processors.
+
+``rerank_by_field`` re-scores a result set by a numeric document field —
+the reference's by_field rerank processor
+(reference: main/processor/rerank/ByFieldRerankProcessor.java:1-208):
+score := target field value, optional ``previous_score`` column, optional
+removal of the target field from the returned payload, hits re-sorted by
+the new score (RescoringRerankProcessor sorts rescored hits descending).
+
+Spark shape: one broadcast-friendly equi-join of the (small, top-k-sized)
+result set against the docmap, then a driver-side sort of k rows — no
+shuffle of the big table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def rerank_by_field(
+    results: DataFrame,
+    docmap: DataFrame,
+    target_field: str,
+    id_col: str = "docID",
+    keep_previous_score: bool = False,
+    remove_target_field: bool = False,
+) -> DataFrame:
+    """Replace each hit's score with its document's ``target_field`` value.
+
+    ``results``: (id_col, score) hits. ``docmap``: doc payload table holding
+    ``target_field``. Every hit must resolve to a numeric field value — a
+    missing doc or null field fails the job, matching the reference's
+    validator (ByFieldRerankProcessor.byFieldSearchHitValidator: no source /
+    missing mapping / non-numeric → IllegalArgumentException).
+
+    Output: docmap payload columns (minus the target when
+    ``remove_target_field``), the new ``score``, and ``previous_score`` when
+    requested, sorted (score desc, id asc) — the reference re-sorts rescored
+    hits by the new score.
+    """
+    if target_field not in docmap.columns:
+        raise ValueError(f"target_field {target_field!r} not in docmap")
+    payload_cols = [
+        c for c in docmap.columns
+        if c != id_col and not (remove_target_field and c == target_field)
+    ]
+    tgt = F.col(target_field).cast("double")
+    checked = F.when(
+        tgt.isNull(),
+        F.raise_error(F.lit(
+            f"field {target_field} is missing or non-numeric for a hit"
+        )).cast("double"),
+    ).otherwise(tgt)
+    # left join: a hit whose doc vanished from docmap surfaces as a null
+    # target → raise_error above, an explicit failure rather than a silent
+    # drop (reference: "There is no source field to be able to perform
+    # rerank on hit")
+    joined = results.select(
+        F.col(id_col), F.col("score").alias("previous_score")
+    ).join(docmap, id_col, "left")
+    out_cols = [F.col(id_col), checked.alias("score")]
+    if keep_previous_score:
+        out_cols.append(F.col("previous_score"))
+    out_cols += [F.col(c) for c in payload_cols]
+    return (
+        joined.select(*out_cols)
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )

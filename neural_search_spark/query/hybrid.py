@@ -48,31 +48,118 @@ NORMALIZATION_TECHNIQUES = ("min_max", "l2", "z_score", "rrf")
 COMBINATION_TECHNIQUES = ("arithmetic_mean", "harmonic_mean", "geometric_mean", "rrf")
 
 
+BOUND_MODES = ("apply", "clip", "ignore")  # reference: bounds/BoundMode.java
+
+
+def _validate_bounds(bounds, kind: str) -> None:
+    score_key = "min_score" if kind == "lower_bounds" else "max_score"
+    if not isinstance(bounds, (list, tuple)):
+        raise ValueError(f"{kind} must be a list with one entry per sub-query")
+    for b in bounds:
+        extra = set(b) - {"mode", score_key}
+        if extra:
+            # reference: ScoreNormalizationUtil.validateParameters nested keys
+            raise ValueError(f"unsupported {kind} parameters: {sorted(extra)}")
+        if b.get("mode", "apply") not in BOUND_MODES:
+            raise ValueError(f"invalid bound mode {b.get('mode')!r}")
+
+
+def _effective_bound(bounds, kind: str, s, mn, mx):
+    """Per-row effective min (kind=lower_bounds) / max (upper_bounds) under
+    per-subquery bound modes, plus the clip-to-bound predicate.
+
+    Reference: bounds/LowerBound.java:55-77, bounds/UpperBound.java:52-76 —
+      apply:  use the bound as the range edge only for scores inside it
+      clip:   pin the range edge to the bound; scores outside → MIN/MAX
+      ignore: plain min-max
+    """
+    default = mn if kind == "lower_bounds" else mx
+    if bounds is None:
+        return default, F.lit(False)
+    score_key = "min_score" if kind == "lower_bounds" else "max_score"
+    default_score = 0.0 if kind == "lower_bounds" else 1.0
+    eff, clip = default, F.lit(False)
+    for i, b in enumerate(bounds):
+        mode = b.get("mode", "apply")
+        bv = F.lit(float(b.get(score_key, default_score)))
+        if mode == "ignore":
+            e_i = default
+        elif kind == "lower_bounds":
+            e_i = (
+                F.when((mx > bv) & (s > bv), bv).otherwise(mn)
+                if mode == "apply" else F.when(mx < bv, mn).otherwise(bv)
+            )
+        else:
+            e_i = (
+                F.when((mn < bv) & (s < bv), bv).otherwise(mx)
+                if mode == "apply" else F.when(mn > bv, mx).otherwise(bv)
+            )
+        sel = F.col("subquery_idx") == i
+        eff = F.when(sel, e_i).otherwise(eff)
+        if mode == "clip":
+            outside = s < e_i if kind == "lower_bounds" else s > e_i
+            clip = F.when(sel, outside).otherwise(clip)
+    return eff, clip
+
+
 def normalize_scores(
     scores: DataFrame,
     technique: str = "min_max",
     rank_constant: int = DEFAULT_RANK_CONSTANT,
     id_col: str = "docID",
+    lower_bounds: list[dict] | None = None,
+    upper_bounds: list[dict] | None = None,
 ) -> DataFrame:
     """Normalize (subquery_idx, docID, score) per sub-query → adds `nscore`.
 
     Whole-partition window aggregates per sub-query — the Spark shape of the
     reference's coordinator-side pass over each sub-query's TopDocs.
+
+    ``lower_bounds`` / ``upper_bounds`` (min_max only): one dict per
+    sub-query, ``{"mode": "apply"|"clip"|"ignore", "min_score"/"max_score":
+    float}`` — the reference's per-subquery bound modes
+    (MinMaxScoreNormalizationTechnique.java:67-126, bound application in
+    bounds/LowerBound.java + bounds/UpperBound.java). Callers that know the
+    sub-query count must pre-validate the length (hybrid_search does).
     """
     if technique not in NORMALIZATION_TECHNIQUES:
         raise ValueError(f"unknown normalization technique {technique!r}")
     if not (1 <= rank_constant <= 10_000):
         # reference: RRFNormalizationTechnique.java MIN/MAX_RANK_CONSTANT
         raise ValueError("rank_constant must be in [1, 10000]")
+    if (lower_bounds or upper_bounds) and technique != "min_max":
+        # reference: bounds are min_max parameters (SUPPORTED_PARAMETERS)
+        raise ValueError("lower_bounds/upper_bounds apply to min_max only")
+    if lower_bounds is not None:
+        _validate_bounds(lower_bounds, "lower_bounds")
+    if upper_bounds is not None:
+        _validate_bounds(upper_bounds, "upper_bounds")
     w = Window.partitionBy("subquery_idx")
     s = F.col("score")
     if technique == "min_max":
         mn, mx = F.min(s).over(w), F.max(s).over(w)
-        raw = (s - mn) / (mx - mn)
-        n = (
-            F.when(mx == mn, F.lit(1.0))
-            .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
-        )
+        if lower_bounds is None and upper_bounds is None:
+            raw = (s - mn) / (mx - mn)
+            n = (
+                F.when(mx == mn, F.lit(1.0))
+                .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
+            )
+        else:
+            effmn, lclip = _effective_bound(lower_bounds, "lower_bounds", s, mn, mx)
+            effmx, uclip = _effective_bound(upper_bounds, "upper_bounds", s, mn, mx)
+            raw = (s - effmn) / (effmx - effmn)
+            core = (
+                F.when(effmx == effmn, F.lit(1.0))
+                .otherwise(F.when(raw == 0.0, F.lit(MIN_SCORE)).otherwise(raw))
+            )
+            # reference order: single-score → lower clip → upper clip → formula
+            # (MinMaxScoreNormalizationTechnique.normalizeSingleScore)
+            n = (
+                F.when((mx == mn) & (s == mx), F.lit(1.0))
+                .when(lclip, F.lit(MIN_SCORE))
+                .when(uclip, F.lit(1.0))
+                .otherwise(core)
+            )
     elif technique == "l2":
         norm = F.sqrt(F.sum(s * s).over(w))
         n = F.when(norm == 0.0, F.lit(0.0)).otherwise(s / norm)
@@ -97,6 +184,7 @@ def combine_scores(
     technique: str = "arithmetic_mean",
     weights: list[float] | None = None,
     id_col: str = "docID",
+    keep_nscores: bool = False,
 ) -> DataFrame:
     """Combine per-sub-query `nscore`s into one score per doc.
 
@@ -135,7 +223,13 @@ def combine_scores(
         lnsum = sum((F.when(c > 0.0, F.lit(w) * F.log(c)).otherwise(zero) for c, w in zip(cols, weights)), zero)
         combined = F.when(wsum == 0.0, zero).otherwise(F.exp(lnsum / wsum))
 
-    return pivoted.select(id_col, combined.alias("score"))
+    out = [id_col, combined.alias("score")]
+    if keep_nscores:
+        # per-subquery normalized scores — the reference's explain payload
+        # (main/processor/ExplanationResponseProcessor.java per-hit
+        # normalization breakdown), as plain columns
+        out += [c.alias(f"nscore_{i}") for i, c in enumerate(cols)]
+    return pivoted.select(*out)
 
 
 def hybrid_search(
@@ -147,6 +241,10 @@ def hybrid_search(
     weights: list[float] | None = None,
     rank_constant: int = DEFAULT_RANK_CONSTANT,
     pagination_depth: int | None = None,
+    from_: int = 0,
+    lower_bounds: list[dict] | None = None,
+    upper_bounds: list[dict] | None = None,
+    explain: bool = False,
 ) -> DataFrame:
     """End-to-end hybrid query over the inverted index.
 
@@ -160,12 +258,35 @@ def hybrid_search(
     form mirrors the reference's sub-queries being full queries that can
     carry per-token weights (neural_sparse) and filter clauses
     (reference: main/query/HybridQuery.java:45-87 AND-ed filters).
+
+    ``from_``: result offset; requires an explicit ``pagination_depth``
+    covering from_+k — the reference errors on from>0 without depth
+    (main/search/query/HybridCollectorManager.java:240-256).
+    ``lower_bounds``/``upper_bounds``: per-subquery min_max bound configs
+    (see normalize_scores); list length must match the sub-query count.
+    ``explain=True``: result carries nscore_<i> columns, the per-subquery
+    normalized scores behind each combined score (the reference's
+    explanation payload, main/processor/ExplanationResponseProcessor.java).
     """
     from neural_search_spark.query import wand
 
     if not 1 <= len(subqueries) <= MAX_SUB_QUERIES:
         # reference: main/query/HybridQueryBuilder.java:67 (≤5 sub-queries)
         raise ValueError(f"hybrid query supports 1..{MAX_SUB_QUERIES} sub-queries")
+    if from_ < 0:
+        raise ValueError("from_ must be >= 0")
+    if from_ > 0 and pagination_depth is None:
+        # reference: HybridCollectorManager.java:240-256
+        raise ValueError(
+            "pagination_depth param is missing in the search request"
+        )
+    for bounds, kind in ((lower_bounds, "lower_bounds"), (upper_bounds, "upper_bounds")):
+        if bounds is not None and len(bounds) != len(subqueries):
+            # reference: MinMaxScoreNormalizationTechnique mismatch check
+            raise ValueError(
+                f"expected {kind} array to contain {len(subqueries)} elements "
+                "matching the number of sub-queries, but found a mismatch"
+            )
     depth = pagination_depth or k
 
     def run_sub(q):
@@ -183,6 +304,14 @@ def hybrid_search(
     unioned = per_sub[0]
     for df in per_sub[1:]:
         unioned = unioned.unionByName(df)
-    normalized = normalize_scores(unioned, normalization, rank_constant)
-    combined = combine_scores(normalized, len(subqueries), combination, weights)
-    return combined.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+    normalized = normalize_scores(
+        unioned, normalization, rank_constant,
+        lower_bounds=lower_bounds, upper_bounds=upper_bounds,
+    )
+    combined = combine_scores(
+        normalized, len(subqueries), combination, weights, keep_nscores=explain
+    )
+    ordered = combined.orderBy(F.desc("score"), F.asc("docID"))
+    if from_ > 0:
+        ordered = ordered.offset(from_)
+    return ordered.limit(k)

@@ -138,3 +138,152 @@ def test_hybrid_end_to_end(spark, tmp_path):
     res2 = hybrid.hybrid_search(idx, ["parse", "buffer"], k=5,
                                 normalization="rrf", combination="rrf").collect()
     assert len(res2) > 0
+
+
+# ------------------------------------------------- min_max bounds (VERDICT 5)
+# Semantics mirror the reference's bound classes
+# (main/processor/normalization/bounds/LowerBound.java:55-77,
+#  UpperBound.java:52-76; tests in
+#  test/processor/normalization/MinMaxScoreNormalizationTechniqueTests.java)
+
+def _minmax_oracle(scores, lower=None, upper=None):
+    """Plain-python mirror of normalizeSingleScore for one sub-query."""
+    mn, mx = min(scores), max(scores)
+    out = []
+    for s in scores:
+        if mx == mn and s == mx:
+            out.append(1.0)
+            continue
+        effmn, lclip = mn, False
+        if lower is not None:
+            b, mode = lower.get("min_score", 0.0), lower.get("mode", "apply")
+            if mode == "apply":
+                effmn = b if (mx > b and s > b) else mn
+            elif mode == "clip":
+                effmn = mn if mx < b else b
+                lclip = s < effmn
+        effmx, uclip = mx, False
+        if upper is not None:
+            b, mode = upper.get("max_score", 1.0), upper.get("mode", "apply")
+            if mode == "apply":
+                effmx = b if (mn < b and s < b) else mx
+            elif mode == "clip":
+                effmx = mx if mn > b else b
+                uclip = s > effmx
+        if lclip:
+            out.append(hybrid.MIN_SCORE)
+        elif uclip:
+            out.append(1.0)
+        elif effmx == effmn:
+            out.append(1.0)
+        else:
+            raw = (s - effmn) / (effmx - effmn)
+            out.append(hybrid.MIN_SCORE if raw == 0.0 else raw)
+    return out
+
+
+BOUND_CASES = [
+    ({"mode": "apply", "min_score": 0.8}, None),
+    ({"mode": "clip", "min_score": 0.8}, None),
+    ({"mode": "ignore"}, None),
+    (None, {"mode": "apply", "max_score": 1.5}),
+    (None, {"mode": "clip", "max_score": 1.5}),
+    (None, {"mode": "ignore"}),
+    ({"mode": "clip", "min_score": 0.8}, {"mode": "clip", "max_score": 1.5}),
+    ({"mode": "apply", "min_score": 5.0}, None),   # bound above the range
+    (None, {"mode": "clip", "max_score": 0.1}),    # bound below the range
+]
+
+
+@pytest.mark.parametrize("lower,upper", BOUND_CASES)
+def test_min_max_bounds_match_oracle(spark, lower, upper):
+    raw = [0.5, 0.9, 1.2, 2.0, 0.5]
+    df = spark.createDataFrame(
+        [(0, i, s) for i, s in enumerate(raw)],
+        "subquery_idx int, docID long, score double",
+    )
+    got = _norm_map(hybrid.normalize_scores(
+        df, "min_max",
+        lower_bounds=[lower] if lower else None,
+        upper_bounds=[upper] if upper else None,
+    ))
+    want = _minmax_oracle(raw, lower, upper)
+    for i, w in enumerate(want):
+        assert got[(0, i)] == pytest.approx(w), (lower, upper, i)
+
+
+def test_min_max_bounds_per_subquery(spark, scores_df):
+    """Bounds are per-subquery: bounding only subquery 1 leaves 0 unchanged."""
+    plain = _norm_map(hybrid.normalize_scores(scores_df, "min_max"))
+    bounded = _norm_map(hybrid.normalize_scores(
+        scores_df, "min_max",
+        lower_bounds=[{"mode": "ignore"}, {"mode": "clip", "min_score": 15.0}],
+    ))
+    for d in (1, 2, 3):
+        assert bounded[(0, d)] == pytest.approx(plain[(0, d)])
+    assert bounded[(1, 2)] == pytest.approx(hybrid.MIN_SCORE)  # 10 < 15 → clip
+    assert bounded[(1, 4)] == pytest.approx((20.0 - 15.0) / (30.0 - 15.0))
+
+
+def test_bounds_validation(spark, scores_df):
+    with pytest.raises(ValueError, match="min_max only"):
+        hybrid.normalize_scores(scores_df, "l2", lower_bounds=[{}])
+    with pytest.raises(ValueError, match="unsupported"):
+        hybrid.normalize_scores(scores_df, "min_max",
+                                lower_bounds=[{"bogus_key": 1}])
+    with pytest.raises(ValueError, match="invalid bound mode"):
+        hybrid.normalize_scores(scores_df, "min_max",
+                                lower_bounds=[{"mode": "squash"}])
+
+
+def test_hybrid_bounds_count_mismatch(spark, tmp_path):
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    idx = build_index(
+        spark, with_doc_id(generate_corpus(spark, 50, seed=3)),
+        str(tmp_path / "idx-b"), bucket_bits=2,
+    )
+    with pytest.raises(ValueError, match="found a mismatch"):
+        hybrid.hybrid_search(idx, [["def"], ["return"]],
+                             lower_bounds=[{"mode": "apply"}])
+
+
+def test_hybrid_from_requires_depth(spark, tmp_path):
+    """Reference: from>0 without pagination_depth → error
+    (main/search/query/HybridCollectorManager.java:240-256)."""
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    idx = build_index(
+        spark, with_doc_id(generate_corpus(spark, 50, seed=3)),
+        str(tmp_path / "idx-f"), bucket_bits=2,
+    )
+    with pytest.raises(ValueError, match="pagination_depth"):
+        hybrid.hybrid_search(idx, [["def"]], from_=5)
+    # offset slices the combined ranking: page2 == full[5:10]
+    full = hybrid.hybrid_search(idx, [["def"], ["return"]], k=15,
+                                pagination_depth=20).collect()
+    page2 = hybrid.hybrid_search(idx, [["def"], ["return"]], k=10,
+                                 pagination_depth=20, from_=5).collect()
+    assert [(r["docID"], r["score"]) for r in page2] == \
+        [(r["docID"], r["score"]) for r in full[5:15]]
+
+
+def test_hybrid_explain_columns(spark, tmp_path):
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    idx = build_index(
+        spark, with_doc_id(generate_corpus(spark, 50, seed=3)),
+        str(tmp_path / "idx-e"), bucket_bits=2,
+    )
+    rows = hybrid.hybrid_search(
+        idx, [["def"], ["return"]], k=5, pagination_depth=10, explain=True
+    ).collect()
+    assert rows and set(rows[0].asDict()) == {"docID", "score", "nscore_0", "nscore_1"}
+    # arithmetic mean of present nscores reproduces the combined score
+    for r in rows:
+        ns = [r["nscore_0"], r["nscore_1"]]
+        present = [x for x in ns if x >= 0.0]
+        assert r["score"] == pytest.approx(sum(present) / len(present))

@@ -1,0 +1,88 @@
+"""By-field rerank semantics + two-phase/prune single-source-of-truth check."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators.rerank import rerank_by_field
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docmap = spark.createDataFrame(
+        [(1, 100, "a"), (2, 50, "b"), (3, 200, "c"), (4, 10, "d")],
+        "docID long, views long, tag string",
+    )
+    results = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0)], "docID long, score double"
+    )
+    return docmap, results
+
+
+def test_rerank_by_field_reorders(frames):
+    """Score becomes the target field; hits re-sorted by it desc
+    (reference: ByFieldRerankProcessor + RescoringRerankProcessor sort)."""
+    docmap, results = frames
+    rows = rerank_by_field(results, docmap, "views").collect()
+    assert [(r["docID"], r["score"]) for r in rows] == \
+        [(3, 200.0), (1, 100.0), (2, 50.0)]
+    assert "previous_score" not in rows[0].asDict()
+    assert rows[0]["tag"] == "c"  # payload carried
+    assert "views" in rows[0].asDict()  # kept by default
+
+
+def test_rerank_keep_previous_and_remove_target(frames):
+    docmap, results = frames
+    rows = rerank_by_field(
+        results, docmap, "views",
+        keep_previous_score=True, remove_target_field=True,
+    ).collect()
+    assert rows[0]["previous_score"] == 3.0  # doc 3's original score
+    assert "views" not in rows[0].asDict()   # remove_target_field
+
+
+def test_rerank_missing_field_errors(spark, frames):
+    docmap, _ = frames
+    results = spark.createDataFrame([(99, 1.0)], "docID long, score double")
+    with pytest.raises(Exception, match="missing or non-numeric"):
+        rerank_by_field(results, docmap, "views").collect()
+    with pytest.raises(ValueError, match="not in docmap"):
+        rerank_by_field(results, docmap, "nonexistent")
+
+
+# ---------------------------------------------- two-phase ≡ prune (VERDICT 10)
+
+def _collect_map(df):
+    return {r["k"]: r["v"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("kind,param", [
+    ("top_k", 3), ("max_ratio", 0.4), ("abs_value", 2.0), ("alpha_mass", 0.6),
+])
+def test_split_weights_equals_pruners(spark, kind, param):
+    """split_weights (plain python, two-phase query split) must produce the
+    same kept/pruned partition as the Catalyst PRUNERS on random maps —
+    semantics drift between the two implementations is a bug (VERDICT #5
+    'Minor'). Random seeds fixed; ties included deliberately."""
+    from neural_search_spark.analysis.prune import PRUNERS
+    from neural_search_spark.query.two_phase import split_weights
+
+    rng = random.Random(1234 + hash(kind) % 1000)
+    pool = [0.5, 1.0, 1.5, 2.0, 2.0, 3.0, 4.5, 7.0]  # duplicates → tie cases
+    for trial in range(12):
+        n = rng.randint(1, 8)
+        weights = {f"t{j}": rng.choice(pool) for j in range(n)}
+        high, low = split_weights(weights, kind, param)
+        df = spark.createDataFrame(
+            [(list(weights.keys()), list(weights.values()))],
+            "ks array<string>, vs array<double>",
+        ).select(F.map_from_arrays("ks", "vs").alias("m"))
+        kept = _collect_map(
+            df.select(F.explode(PRUNERS[kind]("m", param)).alias("k", "v"))
+        )
+        cut = _collect_map(
+            df.select(F.explode(PRUNERS[kind]("m", param, pruned=True)).alias("k", "v"))
+        )
+        assert kept == high, (kind, trial, weights)
+        assert cut == low, (kind, trial, weights)
