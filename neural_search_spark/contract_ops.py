@@ -884,6 +884,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=4)
 
 
+def q_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: persisted IVF index (list_id-partitioned parquet), query
+    prunes to nprobe partitions — same rows as q_ivf_topk by construction
+    (identical centroids/params), different plan (PartitionFilters, tested
+    in tests/test_dedup_similarity.py)."""
+    from neural_search_spark.operators.ann_index import ann_search, build_ann_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"nss-ann-idx-{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        build_ann_index(emb, idx_dir, kind="ivf", nlist=16)
+    return ann_search(spark, idx_dir, _query_vec(spark, sf_dir), k=10, nprobe=4)
+
+
 # -------------------------------------------------------- multimodal
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +961,7 @@ SPARK_QUERIES_EXT = {
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "ann_indexed_topk": q_ann_indexed_topk,
     "multimodal_features": q_multimodal_features,
 }
 

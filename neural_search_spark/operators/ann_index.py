@@ -1,0 +1,173 @@
+"""Persisted ANN index: build once, serve queries from partition-pruned scans.
+
+The ad-hoc ``lsh_topk``/``ivf_topk`` in similarity.py recompute signatures /
+list assignments over the whole table per query — fine for one-off batch
+jobs, wrong for serving at 100 TB. This module writes the assignment ONCE
+as a partitioned parquet layout plus a small JSON manifest, so a query
+prunes to nprobe list partitions (IVF) or a Hamming ball of signature-
+prefix partitions (LSH) — the scan reads only the probed partitions
+(PartitionFilters in the physical plan, asserted in tests).
+
+Reference analog: the SEISMIC index persists clustered postings once and
+queries probe clusters by summary score (main/sparse/codec/
+SparsePostingsConsumer.java, main/sparse/query/SeismicBaseScorer.java) —
+same build-once/probe-few shape, applied to dense embeddings.
+
+Layout under ``index_dir``:
+  manifest.json                     kind, dim, params, centroids/planes
+  vectors/list_id=<i>/...parquet    (IVF)  or
+  vectors/bucket=<b>/...parquet     (LSH; bucket = high bits of signature)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neural_search_spark.operators.similarity import (
+    _make_signer, cosine_topk, ivf_assign, ivf_centroids, lsh_signatures,
+)
+
+__all__ = ["build_ann_index", "ann_search"]
+
+
+def _lloyd_refine(
+    emb: DataFrame, centroids: np.ndarray, iters: int,
+    id_col: str, vec_col: str,
+) -> np.ndarray:
+    """Distributed Lloyd steps: assign → per-list mean via posexplode agg.
+    Only (nlist × dim) floats ever reach the driver. Empty lists keep their
+    previous centroid (deterministic)."""
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[int(r["list_id"]), int(r["pos"])] = float(r["m"])
+        centroids = new
+    return centroids
+
+
+def build_ann_index(
+    emb: DataFrame,
+    index_dir: str,
+    kind: str = "ivf",
+    nlist: int = 16,
+    nbits: int = 16,
+    bucket_bits: int = 8,
+    refine_iters: int = 0,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Write the persisted ANN index; returns the manifest dict.
+
+    IVF: vectors partitioned by nearest-centroid ``list_id`` (optionally
+    ``refine_iters`` Lloyd steps over the seed centroids). LSH: vectors
+    partitioned by the TOP ``bucket_bits`` bits of the hyperplane signature
+    — a query within Hamming radius r of the full signature differs from it
+    by ≤ r bits in ANY prefix, so probing the radius-r ball of bucket values
+    (Σ C(bucket_bits, 0..r) partitions) is lossless vs the ad-hoc scan.
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    os.makedirs(index_dir, exist_ok=True)
+    if kind == "ivf":
+        cents = ivf_centroids(emb, nlist, id_col, vec_col)
+        if refine_iters:
+            cents = _lloyd_refine(emb, cents, refine_iters, id_col, vec_col)
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        (assigned.select(id_col, vec_col, "list_id")
+         .write.mode("overwrite").partitionBy("list_id")
+         .parquet(os.path.join(index_dir, "vectors")))
+        manifest = {
+            "kind": "ivf", "dim": dim, "nlist": int(len(cents)),
+            "seed": seed, "id_col": id_col, "vec_col": vec_col,
+            "refine_iters": refine_iters,
+            "centroids": [[float(x) for x in c] for c in cents],
+        }
+    elif kind == "lsh":
+        if not 1 <= bucket_bits <= nbits:
+            raise ValueError("bucket_bits must be in [1, nbits]")
+        signed = lsh_signatures(emb, dim, nbits, seed, id_col, vec_col)
+        bucketed = signed.withColumn(
+            "bucket",
+            F.shiftrightunsigned(F.col("sig"), nbits - bucket_bits).cast("int"),
+        )
+        (bucketed.select(id_col, vec_col, "sig", "bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(os.path.join(index_dir, "vectors")))
+        manifest = {
+            "kind": "lsh", "dim": dim, "nbits": nbits,
+            "bucket_bits": bucket_bits, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+        }
+    else:
+        raise ValueError(f"unknown ANN index kind {kind!r}")
+    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def _hamming_ball(value: int, width: int, radius: int) -> list[int]:
+    """All ints of `width` bits within Hamming distance `radius` of value."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for flips in combinations(range(width), r):
+            v = value
+            for b in flips:
+                v ^= 1 << b
+            out.append(v)
+    return out
+
+
+def ann_search(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Top-k over a persisted ANN index; scans only the probed partitions.
+
+    Same candidates (hence identical rows) as the ad-hoc ``ivf_topk`` /
+    ``lsh_topk`` with matching parameters — the difference is the plan: a
+    partition-pruned parquet scan instead of a full-table recompute.
+    """
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        man = json.load(f)
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    if man["kind"] == "ivf":
+        cents = np.array(man["centroids"], dtype=np.float64)
+        cnorm = np.linalg.norm(cents, axis=1)
+        cnorm[cnorm == 0] = 1.0
+        qn = np.linalg.norm(q) or 1.0
+        order = np.argsort(-(cents @ q) / (cnorm * qn), kind="stable")
+        probe = [int(x) for x in order[:nprobe]]
+        cand = vectors.where(F.col("list_id").isin(probe))
+    else:
+        nbits, bbits = man["nbits"], man["bucket_bits"]
+        rng = np.random.default_rng(man["seed"])
+        planes = rng.standard_normal((nbits, man["dim"]))
+        qbits = (planes @ q) > 0
+        qsig = int(
+            sum(int(b) << i for i, b in enumerate(qbits[:-1]))
+            + (int(qbits[-1]) << (nbits - 1))
+        )
+        qbucket = qsig >> (nbits - bbits)
+        ball = _hamming_ball(qbucket, bbits, max_hamming)
+        cand = vectors.where(F.col("bucket").isin(ball)).where(
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+        )
+    return cosine_topk(cand, query_vec, k, man["id_col"], man["vec_col"])
