@@ -85,6 +85,19 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
         vals = sorted(lat.values())
         p50 = vals[len(vals) // 2]
         p99 = vals[min(len(vals) - 1, int(len(vals) * 0.99))]
+
+        # pruning-effectiveness profile of the all-heavy-terms query (q23)
+        # with DEFAULT arguments — the block-max skip evidence
+        from neural_search_spark.query.wand import profile_search
+        _, prof = profile_search(index, ["if", "for", "while", "self"], k=10)
+        heavy_profile = {
+            "postings_skip_pct": round(
+                100.0 * (1 - prof["postings_decoded"] / max(prof["postings_total"], 1)), 1
+            ),
+            "blocks_skip_pct": round(100.0 * prof["block_skip_ratio"], 1),
+            "postings_decoded": prof["postings_decoded"],
+            "postings_total": prof["postings_total"],
+        }
         shutil.rmtree(idx_dir, ignore_errors=True)
         return {
             "cpus": cpus,
@@ -94,6 +107,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             "query_p50_s": p50,
             "query_p99_s": p99,
             "queries": lat,
+            "heavy_query_profile": heavy_profile,
         }
     finally:
         spark.stop()
@@ -121,13 +135,17 @@ def main() -> None:
         # reported: in ONE shared-heap JVM, threads contend on allocation
         # and shuffle machinery well before 32 cores, which under-reports
         # what separate 4N executors (own heap/disk per executor) would do.
-        legs = {}
+        #
+        # Robustness: ≥3 trials per leg (the sandbox VM has multi-10%
+        # run-to-run noise from CPU steal); the headline efficiency is
+        # computed on the MEDIAN throughput per leg, with every raw trial
+        # reported alongside so the spread is visible.
+        trials_per_leg = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
+        legs_raw: dict[int, list[float]] = {}
         scale_mult = max(args.multiplier, 40)  # big enough that compute dominates
         for cpus in (2, 8, 32):
-            # best-of-2: the sandbox VM has multi-10% run-to-run noise (CPU
-            # steal); throughput capability is the max, not the mean
-            best = None
-            for _ in range(2):
+            legs_raw[cpus] = []
+            for _ in range(trials_per_leg):
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
                      "--multiplier", str(scale_mult), "--json-only"],
@@ -135,15 +153,21 @@ def main() -> None:
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
                 )
                 leg = json.loads(out.stdout.strip().splitlines()[-1])
-                if best is None or leg["index_files_per_sec"] > best["index_files_per_sec"]:
-                    best = leg
-            legs[cpus] = best
-        fps = {c: legs[c]["index_files_per_sec"] for c in legs}
+                legs_raw[cpus].append(leg["index_files_per_sec"])
+
+        def median(xs: list[float]) -> float:
+            s = sorted(xs)
+            n = len(s)
+            return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+        fps = {c: median(v) for c, v in legs_raw.items()}
         extra["scaling"] = {
-            "files_per_sec": {f"local[{c}]": fps[c] for c in fps},
+            "files_per_sec_median": {f"local[{c}]": fps[c] for c in fps},
+            "files_per_sec_trials": {f"local[{c}]": v for c, v in legs_raw.items()},
+            "trials_per_leg": trials_per_leg,
             "efficiency_2_to_8": round(fps[8] / fps[2] / 4.0, 3),
             "efficiency_8_to_32": round(fps[32] / fps[8] / 4.0, 3),
-            "criterion": "N=2 vs 4N=8 efficiency >= 0.8",
+            "criterion": "N=2 vs 4N=8 median efficiency >= 0.8",
         }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -165,6 +189,7 @@ def main() -> None:
             "index_files_per_sec": res["index_files_per_sec"],
             "query_p50_s": res["query_p50_s"],
             "query_p99_s": res["query_p99_s"],
+            "heavy_query_profile": res["heavy_query_profile"],
             **extra,
         },
     }
