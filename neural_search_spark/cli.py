@@ -88,16 +88,75 @@ def cmd_hybrid(spark: SparkSession, args) -> None:
     from neural_search_spark.query.hybrid import hybrid_search
 
     idx = load_index(spark, args.index_dir)
+    kwargs = cmd_hybrid_extras(args, dict(
+        k=args.k, normalization=args.normalization,
+        combination=args.combination, pagination_depth=args.depth,
+    ))
     rows = hybrid_search(
-        idx, [q.split() if " " in q else [q] for q in args.subquery],
-        k=args.k, normalization=args.normalization, combination=args.combination,
-        pagination_depth=args.depth,
+        idx, [q.split() if " " in q else [q] for q in args.subquery], **kwargs
     ).collect()
     print(json.dumps({
         "subqueries": args.subquery, "normalization": args.normalization,
         "combination": args.combination,
-        "hits": [{"docID": r["docID"], "score": round(r["score"], 6)} for r in rows],
+        "hits": [{k: (round(v, 6) if isinstance(v, float) else v)
+                  for k, v in r.asDict().items()} for r in rows],
     }))
+
+
+def cmd_hybrid_extras(args, kwargs: dict) -> dict:
+    """Fold optional bounds / offset / explain CLI flags into hybrid kwargs."""
+    if args.from_ is not None:
+        kwargs["from_"] = args.from_
+    if args.lower_bounds:
+        kwargs["lower_bounds"] = json.loads(args.lower_bounds)
+    if args.upper_bounds:
+        kwargs["upper_bounds"] = json.loads(args.upper_bounds)
+    kwargs["explain"] = bool(args.explain)
+    return kwargs
+
+
+def cmd_rerank(spark: SparkSession, args) -> None:
+    """Search, then rerank by a numeric document field (by_field analog)."""
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.operators.rerank import rerank_by_field
+    from neural_search_spark.query import wand
+
+    idx = load_index(spark, args.index_dir)
+    hits = wand.search(idx, args.query, k=args.k)
+    rows = rerank_by_field(
+        hits, idx.docmap, args.target_field, id_col=idx.id_col,
+        keep_previous_score=args.keep_previous_score,
+        remove_target_field=args.remove_target_field,
+    ).collect()
+    print(json.dumps({
+        "query": args.query, "target_field": args.target_field,
+        "hits": [{k: (round(v, 6) if isinstance(v, float) else v)
+                  for k, v in r.asDict().items()} for r in rows],
+    }))
+
+
+def cmd_ann(spark: SparkSession, args) -> None:
+    from neural_search_spark.operators.ann_index import ann_search, build_ann_index
+
+    if args.ann_cmd == "build":
+        emb = spark.read.parquet(args.input)
+        man = build_ann_index(
+            emb, args.index_dir, kind=args.kind, nlist=args.nlist,
+            nbits=args.nbits, refine_iters=args.refine_iters,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        print(json.dumps({"action": "ann-build", **{
+            k: v for k, v in man.items() if k != "centroids"}}))
+    else:
+        q = json.loads(args.query_vec)
+        rows = ann_search(
+            spark, args.index_dir, q, k=args.k,
+            nprobe=args.nprobe, max_hamming=args.max_hamming,
+        ).collect()
+        print(json.dumps({
+            "action": "ann-search",
+            "hits": [{"id": r[0], "score": round(r["score"], 6)} for r in rows],
+        }))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -136,6 +195,36 @@ def main(argv: list[str] | None = None) -> None:
     h.add_argument("--normalization", default="min_max")
     h.add_argument("--combination", default="arithmetic_mean")
     h.add_argument("--depth", type=int, default=None)
+    h.add_argument("--from", dest="from_", type=int, default=None,
+                   help="result offset (requires --depth)")
+    h.add_argument("--lower-bounds", default=None,
+                   help='JSON, e.g. \'[{"mode":"clip","min_score":0.3}, {}]\'')
+    h.add_argument("--upper-bounds", default=None)
+    h.add_argument("--explain", action="store_true",
+                   help="include per-subquery normalized scores")
+
+    r = sub.add_parser("rerank", help="search then rerank by a document field")
+    r.add_argument("--index-dir", required=True)
+    r.add_argument("--query", required=True)
+    r.add_argument("--target-field", required=True)
+    r.add_argument("-k", type=int, default=10)
+    r.add_argument("--keep-previous-score", action="store_true")
+    r.add_argument("--remove-target-field", action="store_true")
+
+    an = sub.add_parser("ann", help="persisted ANN index over embeddings")
+    an.add_argument("ann_cmd", choices=["build", "search"])
+    an.add_argument("--index-dir", required=True)
+    an.add_argument("--input", help="embeddings parquet (build)")
+    an.add_argument("--kind", default="ivf", choices=["ivf", "lsh"])
+    an.add_argument("--nlist", type=int, default=16)
+    an.add_argument("--nbits", type=int, default=16)
+    an.add_argument("--refine-iters", type=int, default=0)
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--query-vec", help="JSON float array (search)")
+    an.add_argument("-k", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--max-hamming", type=int, default=2)
 
     args = ap.parse_args(argv)
 
@@ -144,8 +233,8 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("nss-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        {"build": cmd_build, "append": cmd_append,
-         "search": cmd_search, "hybrid": cmd_hybrid}[args.cmd](spark, args)
+        {"build": cmd_build, "append": cmd_append, "search": cmd_search,
+         "hybrid": cmd_hybrid, "rerank": cmd_rerank, "ann": cmd_ann}[args.cmd](spark, args)
     finally:
         spark.stop()
 

@@ -1,0 +1,72 @@
+"""CLI subcommand smoke tests (cmd_* functions with the shared session)."""
+
+import json
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+from neural_search_spark import cli
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli-idx"))
+    build_index(spark, with_doc_id(generate_corpus(spark, 60, seed=9)), d,
+                bucket_bits=2)
+    return d
+
+
+def _json_out(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_search_and_profile(spark, idx_dir, capsys):
+    cli.cmd_search(spark, Namespace(index_dir=idx_dir, query="def return",
+                                    k=5, warmup=False, profile=True))
+    out = _json_out(capsys)
+    assert len(out["hits"]) == 5 and "block_skip_ratio" in out["profile"]
+
+
+def test_cli_rerank(spark, idx_dir, capsys):
+    cli.cmd_rerank(spark, Namespace(
+        index_dir=idx_dir, query="def", target_field="doclen", k=5,
+        keep_previous_score=True, remove_target_field=False,
+    ))
+    out = _json_out(capsys)
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)  # re-sorted by field
+    assert all("previous_score" in h for h in out["hits"])
+
+
+def test_cli_hybrid_with_extras(spark, idx_dir, capsys):
+    cli.cmd_hybrid(spark, Namespace(
+        index_dir=idx_dir, subquery=["def", "return import"], k=5,
+        normalization="min_max", combination="arithmetic_mean", depth=10,
+        from_=2, lower_bounds=None, upper_bounds=None, explain=True,
+    ))
+    out = _json_out(capsys)
+    assert out["hits"] and "nscore_0" in out["hits"][0]
+
+
+def test_cli_ann_build_and_search(spark, tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)])
+            for i in range(40)]
+    emb_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.parquet(emb_path)
+    d = str(tmp_path / "ann")
+    cli.cmd_ann(spark, Namespace(
+        ann_cmd="build", index_dir=d, input=emb_path, kind="ivf", nlist=4,
+        nbits=16, refine_iters=1, id_col="vec_id", vec_col="embedding",
+    ))
+    assert _json_out(capsys)["nlist"] == 4
+    cli.cmd_ann(spark, Namespace(
+        ann_cmd="search", index_dir=d, query_vec=json.dumps(rows[0][1]),
+        k=3, nprobe=4, max_hamming=2,
+    ))
+    out = _json_out(capsys)
+    assert out["hits"][0]["id"] == 0  # self-match first at nprobe=nlist
