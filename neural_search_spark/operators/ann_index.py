@@ -111,8 +111,12 @@ def build_ann_index(
         }
     else:
         raise ValueError(f"unknown ANN index kind {kind!r}")
-    with open(os.path.join(index_dir, "manifest.json"), "w") as f:
+    # atomic manifest commit: the index is visible only once fully written
+    # (same write-once + rename protocol as index/catalog.py)
+    tmp = os.path.join(index_dir, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(tmp, os.path.join(index_dir, "manifest.json"))
     return manifest
 
 

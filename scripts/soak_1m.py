@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""1M-document soak: build, query, delete, append — end-to-end at scale.
+
+Records the numbers that BENCH/BASELINE.md's soak table cites. Run with
+nothing else on the host (the sandbox shows multi-10% CPU-steal noise).
+
+    python scripts/soak_1m.py [n_docs] [append_docs]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id  # noqa: E402
+from neural_search_spark.index.build import build_index, delete_docs  # noqa: E402
+from neural_search_spark.index.merge import append_to_index  # noqa: E402
+from neural_search_spark.query import wand  # noqa: E402
+from neural_search_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_append = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    spark = get_spark("nss-soak", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"n_docs": n_docs, "n_append": n_append}
+    d = tempfile.mkdtemp(prefix="nss-soak-")
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_docs, seed=42))
+        t0 = time.perf_counter()
+        idx = build_index(spark, corpus, d, resume=False)
+        out["build_s"] = round(time.perf_counter() - t0, 1)
+        out["build_files_per_sec"] = round(n_docs / out["build_s"], 0)
+
+        idx.warmup()
+        wand.search(idx, ["def"], k=10).collect()  # JIT warm
+        for name, terms in (
+            ("q_rare_s", ["uniq_777"]),
+            ("q_heavy3_s", ["def", "return", "import"]),
+            ("q_heavy4_s", ["if", "for", "while", "self"]),
+        ):
+            t0 = time.perf_counter()
+            wand.search(idx, terms, k=10).collect()
+            out[name] = round(time.perf_counter() - t0, 2)
+        _, prof = wand.profile_search(idx, ["if", "for", "while", "self"], k=10)
+        out["heavy4_posting_skip_pct"] = round(
+            100 * (1 - prof["postings_decoded"] / max(prof["postings_total"], 1)), 1
+        )
+
+        t0 = time.perf_counter()
+        idx = delete_docs(spark, d, [r["docID"] for r in
+                                     wand.search(idx, ["uniq_1"], k=3).collect()])
+        wand.search(idx, ["def"], k=10).collect()
+        out["delete_requery_s"] = round(time.perf_counter() - t0, 2)
+
+        # disjoint delta: distinct repo prefix → distinct docID hashes
+        delta = with_doc_id(
+            generate_corpus(spark, n_append, seed=4242).selectExpr(
+                "concat('delta/', repo) AS repo", "path", "commit", "lang", "content"
+            )
+        )
+        t0 = time.perf_counter()
+        append_to_index(spark, d, delta)
+        out["append_s"] = round(time.perf_counter() - t0, 1)
+        out["append_files_per_sec"] = round(n_append / out["append_s"], 0)
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -101,3 +101,30 @@ def test_hybrid_structured_subqueries(idx):
     # gamma sub-query is filtered to docs with doclen > 3: doc 5 qualifies,
     # doc 1 (doclen 4) qualifies; all hits come from either sub-query
     assert {r["docID"] for r in res} <= {1, 3, 4, 5}
+
+
+def test_uniform_doclen_single_class(spark, tmp_path):
+    """All docs the same length → one doclen class per (term, bucket):
+    the dlq layout degenerates to the plain docID layout and stays exact."""
+    from neural_search_spark.corpus import with_doc_id
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.query import bm25, wand
+    from neural_search_spark.analysis import tokenizer as tok
+
+    rows = [("r", f"p{i}", "c", "py",
+             f"alpha beta gamma delta uniq_{i}") for i in range(40)]
+    corpus = with_doc_id(spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ))
+    idx = build_index(spark, corpus, str(tmp_path / "uni"), bucket_bits=2)
+    tf = tok.tokens_with_tf(corpus, "content", "docID")
+    dl = tok.doc_lengths(corpus, "content", "docID")
+    stats = tok.corpus_stats(dl)
+    for terms in (["alpha"], ["alpha", "uniq_3"], ["beta", "gamma", "delta"]):
+        got = [(r["docID"], r["score"]) for r in
+               wand.search(idx, terms, k=10, exact_threshold=0).collect()]
+        want = [(r["docID"], r["score"]) for r in
+                bm25.search_bruteforce(tf, dl, stats, terms, k=10).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)

@@ -1,0 +1,50 @@
+"""Streaming incremental ingest ≡ batch build over the same corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index, load_index
+from neural_search_spark.query import wand
+from neural_search_spark.streaming import stream_ingest
+
+
+def test_stream_ingest_matches_batch_build(spark, tmp_path):
+    """Two parquet drops streamed into an index ≡ one fresh build over the
+    union (same invariant as append_to_index, driven through the
+    foreachBatch micro-batcher with a checkpoint)."""
+    full = with_doc_id(generate_corpus(spark, 120, seed=21)).cache()
+    base = full.where(F.pmod(F.col("docID"), F.lit(3)) == 0)
+    d1 = full.where(F.pmod(F.col("docID"), F.lit(3)) == 1)
+    d2 = full.where(F.pmod(F.col("docID"), F.lit(3)) == 2)
+    assert base.count() + d1.count() + d2.count() == full.count()
+
+    idx_dir = str(tmp_path / "stream-idx")
+    build_index(spark, base, idx_dir, bucket_bits=2)
+
+    drop_dir = str(tmp_path / "incoming")
+    d1.write.mode("append").parquet(drop_dir)
+    q = stream_ingest(
+        spark, drop_dir, idx_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    d2.write.mode("append").parquet(drop_dir)
+    q2 = stream_ingest(
+        spark, drop_dir, idx_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+
+    merged = load_index(spark, idx_dir)
+    fresh = build_index(spark, full, str(tmp_path / "fresh-idx"), bucket_bits=2)
+    assert merged.n_docs == fresh.n_docs == full.count()
+    for terms in (["def"], ["parse", "def"], ["uniq_7"]):
+        a = [(r["docID"], r["score"]) for r in wand.search(merged, terms, k=10).collect()]
+        b = [(r["docID"], r["score"]) for r in wand.search(fresh, terms, k=10).collect()]
+        assert a == b
+
+    # checkpoint prevents re-ingest: draining again with no new files is a no-op
+    q3 = stream_ingest(
+        spark, drop_dir, idx_dir, str(tmp_path / "ckpt"), available_now=True
+    )
+    q3.awaitTermination(120)
+    assert load_index(spark, idx_dir).n_docs == full.count()
