@@ -1,0 +1,36 @@
+"""Pins the round-2 headline claim: heavy-term queries skip ≥80% of
+postings at bench scale with DEFAULT arguments (doclen-classed layout +
+adaptive θ seeding). Guards against layout/seeding regressions that the
+300-doc unit fixtures cannot see."""
+
+import pytest
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query import wand
+from neural_search_spark.query.wand import profile_search
+
+N_DOCS = 20_000  # the sf0.1 bench shape
+
+
+@pytest.fixture(scope="module")
+def big_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("prune-idx"))
+    return build_index(
+        spark, with_doc_id(generate_corpus(spark, N_DOCS, seed=42)), d
+    )
+
+
+def test_heavy_query_skips_default_args(big_index):
+    rows, prof = profile_search(big_index, ["if", "for", "while", "self"], k=10)
+    assert len(rows) == 10
+    skip = 1 - prof["postings_decoded"] / prof["postings_total"]
+    assert skip >= 0.80, prof  # counters include the seed pre-pass
+
+
+def test_heavy_query_seeded_equals_unseeded(big_index):
+    terms = ["if", "for", "while", "self"]
+    seeded = wand.search(big_index, terms, k=10).collect()
+    plain = wand.search(big_index, terms, k=10, seed_theta=False).collect()
+    assert [(r["docID"], r["score"]) for r in seeded] == \
+        [(r["docID"], r["score"]) for r in plain]
