@@ -1,0 +1,14 @@
+"""Training-data-pipeline operators: dedup, similarity/ANN, collapse,
+rerank, multimodal plumbing, field-sort pagination."""
+
+from neural_search_spark.operators.ann_index import ann_search, build_ann_index  # noqa: F401
+from neural_search_spark.operators.collapse import collapse  # noqa: F401
+from neural_search_spark.operators.dedup import (  # noqa: F401
+    dedup_exact, exact_dup_groups, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from neural_search_spark.operators.rerank import rerank_by_field  # noqa: F401
+from neural_search_spark.operators.similarity import (  # noqa: F401
+    cosine_topk, embedding_near_dup_pairs, ivf_topk, lsh_topk,
+)
+from neural_search_spark.operators.sort_search import field_sort_search  # noqa: F401
