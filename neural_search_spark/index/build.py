@@ -73,8 +73,17 @@ POSTINGS_SCHEMA = StructType([
 
 
 def default_bucket_bits(n_docs: int) -> int:
-    """Buckets sized so a full-corpus term yields ~64k postings per group."""
-    return int(min(12, max(2, math.ceil(math.log2(max(n_docs, 1) / 65536 + 1)) + 2)))
+    """Buckets sized so a full-corpus term yields ~64k postings per group.
+
+    The cap of 26 (≈67M buckets) keeps the invariant at 10^12 docs: a
+    stopword present in every doc still lands ≤ ~64k postings per
+    (term, bucket) group, far under the 2 GiB Arrow-offset guard in
+    ``_encode_chunk`` (a cap of 12 would put 244M postings — several GB
+    encoded — in one group at that scale). Buckets are also the query-time
+    parallelism unit; rare terms occupy only the buckets their docs hash
+    into, so a large bucket count does not multiply small-term rows.
+    """
+    return int(min(26, max(2, math.ceil(math.log2(max(n_docs, 1) / 65536 + 1)) + 2)))
 
 
 def bucket_col(doc_id_col: str, bucket_bits: int):

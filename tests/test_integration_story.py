@@ -1,0 +1,75 @@
+"""End-to-end user story across features: build → stream-append → delete →
+compact → hybrid (bounded, offset, explain) → rerank. Guards cross-feature
+interactions the per-operator tests cannot see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index, delete_docs, load_index
+from neural_search_spark.operators.rerank import rerank_by_field
+from neural_search_spark.query import wand
+from neural_search_spark.query.hybrid import hybrid_search
+from neural_search_spark.streaming import stream_ingest
+
+
+def test_full_lifecycle(spark, tmp_path):
+    full = with_doc_id(generate_corpus(spark, 150, seed=33)).cache()
+    base = full.where(F.pmod(F.col("docID"), F.lit(2)) == 0)
+    delta = full.where(F.pmod(F.col("docID"), F.lit(2)) == 1)
+
+    # 1. batch build + streamed delta
+    idx_dir = str(tmp_path / "story-idx")
+    build_index(spark, base, idx_dir, bucket_bits=2)
+    drop = str(tmp_path / "drop")
+    delta.write.parquet(drop)
+    q = stream_ingest(spark, drop, idx_dir, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    idx = load_index(spark, idx_dir)
+    assert idx.n_docs == full.count()
+
+    # 2. delete two top hits, verify masked immediately
+    top = wand.search(idx, ["def", "return"], k=5).collect()
+    dead = [top[0]["docID"], top[1]["docID"]]
+    idx = delete_docs(spark, idx_dir, dead)
+    after = {r["docID"] for r in wand.search(idx, ["def", "return"], k=10).collect()}
+    assert not (after & set(dead))
+
+    # 3. hybrid with bounds + offset + explain on the deleted-masked index
+    page1 = hybrid_search(
+        idx, [["def"], ["return", "import"]], k=5, pagination_depth=20,
+        lower_bounds=[{"mode": "ignore"}, {"mode": "apply", "min_score": 0.1}],
+        upper_bounds=None, explain=True,
+    ).collect()
+    page2 = hybrid_search(
+        idx, [["def"], ["return", "import"]], k=5, pagination_depth=20,
+        from_=5,
+        lower_bounds=[{"mode": "ignore"}, {"mode": "apply", "min_score": 0.1}],
+    ).collect()
+    assert page1 and page2
+    assert {r["docID"] for r in page1}.isdisjoint({r["docID"] for r in page2})
+    assert not ({r["docID"] for r in page1} | {r["docID"] for r in page2}) & set(dead)
+    assert "nscore_0" in page1[0].asDict()
+
+    # 4. rerank page 1 by doclen; all docs resolve (deletes never surface)
+    hits = spark.createDataFrame(
+        [(r["docID"], r["score"]) for r in page1], "docID long, score double"
+    )
+    rer = rerank_by_field(hits, idx.docmap, "doclen",
+                          keep_previous_score=True).collect()
+    assert len(rer) == len(page1)
+    scores = [r["score"] for r in rer]
+    assert scores == sorted(scores, reverse=True)
+
+    # 5. compaction via append: tombstones physically dropped
+    extra = with_doc_id(
+        generate_corpus(spark, 30, seed=99).selectExpr(
+            "concat('x/', repo) AS repo", "path", "commit", "lang", "content"
+        )
+    )
+    from neural_search_spark.index.merge import append_to_index
+    idx2 = append_to_index(spark, idx_dir, extra)
+    assert idx2.tombstones is None
+    assert idx2.n_docs == full.count() - 2 + 30
+    still = {r["docID"] for r in wand.search(idx2, ["def", "return"], k=20).collect()}
+    assert not (still & set(dead))
