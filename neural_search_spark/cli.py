@@ -122,7 +122,10 @@ def cmd_rerank(spark: SparkSession, args) -> None:
     from neural_search_spark.query import wand
 
     idx = load_index(spark, args.index_dir)
-    hits = wand.search(idx, args.query, k=args.k)
+    # wand.search returns the column "docID"; align it with docmap's id col
+    hits = wand.search(idx, args.query, k=args.k).select(
+        F.col("docID").alias(idx.id_col), "score"
+    )
     rows = rerank_by_field(
         hits, idx.docmap, args.target_field, id_col=idx.id_col,
         keep_previous_score=args.keep_previous_score,
@@ -227,6 +230,11 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("--max-hamming", type=int, default=2)
 
     args = ap.parse_args(argv)
+    if args.cmd == "ann":
+        if args.ann_cmd == "build" and not args.input:
+            ap.error("ann build requires --input")
+        if args.ann_cmd == "search" and not args.query_vec:
+            ap.error("ann search requires --query-vec")
 
     from neural_search_spark.session import get_spark
 

@@ -482,6 +482,15 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         (h["config"] for h in reversed(man.history) if h.get("stage") == "build-complete"),
         {},
     )
+    fmt = int(cfg.get("format", 0))
+    if fmt and fmt < 2:
+        # format 1 blocks lack the dlq field the query kernel requires; fail
+        # here with a clear message instead of a KeyError inside an executor
+        raise ValueError(
+            f"index at {index_dir} has on-disk format {fmt}; format 2 "
+            "(doclen-classed block layout) is required — rebuild with "
+            "build_index(..., resume=False)"
+        )
     tombs = (
         snapshot_read(spark, index_dir, "tombstones")
         if "tombstones" in man.current else None

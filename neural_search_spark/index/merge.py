@@ -193,7 +193,10 @@ def append_to_index(
         else default_bucket_bits(n_total)
     )
     cfg = {
-        **{k: cfg_old[k] for k in ("text_col", "id_col", "block_size", "blocks_per_row", "format")},
+        **{k: cfg_old[k] for k in ("text_col", "id_col", "block_size", "blocks_per_row")},
+        # the merge always re-encodes through the current encoder, so the
+        # merged index is format 2 regardless of the source format
+        "format": 2,
         "bucket_bits": bucket_bits, "n_docs": n_total,
         "appended_from": man.stages.get("_config", {}).get("fingerprint"),
     }

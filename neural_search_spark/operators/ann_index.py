@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neural_search_spark.operators.similarity import (
-    _make_signer, cosine_topk, ivf_assign, ivf_centroids, lsh_signatures,
+    cosine_topk, ivf_assign, ivf_centroids, lsh_signatures, query_signature,
 )
 
 __all__ = ["build_ann_index", "ann_search"]
@@ -164,11 +164,7 @@ def ann_search(
         nbits, bbits = man["nbits"], man["bucket_bits"]
         rng = np.random.default_rng(man["seed"])
         planes = rng.standard_normal((nbits, man["dim"]))
-        qbits = (planes @ q) > 0
-        qsig = int(
-            sum(int(b) << i for i, b in enumerate(qbits[:-1]))
-            + (int(qbits[-1]) << (nbits - 1))
-        )
+        qsig = query_signature(planes, q)  # shared packing with the index side
         qbucket = qsig >> (nbits - bbits)
         ball = _hamming_ball(qbucket, bbits, max_hamming)
         cand = vectors.where(F.col("bucket").isin(ball)).where(

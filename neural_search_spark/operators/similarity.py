@@ -92,6 +92,18 @@ def lsh_signatures(
     return emb.select(id_col, vec_col, _make_signer(planes)(F.col(vec_col)).alias("sig"))
 
 
+def query_signature(planes: np.ndarray, query_vec) -> int:
+    """Sign-bit signature of one query vector — MUST stay bit-identical
+    with _make_signer's packing (same bit order, high bit = last plane);
+    the persisted LSH index (operators/ann_index.py) probes buckets by it."""
+    bits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    nbits = planes.shape[0]
+    return int(
+        sum(int(b) << i for i, b in enumerate(bits[:-1]))
+        + (int(bits[-1]) << (nbits - 1))
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -107,11 +119,7 @@ def lsh_topk(
     dim = len(query_vec)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
-    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
-    qsig = int(
-        sum(int(b) << i for i, b in enumerate(qbits[:-1]))
-        + (int(qbits[-1]) << (nbits - 1))
-    )
+    qsig = query_signature(planes, query_vec)
     signed = lsh_signatures(emb, dim, nbits, seed, id_col, vec_col)
     cand = signed.where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming

@@ -586,9 +586,20 @@ def search(
                     index.n_docs, index.avgdl, k, weights, exact_threshold,
                     after, counters,
                 )
+                # restrict the mask to the sampled bucket too — otherwise
+                # the pre-pass shuffles the FULL accepted-docs set only to
+                # discard every group but b0
+                sample_mask = mask
+                if mask is not None:
+                    from neural_search_spark.index.build import bucket_col
+
+                    sample_mask = mask.where(
+                        bucket_col("docID", index.bucket_bits) == b0
+                    )
                 srows = (
                     _run_buckets(sub.where(F.col("bucket") == b0),
-                                 sample_scorer, mask, mode, index.bucket_bits)
+                                 sample_scorer, sample_mask, mode,
+                                 index.bucket_bits)
                     .orderBy(F.desc("score"), F.asc("docID")).limit(k).collect()
                 )
                 if len(srows) >= k:

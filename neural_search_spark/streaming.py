@@ -8,11 +8,16 @@ absorbing them" is a file-source stream micro-batched into
 main/sparse/codec/SparsePostingsReader.java:47-145).
 
 Exactly-once: foreachBatch may re-deliver a micro-batch after a crash.
-``append_to_index`` is idempotent per delta — its stage fingerprint chains
-the previous build's fingerprint with the delta config, so a re-run of the
-same batch resumes (skips committed stages) instead of double-ingesting,
-and ``check_disjoint`` hard-fails any true duplicate docIDs. The streaming
-checkpoint additionally prevents re-delivery across restarts.
+Two idempotence layers cover the two crash windows:
+
+* crash DURING an append → the redelivered batch re-enters
+  ``append_to_index`` with the same fingerprint and resumes (committed
+  stages are skipped);
+* crash AFTER the append committed but BEFORE the streaming checkpoint
+  recorded the batch → the absorber detects that EVERY docID of the
+  redelivered batch is already in the index and skips it (a batch with
+  only SOME ids present is a real conflict and still hard-fails via
+  ``check_disjoint``).
 
 At 100 TB this is the trickle-ingest path: the heavy tokenize stage runs
 over each delta only; the decode+re-encode merge touches the compact index
@@ -59,6 +64,18 @@ def stream_ingest(
 
     def absorb(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        from neural_search_spark.index.catalog import snapshot_read
+
+        # redelivery guard: a fully-ingested batch (crash between append
+        # commit and checkpoint commit) is a no-op, not a clash error
+        ids = batch_df.select(id_col)
+        n_batch = ids.count()
+        n_present = ids.join(
+            snapshot_read(spark, index_dir, "doclens").select(id_col),
+            id_col, "left_semi",
+        ).count()
+        if n_present == n_batch:
             return
         append_to_index(
             spark, index_dir, batch_df, text_col=text_col, id_col=id_col

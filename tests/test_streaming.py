@@ -48,3 +48,26 @@ def test_stream_ingest_matches_batch_build(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert load_index(spark, idx_dir).n_docs == full.count()
+
+
+def test_stream_redelivery_of_completed_batch_is_noop(spark, tmp_path):
+    """Crash window AFTER append commit but BEFORE checkpoint commit: a
+    redelivered fully-ingested batch must be skipped, not raise a
+    check_disjoint clash (simulated by re-streaming the same files with a
+    FRESH checkpoint)."""
+    full = with_doc_id(generate_corpus(spark, 60, seed=8)).cache()
+    base = full.where(F.pmod(F.col("docID"), F.lit(2)) == 0)
+    delta = full.where(F.pmod(F.col("docID"), F.lit(2)) == 1)
+    idx_dir = str(tmp_path / "redeliver-idx")
+    build_index(spark, base, idx_dir, bucket_bits=2)
+    drop = str(tmp_path / "in")
+    delta.write.parquet(drop)
+    q = stream_ingest(spark, drop, idx_dir, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert q.exception() is None
+    n1 = load_index(spark, idx_dir).n_docs
+    # fresh checkpoint → the SAME files are redelivered as a new batch
+    q2 = stream_ingest(spark, drop, idx_dir, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert q2.exception() is None  # no ValueError clash
+    assert load_index(spark, idx_dir).n_docs == n1 == full.count()
