@@ -283,3 +283,17 @@ def test_seeded_theta_equivalence_and_pruning(index):
     # them; just require SOME pruning here — the at-scale measurement
     # (93-95% postings skipped at 100k docs) is recorded in BENCH/BASELINE.md
     assert prof["postings_decoded"] < prof["postings_total"]
+
+
+def test_plan_shape_invariants(index):
+    """PLANS.md §1 pins: term filter pushed to the scan, Arrow-batched
+    kernel, top-k as TakeOrderedAndProject, and NO row-at-a-time Python
+    (BatchEvalPython) anywhere in the query plan."""
+    df = wand.search(index, ["parse", "def"], k=10, seed_theta=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # exactly one exchange: the hash partitioning by bucket
+    assert plan.count("Exchange") == 1, plan
