@@ -586,24 +586,35 @@ def search(
                     index.n_docs, index.avgdl, k, weights, exact_threshold,
                     after, counters,
                 )
-                # restrict the mask to the sampled bucket too — otherwise
-                # the pre-pass shuffles the FULL accepted-docs set only to
-                # discard every group but b0
-                sample_mask = mask
-                if mask is not None:
+                if mask is None:
+                    # one bucket's encoded rows are ~total/n_buckets postings
+                    # (KBs) — collect and run the SAME kernel on the driver,
+                    # saving a full job round-trip vs an applyInPandas pass
+                    spdf = sub.where(F.col("bucket") == b0).toPandas()
+                    res = sample_scorer(spdf) if len(spdf) else None
+                    if res is not None and len(res) >= k:
+                        res = res.sort_values(
+                            ["score", "docID"], ascending=[False, True]
+                        )
+                        theta0 = float(res["score"].iloc[k - 1])
+                else:
+                    # masked path stays distributed; restrict the mask to the
+                    # sampled bucket so the pre-pass does not shuffle the
+                    # FULL accepted-docs set only to discard it
                     from neural_search_spark.index.build import bucket_col
 
                     sample_mask = mask.where(
                         bucket_col("docID", index.bucket_bits) == b0
                     )
-                srows = (
-                    _run_buckets(sub.where(F.col("bucket") == b0),
-                                 sample_scorer, sample_mask, mode,
-                                 index.bucket_bits)
-                    .orderBy(F.desc("score"), F.asc("docID")).limit(k).collect()
-                )
-                if len(srows) >= k:
-                    theta0 = float(srows[-1]["score"])
+                    srows = (
+                        _run_buckets(sub.where(F.col("bucket") == b0),
+                                     sample_scorer, sample_mask, mode,
+                                     index.bucket_bits)
+                        .orderBy(F.desc("score"), F.asc("docID"))
+                        .limit(k).collect()
+                    )
+                    if len(srows) >= k:
+                        theta0 = float(srows[-1]["score"])
 
     scorer = make_bucket_scorer(
         index.n_docs, index.avgdl, k, weights, exact_threshold, after, counters,
