@@ -56,7 +56,8 @@ class _TermPostings:
 
     __slots__ = ("doc0", "d0b", "dlq", "n", "maxscore", "docs_raw", "tfs_raw",
                  "dls_raw", "starts", "total", "_docs", "_scores", "_decoded",
-                 "ub", "weight", "deleted", "allowed", "counters")
+                 "ub", "weight", "deleted", "allowed", "counters",
+                 "_cls_vals", "_cls_max")
 
     def __init__(self, blocks: list[dict], weight: float,
                  deleted: np.ndarray | None = None,
@@ -86,9 +87,33 @@ class _TermPostings:
         self.deleted = deleted if deleted is not None and len(deleted) else None
         self.allowed = allowed  # None = everything allowed; [] = nothing
         self.counters = counters
+        self._cls_vals = None  # per-class ub cache (class_ub)
+        self._cls_max = None
         if counters is not None:
             counters["blocks_total"] += len(blocks)
             counters["postings_total"] += self.total
+
+    def class_ub(self, q: np.ndarray) -> np.ndarray:
+        """Upper bound of this term's contribution to any doc of doclen
+        class q[i] — the max block-max within that class, 0.0 when the term
+        has no postings in the class. Strictly tighter than the global ub
+        for mixed-class candidate sets (exact: a doc's postings sit in
+        same-class blocks in every term)."""
+        if self._cls_vals is None:
+            if len(self.dlq) == 0:
+                self._cls_vals = np.empty(0, np.int32)
+                self._cls_max = np.empty(0, np.float64)
+            else:
+                first = np.r_[True, self.dlq[1:] != self.dlq[:-1]]
+                starts = np.nonzero(first)[0]
+                self._cls_vals = self.dlq[starts]
+                self._cls_max = np.maximum.reduceat(self.maxscore, starts)
+        if len(self._cls_vals) == 0:
+            return np.zeros(len(q), np.float64)
+        pos = np.searchsorted(self._cls_vals, q)
+        pos_c = np.clip(pos, 0, len(self._cls_vals) - 1)
+        hit = self._cls_vals[pos_c] == q
+        return np.where(hit, self._cls_max[pos_c], 0.0)
 
     def decode_block(self, i: int, score_fn) -> tuple[np.ndarray, np.ndarray]:
         if self._docs[i] is None:
@@ -248,16 +273,22 @@ def _score_bucket_maxscore(term_lists, score_fns, k, after=None,
         cur = selfscores.copy()  # running sum, used only for prune bounds
         alive = np.ones(len(docs), bool)
         rem_terms = [order[oj] for oj in range(m - 1, -1, -1) if oj != oi]
-        rem_ub = np.array([term_lists[t].ub for t in rem_terms], np.float64)
-        rem_after = (
-            np.concatenate([np.cumsum(rem_ub[::-1])[::-1][1:], [0.0]])
-            if len(rem_terms) else np.empty(0)
-        )
+        # per-candidate per-term CLASS upper bounds (0 where the term has no
+        # postings of that doc's length class) — tighter than global ubs, so
+        # candidates from classes a term never touches die before lookups
+        if rem_terms:
+            cub = np.stack(
+                [term_lists[tj].class_ub(dlqs) for tj in rem_terms], axis=1
+            )
+            rem_after = np.concatenate(
+                [np.cumsum(cub[:, ::-1], axis=1)[:, ::-1][:, 1:],
+                 np.zeros((len(docs), 1))], axis=1,
+            )
         for j, tj in enumerate(rem_terms):
             if not alive.any():
                 break
             idx = np.nonzero(alive)[0]
-            bound = cur[idx] + term_lists[tj].ub + rem_after[j]
+            bound = cur[idx] + cub[idx, j] + rem_after[idx, j]
             keep = bound >= theta
             alive[idx[~keep]] = False
             idx = idx[keep]
