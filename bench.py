@@ -98,6 +98,24 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             "postings_decoded": prof["postings_decoded"],
             "postings_total": prof["postings_total"],
         }
+        # batched multi-search: the SAME 24 queries in ONE Spark job
+        # (union-vocabulary scan + shared per-bucket decode cache) — the
+        # query-throughput headline; sequential latency caps QPS at
+        # 1/job_latency, batching restores batch_size/batch_latency
+        from neural_search_spark.query.msearch import msearch
+        batch = {f"q{i + 1:02d}": terms for i, terms in enumerate(QUERY_SET)}
+        t0 = time.perf_counter()
+        msearch(index, batch, k=10).collect()
+        batch_s = time.perf_counter() - t0
+        seq_s = sum(lat.values())
+        msearch_stats = {
+            "batch_size": len(QUERY_SET),
+            "batch_sec": round(batch_s, 3),
+            "batched_qps": round(len(QUERY_SET) / batch_s, 1),
+            "sequential_qps": round(len(QUERY_SET) / max(seq_s, 1e-9), 1),
+            "speedup_vs_sequential": round(seq_s / max(batch_s, 1e-9), 2),
+        }
+
         shutil.rmtree(idx_dir, ignore_errors=True)
         return {
             "cpus": cpus,
@@ -108,6 +126,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             "query_p99_s": p99,
             "queries": lat,
             "heavy_query_profile": heavy_profile,
+            "msearch": msearch_stats,
         }
     finally:
         spark.stop()
@@ -190,6 +209,7 @@ def main() -> None:
             "query_p50_s": res["query_p50_s"],
             "query_p99_s": res["query_p99_s"],
             "heavy_query_profile": res["heavy_query_profile"],
+            "msearch": res["msearch"],
             **extra,
         },
     }

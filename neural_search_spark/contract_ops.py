@@ -136,6 +136,36 @@ def _wand_entry(terms: list[str], k: int = 10):
     return run
 
 
+# batched multi-search: one rare, one multi-term mid, one heavy query —
+# all three run in ONE Spark job sharing the postings scan + decode cache
+MSEARCH_BATCH = {
+    "m_single": WAND_TERMS_SINGLE,
+    "m_multi": WAND_TERMS_MULTI,
+    "m_heavy": WAND_TERMS_HEAVY,
+}
+
+
+def q_msearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neural_search_spark.query.msearch import msearch
+
+    idx = _get_index(spark, sf_dir)
+    res = msearch(idx, MSEARCH_BATCH, k=10)
+    return res.select(
+        "query_id",
+        F.col("docID").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _msearch_sql(batch: dict[str, list[str]], k: int) -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, doc_id, score "
+        f"FROM ({_bm25_exact_sql(terms, k)})"
+        for qid, terms in sorted(batch.items())
+    )
+    return f"SELECT * FROM ({legs}) ORDER BY query_id, score DESC, doc_id"
+
+
 WAND_WEIGHTS = {"data": 3.0, "query": 1.0, "merge": 0.5}
 
 
@@ -931,6 +961,7 @@ SPARK_QUERIES_EXT = {
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
     "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
     "wand_topk_weighted": q_wand_weighted,
+    "msearch_topk": q_msearch_topk,
     "wand_search_after": q_wand_search_after,
     "wand_filtered": q_wand_filtered,
     "two_phase_rescore": q_two_phase,
@@ -970,6 +1001,7 @@ ORACLE_SQL_EXT = {
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
     "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),
     "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
+    "msearch_topk": _msearch_sql(MSEARCH_BATCH, 10),
     "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
     "wand_filtered": _bm25_filtered_sql(WAND_TERMS_MULTI, 10, FILTER_MIN_DOCLEN),
     "two_phase_rescore": _two_phase_sql(TWO_PHASE_WEIGHTS, 10, 50),

@@ -1,0 +1,206 @@
+"""Batched multi-query BM25 top-k: N queries, ONE Spark job.
+
+The single-query path (``wand.search``) pays one full job — scan, shuffle,
+schedule — per query. At cluster scale that caps throughput at
+``QPS ≈ 1 / job_latency`` regardless of how small each query's real work
+is. ``msearch`` is the `_msearch`-shaped batch analog (the reference
+plugin's queries ride OpenSearch's multi-search transport; batching at the
+scan level is the Spark-idiomatic equivalent): the postings scan covers
+the UNION of all query terms (still one row-group-pruned parquet scan),
+each doc-range bucket decodes every touched posting block AT MOST ONCE
+into a cache shared by all queries in the batch, and the only extra
+shuffle is a per-query top-k window over ≤ n_buckets · k · n_queries rows.
+Throughput becomes ``QPS ≈ batch_size / batch_latency``, and batch latency
+grows sublinearly because overlapping query vocabularies share decode
+work (the ["if"], ["if","for"] case decodes "if" once, not twice).
+
+Exactness: each query runs the SAME per-bucket kernels as ``wand.search``
+(exhaustive below the postings threshold, Block-Max MaxScore above it), so
+every query's results are rank-identical to its standalone ``search``.
+θ seeding reuses the sampled-bucket pre-pass — one driver-side collect of
+one bucket's encoded rows seeds EVERY query in the batch (a bucket is a
+doc subset, so each query's sample k-th score is an exact-safe seed).
+
+reference: per-shard collectors run per query in
+main/search/query/HybridCollectorManager.java; the batching itself is a
+scale addition (no per-query coordinator round-trips), not a port.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index.build import Index
+from neural_search_spark.query.wand import (EXACT_THRESHOLD, _run_buckets,
+                                            _score_bucket_exhaustive,
+                                            _score_bucket_maxscore,
+                                            _TermPostings)
+
+MRESULT_SCHEMA = StructType([
+    StructField("query_id", StringType()),
+    StructField("docID", LongType()),
+    StructField("score", DoubleType()),
+])
+
+
+def _empty_result() -> pd.DataFrame:
+    return pd.DataFrame({
+        "query_id": pd.Series(dtype=object),
+        "docID": np.empty(0, np.int64),
+        "score": np.empty(0, np.float64),
+    })
+
+
+def make_multi_scorer(
+    qspecs: dict[str, list[str]],
+    n_total: int,
+    avgdl: float,
+    k: int,
+    exact_threshold: int = EXACT_THRESHOLD,
+    counters: dict | None = None,
+    thetas: dict[str, float] | None = None,
+):
+    """Per-bucket kernel scoring every query against a SHARED decoded-block
+    cache: one ``_TermPostings`` per term (weight 1.0), so a block is
+    decoded at most once per bucket no matter how many queries touch its
+    term. ``thetas`` carries per-query exact θ seeds. Queries run in sorted
+    query_id order and each uses the same exhaustive/maxscore switch as the
+    single-query kernel — results are per-query rank-identical to it."""
+    from neural_search_spark.query.bm25 import bm25_score_np, idf_np
+
+    def score_bucket(pdf: pd.DataFrame,
+                     deleted: np.ndarray | None = None,
+                     allowed: np.ndarray | None = None) -> pd.DataFrame:
+        shared: dict[str, tuple] = {}
+        for term, grp in pdf.groupby("term", sort=True):
+            blocks = [b for row in grp["blocks"] for b in row]
+            idf = float(idf_np(int(grp["df"].iloc[0]), n_total))
+            tp = _TermPostings(blocks, 1.0, deleted, allowed, counters)
+            shared[term] = (
+                tp,
+                lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl),
+            )
+        frames = []
+        for qid in sorted(qspecs):  # fixed order → deterministic decode/cache path
+            terms = qspecs[qid]
+            tl = [shared[t][0] for t in terms if t in shared]
+            fns = [shared[t][1] for t in terms if t in shared]
+            if not tl:
+                continue
+            theta0 = float((thetas or {}).get(qid, -np.inf))
+            total = sum(tp.total for tp in tl)
+            if (total <= exact_threshold or len(tl) == 1) \
+                    and not np.isfinite(theta0):
+                res = _score_bucket_exhaustive(tl, fns, k)
+            else:
+                res = _score_bucket_maxscore(tl, fns, k, None, theta0)
+            if len(res):
+                res.insert(0, "query_id", qid)
+                frames.append(res)
+        if not frames:
+            return _empty_result()
+        return pd.concat(frames, ignore_index=True)
+
+    return score_bucket
+
+
+def msearch(
+    index: Index,
+    queries: dict[str, str | list[str]] | list[str | list[str]],
+    k: int = 10,
+    exact_threshold: int = EXACT_THRESHOLD,
+    counters: dict | None = None,
+    seed_theta: bool | str = "auto",
+) -> DataFrame:
+    """Batched BM25 top-k. Returns DataFrame(query_id, docID, score) with
+    each query's exact top-k, ordered (query_id asc, score desc, docID asc).
+
+    ``queries``: {query_id: query} (query = raw string or term list), or a
+    plain list (auto-ids ``q0..qN``). Queries whose terms never occur in
+    the corpus simply return no rows. Tombstoned docs are masked exactly as
+    in ``wand.search``. Per-term weights / pagination / filters are
+    single-query concerns — use ``wand.search`` for those.
+
+    Plan: ONE term-pruned postings scan over the union vocabulary → ONE
+    groupBy(bucket) kernel pass (shared decode cache) → per-query
+    row_number window over the ≤ n_buckets·k·n_queries survivors.
+    """
+    if not isinstance(queries, dict):
+        queries = {f"q{i}": q for i, q in enumerate(queries)}
+    qspecs = {
+        str(qid): sorted(set(
+            tokenize_query(q) if isinstance(q, str) else q
+        ))
+        for qid, q in queries.items()
+    }
+    qspecs = {qid: terms for qid, terms in qspecs.items() if terms}
+    if not qspecs:
+        return index.spark.createDataFrame([], MRESULT_SCHEMA)
+    all_terms = sorted({t for terms in qspecs.values() for t in terms})
+    sub = index.postings.where(F.col("term").isin(all_terms))
+    n_buckets = 1 << max(index.bucket_bits, 0)
+
+    mask, mode = None, None
+    if index.tombstones is not None:
+        mask, mode = index.tombstones.select("docID"), "deny"
+
+    # --- shared sampled-bucket θ seeding (same driver pre-check and df
+    # gate as wand.search; ONE collect of one bucket's rows seeds every
+    # query in the batch) ---
+    thetas: dict[str, float] = {}
+    multi = [qid for qid, terms in qspecs.items() if len(terms) > 1]
+    want_seed = (
+        bool(multi)
+        and seed_theta in (True, "auto")
+        and index.n_docs * len(all_terms) / n_buckets > exact_threshold
+    )
+    if want_seed:
+        stat = sub.groupBy("term").agg(
+            F.first("df").alias("df"), F.min("bucket").alias("minb")
+        ).collect()
+        dfs = {r["term"]: int(r["df"]) for r in stat}
+        total_postings = sum(dfs.values())
+        if seed_theta is True or \
+                total_postings > max(4 * k * n_buckets, 2 * exact_threshold):
+            b0 = min(int(r["minb"]) for r in stat)
+            spdf = sub.where(F.col("bucket") == b0).toPandas()
+            if len(spdf):
+                deleted = None
+                if index.tombstones is not None:
+                    from neural_search_spark.index.build import bucket_col
+                    trows = index.tombstones.where(
+                        bucket_col("docID", index.bucket_bits) == b0
+                    ).select("docID").collect()
+                    if trows:
+                        deleted = np.sort(
+                            np.array([r["docID"] for r in trows], np.int64)
+                        )
+                sample = make_multi_scorer(
+                    {qid: qspecs[qid] for qid in multi},
+                    index.n_docs, index.avgdl, k, exact_threshold, counters,
+                )(spdf, deleted)
+                for qid, grp in sample.groupby("query_id"):
+                    if len(grp) >= k:
+                        g = grp.sort_values(
+                            ["score", "docID"], ascending=[False, True]
+                        )
+                        thetas[str(qid)] = float(g["score"].iloc[k - 1])
+
+    scorer = make_multi_scorer(
+        qspecs, index.n_docs, index.avgdl, k, exact_threshold, counters, thetas
+    )
+    per_bucket = _run_buckets(
+        sub, scorer, mask, mode, index.bucket_bits, schema=MRESULT_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("docID"))
+    return (
+        per_bucket.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy(F.asc("query_id"), F.desc("score"), F.asc("docID"))
+    )

@@ -441,21 +441,25 @@ def profile_search(
 
 
 def _run_buckets(sub: DataFrame, scorer, mask: DataFrame | None, mode: str | None,
-                 bucket_bits: int) -> DataFrame:
+                 bucket_bits: int, schema: StructType = RESULT_SCHEMA) -> DataFrame:
     """Execute the scoring kernel bucket-parallel, cogrouping the live-docs /
-    accepted-docs mask when one exists. Shared by the main pass and the
-    sampled-bucket θ-seeding pre-pass."""
+    accepted-docs mask when one exists. Shared by the main pass, the
+    sampled-bucket θ-seeding pre-pass, and the batched msearch kernel
+    (which passes its own result ``schema``; the scorer must return a frame
+    matching it, including for the empty case)."""
     from neural_search_spark.index.build import bucket_col
 
     if mask is not None:
         bucketed = mask.select(
             "docID", bucket_col("docID", bucket_bits).alias("bucket")
         )
+        _np = {"string": object, "long": np.int64, "double": np.float64}
+        empty = {f.name: pd.Series(dtype=_np[f.dataType.typeName()])
+                 for f in schema.fields}
 
         def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if not len(left):
-                return pd.DataFrame({"docID": np.empty(0, np.int64),
-                                     "score": np.empty(0, np.float64)})
+                return pd.DataFrame(empty)
             arr = np.sort(right["docID"].to_numpy(np.int64))
             if mode == "allow":
                 return scorer(left, None, arr)
@@ -464,14 +468,14 @@ def _run_buckets(sub: DataFrame, scorer, mask: DataFrame | None, mode: str | Non
         return (
             sub.groupBy("bucket")
             .cogroup(bucketed.groupBy("bucket"))
-            .applyInPandas(score_cogroup, RESULT_SCHEMA)
+            .applyInPandas(score_cogroup, schema)
         )
     # single-arg wrapper: applyInPandas arity-dispatches (key, pdf) for
     # multi-parameter functions, and scorer's extra params are the masks
     def score_plain(pdf: pd.DataFrame) -> pd.DataFrame:
         return scorer(pdf)
 
-    return sub.groupBy("bucket").applyInPandas(score_plain, RESULT_SCHEMA)
+    return sub.groupBy("bucket").applyInPandas(score_plain, schema)
 
 
 def search(

@@ -1,0 +1,106 @@
+"""Batched msearch: per-query rank-identity with single search, shared
+decode cache efficiency, tombstone masking, and degenerate inputs."""
+
+import numpy as np
+import pytest
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index, delete_docs, load_index
+from neural_search_spark.query import wand
+from neural_search_spark.query.msearch import msearch
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return with_doc_id(generate_corpus(spark, 300, seed=42)).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("msidx"))
+    return build_index(spark, corpus, d, bucket_bits=3)
+
+
+BATCH = {
+    "rare": ["uniq_7"],
+    "mid": ["parse", "buffer"],
+    "mixed": ["def", "return", "uniq_11"],
+    "heavy": ["def", "return", "import", "class"],
+    "missing": ["nonexistent_term_xyz"],
+}
+
+
+def test_msearch_equals_single_search(index):
+    got = msearch(index, BATCH, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["docID"], r["score"]))
+    for qid, terms in BATCH.items():
+        want = [(r["docID"], r["score"])
+                for r in wand.search(index, terms, k=10).collect()]
+        assert by_q.get(qid, []) == want, qid
+    assert "missing" not in by_q
+
+
+def test_msearch_list_input_auto_ids(index):
+    got = msearch(index, [["uniq_7"], ["parse", "buffer"]], k=5).collect()
+    qids = {r["query_id"] for r in got}
+    assert qids <= {"q0", "q1"} and "q1" in qids
+
+
+def test_msearch_ordering_and_k(index):
+    rows = msearch(index, BATCH, k=3).collect()
+    seen = {}
+    for r in rows:
+        seen.setdefault(r["query_id"], []).append(r)
+    for qid, rs in seen.items():
+        assert len(rs) <= 3
+        keys = [(-r["score"], r["docID"]) for r in rs]
+        assert keys == sorted(keys), qid
+    # global order: query_id ascending
+    assert [r["query_id"] for r in rows] == sorted(r["query_id"] for r in rows)
+
+
+def test_msearch_shares_decode_across_queries(index):
+    """Two queries over the SAME term must not double-decode its blocks:
+    counters count per-bucket per-term postings once for the whole batch."""
+    sc = index.spark.sparkContext
+
+    def run(queries):
+        accs = {n: sc.accumulator(0) for n in
+                ("blocks_total", "blocks_decoded",
+                 "postings_total", "postings_decoded")}
+        msearch(index, queries, k=10, counters=accs, seed_theta=False).collect()
+        return {n: a.value for n, a in accs.items()}
+
+    one = run({"a": ["def", "return"]})
+    two = run({"a": ["def", "return"], "b": ["def", "return"]})
+    assert two["postings_total"] == one["postings_total"]
+    assert two["blocks_decoded"] == one["blocks_decoded"]
+
+
+def test_msearch_respects_tombstones(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("msdel"))
+    build_index(spark, corpus, d, bucket_bits=3)
+    top = msearch(load_index(spark, d), {"q": ["parse", "buffer"]}, k=5).collect()
+    assert top
+    victim = top[0]["docID"]
+    delete_docs(spark, d, [victim])
+    idx = load_index(spark, d)
+    after = msearch(idx, {"q": ["parse", "buffer"]}, k=5).collect()
+    assert victim not in [r["docID"] for r in after]
+    want = [(r["docID"], r["score"])
+            for r in wand.search(idx, ["parse", "buffer"], k=5).collect()]
+    assert [(r["docID"], r["score"]) for r in after] == want
+
+
+def test_msearch_empty_batch(index):
+    assert msearch(index, {}, k=5).collect() == []
+    assert msearch(index, {"q": []}, k=5).collect() == []
+
+
+def test_msearch_seeded_equals_unseeded(index):
+    a = msearch(index, BATCH, k=10, seed_theta=False).collect()
+    b = msearch(index, BATCH, k=10, seed_theta=True).collect()
+    assert [(r["query_id"], r["docID"], r["score"]) for r in a] == \
+           [(r["query_id"], r["docID"], r["score"]) for r in b]
