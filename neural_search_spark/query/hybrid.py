@@ -289,18 +289,37 @@ def hybrid_search(
             )
     depth = pagination_depth or k
 
-    def run_sub(q):
-        if isinstance(q, dict):
-            return wand.search(
-                index, q["terms"], k=depth,
-                weights=q.get("weights"), where=q.get("where"),
-            )
-        return wand.search(index, q, k=depth)
+    # plain sub-queries (no per-term weights, no filter) batch through the
+    # msearch kernel: ONE postings scan + ONE bucket pass + ONE θ-seeding
+    # round for the whole hybrid query instead of one of each per sub-query.
+    # msearch is rank-identical to wand.search (same kernels, same
+    # tie-break), so hybrid results are unchanged.
+    def is_plain(q) -> bool:
+        return not isinstance(q, dict) or not (q.get("weights") or q.get("where"))
 
-    per_sub = [
-        run_sub(q).withColumn("subquery_idx", F.lit(i))
-        for i, q in enumerate(subqueries)
-    ]
+    plain = {i: (q["terms"] if isinstance(q, dict) else q)
+             for i, q in enumerate(subqueries) if is_plain(q)}
+    per_sub = []
+    if len(plain) > 1:
+        from neural_search_spark.query.msearch import msearch
+
+        batched = msearch(index, {str(i): q for i, q in plain.items()}, k=depth)
+        per_sub.append(batched.select(
+            "docID", "score",
+            F.col("query_id").cast("int").alias("subquery_idx"),
+        ))
+    else:
+        plain = {}
+
+    for i, q in enumerate(subqueries):
+        if i in plain:
+            continue
+        res = wand.search(
+            index, q["terms"] if isinstance(q, dict) else q, k=depth,
+            weights=q.get("weights") if isinstance(q, dict) else None,
+            where=q.get("where") if isinstance(q, dict) else None,
+        )
+        per_sub.append(res.withColumn("subquery_idx", F.lit(i)))
     unioned = per_sub[0]
     for df in per_sub[1:]:
         unioned = unioned.unionByName(df)
