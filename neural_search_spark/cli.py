@@ -83,6 +83,31 @@ def cmd_search(spark: SparkSession, args) -> None:
     print(json.dumps(out))
 
 
+def cmd_msearch(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.query.msearch import msearch
+
+    idx = load_index(spark, args.index_dir)
+    if args.warmup:
+        idx.warmup()
+    batch = {f"q{i}": q.split() if " " in q else [q]
+             for i, q in enumerate(args.query)}
+    t0 = time.perf_counter()
+    rows = msearch(idx, batch, k=args.k).collect()
+    wall = time.perf_counter() - t0
+    hits: dict[str, list] = {qid: [] for qid in batch}
+    for r in rows:
+        hits[r["query_id"]].append(
+            {"docID": r["docID"], "score": round(r["score"], 6)}
+        )
+    print(json.dumps({
+        "queries": {f"q{i}": q for i, q in enumerate(args.query)},
+        "k": args.k, "wall_s": round(wall, 3),
+        "qps": round(len(batch) / max(wall, 1e-9), 1),
+        "hits": hits,
+    }))
+
+
 def cmd_hybrid(spark: SparkSession, args) -> None:
     from neural_search_spark.index.build import load_index
     from neural_search_spark.query.hybrid import hybrid_search
@@ -190,6 +215,13 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--profile", action="store_true",
                    help="also report block-skip pruning counters")
 
+    ms = sub.add_parser("msearch", help="batched multi-query BM25 (one job)")
+    ms.add_argument("--index-dir", required=True)
+    ms.add_argument("--query", action="append", required=True,
+                    help="repeatable; space-separated terms per query")
+    ms.add_argument("-k", type=int, default=10)
+    ms.add_argument("--warmup", action="store_true")
+
     h = sub.add_parser("hybrid", help="multi-sub-query hybrid search")
     h.add_argument("--index-dir", required=True)
     h.add_argument("--subquery", action="append", required=True,
@@ -242,7 +274,8 @@ def main(argv: list[str] | None = None) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     try:
         {"build": cmd_build, "append": cmd_append, "search": cmd_search,
-         "hybrid": cmd_hybrid, "rerank": cmd_rerank, "ann": cmd_ann}[args.cmd](spark, args)
+         "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
+         "ann": cmd_ann}[args.cmd](spark, args)
     finally:
         spark.stop()
 

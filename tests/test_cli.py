@@ -30,6 +30,21 @@ def test_cli_search_and_profile(spark, idx_dir, capsys):
     assert len(out["hits"]) == 5 and "block_skip_ratio" in out["profile"]
 
 
+def test_cli_msearch(spark, idx_dir, capsys):
+    cli.cmd_msearch(spark, Namespace(
+        index_dir=idx_dir, query=["def return", "uniq_7"], k=5, warmup=False,
+    ))
+    out = _json_out(capsys)
+    assert set(out["hits"]) == {"q0", "q1"}
+    assert len(out["hits"]["q0"]) == 5 and out["qps"] > 0
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.query import wand
+    idx = load_index(spark, idx_dir)
+    want = [{"docID": r["docID"], "score": round(r["score"], 6)}
+            for r in wand.search(idx, ["def", "return"], k=5).collect()]
+    assert out["hits"]["q0"] == want
+
+
 def test_cli_rerank(spark, idx_dir, capsys):
     cli.cmd_rerank(spark, Namespace(
         index_dir=idx_dir, query="def", target_field="doclen", k=5,
