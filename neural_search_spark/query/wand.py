@@ -454,7 +454,7 @@ def _run_buckets(sub: DataFrame, scorer, mask: DataFrame | None, mode: str | Non
             "docID", bucket_col("docID", bucket_bits).alias("bucket")
         )
         _np = {"string": object, "long": np.int64, "double": np.float64}
-        empty = {f.name: pd.Series(dtype=_np[f.dataType.typeName()])
+        empty = {f.name: pd.Series(dtype=_np.get(f.dataType.typeName(), object))
                  for f in schema.fields}
 
         def score_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:

@@ -52,6 +52,15 @@ def main() -> None:
             100 * (1 - prof["postings_decoded"] / max(prof["postings_total"], 1)), 1
         )
 
+        # batched multi-search at scale: the bench QUERY_SET as ONE job
+        from bench import QUERY_SET
+        from neural_search_spark.query.msearch import msearch
+        batch = {f"q{i:02d}": t for i, t in enumerate(QUERY_SET)}
+        t0 = time.perf_counter()
+        msearch(idx, batch, k=10).collect()
+        out["msearch24_s"] = round(time.perf_counter() - t0, 2)
+        out["msearch24_qps"] = round(len(batch) / out["msearch24_s"], 1)
+
         t0 = time.perf_counter()
         idx = delete_docs(spark, d, [r["docID"] for r in
                                      wand.search(idx, ["uniq_1"], k=3).collect()])
