@@ -45,6 +45,7 @@ def cmd_build(spark: SparkSession, args) -> None:
     idx = build_index(
         spark, corpus, args.index_dir,
         text_col=args.text_col, id_col=id_col, resume=not args.no_resume,
+        k1=args.k1, b=args.b,
     )
     print(json.dumps({
         "action": "build", "index_dir": args.index_dir, "n_docs": idx.n_docs,
@@ -202,6 +203,9 @@ def main(argv: list[str] | None = None) -> None:
     common_input(b)
     b.add_argument("--index-dir", required=True)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--k1", type=float, default=1.2,
+                   help="BM25 k1 (per-index, baked into block maxes)")
+    b.add_argument("--b", type=float, default=0.75, help="BM25 b (per-index)")
 
     a = sub.add_parser("append", help="append a delta to a committed index")
     common_input(a)

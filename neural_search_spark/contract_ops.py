@@ -96,7 +96,8 @@ def _get_index(spark: SparkSession, sf_dir: str) -> Index:
     return _INDEX_CACHE[key]
 
 
-def _bm25_exact_sql(terms: list[str], k: int) -> str:
+def _bm25_exact_sql(terms: list[str], k: int,
+                    k1: float = 1.2, b: float = 0.75) -> str:
     """Top-k ordered by the EXACT f64 score (round only in projection)."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -107,7 +108,7 @@ def _bm25_exact_sql(terms: list[str], k: int) -> str:
     SELECT doc_id, round(s, 4) AS score FROM (
       SELECT tf.doc_id AS doc_id,
              sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+                  * tf.tf / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.doclen / st.avgdl)) ) AS s
       FROM tf JOIN dfreq USING (term)
       JOIN dl ON tf.doc_id = dl.doc_id
       CROSS JOIN stats st
@@ -134,6 +135,35 @@ def _wand_entry(terms: list[str], k: int = 10):
         )
 
     return run
+
+
+# per-index BM25 similarity params (the reference's index-level
+# BM25Similarity settings): a second index over the same corpus with tuned
+# (k1, b), exercising param bake-in at encode time + manifest round-trip
+TUNED_K1, TUNED_B = 0.9, 0.4
+
+
+def _get_index_tuned(spark: SparkSession, sf_dir: str) -> Index:
+    key = (id(spark), sf_dir + "#tuned")
+    if key not in _INDEX_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), f"nss-contract-idx-tuned-{tag}"
+        )
+        corpus = _docs(spark, sf_dir).select("doc_id", "text")
+        _INDEX_CACHE[key] = build_index(
+            spark, corpus, idx_dir, text_col="text", id_col="doc_id",
+            resume=True, k1=TUNED_K1, b=TUNED_B,
+        )
+    return _INDEX_CACHE[key]
+
+
+def q_wand_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _get_index_tuned(spark, sf_dir)
+    res = wand.search(idx, WAND_TERMS_MULTI, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
 
 
 # batched multi-search: one rare, one multi-term mid, one heavy query —
@@ -961,6 +991,7 @@ SPARK_QUERIES_EXT = {
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
     "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
     "wand_topk_weighted": q_wand_weighted,
+    "wand_topk_tuned": q_wand_tuned,
     "msearch_topk": q_msearch_topk,
     "wand_search_after": q_wand_search_after,
     "wand_filtered": q_wand_filtered,
@@ -1001,6 +1032,7 @@ ORACLE_SQL_EXT = {
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
     "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),
     "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
+    "wand_topk_tuned": _bm25_exact_sql(WAND_TERMS_MULTI, 10, TUNED_K1, TUNED_B),
     "msearch_topk": _msearch_sql(MSEARCH_BATCH, 10),
     "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
     "wand_filtered": _bm25_filtered_sql(WAND_TERMS_MULTI, 10, FILTER_MIN_DOCLEN),

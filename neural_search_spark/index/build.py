@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 from neural_search_spark.analysis.tokenizer import corpus_stats, doc_lengths, token_runs
 from neural_search_spark.index import codec
 from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
-from neural_search_spark.query.bm25 import bm25_score_np, idf_np
+from neural_search_spark.query.bm25 import BM25_B, BM25_K1, bm25_score_np, idf_np
 
 BLOCK_SIZE = 128
 BLOCKS_PER_ROW = 64
@@ -100,7 +100,8 @@ _CHUNK_ROWS = 1 << 19
 
 
 def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
-                  block_size: int, blocks_per_row: int):
+                  block_size: int, blocks_per_row: int,
+                  k1: float = BM25_K1, b: float = BM25_B):
     """Encode a (termID, bucket, docID)-sorted run of posting rows into one
     Arrow RecordBatch of postings rows — zero per-group / per-block Python.
 
@@ -183,7 +184,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
             pa.binary(), nblocks, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)]
         )
 
-    scores = bm25_score_np(tfs, dls, idf_np(dfv, float(n_total)), avgdl)
+    scores = bm25_score_np(tfs, dls, idf_np(dfv, float(n_total)), avgdl, k1, b)
     maxscore = np.maximum.reduceat(scores, bstart)
 
     # output rows: each group's blocks chunked blocks_per_row at a time
@@ -226,7 +227,8 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
 
 
 def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
-                            blocks_per_row: int):
+                            blocks_per_row: int,
+                            k1: float = BM25_K1, b: float = BM25_B):
     """mapInArrow kernel: consumes a (termID, bucket, docID)-sorted partition
     stream, emits postings RecordBatches. Input batches are accumulated to
     ≥_CHUNK_ROWS before encoding (amortizes fixed numpy costs), and the tail
@@ -270,7 +272,7 @@ def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
                 if split == 0:
                     return None
                 cols = {c: cols[c][:split] for c in _IN_COLS}
-            return _encode_chunk(cols, n_total, avgdl, block_size, blocks_per_row)
+            return _encode_chunk(cols, n_total, avgdl, block_size, blocks_per_row, k1, b)
 
         for batch in batches:
             if batch.num_rows == 0:
@@ -295,6 +297,8 @@ def runs_to_postings(
     bucket_bits: int,
     block_size: int = BLOCK_SIZE,
     blocks_per_row: int = BLOCKS_PER_ROW,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Stage-3 kernel: (term, docID, tf, doclen) runs → encoded postings.
 
@@ -313,7 +317,7 @@ def runs_to_postings(
         enriched.repartition("termID", "bucket")
         .sortWithinPartitions("termID", "bucket", "docID")
         .mapInArrow(
-            _make_partition_builder(n_total, avgdl, block_size, blocks_per_row),
+            _make_partition_builder(n_total, avgdl, block_size, blocks_per_row, k1, b),
             POSTINGS_SCHEMA,
         )
     )
@@ -330,8 +334,15 @@ def build_index(
     blocks_per_row: int = BLOCKS_PER_ROW,
     bucket_bits: int | None = None,
     resume: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> "Index":
     """Build (or resume) the index at index_dir. Returns a queryable Index.
+
+    ``k1``/``b``: per-index BM25 similarity parameters (the reference's
+    index-level BM25Similarity settings; Lucene defaults 1.2/0.75). Block-max
+    scores bake them in at encode time, so they are fixed for the index's
+    lifetime — stored in the manifest, reused by queries and appends.
 
     Resumability: each stage commits an atomic snapshot + lineage metrics to
     the manifest; a re-run with the same fingerprint skips committed stages
@@ -358,6 +369,7 @@ def build_index(
         "text_col": text_col, "id_col": id_col, "block_size": block_size,
         "blocks_per_row": blocks_per_row, "bucket_bits": bucket_bits,
         "n_docs": n_docs, "ids_fp": ids_fp, "format": 2,  # 2 = dlq block layout
+        "k1": float(k1), "b": float(b),
     }
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     meta_cols = [c for c in corpus.columns if c != text_col]
@@ -396,7 +408,7 @@ def build_index(
     if not (resume and man.stage_done("postings", fp)):
         runs = token_runs(corpus, text_col, id_col).withColumnRenamed(id_col, "docID")
         postings = runs_to_postings(
-            runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row
+            runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row, k1, b
         )
         run_stage("postings", {"postings": postings})
 
@@ -425,6 +437,8 @@ class Index:
     bucket_bits: int
     tombstones: DataFrame | None = None  # (docID) rows masked at query time
     id_col: str = "docID"                # docmap's id column name
+    k1: float = BM25_K1                  # per-index BM25 params (baked into
+    b: float = BM25_B                    # block-max scores at encode time)
 
     def warmup(self) -> "Index":
         """Pin postings in executor memory — the analog of the reference's
@@ -506,4 +520,6 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         bucket_bits=int(cfg.get("bucket_bits", 0)),
         tombstones=tombs,
         id_col=str(cfg.get("id_col", "docID")),
+        k1=float(cfg.get("k1", BM25_K1)),
+        b=float(cfg.get("b", BM25_B)),
     )

@@ -192,11 +192,15 @@ def append_to_index(
         if cfg_old.get("bucket_bits_pinned")
         else default_bucket_bits(n_total)
     )
+    from neural_search_spark.query.bm25 import BM25_B, BM25_K1
+
+    k1 = float(cfg_old.get("k1", BM25_K1))  # similarity params are per-index:
+    b = float(cfg_old.get("b", BM25_B))     # the append re-encodes with them
     cfg = {
         **{k: cfg_old[k] for k in ("text_col", "id_col", "block_size", "blocks_per_row")},
         # the merge always re-encodes through the current encoder, so the
         # merged index is format 2 regardless of the source format
-        "format": 2,
+        "format": 2, "k1": k1, "b": b,
         "bucket_bits": bucket_bits, "n_docs": n_total,
         "appended_from": man.stages.get("_config", {}).get("fingerprint"),
     }
@@ -253,7 +257,8 @@ def append_to_index(
         runs = runs_old.unionByName(runs_new)
         run_stage("postings", {
             "postings": runs_to_postings(
-                runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row
+                runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row,
+                k1, b,
             )
         })
 

@@ -34,13 +34,18 @@ def idf_col(df_: Column, n: Column) -> Column:
     return F.log(F.lit(1.0) + (n - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
 
 
-def bm25_score_col(tf: Column, dl: Column, df_: Column, n: Column, avgdl: Column) -> Column:
-    """Per-(term, doc) BM25 partial score as a Column expression."""
+def bm25_score_col(tf: Column, dl: Column, df_: Column, n: Column, avgdl: Column,
+                   k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """Per-(term, doc) BM25 partial score as a Column expression.
+
+    ``k1``/``b`` default to Lucene's BM25Similarity defaults; like the
+    reference's per-index similarity settings, an index is built AND queried
+    with one (k1, b) pair (block-max scores bake them in)."""
     tf = tf.cast("double")
     dl = dl.cast("double")
     df_ = df_.cast("double")
     n = n.cast("double")
-    denom = tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl / avgdl)
+    denom = tf + F.lit(float(k1)) * (F.lit(1.0 - b) + F.lit(float(b)) * dl / avgdl)
     return idf_col(df_, n) * tf / denom
 
 
@@ -49,12 +54,13 @@ def idf_np(df_: np.ndarray | float, n: float) -> np.ndarray | float:
 
 
 def bm25_score_np(
-    tf: np.ndarray, dl: np.ndarray, idf: np.ndarray | float, avgdl: float
+    tf: np.ndarray, dl: np.ndarray, idf: np.ndarray | float, avgdl: float,
+    k1: float = BM25_K1, b: float = BM25_B,
 ) -> np.ndarray:
     """Vectorized per-(term, doc) BM25 partial score (same f64 arithmetic)."""
     tf = tf.astype(np.float64, copy=False)
     dl = dl.astype(np.float64, copy=False)
-    denom = tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dl / avgdl)
+    denom = tf + k1 * ((1.0 - b) + b * dl / avgdl)
     return idf * tf / denom
 
 
@@ -65,6 +71,8 @@ def search_bruteforce(
     terms: list[str],
     k: int = 10,
     id_col: str = "docID",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> DataFrame:
     """Exact BM25 top-k by full scan — the oracle and the small-corpus path.
 
@@ -87,7 +95,8 @@ def search_bruteforce(
         .select(
             F.col(id_col),
             bm25_score_col(
-                F.col("tf"), F.col("doclen"), F.col("df"), F.col("N"), F.col("avgdl")
+                F.col("tf"), F.col("doclen"), F.col("df"), F.col("N"),
+                F.col("avgdl"), k1, b,
             ).alias("partial"),
         )
     )

@@ -64,6 +64,8 @@ def make_multi_scorer(
     exact_threshold: int = EXACT_THRESHOLD,
     counters: dict | None = None,
     thetas: dict[str, float] | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ):
     """Per-bucket kernel scoring every query against a SHARED decoded-block
     cache: one ``_TermPostings`` per term (weight 1.0), so a block is
@@ -71,7 +73,10 @@ def make_multi_scorer(
     term. ``thetas`` carries per-query exact θ seeds. Queries run in sorted
     query_id order and each uses the same exhaustive/maxscore switch as the
     single-query kernel — results are per-query rank-identical to it."""
-    from neural_search_spark.query.bm25 import bm25_score_np, idf_np
+    from neural_search_spark.query.bm25 import BM25_B, BM25_K1, bm25_score_np, idf_np
+
+    k1 = BM25_K1 if k1 is None else float(k1)
+    b = BM25_B if b is None else float(b)
 
     def score_bucket(pdf: pd.DataFrame,
                      deleted: np.ndarray | None = None,
@@ -83,7 +88,7 @@ def make_multi_scorer(
             tp = _TermPostings(blocks, 1.0, deleted, allowed, counters)
             shared[term] = (
                 tp,
-                lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl),
+                lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl, k1, b),
             )
         frames = []
         for qid in sorted(qspecs):  # fixed order → deterministic decode/cache path
@@ -183,6 +188,7 @@ def msearch(
                 sample = make_multi_scorer(
                     {qid: qspecs[qid] for qid in multi},
                     index.n_docs, index.avgdl, k, exact_threshold, counters,
+                    k1=index.k1, b=index.b,
                 )(spdf, deleted)
                 for qid, grp in sample.groupby("query_id"):
                     if len(grp) >= k:
@@ -192,7 +198,8 @@ def msearch(
                         thetas[str(qid)] = float(g["score"].iloc[k - 1])
 
     scorer = make_multi_scorer(
-        qspecs, index.n_docs, index.avgdl, k, exact_threshold, counters, thetas
+        qspecs, index.n_docs, index.avgdl, k, exact_threshold, counters, thetas,
+        k1=index.k1, b=index.b,
     )
     per_bucket = _run_buckets(
         sub, scorer, mask, mode, index.bucket_bits, schema=MRESULT_SCHEMA

@@ -381,14 +381,21 @@ def make_bucket_scorer(
     after: tuple[float, int] | None = None,
     counters: dict | None = None,
     theta0: float = -np.inf,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> Callable[..., pd.DataFrame]:
     """Build the scoring kernel: one call = one doc-range bucket.
 
     Returned fn has signature (postings_pdf, deleted_sorted=None).
     ``counters``: optional dict of Spark accumulators
     (blocks_total/blocks_decoded/postings_total/postings_decoded) filled by
-    the kernel — the pruning-effectiveness profile."""
-    from neural_search_spark.query.bm25 import bm25_score_np, idf_np
+    the kernel — the pruning-effectiveness profile.
+    ``k1``/``b``: the index's similarity params (must match what the block
+    maxes were encoded with; None = Lucene defaults)."""
+    from neural_search_spark.query.bm25 import BM25_B, BM25_K1, bm25_score_np, idf_np
+
+    k1 = BM25_K1 if k1 is None else float(k1)
+    b = BM25_B if b is None else float(b)
 
     def score_bucket(pdf: pd.DataFrame,
                      deleted: np.ndarray | None = None,
@@ -402,7 +409,7 @@ def make_bucket_scorer(
             tp = _TermPostings(blocks, w, deleted, allowed, counters)
             term_lists.append(tp)
             score_fns.append(
-                lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl)
+                lambda tfs, dls, _idf=idf: bm25_score_np(tfs, dls, _idf, avgdl, k1, b)
             )
         total = sum(tp.total for tp in term_lists)
         # small accepted set → brute-force exact scoring beats pruning
@@ -619,7 +626,7 @@ def search(
                 b0 = min(int(r["minb"]) for r in stat)
                 sample_scorer = make_bucket_scorer(
                     index.n_docs, index.avgdl, k, weights, exact_threshold,
-                    after, counters,
+                    after, counters, k1=index.k1, b=index.b,
                 )
                 if mask is None:
                     # one bucket's encoded rows are ~total/n_buckets postings
@@ -653,7 +660,7 @@ def search(
 
     scorer = make_bucket_scorer(
         index.n_docs, index.avgdl, k, weights, exact_threshold, after, counters,
-        theta0,
+        theta0, k1=index.k1, b=index.b,
     )
     per_bucket = _run_buckets(sub, scorer, mask, mode, index.bucket_bits)
     return per_bucket.orderBy(F.desc("score"), F.asc("docID")).limit(k)

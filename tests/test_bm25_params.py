@@ -1,0 +1,67 @@
+"""Per-index BM25 (k1, b): bake-in at encode time, manifest round-trip,
+query/kernel agreement with the tuned brute force, append inheritance."""
+
+import pytest
+
+from neural_search_spark.analysis import tokenizer as tok
+from neural_search_spark.corpus import generate_corpus, with_doc_id
+from neural_search_spark.index.build import build_index, load_index
+from neural_search_spark.index.merge import append_to_index
+from neural_search_spark.query import bm25, wand
+
+K1, B = 0.9, 0.4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return with_doc_id(generate_corpus(spark, 200, seed=11)).cache()
+
+
+@pytest.fixture(scope="module")
+def tuned_index(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tuned-idx"))
+    return build_index(spark, corpus, d, bucket_bits=2, k1=K1, b=B)
+
+
+def _brute(spark, corpus, terms, k1, b, k=10):
+    tf = tok.tokens_with_tf(corpus, "content", "docID")
+    dl = tok.doc_lengths(corpus, "content", "docID")
+    stats = tok.corpus_stats(dl)
+    return [(r["docID"], round(r["score"], 9)) for r in
+            bm25.search_bruteforce(tf, dl, stats, terms, k=10, k1=k1, b=b).collect()]
+
+
+@pytest.mark.parametrize("terms", [["def", "return"], ["parse", "buffer", "uniq_3"]])
+def test_tuned_index_matches_tuned_bruteforce(spark, corpus, tuned_index, terms):
+    got = [(r["docID"], round(r["score"], 9)) for r in
+           wand.search(tuned_index, terms, k=10).collect()]
+    assert got == _brute(spark, corpus, terms, K1, B)
+    # and it genuinely differs from the default-params ranking (b=0.4 damps
+    # length normalization -> different scores; guard against silent ignore)
+    default = _brute(spark, corpus, terms, 1.2, 0.75)
+    assert [s for _, s in got] != [s for _, s in default]
+
+
+def test_params_roundtrip_manifest(spark, tuned_index):
+    idx = load_index(spark, tuned_index.index_dir)
+    assert (idx.k1, idx.b) == (K1, B)
+
+
+def test_msearch_uses_index_params(spark, corpus, tuned_index):
+    from neural_search_spark.query.msearch import msearch
+    rows = msearch(tuned_index, {"q": ["def", "return"]}, k=10).collect()
+    got = [(r["docID"], round(r["score"], 9)) for r in rows]
+    assert got == _brute(spark, corpus, ["def", "return"], K1, B)
+
+
+def test_append_inherits_params(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tuned-append"))
+    base = corpus.where("docID % 2 = 0")
+    delta = corpus.where("docID % 2 != 0")
+    build_index(spark, base, d, bucket_bits=2, k1=K1, b=B)
+    append_to_index(spark, d, delta)
+    idx = load_index(spark, d)
+    assert (idx.k1, idx.b) == (K1, B)
+    got = [(r["docID"], round(r["score"], 9)) for r in
+           wand.search(idx, ["def", "return"], k=10).collect()]
+    assert got == _brute(spark, corpus, ["def", "return"], K1, B)
