@@ -295,7 +295,10 @@ def hybrid_search(
     # msearch is rank-identical to wand.search (same kernels, same
     # tie-break), so hybrid results are unchanged.
     def is_plain(q) -> bool:
-        return not isinstance(q, dict) or not (q.get("weights") or q.get("where"))
+        # `is None` checks: a where-Column must not be truth-tested
+        return not isinstance(q, dict) or (
+            q.get("weights") is None and q.get("where") is None
+        )
 
     plain = {i: (q["terms"] if isinstance(q, dict) else q)
              for i, q in enumerate(subqueries) if is_plain(q)}
