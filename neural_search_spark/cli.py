@@ -84,6 +84,17 @@ def cmd_search(spark: SparkSession, args) -> None:
     print(json.dumps(out))
 
 
+def cmd_stats(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.build import index_stats, load_index
+
+    idx = load_index(spark, args.index_dir)
+    row = index_stats(idx).collect()[0].asDict()
+    row["avgdl"] = round(row["avgdl"], 4)
+    row["k1"], row["b"] = idx.k1, idx.b
+    row["bucket_bits"] = idx.bucket_bits
+    print(json.dumps({"action": "stats", "index_dir": args.index_dir, **row}))
+
+
 def cmd_msearch(spark: SparkSession, args) -> None:
     from neural_search_spark.index.build import load_index
     from neural_search_spark.query.msearch import msearch
@@ -219,6 +230,9 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--profile", action="store_true",
                    help="also report block-skip pruning counters")
 
+    st = sub.add_parser("stats", help="index-level statistics")
+    st.add_argument("--index-dir", required=True)
+
     ms = sub.add_parser("msearch", help="batched multi-query BM25 (one job)")
     ms.add_argument("--index-dir", required=True)
     ms.add_argument("--query", action="append", required=True,
@@ -279,7 +293,7 @@ def main(argv: list[str] | None = None) -> None:
     try:
         {"build": cmd_build, "append": cmd_append, "search": cmd_search,
          "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
-         "ann": cmd_ann}[args.cmd](spark, args)
+         "ann": cmd_ann, "stats": cmd_stats}[args.cmd](spark, args)
     finally:
         spark.stop()
 

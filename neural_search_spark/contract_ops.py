@@ -166,6 +166,27 @@ def q_wand_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-level stats (reference stats-API analog). n_postings equality
+    with the corpus-side COUNT(DISTINCT doc, term) is an end-to-end encode
+    invariant — any dropped or duplicated posting breaks this entry."""
+    from neural_search_spark.index.build import index_stats
+
+    idx = _get_index(spark, sf_dir)
+    return index_stats(idx).select(
+        "n_docs", F.round("avgdl", 4).alias("avgdl"), "n_terms", "n_postings"
+    )
+
+
+INDEX_STATS_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL})
+    SELECT (SELECT count(*) FROM dl) AS n_docs,
+           round((SELECT avg(doclen) FROM dl), 4) AS avgdl,
+           (SELECT count(DISTINCT term) FROM tf) AS n_terms,
+           (SELECT count(*) FROM tf) AS n_postings
+"""
+
+
 # batched multi-search: one rare, one multi-term mid, one heavy query —
 # all three run in ONE Spark job sharing the postings scan + decode cache
 MSEARCH_BATCH = {
@@ -992,6 +1013,7 @@ SPARK_QUERIES_EXT = {
     "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
     "wand_topk_weighted": q_wand_weighted,
     "wand_topk_tuned": q_wand_tuned,
+    "index_stats": q_index_stats,
     "msearch_topk": q_msearch_topk,
     "wand_search_after": q_wand_search_after,
     "wand_filtered": q_wand_filtered,
@@ -1033,6 +1055,7 @@ ORACLE_SQL_EXT = {
     "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),
     "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
     "wand_topk_tuned": _bm25_exact_sql(WAND_TERMS_MULTI, 10, TUNED_K1, TUNED_B),
+    "index_stats": INDEX_STATS_SQL,
     "msearch_topk": _msearch_sql(MSEARCH_BATCH, 10),
     "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
     "wand_filtered": _bm25_filtered_sql(WAND_TERMS_MULTI, 10, FILTER_MIN_DOCLEN),

@@ -457,6 +457,34 @@ class Index:
         return self
 
 
+def index_stats(index: Index) -> DataFrame:
+    """One-row index statistics — the analog of the reference's stats API
+    surface (reference: main/transport/NeuralSparseWarmupTransportAction.java
+    siblings expose per-index cache/postings stats; OpenSearch `_stats`).
+
+    ONE aggregate over the postings table, all JVM-side (`F.aggregate` over
+    the blocks array — no explode, no Python). ``n_postings`` is the exact
+    sum of per-block counts, so equality with the corpus-side
+    COUNT(DISTINCT doc, term) is an end-to-end encode invariant: any
+    dropped/duplicated posting anywhere in tokenize → shuffle → block
+    encode breaks it. Tombstoned docs remain counted until compaction
+    (their postings are still on disk), reported via ``n_tombstones``.
+    """
+    n_tomb = index.tombstones.count() if index.tombstones is not None else 0
+    return index.postings.agg(
+        F.lit(index.n_docs).cast("long").alias("n_docs"),
+        F.lit(float(index.avgdl)).alias("avgdl"),
+        F.count_distinct("termID").alias("n_terms"),
+        F.sum(
+            F.aggregate(
+                "blocks", F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+            )
+        ).alias("n_postings"),
+        F.sum(F.size("blocks")).cast("long").alias("n_blocks"),
+        F.lit(n_tomb).cast("long").alias("n_tombstones"),
+    )
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> Index:
     """Row-level deletes as an additive tombstone table.
 

@@ -174,6 +174,19 @@ def test_partial_build_resume(spark, corpus, tmp_path_factory):
     assert len(got) == 5
 
 
+def test_index_stats_invariant(spark, corpus, index, brute):
+    """index_stats n_postings/n_terms must equal corpus-side distinct
+    (doc, term) / distinct term counts — end-to-end encode invariant."""
+    from neural_search_spark.index.build import index_stats
+
+    tf, dl, stats = brute
+    row = index_stats(index).collect()[0]
+    assert row["n_postings"] == tf.count()
+    assert row["n_terms"] == tf.select("term").distinct().count()
+    assert row["n_docs"] == index.n_docs and row["n_tombstones"] == 0
+    assert row["n_blocks"] >= row["n_terms"]  # ≥ one block per (term, bucket)
+
+
 def test_docmap_payload_join(index):
     """Fetch phase: top-k docIDs join back to (repo, path, commit, sha256)."""
     res = wand.search(index, ["uniq_5"], k=1)
