@@ -102,8 +102,9 @@ def cmd_msearch(spark: SparkSession, args) -> None:
     idx = load_index(spark, args.index_dir)
     if args.warmup:
         idx.warmup()
-    batch = {f"q{i}": q.split() if " " in q else [q]
-             for i, q in enumerate(args.query)}
+    # raw strings: msearch runs them through tokenize_query (lowercase +
+    # [a-z0-9_] splits), matching the single-query search CLI's analysis
+    batch = {f"q{i}": q for i, q in enumerate(args.query)}
     t0 = time.perf_counter()
     rows = msearch(idx, batch, k=args.k).collect()
     wall = time.perf_counter() - t0
@@ -129,9 +130,8 @@ def cmd_hybrid(spark: SparkSession, args) -> None:
         k=args.k, normalization=args.normalization,
         combination=args.combination, pagination_depth=args.depth,
     ))
-    rows = hybrid_search(
-        idx, [q.split() if " " in q else [q] for q in args.subquery], **kwargs
-    ).collect()
+    # raw strings: hybrid_search tokenizes str sub-queries itself
+    rows = hybrid_search(idx, list(args.subquery), **kwargs).collect()
     print(json.dumps({
         "subqueries": args.subquery, "normalization": args.normalization,
         "combination": args.combination,

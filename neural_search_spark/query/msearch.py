@@ -159,10 +159,10 @@ def msearch(
     # query in the batch) ---
     thetas: dict[str, float] = {}
     multi = [qid for qid, terms in qspecs.items() if len(terms) > 1]
-    want_seed = (
-        bool(multi)
-        and seed_theta in (True, "auto")
-        and index.n_docs * len(all_terms) / n_buckets > exact_threshold
+    want_seed = bool(multi) and (
+        seed_theta is True  # True forces seeding (same contract as wand.search)
+        or (seed_theta == "auto"
+            and index.n_docs * len(all_terms) / n_buckets > exact_threshold)
     )
     if want_seed:
         stat = sub.groupBy("term").agg(

@@ -92,6 +92,10 @@ def test_msearch_respects_tombstones(spark, corpus, tmp_path_factory):
     want = [(r["docID"], r["score"])
             for r in wand.search(idx, ["parse", "buffer"], k=5).collect()]
     assert [(r["docID"], r["score"]) for r in after] == want
+    # forced seeding must mask tombstones in the driver-side sample too
+    seeded = msearch(idx, {"q": ["parse", "buffer"]}, k=5,
+                     seed_theta=True).collect()
+    assert [(r["docID"], r["score"]) for r in seeded] == want
 
 
 def test_msearch_empty_batch(index):
