@@ -84,6 +84,19 @@ def cmd_search(spark: SparkSession, args) -> None:
     print(json.dumps(out))
 
 
+def cmd_compact(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.merge import compact_index
+
+    t0 = time.perf_counter()
+    idx = compact_index(spark, args.index_dir)
+    print(json.dumps({
+        "action": "compact", "index_dir": args.index_dir,
+        "n_docs": idx.n_docs,
+        "tombstones_remaining": 0 if idx.tombstones is None else idx.tombstones.count(),
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }))
+
+
 def cmd_stats(spark: SparkSession, args) -> None:
     from neural_search_spark.index.build import index_stats, load_index
 
@@ -233,6 +246,9 @@ def main(argv: list[str] | None = None) -> None:
     st = sub.add_parser("stats", help="index-level statistics")
     st.add_argument("--index-dir", required=True)
 
+    cp = sub.add_parser("compact", help="force-merge: apply deletes, clear mask")
+    cp.add_argument("--index-dir", required=True)
+
     ms = sub.add_parser("msearch", help="batched multi-query BM25 (one job)")
     ms.add_argument("--index-dir", required=True)
     ms.add_argument("--query", action="append", required=True,
@@ -293,7 +309,8 @@ def main(argv: list[str] | None = None) -> None:
     try:
         {"build": cmd_build, "append": cmd_append, "search": cmd_search,
          "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
-         "ann": cmd_ann, "stats": cmd_stats}[args.cmd](spark, args)
+         "ann": cmd_ann, "stats": cmd_stats,
+         "compact": cmd_compact}[args.cmd](spark, args)
     finally:
         spark.stop()
 

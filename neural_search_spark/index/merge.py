@@ -112,7 +112,7 @@ def decode_postings(postings: DataFrame) -> DataFrame:
 def append_to_index(
     spark: SparkSession,
     index_dir: str,
-    new_corpus: DataFrame,
+    new_corpus: DataFrame | None,
     *,
     text_col: str = "content",
     id_col: str = "docID",
@@ -124,6 +124,10 @@ def append_to_index(
     old-corpus ∪ new-corpus (tested invariant), without re-reading the old
     corpus' content. Only NEW docIDs are supported (no update/delete;
     deletes are an anti-join tombstone at query time, SURVEY.md §2.2).
+
+    ``new_corpus=None`` runs a compaction-only merge (``compact_index``):
+    tombstoned postings are physically dropped and the mask cleared, with
+    no delta ingested — the reference's force-merge analog.
 
     ``check_disjoint`` is the only guard against double-ingest: a *crashed*
     append resumes correctly when re-run (same fingerprint → committed
@@ -139,6 +143,9 @@ def append_to_index(
     if done is None:
         raise ValueError(f"{index_dir} has no completed build to append to")
     cfg_old = done["config"]
+    if new_corpus is None:  # compaction has no delta to name columns for —
+        text_col = str(cfg_old.get("text_col", text_col))  # use the index's
+        id_col = str(cfg_old.get("id_col", id_col))
     block_size = int(cfg_old["block_size"])
     blocks_per_row = int(cfg_old["blocks_per_row"])
 
@@ -170,8 +177,11 @@ def append_to_index(
         old_doclens = old_doclens.join(tombs, id_col, "left_anti")
         old_docmap = old_docmap.join(tombs, id_col, "left_anti")
 
-    n_new = new_corpus.count()
-    if check_disjoint:
+    if new_corpus is None and tombs is None:
+        return load_index(spark, index_dir)  # nothing to compact — no-op
+
+    n_new = new_corpus.count() if new_corpus is not None else 0
+    if check_disjoint and new_corpus is not None:
         clash = (
             new_corpus.select(F.col(id_col))
             .join(old_doclens.select(F.col(id_col)), id_col, "left_semi")
@@ -205,7 +215,10 @@ def append_to_index(
         "appended_from": man.stages.get("_config", {}).get("fingerprint"),
     }
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
-    meta_cols = [c for c in new_corpus.columns if c != text_col]
+    meta_cols = (
+        [c for c in new_corpus.columns if c != text_col]
+        if new_corpus is not None else [id_col]
+    )
 
     def run_stage(stage: str, tables: dict[str, DataFrame]) -> None:
         m = Manifest.load(index_dir)
@@ -224,15 +237,19 @@ def append_to_index(
         m.commit()
 
     # stage 1 — merged docmap / doclens (old snapshots stay on disk)
-    dl_new = doc_lengths(new_corpus, text_col, id_col)
-    docmap_new = (
-        new_corpus.select(*meta_cols).join(dl_new, id_col)
-        if meta_cols != [id_col] else dl_new
-    )
-    run_stage("docmap", {"docmap": old_docmap.unionByName(docmap_new)})
-    run_stage("doclens", {
-        "doclens": old_doclens.unionByName(dl_new.select(id_col, "doclen", "sha256"))
-    })
+    if new_corpus is not None:
+        dl_new = doc_lengths(new_corpus, text_col, id_col)
+        docmap_new = (
+            new_corpus.select(*meta_cols).join(dl_new, id_col)
+            if meta_cols != [id_col] else dl_new
+        )
+        run_stage("docmap", {"docmap": old_docmap.unionByName(docmap_new)})
+        run_stage("doclens", {
+            "doclens": old_doclens.unionByName(dl_new.select(id_col, "doclen", "sha256"))
+        })
+    else:  # compaction: live rows only, no delta
+        run_stage("docmap", {"docmap": old_docmap})
+        run_stage("doclens", {"doclens": old_doclens})
     dl_all = snapshot_read(spark, index_dir, "doclens")
 
     # stage 2 — merged stats
@@ -249,12 +266,15 @@ def append_to_index(
             runs_old = runs_old.join(
                 tombs.select(F.col(id_col).alias("docID")), "docID", "left_anti"
             )
-        runs_new = (
-            token_runs(new_corpus, text_col, id_col)
-            .withColumnRenamed(id_col, "docID")
-            .select("term", "docID", "tf", "doclen")
-        )
-        runs = runs_old.unionByName(runs_new)
+        if new_corpus is not None:
+            runs_new = (
+                token_runs(new_corpus, text_col, id_col)
+                .withColumnRenamed(id_col, "docID")
+                .select("term", "docID", "tf", "doclen")
+            )
+            runs = runs_old.unionByName(runs_new)
+        else:
+            runs = runs_old
         run_stage("postings", {
             "postings": runs_to_postings(
                 runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row,
@@ -275,3 +295,16 @@ def append_to_index(
     })
     man.commit()
     return load_index(spark, index_dir)
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> Index:
+    """Force-merge analog: physically drop tombstoned postings and clear the
+    mask, ingesting nothing (reference: OpenSearch `_forcemerge` rewrites
+    segments applying deletes; Iceberg calls this rewriting positional
+    deletes into data files). No-op when the index has no tombstones.
+
+    Same decode → one (termID, bucket) shuffle → re-encode path as an
+    append, so compacted ≡ fresh build over the live corpus (tested), and
+    the operation is resumable through the same manifest stages.
+    """
+    return append_to_index(spark, index_dir, None)

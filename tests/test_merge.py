@@ -99,3 +99,37 @@ def test_append_rejects_duplicate_ids(spark, corpora, indexes):
     _, merged = indexes
     with pytest.raises(ValueError, match="already exist"):
         append_to_index(spark, merged.index_dir, part_a)
+
+
+def test_compaction_equals_fresh_build(spark, corpora):
+    """compact_index (force-merge analog) ≡ fresh build over the live docs:
+    byte-identical postings, tombstones cleared, stats shrunk."""
+    from neural_search_spark.index.build import delete_docs, load_index
+    from neural_search_spark.index.merge import compact_index
+
+    corpus, _, _ = corpora
+    victims = [r["docID"] for r in corpus.select("docID").limit(20).collect()]
+    d_tomb = tempfile.mkdtemp(prefix="nss-compact-")
+    d_live = tempfile.mkdtemp(prefix="nss-compact-live-")
+    try:
+        build_index(spark, corpus, d_tomb, resume=False)
+        delete_docs(spark, d_tomb, victims)
+        compacted = compact_index(spark, d_tomb)
+        assert compacted.tombstones is None
+        assert compacted.n_docs == N_DOCS - len(victims)
+
+        live = corpus.where(~F.col("docID").isin(victims))
+        fresh = build_index(spark, live, d_live, resume=False)
+        assert _canon_postings(compacted) == _canon_postings(fresh)
+        got = [(r["docID"], r["score"]) for r in
+               wand.search(compacted, ["def", "return"], k=10).collect()]
+        want = [(r["docID"], r["score"]) for r in
+                wand.search(fresh, ["def", "return"], k=10).collect()]
+        assert got == want
+
+        # compacting an index with no tombstones is a no-op
+        again = compact_index(spark, d_tomb)
+        assert again.n_docs == compacted.n_docs and again.tombstones is None
+    finally:
+        shutil.rmtree(d_tomb, ignore_errors=True)
+        shutil.rmtree(d_live, ignore_errors=True)
