@@ -54,15 +54,15 @@ def cmd_build(spark: SparkSession, args) -> None:
 
 
 def cmd_append(spark: SparkSession, args) -> None:
-    from neural_search_spark.index.merge import append_to_index
+    from neural_search_spark.index.merge import append_to_index, upsert_to_index
 
     delta, id_col = _load_input(spark, args)
     t0 = time.perf_counter()
-    idx = append_to_index(
-        spark, args.index_dir, delta, text_col=args.text_col, id_col=id_col,
-    )
+    fn = upsert_to_index if args.upsert else append_to_index
+    idx = fn(spark, args.index_dir, delta, text_col=args.text_col, id_col=id_col)
     print(json.dumps({
-        "action": "append", "index_dir": args.index_dir, "n_docs": idx.n_docs,
+        "action": "upsert" if args.upsert else "append",
+        "index_dir": args.index_dir, "n_docs": idx.n_docs,
         "wall_s": round(time.perf_counter() - t0, 2),
     }))
 
@@ -234,6 +234,8 @@ def main(argv: list[str] | None = None) -> None:
     a = sub.add_parser("append", help="append a delta to a committed index")
     common_input(a)
     a.add_argument("--index-dir", required=True)
+    a.add_argument("--upsert", action="store_true",
+                   help="existing ids replace the old doc version")
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("--index-dir", required=True)

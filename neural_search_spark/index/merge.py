@@ -308,3 +308,35 @@ def compact_index(spark: SparkSession, index_dir: str) -> Index:
     the operation is resumable through the same manifest stages.
     """
     return append_to_index(spark, index_dir, None)
+
+
+def upsert_to_index(
+    spark: SparkSession,
+    index_dir: str,
+    delta: DataFrame,
+    *,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> Index:
+    """Update-or-insert: docs whose id already exists replace the old
+    version; new ids are appended — the reference's document indexing
+    semantics (same _id overwrites; OpenSearch index API).
+
+    Overlapping ids are tombstoned first, then the ordinary append merge
+    physically drops them (its compaction leg) and ingests the new
+    versions: one extra tombstone write, still ONE (termID, bucket)
+    shuffle. The result is identical to a fresh build over
+    (old corpus minus replaced ids) ∪ delta (tested byte-identically).
+    Run against a COMPLETED index (mid-append manifests are not supported).
+    """
+    from neural_search_spark.index.build import delete_docs
+
+    doclens = snapshot_read(spark, index_dir, "doclens")
+    existing = delta.select(F.col(id_col)).join(
+        doclens.select(F.col(id_col)), id_col, "left_semi"
+    )
+    if existing.limit(1).count():
+        delete_docs(spark, index_dir, existing)
+    return append_to_index(
+        spark, index_dir, delta, text_col=text_col, id_col=id_col
+    )

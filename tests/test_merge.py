@@ -133,3 +133,43 @@ def test_compaction_equals_fresh_build(spark, corpora):
     finally:
         shutil.rmtree(d_tomb, ignore_errors=True)
         shutil.rmtree(d_live, ignore_errors=True)
+
+
+def test_upsert_equals_fresh_build(spark, corpora):
+    """upsert (replace-by-id + insert) ≡ fresh build over the updated corpus."""
+    from neural_search_spark.index.merge import upsert_to_index
+
+    corpus, _, _ = corpora
+    ids = sorted(r["docID"] for r in corpus.select("docID").collect())
+    replaced = set(ids[:25])
+    # delta: 25 changed versions of existing docs + 15 brand-new docs
+    changed = (
+        corpus.where(F.col("docID").isin(replaced))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" upserted_token")))
+    )
+    fresh_docs = with_doc_id(
+        generate_corpus(spark, 15, seed=99).selectExpr(
+            "concat('upsert/', repo) AS repo", "path", "commit", "lang", "content"
+        )
+    )
+    delta = changed.unionByName(fresh_docs)
+
+    d_ups = tempfile.mkdtemp(prefix="nss-upsert-")
+    d_ref = tempfile.mkdtemp(prefix="nss-upsert-ref-")
+    try:
+        build_index(spark, corpus, d_ups, resume=False)
+        upserted = upsert_to_index(spark, d_ups, delta)
+        assert upserted.n_docs == N_DOCS + 15
+        assert upserted.tombstones is None  # merge compacted them
+
+        updated_corpus = corpus.where(~F.col("docID").isin(replaced)).unionByName(delta)
+        ref = build_index(spark, updated_corpus, d_ref, resume=False)
+        assert _canon_postings(upserted) == _canon_postings(ref)
+        got = [(r["docID"], r["score"]) for r in
+               wand.search(upserted, ["upserted_token"], k=30).collect()]
+        want = [(r["docID"], r["score"]) for r in
+                wand.search(ref, ["upserted_token"], k=30).collect()]
+        assert got == want and len(got) == 25
+    finally:
+        shutil.rmtree(d_ups, ignore_errors=True)
+        shutil.rmtree(d_ref, ignore_errors=True)
