@@ -904,6 +904,38 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 4).alias("score"))
 
 
+BATCH_QUERY_IDS = (0, 1, 2)  # embeddings rows used as batched query vectors
+
+
+def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector msearch: 3 query vectors, ONE scan + per-query window top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qrows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id").isin(list(BATCH_QUERY_IDS)))
+        .select("vec_id", "embedding").collect()
+    )
+    queries = {f"v{r['vec_id']}": [float(x) for x in r["embedding"]]
+               for r in qrows}
+    res = similarity.cosine_topk_batch(emb, queries, k=10)
+    return res.select(
+        "query_id", "vec_id", F.round("score", 4).alias("score")
+    )
+
+
+def _cosine_batch_sql(query_ids, k: int) -> str:
+    def one(qid: int) -> str:
+        return COSINE_TOPK_SQL.replace("vec_id = 0", f"vec_id = {qid}")
+
+    legs = " UNION ALL ".join(
+        f"SELECT 'v{qid}' AS query_id, vec_id, score FROM ({one(qid)})"
+        for qid in query_ids
+    )
+    return f"SELECT * FROM ({legs}) ORDER BY query_id, score DESC, vec_id"
+
+
 COSINE_TOPK_SQL = """
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
@@ -1042,6 +1074,7 @@ SPARK_QUERIES_EXT = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_batch": q_cosine_topk_batch,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1084,6 +1117,7 @@ ORACLE_SQL_EXT = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     # minhash_lsh_pairs / simhash_pairs: rows-only
     "cosine_topk": COSINE_TOPK_SQL,
+    "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)
     "multimodal_features": MULTIMODAL_SQL,

@@ -25,7 +25,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType, LongType
 
 __all__ = [
-    "cosine_topk", "lsh_topk", "ivf_topk", "embedding_near_dup_pairs",
+    "cosine_topk", "cosine_topk_batch", "lsh_topk", "ivf_topk",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -61,6 +62,62 @@ def cosine_topk(
         emb.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    queries: dict[str, list[float]] | list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batched exact cosine top-k: Q query vectors scored in ONE scan of the
+    vector table (the vector analog of ``query.msearch``). Returns
+    (query_id, id, score) with each query's exact top-k.
+
+    Plan: the Q-row query frame is broadcast into a cross join (Q ≪ N),
+    the dot product is a JVM-side ``zip_with``/``aggregate`` fold, and the
+    per-query top-k is a row_number window that Catalyst pre-limits per
+    partition (Partial/Final WindowGroupLimit) — the post-scan shuffle is
+    O(n_partitions · k · Q) regardless of table size. Per-query results are
+    rank-identical to ``cosine_topk``.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(queries, dict):
+        queries = {f"q{i}": q for i, q in enumerate(queries)}
+    if not queries:
+        emb.sparkSession  # touch for symmetry; empty result frame below
+        return emb.select(
+            F.lit("").alias("query_id"), F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
+    spark = emb.sparkSession
+    rows = [
+        (str(qid), [float(x) for x in vec],
+         float(np.linalg.norm(np.asarray(vec, dtype=np.float64))))
+        for qid, vec in sorted(queries.items())
+    ]
+    qdf = spark.createDataFrame(
+        rows, "query_id string, qvec array<double>, qnorm double"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    score = dot / (_norm(vec_col) * F.col("qnorm"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = emb.crossJoin(F.broadcast(qdf)).select(
+        "query_id", F.col(id_col), score.alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy(F.asc("query_id"), F.desc("score"), F.asc(id_col))
     )
 
 
