@@ -180,7 +180,26 @@ def append_to_index(
     if new_corpus is None and tombs is None:
         return load_index(spark, index_dir)  # nothing to compact — no-op
 
-    n_new = new_corpus.count() if new_corpus is not None else 0
+    # one column-pruned pass: delta size + order-independent id-set hash.
+    # The hash goes into the resume fingerprint (same role as build_index's
+    # ids_fp): retrying a crashed append/upsert with a DIFFERENT delta of
+    # the same size must not resume onto the crashed run's stage snapshots.
+    n_new, delta_ids_fp = 0, 0
+    if new_corpus is not None:
+        agg = new_corpus.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({id_col}))").alias("idfp"),
+            F.count_distinct(F.col(id_col)).alias("nd"),
+        ).collect()[0]
+        n_new, delta_ids_fp = int(agg["n"]), int(agg["idfp"] or 0)
+        if check_disjoint and int(agg["nd"]) != n_new:
+            # intra-delta duplicate ids would produce two doclens rows and
+            # merged postings for one doc (a chimera); callers batching
+            # multiple updates per id must pre-reduce to one row per id
+            raise ValueError(
+                f"{n_new - int(agg['nd'])} duplicate docIDs within the delta "
+                "(one row per id required; keep the latest version upstream)"
+            )
     if check_disjoint and new_corpus is not None:
         clash = (
             new_corpus.select(F.col(id_col))
@@ -212,6 +231,7 @@ def append_to_index(
         # merged index is format 2 regardless of the source format
         "format": 2, "k1": k1, "b": b,
         "bucket_bits": bucket_bits, "n_docs": n_total,
+        "delta_ids_fp": delta_ids_fp,
         "appended_from": man.stages.get("_config", {}).get("fingerprint"),
     }
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]

@@ -135,6 +135,49 @@ def test_compaction_equals_fresh_build(spark, corpora):
         shutil.rmtree(d_live, ignore_errors=True)
 
 
+def test_crashed_append_does_not_leak_into_different_delta(spark, corpora, monkeypatch):
+    """A crashed append with delta X must not resume onto its stage snapshots
+    when re-run with a DIFFERENT delta Y of the same size: the fingerprint
+    includes an order-independent hash of the delta's docIDs, so Y gets a
+    fresh fingerprint and recomputes every stage."""
+    import neural_search_spark.index.merge as merge_mod
+
+    corpus, part_a, part_b = corpora
+    ids_b = sorted(r["docID"] for r in part_b.select("docID").collect())
+    n = len(ids_b) // 2
+    # same size, disjoint id sets — explicit so both evaluations are stable
+    delta_x = part_b.where(F.col("docID").isin(ids_b[:n]))
+    delta_y = part_b.where(F.col("docID").isin(ids_b[n:2 * n]))
+
+    d_base = tempfile.mkdtemp(prefix="nss-crash-")
+    d_ref = tempfile.mkdtemp(prefix="nss-crash-ref-")
+    try:
+        build_index(spark, part_a, d_base, resume=False)
+
+        # crash the X append after docmap/doclens stages committed
+        real_stats = merge_mod.corpus_stats
+        def boom(*a, **kw):
+            raise RuntimeError("injected crash before stats stage")
+        monkeypatch.setattr(merge_mod, "corpus_stats", boom)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            append_to_index(spark, d_base, delta_x)
+        monkeypatch.setattr(merge_mod, "corpus_stats", real_stats)
+
+        # now append delta Y (same size, different ids): must NOT reuse X's
+        # docmap/doclens snapshots
+        merged = append_to_index(spark, d_base, delta_y)
+        ref = build_index(
+            spark, part_a.unionByName(delta_y), d_ref, resume=False
+        )
+        assert _canon_postings(merged) == _canon_postings(ref)
+        got_ids = sorted(r["docID"] for r in merged.doclens.select("docID").collect())
+        want_ids = sorted(r["docID"] for r in ref.doclens.select("docID").collect())
+        assert got_ids == want_ids  # no delta-X ids leaked in
+    finally:
+        shutil.rmtree(d_base, ignore_errors=True)
+        shutil.rmtree(d_ref, ignore_errors=True)
+
+
 def test_upsert_equals_fresh_build(spark, corpora):
     """upsert (replace-by-id + insert) ≡ fresh build over the updated corpus."""
     from neural_search_spark.index.merge import upsert_to_index
