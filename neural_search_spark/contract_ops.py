@@ -580,6 +580,7 @@ def _hybrid_bounded_sql(
     lower_bounds, upper_bounds,
     depth: int = HYBRID_DEPTH, k: int = HYBRID_K,
     from_: int = 0, explain: bool = False,
+    min_score: float | None = None,
 ) -> str:
     """min_max + arithmetic_mean hybrid oracle with optional bounds /
     offset / explain columns (shares the sub-query CTE shape of _hybrid_sql)."""
@@ -618,13 +619,14 @@ def _hybrid_bounded_sql(
         f", round(s{i}, 4) AS nscore_{i}" for i in range(n)
     ) if explain else ""
     extra_in = "".join(f", s{i}" for i in range(n)) if explain else ""
+    floor = f"WHERE cscore >= {min_score!r}" if min_score is not None else ""
     return f"""
     WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
          stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
          {", ".join(subs)}, {", ".join(norms)},
          pv AS (SELECT coalesce({id_expr}) AS doc_id, {sel} FROM {joined})
     SELECT doc_id, round(cscore, 4) AS score{extra_out} FROM (
-      SELECT doc_id, {comb} AS cscore{extra_in} FROM pv
+      SELECT * FROM (SELECT doc_id, {comb} AS cscore{extra_in} FROM pv) {floor}
       ORDER BY cscore DESC, doc_id ASC LIMIT {k} OFFSET {from_}
     ) ORDER BY score DESC, doc_id ASC
     """
@@ -1037,6 +1039,258 @@ MULTIMODAL_SQL = """
 """
 
 
+# ----------------------------------------------- hybrid: min_score floor
+
+# bites at sf0.01: combined top-10 spans ~[0.24, 0.58] — 0.3 keeps 6 of 10
+HYBRID_MIN_SCORE = 0.3
+
+
+def q_hybrid_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-combination score floor (the reference re-applies min_score to
+    the COMBINED result, not per sub-query —
+    main/search/query/HybridAggregationProcessor.java)."""
+    idx = _get_index(spark, sf_dir)
+    res = hybrid.hybrid_search(
+        idx, HYBRID_SUBS, k=HYBRID_K, normalization="min_max",
+        combination="arithmetic_mean", pagination_depth=HYBRID_DEPTH,
+        min_score=HYBRID_MIN_SCORE,
+    )
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+# ----------------------------------------------- aggregations (aggs body)
+
+# the aggregation query context: every doc matching this disjunction
+AGG_QUERY = ["data", "query"]
+_AGG_MATCHED_CTE = f"""
+    tf AS ({_TF_SQL}),
+    m AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('data', 'query'))
+"""
+
+
+def _agg_docs(spark: SparkSession, sf_dir: str):
+    from neural_search_spark.query import aggs
+
+    idx = _get_index(spark, sf_dir)
+    return aggs, idx, _docs(spark, sf_dir)
+
+
+def q_agg_terms_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms bucket + sibling metric sub-aggs in ONE groupBy pass."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {"avg_chars": {"avg": {"field": "n_chars"}},
+                           "n_src": {"cardinality": {"field": "source"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["langs"].select(
+        "key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"), "n_src"
+    )
+
+
+AGG_TERMS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_src
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram over match-all (no query clause → every live doc)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "hist": {"histogram": {"field": "n_chars", "interval": 200}},
+    }, query=None, doc_values=docs, doc_values_id="doc_id")
+    return out["hist"]
+
+
+AGG_HIST_SQL = """
+    SELECT floor(n_chars / 200.0) * 200.0 AS key, count(*) AS doc_count
+    FROM documents GROUP BY 1 ORDER BY key ASC
+"""
+
+
+def q_agg_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping range buckets: one doc lands in several buckets, single
+    scan (literal bucket array filtered per row + explode)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "r": {"range": {"field": "n_chars", "ranges": [
+            {"to": 400}, {"from": 200, "to": 800}, {"from": 600},
+        ]}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["r"]
+
+
+AGG_RANGE_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    md AS (SELECT n_chars FROM documents JOIN m USING (doc_id))
+    SELECT key, doc_count FROM (
+      SELECT '*-400' AS key, count(*) AS doc_count FROM md WHERE n_chars < 400
+      UNION ALL
+      SELECT '200-800', count(*) FROM md WHERE n_chars >= 200 AND n_chars < 800
+      UNION ALL
+      SELECT '600-*', count(*) FROM md WHERE n_chars >= 600
+    ) WHERE doc_count > 0 ORDER BY key
+"""
+
+
+def q_agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filters buckets: named predicates, overlapping membership."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "f": {"filters": {"filters": {
+            "en": "lang = 'en'", "long": "n_chars >= 500",
+        }}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["f"]
+
+
+AGG_FILTERS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    md AS (SELECT lang, n_chars FROM documents JOIN m USING (doc_id))
+    SELECT key, doc_count FROM (
+      SELECT 'en' AS key, count(*) AS doc_count FROM md WHERE lang = 'en'
+      UNION ALL
+      SELECT 'long', count(*) FROM md WHERE n_chars >= 500
+    ) WHERE doc_count > 0 ORDER BY key
+"""
+
+
+def q_agg_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "cs": {"extended_stats": {"field": "n_chars"}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["cs"].select(
+        "cs_count",
+        F.col("cs_min").cast("long").alias("cs_min"),
+        F.col("cs_max").cast("long").alias("cs_max"),
+        F.round("cs_avg", 4).alias("cs_avg"),
+        F.col("cs_sum").cast("long").alias("cs_sum"),
+        F.col("cs_sum_of_squares").cast("long").alias("cs_sum_of_squares"),
+        F.round("cs_variance", 4).alias("cs_variance"),
+        F.round("cs_std_deviation", 4).alias("cs_std_deviation"),
+    )
+
+
+AGG_EXT_STATS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    md AS (SELECT n_chars FROM documents JOIN m USING (doc_id))
+    SELECT count(*) AS cs_count,
+           CAST(min(n_chars) AS BIGINT) AS cs_min,
+           CAST(max(n_chars) AS BIGINT) AS cs_max,
+           round(avg(n_chars), 4) AS cs_avg,
+           CAST(sum(n_chars) AS BIGINT) AS cs_sum,
+           CAST(sum(CAST(n_chars AS DOUBLE) * n_chars) AS BIGINT)
+             AS cs_sum_of_squares,
+           round(var_pop(n_chars), 4) AS cs_variance,
+           round(stddev_pop(n_chars), 4) AS cs_std_deviation
+    FROM md
+"""
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (≡ SQL quantile_cont)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "p": {"percentiles": {"field": "n_chars",
+                              "percents": [25.0, 50.0, 95.0]}},
+    }, query=None, doc_values=docs, doc_values_id="doc_id")
+    return out["p"].select(
+        F.round("p_p25", 4).alias("p_p25"),
+        F.round("p_p50", 4).alias("p_p50"),
+        F.round("p_p95", 4).alias("p_p95"),
+    )
+
+
+AGG_PCT_SQL = """
+    SELECT round(quantile_cont(n_chars, 0.25), 4) AS p_p25,
+           round(quantile_cont(n_chars, 0.50), 4) AS p_p50,
+           round(quantile_cont(n_chars, 0.95), 4) AS p_p95
+    FROM documents
+"""
+
+
+def q_agg_global_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """global agg ESCAPES the query context: terms over every live doc even
+    though the request carries a query clause."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "all": {"global": {}, "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 10}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["all>langs"]
+
+
+AGG_GLOBAL_SQL = """
+    SELECT lang AS key, count(*) AS doc_count FROM documents
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
+def q_agg_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_bucket sibling pipeline over the terms frame's doc_count."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10}},
+        "lc": {"stats_bucket": {"buckets_path": "langs>doc_count"}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["lc"].select(
+        "lc_count", "lc_min", "lc_max",
+        F.round("lc_avg", 4).alias("lc_avg"), "lc_sum",
+    )
+
+
+AGG_PIPELINE_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    b AS (SELECT lang AS key, count(*) AS doc_count
+          FROM documents JOIN m USING (doc_id)
+          GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10)
+    SELECT count(doc_count) AS lc_count, min(doc_count) AS lc_min,
+           max(doc_count) AS lc_max, round(avg(doc_count), 4) AS lc_avg,
+           CAST(sum(doc_count) AS BIGINT) AS lc_sum
+    FROM b
+"""
+
+
+def q_agg_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms + top_hits: per-lang best-2 BY SCORE over the FULL matched set
+    (no top-k pruning — the aggregation sees every matched doc)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    th = aggs.top_hits_by_bucket(
+        idx, AGG_QUERY, "lang", size=2, doc_values=docs, doc_values_id="doc_id"
+    )
+    return th.select(
+        "key", F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+AGG_TOP_HITS_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ('data', 'query') GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / s.avgdl)) ) AS s
+           FROM tf JOIN dfreq USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+           GROUP BY tf.doc_id)
+    SELECT d.lang AS key, scored.doc_id AS doc_id, round(scored.s, 4) AS score
+    FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+    QUALIFY row_number() OVER (
+      PARTITION BY d.lang ORDER BY scored.s DESC, scored.doc_id ASC) <= 2
+    ORDER BY key, score DESC, doc_id ASC
+"""
+
+
 # ----------------------------------------------------------- registry
 
 SPARK_QUERIES_EXT = {
@@ -1058,6 +1312,16 @@ SPARK_QUERIES_EXT = {
     "hybrid_minmax_bounded": q_hybrid_minmax_bounded,
     "hybrid_from_offset": q_hybrid_from_offset,
     "hybrid_explain": q_hybrid_explain,
+    "hybrid_min_score": q_hybrid_min_score,
+    "agg_terms_metrics": q_agg_terms_metrics,
+    "agg_histogram": q_agg_histogram,
+    "agg_range_overlap": q_agg_range_overlap,
+    "agg_filters": q_agg_filters,
+    "agg_extended_stats": q_agg_extended_stats,
+    "agg_percentiles": q_agg_percentiles,
+    "agg_global_langs": q_agg_global_langs,
+    "agg_pipeline_stats": q_agg_pipeline_stats,
+    "agg_top_hits": q_agg_top_hits,
     "rerank_by_field": q_rerank_by_field,
     "collapse_top2_lang": q_collapse_top2_lang,
     "chunk_delimiter": q_chunk_delimiter,
@@ -1102,6 +1366,17 @@ ORACLE_SQL_EXT = {
         HYBRID_SUBS, HYBRID_LOWER_BOUNDS, HYBRID_UPPER_BOUNDS),
     "hybrid_from_offset": _hybrid_bounded_sql(HYBRID_SUBS, None, None, from_=5),
     "hybrid_explain": _hybrid_bounded_sql(HYBRID_SUBS, None, None, explain=True),
+    "hybrid_min_score": _hybrid_bounded_sql(
+        HYBRID_SUBS, None, None, min_score=HYBRID_MIN_SCORE),
+    "agg_terms_metrics": AGG_TERMS_SQL,
+    "agg_histogram": AGG_HIST_SQL,
+    "agg_range_overlap": AGG_RANGE_SQL,
+    "agg_filters": AGG_FILTERS_SQL,
+    "agg_extended_stats": AGG_EXT_STATS_SQL,
+    "agg_percentiles": AGG_PCT_SQL,
+    "agg_global_langs": AGG_GLOBAL_SQL,
+    "agg_pipeline_stats": AGG_PIPELINE_SQL,
+    "agg_top_hits": AGG_TOP_HITS_SQL,
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "collapse_top2_lang": COLLAPSE_SQL,
     "chunk_delimiter": CHUNK_DELIM_SQL,

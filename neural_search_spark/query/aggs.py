@@ -1,0 +1,424 @@
+"""Aggregations over a query's matched set — the search-request ``aggs`` body.
+
+The reference runs OpenSearch aggregations alongside hybrid queries: the
+aggregation sees EVERY document matched by the query (not the top-k page),
+with ``global`` aggs escaping the query context entirely
+(reference: main/search/query/HybridAggregationProcessor.java — aggs delegate
+to core collectors over the full matched doc set;
+test/query/aggregation/MetricAggregationsWithHybridQueryIT.java,
+BucketAggregationsWithHybridQueryIT.java,
+PipelineAggregationsWithHybridQueryIT.java define the supported surface).
+
+Spark shape, designed for the 100 TB case:
+
+* The matched set comes from the INDEX, not the corpus: a term-pruned
+  postings scan (row-group min/max pruning on the sorted term column) is
+  decoded by the vectorized block reader — the aggregation never touches
+  raw document text.
+* Field values come from the forward index (``index.docmap`` — the
+  doc-values analog) or any caller-supplied doc-attribute table, joined to
+  the matched ids on docID. Catalyst picks broadcast vs shuffle join by
+  size; the join is the only wide stage before the per-agg groupBys.
+* All sibling METRIC aggs at one level compile into ONE ``.agg()`` pass
+  (one job, map-side partial aggregation). Each BUCKET agg is its own
+  groupBy — inherent, they group by different keys. ``range`` and
+  ``filters`` buckets are single-pass: a literal bucket array is filtered
+  per row and exploded, so R overlapping ranges cost one scan, not R.
+* Pipeline (sibling) aggs run over the already-tiny buckets frame.
+
+Spec format mirrors the OpenSearch DSL close enough to port queries by hand::
+
+    aggregate(index, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                   "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}},
+        "chars_hist": {"histogram": {"field": "n_chars", "interval": 100}},
+        "chars_stats": {"extended_stats": {"field": "n_chars"}},
+        "all_langs": {"global": {}, "aggs": {"langs": {"terms": {"field": "lang"}}}},
+    }, query=["data", "query"], doc_values=docs_df)
+
+returns ``{name: DataFrame}`` — nested metric aggs are columns of their
+parent bucket frame (``langs`` → key, doc_count, avg_chars); nested bucket
+aggs surface as ``"parent>child"`` frames.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index.build import Index
+from neural_search_spark.query.bm25 import bm25_score_col
+
+METRIC_KINDS = frozenset({
+    "avg", "sum", "min", "max", "value_count", "cardinality",
+    "stats", "extended_stats", "percentiles",
+})
+BUCKET_KINDS = frozenset({
+    "terms", "histogram", "range", "filter", "filters", "global",
+})
+PIPELINE_KINDS = frozenset({
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+})
+
+
+def matched_docs(index: Index, query, where=None) -> DataFrame:
+    """DataFrame(docID) of every live document matching the disjunctive
+    query — the reference's "docs seen by the aggregation collector".
+
+    Term-pruned postings scan → vectorized block decode → distinct docID;
+    tombstones and the optional ``where`` (a predicate over docmap) are
+    applied exactly as in ``wand.search``.
+    """
+    from neural_search_spark.index.merge import decode_postings
+
+    terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
+    ids = (
+        decode_postings(index.postings.where(F.col("term").isin(terms)))
+        .select("docID").distinct()
+    )
+    if index.tombstones is not None:
+        ids = ids.join(index.tombstones.select("docID"), "docID", "left_anti")
+    if where is not None:
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID")
+        )
+        ids = ids.join(accepted, "docID", "left_semi")
+    return ids
+
+
+def scored_matches(
+    index: Index, query, weights: dict[str, float] | None = None, where=None,
+) -> DataFrame:
+    """DataFrame(docID, score): exact BM25 for EVERY matched doc (no top-k).
+
+    Feeds score-dependent aggs (``top_hits``) and post-combination
+    ``min_score`` filtering. Unlike ``wand.search`` this cannot prune — the
+    aggregation needs the whole matched set — so the plan is decode →
+    broadcast df/stats join → groupBy(docID) sum: one shuffle sized by the
+    matched postings, not the corpus.
+    """
+    from neural_search_spark.index.merge import decode_postings
+
+    terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
+    sub = index.postings.where(F.col("term").isin(terms))
+    dfreq = sub.groupBy("term").agg(F.first("df").alias("df"))
+    runs = decode_postings(sub)
+    k1, b = float(index.k1), float(index.b)
+    partial = bm25_score_col(
+        F.col("tf"), F.col("doclen"), F.col("df"),
+        F.lit(float(index.n_docs)), F.lit(float(index.avgdl)), k1, b,
+    )
+    if weights:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        partial = partial * F.coalesce(wmap[F.col("term")], F.lit(1.0))
+    scored = (
+        runs.join(F.broadcast(dfreq), "term")
+        .groupBy("docID").agg(F.sum(partial).alias("score"))
+    )
+    if index.tombstones is not None:
+        scored = scored.join(index.tombstones.select("docID"), "docID", "left_anti")
+    if where is not None:
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID")
+        )
+        scored = scored.join(accepted, "docID", "left_semi")
+    return scored
+
+
+def _field(body: dict) -> Column:
+    # "field" accepts a column name or any SQL expression (the script-field
+    # analog: the reference's scripted metric/bucket_script bodies)
+    return F.expr(str(body["field"]))
+
+
+def _metric_cols(name: str, kind: str, body: dict) -> list[tuple[str, Column]]:
+    """(alias, Column) pairs one metric agg contributes to the shared
+    ``.agg()`` pass."""
+    f = _field(body)
+    if kind == "avg":
+        return [(name, F.avg(f))]
+    if kind == "sum":
+        return [(name, F.sum(f))]
+    if kind == "min":
+        return [(name, F.min(f))]
+    if kind == "max":
+        return [(name, F.max(f))]
+    if kind == "value_count":
+        return [(name, F.count(f))]
+    if kind == "cardinality":
+        # exact by default; the reference's HLL sketch is the opt-in scale
+        # path (rows-only — approximate results can't be oracle-compared)
+        if body.get("approx"):
+            return [(name, F.approx_count_distinct(f))]
+        return [(name, F.count_distinct(f))]
+    if kind == "stats":
+        return [
+            (f"{name}_count", F.count(f)), (f"{name}_min", F.min(f)),
+            (f"{name}_max", F.max(f)), (f"{name}_avg", F.avg(f)),
+            (f"{name}_sum", F.sum(f)),
+        ]
+    if kind == "extended_stats":
+        # population variance/stddev + sum of squares, matching OpenSearch
+        # extended_stats (test/query/aggregation/MetricAggregations...IT
+        # testExtendedStatsAggs)
+        d = f.cast("double")
+        return [
+            (f"{name}_count", F.count(f)), (f"{name}_min", F.min(f)),
+            (f"{name}_max", F.max(f)), (f"{name}_avg", F.avg(f)),
+            (f"{name}_sum", F.sum(f)),
+            (f"{name}_sum_of_squares", F.sum(d * d)),
+            (f"{name}_variance", F.var_pop(f)),
+            (f"{name}_std_deviation", F.stddev_pop(f)),
+        ]
+    if kind == "percentiles":
+        pcts = body.get("percents", [25.0, 50.0, 75.0, 95.0, 99.0])
+        # exact linear-interpolation percentile (same definition as SQL
+        # quantile_cont / percentile_cont — oracle-comparable)
+        return [
+            (f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}",
+             F.percentile(f, F.lit(p / 100.0)))
+            for p in pcts
+        ]
+    raise ValueError(f"unknown metric aggregation: {kind}")
+
+
+def _one_of(spec: dict) -> tuple[str, dict]:
+    kinds = [k for k in spec if k != "aggs"]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"aggregation must have exactly one type, got {sorted(kinds)}"
+        )
+    kind = kinds[0]
+    body = spec[kind]
+    if not isinstance(body, dict):
+        raise ValueError(f"aggregation body for '{kind}' must be a dict")
+    return kind, body
+
+
+def _predicate(p) -> Column:
+    return F.expr(p) if isinstance(p, str) else p
+
+
+def _bucket_frame(base: DataFrame, kind: str, body: dict,
+                  key_alias: str) -> tuple[DataFrame, list[str]]:
+    """Attach this bucket agg's key column(s) to ``base``.
+
+    Returns (frame, key column names). ``range``/``filters`` allow one doc
+    in several (possibly overlapping) buckets — a literal bucket array is
+    filtered per row and exploded: single pass regardless of bucket count.
+    """
+    if kind == "terms":
+        return base.withColumn(key_alias, _field(body)), [key_alias]
+    if kind == "histogram":
+        interval = float(body["interval"])
+        if interval <= 0:
+            raise ValueError("histogram interval must be > 0")
+        key = F.floor(_field(body).cast("double") / interval) * interval
+        return base.withColumn(key_alias, key), [key_alias]
+    if kind == "range":
+        f = _field(body).cast("double")
+        ranges = body["ranges"]
+        arms = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            label = r.get("key") or f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (f >= F.lit(float(lo)))
+            if hi is not None:
+                cond = cond & (f < F.lit(float(hi)))
+            arms.append(F.when(cond, F.lit(label)))
+        keys = F.array_compact(F.array(*arms))
+        return (
+            base.withColumn(key_alias, F.explode(keys)), [key_alias]
+        )
+    if kind == "filters":
+        arms = [
+            F.when(_predicate(pred), F.lit(str(label)))
+            for label, pred in sorted(body["filters"].items())
+        ]
+        keys = F.array_compact(F.array(*arms))
+        return base.withColumn(key_alias, F.explode(keys)), [key_alias]
+    if kind == "filter":
+        return base.where(_predicate(body["predicate"])), []
+    raise ValueError(f"unknown bucket aggregation: {kind}")
+
+
+def _run_level(
+    base: DataFrame, group_cols: list[str], spec: dict[str, Any],
+    all_docs: DataFrame | None, prefix: str = "",
+) -> dict[str, DataFrame]:
+    """Execute one level of the agg tree over ``base``.
+
+    ``group_cols``: bucket key columns accumulated from enclosing buckets.
+    All metric siblings share one ``.agg()``; each bucket sibling recurses.
+    """
+    out: dict[str, DataFrame] = {}
+    metric_cols: list[Column] = []
+    metric_names: dict[str, list[str]] = {}
+
+    for name, s in spec.items():
+        kind, body = _one_of(s)
+        if kind in METRIC_KINDS:
+            pairs = _metric_cols(name, kind, body)
+            metric_names[name] = [alias for alias, _ in pairs]
+            metric_cols.extend(c.alias(alias) for alias, c in pairs)
+        elif kind == "top_hits":
+            raise ValueError(
+                "top_hits requires scores — use top_hits_by_bucket()"
+            )
+        elif kind == "global":
+            if all_docs is None:
+                raise ValueError("global agg needs aggregate(..., query=...)")
+            sub = s.get("aggs") or {}
+            out.update(_run_level(all_docs, [], sub, None,
+                                  prefix=f"{prefix}{name}>"))
+            out[f"{prefix}{name}"] = all_docs.agg(
+                F.count(F.lit(1)).alias("doc_count")
+            )
+        elif kind in BUCKET_KINDS:
+            key_alias = body.get("key_alias", "key")
+            frame, keys = _bucket_frame(base, kind, body, key_alias)
+            gcols = group_cols + keys
+            sub = s.get("aggs") or {}
+            sub_metric_cols: list[Column] = []
+            for sname, ss in sub.items():
+                skind, sbody = _one_of(ss)
+                if skind in METRIC_KINDS:
+                    sub_metric_cols.extend(
+                        c.alias(a) for a, c in _metric_cols(sname, skind, sbody)
+                    )
+                elif skind in BUCKET_KINDS:
+                    out.update(_run_level(
+                        frame, gcols, {sname: ss}, all_docs,
+                        prefix=f"{prefix}{name}>",
+                    ))
+                elif skind in PIPELINE_KINDS:
+                    raise ValueError(
+                        "pipeline aggs are siblings of buckets, not children"
+                    )
+                else:
+                    raise ValueError(f"unknown aggregation: {skind}")
+            agg_cols = [F.count(F.lit(1)).alias("doc_count")] + sub_metric_cols
+            grouped = (
+                frame.groupBy(*gcols).agg(*agg_cols)
+                if gcols else frame.agg(*agg_cols)
+            )
+            if kind in ("terms",):
+                grouped = grouped.orderBy(
+                    F.desc("doc_count"), *[F.asc(c) for c in gcols]
+                ).limit(int(body.get("size", 10)))
+            elif gcols:
+                grouped = grouped.orderBy(*[F.asc(c) for c in gcols])
+            mdc = int(body.get("min_doc_count", 1))
+            if mdc > 1:
+                grouped = grouped.where(F.col("doc_count") >= mdc)
+            out[f"{prefix}{name}"] = grouped
+        elif kind in PIPELINE_KINDS:
+            continue  # resolved in a second pass below (needs sibling frames)
+        else:
+            raise ValueError(f"unknown aggregation: {kind}")
+
+    if metric_cols:
+        combined = (
+            base.groupBy(*group_cols).agg(*metric_cols)
+            if group_cols else base.agg(*metric_cols)
+        )
+        for name, colnames in metric_names.items():
+            out[f"{prefix}{name}"] = combined.select(*group_cols, *colnames)
+
+    # sibling pipeline aggs: reduce a sibling bucket frame's metric column
+    for name, s in spec.items():
+        kind, body = _one_of(s)
+        if kind not in PIPELINE_KINDS:
+            continue
+        path = body["buckets_path"]
+        bname, _, col = path.partition(">")
+        src = out.get(f"{prefix}{bname}")
+        if src is None:
+            raise ValueError(f"buckets_path '{path}': no sibling bucket agg "
+                             f"named '{bname}'")
+        col = col or "doc_count"
+        stat = kind.removesuffix("_bucket")
+        if stat == "stats":
+            reduced = src.agg(
+                F.count(col).alias(f"{name}_count"),
+                F.min(col).alias(f"{name}_min"), F.max(col).alias(f"{name}_max"),
+                F.avg(col).alias(f"{name}_avg"), F.sum(col).alias(f"{name}_sum"),
+            )
+        else:
+            fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[stat]
+            reduced = src.agg(fn(col).alias(name))
+        out[f"{prefix}{name}"] = reduced
+    return out
+
+
+def aggregate(
+    index: Index,
+    aggs: dict[str, Any],
+    query=None,
+    doc_values: DataFrame | None = None,
+    where=None,
+    doc_values_id: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run a search-request ``aggs`` body and return ``{name: DataFrame}``.
+
+    ``query=None`` → match-all (aggs over every live doc, like a request
+    with no query clause). ``doc_values`` supplies the field table (default
+    ``index.docmap``); ``doc_values_id`` names its id column (default
+    ``index.id_col``). Many aggs over one query share the lazily-defined
+    matched frame; persist it (``matched_docs(...).persist()`` passed via
+    ``where``-free pre-join) only when issuing dozens of separate actions.
+    """
+    dv = doc_values if doc_values is not None else index.docmap
+    id_col = doc_values_id or index.id_col
+    dv = dv.withColumn("docID", F.col(id_col).cast("long"))
+
+    live = dv
+    if index.tombstones is not None:
+        live = live.join(index.tombstones.select("docID"), "docID", "left_anti")
+    if query is None:
+        base = live.where(where) if where is not None else live
+    else:
+        ids = matched_docs(index, query, where=where)
+        base = dv.join(ids, "docID", "left_semi")
+    return _run_level(base, [], aggs, all_docs=live)
+
+
+def top_hits_by_bucket(
+    index: Index,
+    query,
+    bucket_field: str,
+    size: int = 3,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+    where=None,
+) -> DataFrame:
+    """``terms`` bucket + ``top_hits`` sub-agg: the per-bucket best hits BY
+    SCORE over the full matched set (reference:
+    MetricAggregationsWithHybridQueryIT.testTopHitsAggs).
+
+    Returns (key, docID, score) with ≤ ``size`` rows per bucket, ordered
+    (key, score desc, docID). Catalyst compiles the row_number window to
+    Partial/Final WindowGroupLimit — per-partition top-size before the
+    shuffle, so the wide stage carries buckets·size rows, not the matched
+    set.
+    """
+    from pyspark.sql import Window
+
+    dv = doc_values if doc_values is not None else index.docmap
+    id_col = doc_values_id or index.id_col
+    dv = dv.withColumn("docID", F.col(id_col).cast("long"))
+    scored = scored_matches(index, query, where=where)
+    joined = scored.join(
+        dv.select("docID", F.expr(bucket_field).alias("key")), "docID"
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("score"), F.asc("docID"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= size)
+        .select("key", "docID", "score")
+        .orderBy("key", F.desc("score"), F.asc("docID"))
+    )

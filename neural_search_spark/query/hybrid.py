@@ -245,6 +245,7 @@ def hybrid_search(
     lower_bounds: list[dict] | None = None,
     upper_bounds: list[dict] | None = None,
     explain: bool = False,
+    min_score: float | None = None,
 ) -> DataFrame:
     """End-to-end hybrid query over the inverted index.
 
@@ -267,6 +268,11 @@ def hybrid_search(
     ``explain=True``: result carries nscore_<i> columns, the per-subquery
     normalized scores behind each combined score (the reference's
     explanation payload, main/processor/ExplanationResponseProcessor.java).
+    ``min_score``: filter on the COMBINED score, applied after
+    normalization + combination — the reference unsets Lucene's per-subquery
+    min_score in preProcess and re-applies it to final results
+    (main/search/query/HybridAggregationProcessor.java:27-32), because a
+    raw-score floor would be meaningless pre-normalization.
     """
     from neural_search_spark.query import wand
 
@@ -333,6 +339,8 @@ def hybrid_search(
     combined = combine_scores(
         normalized, len(subqueries), combination, weights, keep_nscores=explain
     )
+    if min_score is not None:
+        combined = combined.where(F.col("score") >= float(min_score))
     ordered = combined.orderBy(F.desc("score"), F.asc("docID"))
     if from_ > 0:
         ordered = ordered.offset(from_)

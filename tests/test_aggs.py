@@ -1,0 +1,240 @@
+"""Search-request aggregations over the matched set (query/aggs.py).
+
+Reference surface: main/search/query/HybridAggregationProcessor.java (aggs
+see the FULL matched doc set, global aggs escape the query context);
+test/query/aggregation/{Metric,Bucket,Pipeline}AggregationsWithHybridQueryIT
+define the supported agg kinds mirrored here.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import build_index, delete_docs
+from neural_search_spark.query import aggs, wand
+
+# doc_id, text, lang, n
+DOCS = [
+    (1, "alpha beta gamma", "en", 10),
+    (2, "alpha beta", "en", 20),
+    (3, "alpha delta", "de", 30),
+    (4, "beta delta epsilon", "de", 40),
+    (5, "zeta eta", "fr", 50),
+    (6, "alpha alpha beta", "fr", 60),
+]
+ALPHA_IDS = {1, 2, 3, 6}  # docs matching query ["alpha"]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(d[0], d[1]) for d in DOCS], "doc_id long, text string"
+    )
+    return build_index(
+        spark, df, str(tmp_path_factory.mktemp("aggsidx") / "idx"),
+        text_col="text", id_col="doc_id", bucket_bits=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def docvals(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string, n int")
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_matched_docs(idx):
+    got = {r.docID for r in aggs.matched_docs(idx, ["alpha"]).collect()}
+    assert got == ALPHA_IDS
+
+
+def test_matched_docs_accepts_query_string(idx):
+    got = {r.docID for r in aggs.matched_docs(idx, "Alpha, GAMMA!").collect()}
+    assert got == ALPHA_IDS  # analysis mirrors tokenize_query
+
+
+def test_metric_siblings_one_pass(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "a": {"avg": {"field": "n"}},
+        "s": {"sum": {"field": "n"}},
+        "mn": {"min": {"field": "n"}},
+        "mx": {"max": {"field": "n"}},
+        "vc": {"value_count": {"field": "n"}},
+        "cl": {"cardinality": {"field": "lang"}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    # all siblings come from ONE combined .agg() frame
+    vals = {k: _rows(v)[0] for k, v in out.items()}
+    assert vals["a"]["a"] == pytest.approx(30.0)      # (10+20+30+60)/4
+    assert vals["s"]["s"] == 120
+    assert vals["mn"]["mn"] == 10 and vals["mx"]["mx"] == 60
+    assert vals["vc"]["vc"] == 4
+    assert vals["cl"]["cl"] == 3  # en, de, fr
+
+
+def test_terms_bucket_with_sub_metric(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {"avg_n": {"avg": {"field": "n"}}}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r for r in _rows(out["langs"])}
+    assert rows["en"]["doc_count"] == 2 and rows["en"]["avg_n"] == 15.0
+    assert rows["de"]["doc_count"] == 1 and rows["de"]["avg_n"] == 30.0
+    assert rows["fr"]["doc_count"] == 1 and rows["fr"]["avg_n"] == 60.0
+
+
+def test_terms_size_and_order(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 1}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    rows = _rows(out["langs"])
+    assert rows == [{"key": "en", "doc_count": 2}]  # most docs wins
+
+
+def test_histogram_match_all(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "h": {"histogram": {"field": "n", "interval": 25}},
+    }, query=None, doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r["doc_count"] for r in _rows(out["h"])}
+    assert rows == {0.0: 2, 25.0: 2, 50.0: 2}
+
+
+def test_range_overlapping_buckets(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "r": {"range": {"field": "n", "ranges": [
+            {"to": 30}, {"from": 20}, {"from": 15, "to": 35, "key": "mid"},
+        ]}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r["doc_count"] for r in _rows(out["r"])}
+    # matched n values: 10, 20, 30, 60
+    assert rows == {"*-30": 2, "20-*": 3, "mid": 2}
+
+
+def test_filter_and_filters(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "en_only": {"filter": {"predicate": "lang = 'en'"},
+                    "aggs": {"s": {"sum": {"field": "n"}}}},
+        "f": {"filters": {"filters": {"en": "lang = 'en'", "big": "n >= 20"}}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    assert _rows(out["en_only"])[0] == {"doc_count": 2, "s": 30}
+    rows = {r["key"]: r["doc_count"] for r in _rows(out["f"])}
+    assert rows == {"en": 2, "big": 3}  # overlap: doc 2 is in both
+
+
+def test_global_escapes_query_context(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "all": {"global": {}, "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 10}}}},
+    }, query=["zeta"], doc_values=docvals, doc_values_id="doc_id")
+    assert _rows(out["all"])[0]["doc_count"] == len(DOCS)
+    rows = {r["key"]: r["doc_count"] for r in _rows(out["all>langs"])}
+    assert rows == {"en": 2, "de": 2, "fr": 2}  # NOT just zeta's match
+
+
+def test_nested_bucket_in_bucket(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10}, "aggs": {
+            "h": {"histogram": {"field": "n", "interval": 50,
+                                "key_alias": "bucket"}}}},
+    }, query=None, doc_values=docvals, doc_values_id="doc_id")
+    rows = {(r["key"], r["bucket"]): r["doc_count"]
+            for r in _rows(out["langs>h"])}
+    # en: n 10,20 → bucket 0; de: 30,40 → bucket 0; fr: 50,60 → bucket 50
+    assert rows == {("en", 0.0): 2, ("de", 0.0): 2, ("fr", 50.0): 2}
+
+
+def test_pipeline_siblings(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10}},
+        "avg_c": {"avg_bucket": {"buckets_path": "langs>doc_count"}},
+        "st": {"stats_bucket": {"buckets_path": "langs>doc_count"}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    assert _rows(out["avg_c"])[0]["avg_c"] == pytest.approx(4.0 / 3.0)
+    st = _rows(out["st"])[0]
+    assert st == {"st_count": 3, "st_min": 1, "st_max": 2,
+                  "st_avg": pytest.approx(4.0 / 3.0), "st_sum": 4}
+
+
+def test_min_doc_count(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10, "min_doc_count": 2}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    assert [r["key"] for r in _rows(out["langs"])] == ["en"]
+
+
+def test_where_narrows_matched_set(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "c": {"value_count": {"field": "doc_id"}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id",
+        where=F.col("doclen") >= 3)
+    # docs 1 (3 tokens) and 6 (3 tokens) survive the docmap predicate
+    assert _rows(out["c"])[0]["c"] == 2
+
+
+def test_tombstones_excluded(spark, tmp_path, docvals):
+    df = spark.createDataFrame(
+        [(d[0], d[1]) for d in DOCS], "doc_id long, text string"
+    )
+    idx2 = build_index(spark, df, str(tmp_path / "tombidx"),
+                       text_col="text", id_col="doc_id", bucket_bits=2)
+    idx2 = delete_docs(spark, str(tmp_path / "tombidx"), [1, 6])
+    got = {r.docID for r in aggs.matched_docs(idx2, ["alpha"]).collect()}
+    assert got == {2, 3}
+    out = aggs.aggregate(idx2, {"c": {"value_count": {"field": "doc_id"}}},
+                         query=None, doc_values=docvals, doc_values_id="doc_id")
+    assert _rows(out["c"])[0]["c"] == len(DOCS) - 2  # match-all is live docs
+
+
+def test_scored_matches_equals_exhaustive_search(idx):
+    """Full-matched-set BM25 ≡ wand.search with k covering every match."""
+    scored = {r.docID: r.score
+              for r in aggs.scored_matches(idx, ["alpha", "beta"]).collect()}
+    ws = {r.docID: r.score
+          for r in wand.search(idx, ["alpha", "beta"], k=100).collect()}
+    assert set(scored) == set(ws)
+    for d in ws:
+        assert scored[d] == pytest.approx(ws[d], rel=1e-12)
+
+
+def test_scored_matches_weights(idx):
+    base = {r.docID: r.score
+            for r in aggs.scored_matches(idx, ["zeta"]).collect()}
+    dbl = {r.docID: r.score
+           for r in aggs.scored_matches(idx, ["zeta"], weights={"zeta": 2.0}).collect()}
+    assert set(base) == set(dbl) == {5}
+    assert dbl[5] == pytest.approx(2.0 * base[5])
+
+
+def test_top_hits_by_bucket(idx, docvals):
+    th = aggs.top_hits_by_bucket(idx, ["alpha", "beta"], "lang", size=1,
+                                 doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r for r in _rows(th)}
+    scored = {r.docID: r.score
+              for r in aggs.scored_matches(idx, ["alpha", "beta"]).collect()}
+    langs = {d[0]: d[2] for d in DOCS}
+    for lang, row in rows.items():
+        best = max((s for d, s in scored.items() if langs[d] == lang))
+        assert row["score"] == pytest.approx(best)
+
+
+def test_validation_errors(idx, docvals):
+    with pytest.raises(ValueError, match="exactly one type"):
+        aggs.aggregate(idx, {"x": {"avg": {"field": "n"}, "sum": {"field": "n"}}},
+                       query=None, doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="unknown"):
+        aggs.aggregate(idx, {"x": {"nope": {"field": "n"}}},
+                       query=None, doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="interval"):
+        aggs.aggregate(idx, {"x": {"histogram": {"field": "n", "interval": 0}}},
+                       query=None, doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="top_hits"):
+        aggs.aggregate(idx, {"x": {"top_hits": {}}},
+                       query=None, doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="buckets_path"):
+        aggs.aggregate(idx, {"p": {"avg_bucket": {"buckets_path": "ghost>x"}}},
+                       query=None, doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="siblings"):
+        aggs.aggregate(idx, {
+            "b": {"terms": {"field": "lang"},
+                  "aggs": {"p": {"avg_bucket": {"buckets_path": "b>doc_count"}}}},
+        }, query=None, doc_values=docvals, doc_values_id="doc_id")

@@ -287,3 +287,23 @@ def test_hybrid_explain_columns(spark, tmp_path):
         ns = [r["nscore_0"], r["nscore_1"]]
         present = [x for x in ns if x >= 0.0]
         assert r["score"] == pytest.approx(sum(present) / len(present))
+
+
+def test_hybrid_min_score(spark, tmp_path):
+    """min_score floors the COMBINED score, post normalization+combination
+    (reference re-applies it to final hybrid results, not per sub-query)."""
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    idx = build_index(
+        spark, with_doc_id(generate_corpus(spark, 50, seed=5)),
+        str(tmp_path / "idx-ms"), bucket_bits=2,
+    )
+    full = hybrid.hybrid_search(idx, [["def"], ["return"]], k=20,
+                                pagination_depth=20).collect()
+    cut = sorted(r["score"] for r in full)[len(full) // 2]  # median bites
+    floored = hybrid.hybrid_search(idx, [["def"], ["return"]], k=20,
+                                   pagination_depth=20, min_score=cut).collect()
+    expect = [(r["docID"], r["score"]) for r in full if r["score"] >= cut]
+    assert [(r["docID"], r["score"]) for r in floored] == expect
+    assert 0 < len(floored) < len(full)
