@@ -1,0 +1,188 @@
+"""Ingest pipeline: the reference's processor chain as narrow Spark stages.
+
+Reference surface (main/processor/*): documents flow through an ordered list
+of processors at PUT time — TextChunkingProcessor (field_map + one chunking
+algorithm, TextChunkingProcessor.java:53-138), SparseEncodingProcessor
+(ML sparse encoding + prune, SparseEncodingProcessor.java, batched through
+InferenceProcessor), TextEmbeddingProcessor (dense vectors via the ML client,
+MLCommonsClientAccessor.java). Each processor reads source fields and writes
+target fields per its ``field_map``.
+
+Spark shape, designed for the 10^12-file case: every processor is a
+column-expression rewrite — ``run_pipeline`` is ONE narrow projection stage,
+no shuffle, no Python in the hot path:
+
+* ``text_chunking``  → array<string> via `analysis/chunkers` (JVM exprs;
+  the fixed_token algorithm is the one Arrow-batched pandas UDF).
+* ``sparse_encoding``→ map<term,weight> per doc or per chunk. The lexical
+  "model" is term frequency (the engine's FeatureField analog); pruning
+  reuses `analysis/prune.PRUNERS` inside the same projection. Real learned
+  sparse models plug in as an ``encode_fn`` returning a map column.
+* ``text_embedding`` → array<double>. Dense inference is outside a lexical
+  engine (SURVEY §2.10 declares the ML client out of scope), so the default
+  ``embed_fn`` is a DETERMINISTIC TEST DOUBLE — L2-normalized character-class
+  frequencies via ``translate`` (a plain char map: no regex — Spark 4.1's
+  regexp path is ~15x slower and would dominate ingest at scale). Swap in an
+  Arrow-batched pandas UDF calling a real model for production embeddings.
+
+Per-chunk maps stay nested (array<map>) so one document row stays one row —
+downstream `explode_encoded` flattens to (id, chunk_idx, term, weight) runs
+for index build, which is exactly the builder's stage-1 input.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.analysis import chunkers, prune
+from neural_search_spark.analysis.tokenizer import tokens_col
+
+# character classes of the embedding test double: 8 dims spanning the
+# tokenizer's alphabet [a-z0-9_]
+LETTER_GROUPS = [
+    "abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz", "0123456789_",
+]
+
+
+def tf_map_col(text_col: str | Column) -> Column:
+    """map<string,double> term→tf for one string column, pure JVM exprs.
+
+    O(unique · total) array scans per value — bounded by chunk size (the
+    reference chunks at ≤384 tokens), whole-stage-codegen'd, shuffle-free;
+    the per-doc analog of the builder's groupBy(doc, term) without a wide
+    stage, which is what makes sparse_encoding a narrow ingest rewrite.
+    """
+    toks = tokens_col(text_col)
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.struct(
+                t.alias("key"),
+                F.size(F.filter(toks, lambda x: x == t))
+                .cast("double").alias("value"),
+            ),
+        )
+    )
+
+
+def embed_col(text_col: str | Column, groups: list[str] | None = None) -> Column:
+    """array<double>: L2-normalized character-class counts (test double).
+
+    ``translate(s, cls, '')`` deletes the class's characters; the length
+    delta counts them — no regex, identical semantics in DuckDB for the
+    oracle. All-zero rows stay all-zero (no 0/0)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    low = F.lower(c)
+    raw = F.array(*[
+        (F.length(low) - F.length(F.translate(low, g, ""))).cast("double")
+        for g in (groups or LETTER_GROUPS)
+    ])
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(nrm == 0.0, raw).otherwise(
+        F.transform(raw, lambda x: x / nrm)
+    )
+
+
+def _chunker_from(algorithm: dict) -> Callable[[Column], Column]:
+    if len(algorithm) != 1:
+        raise ValueError("text_chunking algorithm must have exactly one entry")
+    (name, params), = algorithm.items()
+    if name not in chunkers.CHUNKERS:
+        raise ValueError(f"unknown chunking algorithm: {name}")
+    if name == "delimiter":
+        delim = params.get("delimiter", chunkers.DEFAULT_DELIMITER)
+        return lambda c: chunkers.chunk_delimiter(c, delim)
+    if name == "fixed_char_length":
+        return lambda c: chunkers.chunk_fixed_char(
+            c, params.get("char_limit", chunkers.DEFAULT_CHAR_LIMIT),
+            params.get("overlap_rate", 0.0),
+        )
+    udf = chunkers.make_fixed_token_chunker(
+        params.get("token_limit", chunkers.DEFAULT_TOKEN_LIMIT),
+        params.get("overlap_rate", 0.0),
+    )
+    return lambda c: udf(c)
+
+
+def _proc_text_chunking(df: DataFrame, params: dict) -> DataFrame:
+    fn = _chunker_from(params.get("algorithm", {"delimiter": {}}))
+    for src, dst in params["field_map"].items():
+        df = df.withColumn(dst, fn(F.col(src)))
+    return df
+
+
+def _proc_sparse_encoding(df: DataFrame, params: dict) -> DataFrame:
+    encode = params.get("encode_fn", tf_map_col)
+    kind = params.get("prune_type")
+    if kind is not None and kind not in prune.PRUNERS:
+        raise ValueError(f"unknown prune_type: {kind}")
+    pruner = (
+        (lambda m: prune.PRUNERS[kind](m, params["prune_ratio"]))
+        if kind is not None else (lambda m: m)
+    )
+    for src, dst in params["field_map"].items():
+        c = F.col(src)
+        if dict(df.dtypes)[src].startswith("array"):
+            df = df.withColumn(dst, F.transform(c, lambda x: pruner(encode(x))))
+        else:
+            df = df.withColumn(dst, pruner(encode(c)))
+    return df
+
+
+def _proc_text_embedding(df: DataFrame, params: dict) -> DataFrame:
+    embed = params.get("embed_fn", embed_col)
+    for src, dst in params["field_map"].items():
+        c = F.col(src)
+        if dict(df.dtypes)[src].startswith("array"):
+            df = df.withColumn(dst, F.transform(c, lambda x: embed(x)))
+        else:
+            df = df.withColumn(dst, embed(c))
+    return df
+
+
+PROCESSORS = {
+    "text_chunking": _proc_text_chunking,
+    "sparse_encoding": _proc_sparse_encoding,
+    "text_embedding": _proc_text_embedding,
+}
+
+
+def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """Apply an ordered processor chain (the ingest pipeline definition).
+
+    Each element is ``{processor_name: params}``; params require
+    ``field_map`` ({source_col: target_col}). All column-expression
+    processors fuse into one projection — the whole pipeline is a single
+    narrow stage over the document scan.
+    """
+    for spec in processors:
+        if len(spec) != 1:
+            raise ValueError("each pipeline entry must be {processor: params}")
+        (name, params), = spec.items()
+        if name not in PROCESSORS:
+            raise ValueError(f"unknown processor: {name}")
+        if "field_map" not in params or not params["field_map"]:
+            raise ValueError(f"processor '{name}' requires a field_map")
+        df = PROCESSORS[name](df, params)
+    return df
+
+
+def explode_encoded(df: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Flatten a sparse-encoded column to (id, chunk_idx, term, weight) runs.
+
+    array<map> (chunked) → one row per (chunk, term); plain map → chunk_idx 0.
+    This is the builder's stage-1 input shape: feed it to
+    ``index.build.runs_to_postings`` after renaming, or aggregate per doc."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("array"):
+        ex = df.select(
+            F.col(id_col), F.posexplode(col).alias("chunk_idx", "_m")
+        )
+    else:
+        ex = df.select(F.col(id_col), F.lit(0).alias("chunk_idx"),
+                       F.col(col).alias("_m"))
+    return ex.select(
+        id_col, "chunk_idx", F.explode("_m").alias("term", "weight")
+    )

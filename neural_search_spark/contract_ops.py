@@ -1291,6 +1291,69 @@ AGG_TOP_HITS_SQL = f"""
 """
 
 
+# -------------------------------------------------- ingest pipeline
+
+def q_ingest_chunked_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingest chain end-to-end: text_chunking →
+    sparse_encoding(+prune) → flatten to runs, one narrow stage."""
+    from neural_search_spark.analysis import pipeline as pl
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = pl.run_pipeline(d, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"delimiter": {"delimiter": " "}}}},
+        {"sparse_encoding": {"field_map": {"chunks": "sparse"},
+                             "prune_type": "top_k", "prune_ratio": 3}},
+    ])
+    return pl.explode_encoded(out, "doc_id", "sparse")
+
+
+INGEST_CHUNKED_SQL = f"""
+    WITH chunks AS ({CHUNK_DELIM_SQL}),
+    tokc AS (
+      SELECT doc_id, chunk_idx,
+             unnest(string_split_regex(lower(chunk), '[^a-z0-9_]+')) AS term
+      FROM chunks),
+    tfc AS (SELECT doc_id, chunk_idx, term, count(*) AS tf FROM tokc
+            WHERE term <> '' GROUP BY doc_id, chunk_idx, term)
+    SELECT doc_id, chunk_idx, term, CAST(tf AS DOUBLE) AS weight FROM tfc
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id, chunk_idx ORDER BY tf DESC, term ASC) <= 3
+"""
+
+
+def q_ingest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_embedding processor with the deterministic test-double model
+    (L2-normalized character-class counts; real models plug in as
+    ``embed_fn`` pandas UDFs)."""
+    from neural_search_spark.analysis import pipeline as pl
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = pl.run_pipeline(d, [
+        {"text_embedding": {"field_map": {"text": "emb"}}},
+    ])
+    return out.select(
+        "doc_id", F.posexplode("emb").alias("dim", "val")
+    ).withColumn("val", F.round("val", 6))
+
+
+def _ingest_embedding_sql() -> str:
+    from neural_search_spark.analysis.pipeline import LETTER_GROUPS
+
+    arms = ", ".join(
+        f"CAST(length(lower(text)) - length(translate(lower(text), '{g}', ''))"
+        " AS DOUBLE)" for g in LETTER_GROUPS
+    )
+    return f"""
+    WITH e AS (SELECT doc_id, [{arms}] AS raw FROM documents),
+    n AS (SELECT doc_id, raw,
+                 sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM e)
+    SELECT doc_id, i - 1 AS dim,
+           round(CASE WHEN nrm = 0 THEN raw[i] ELSE raw[i] / nrm END, 6) AS val
+    FROM n CROSS JOIN (SELECT unnest(generate_series(1, {len(LETTER_GROUPS)})) AS i) g
+    """
+
+
 # ----------------------------------------------------------- registry
 
 SPARK_QUERIES_EXT = {
@@ -1322,6 +1385,8 @@ SPARK_QUERIES_EXT = {
     "agg_global_langs": q_agg_global_langs,
     "agg_pipeline_stats": q_agg_pipeline_stats,
     "agg_top_hits": q_agg_top_hits,
+    "ingest_chunked_sparse": q_ingest_chunked_sparse,
+    "ingest_embedding": q_ingest_embedding,
     "rerank_by_field": q_rerank_by_field,
     "collapse_top2_lang": q_collapse_top2_lang,
     "chunk_delimiter": q_chunk_delimiter,
@@ -1377,6 +1442,8 @@ ORACLE_SQL_EXT = {
     "agg_global_langs": AGG_GLOBAL_SQL,
     "agg_pipeline_stats": AGG_PIPELINE_SQL,
     "agg_top_hits": AGG_TOP_HITS_SQL,
+    "ingest_chunked_sparse": INGEST_CHUNKED_SQL,
+    "ingest_embedding": _ingest_embedding_sql(),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "collapse_top2_lang": COLLAPSE_SQL,
     "chunk_delimiter": CHUNK_DELIM_SQL,

@@ -1,0 +1,125 @@
+"""Ingest pipeline processor chain (analysis/pipeline.py).
+
+Reference: main/processor/TextChunkingProcessor.java (field_map + one
+algorithm), SparseEncodingProcessor.java (encode + prune),
+TextEmbeddingProcessor.java (dense vectors; ours is a documented
+deterministic test double for the ML client).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis import pipeline as pl
+
+ROWS = [
+    (1, "alpha beta alpha"),
+    (2, "gamma\ngamma delta"),
+    (3, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_tf_map_col(spark, docs):
+    got = {r.doc_id: r.m for r in docs.select("doc_id", pl.tf_map_col("text").alias("m")).collect()}
+    assert got[1] == {"alpha": 2.0, "beta": 1.0}
+    assert got[2] == {"gamma": 2.0, "delta": 1.0}
+    assert got[3] == {}
+
+
+def test_chunk_then_encode(spark, docs):
+    out = pl.run_pipeline(docs, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"delimiter": {"delimiter": " "}}}},
+        {"sparse_encoding": {"field_map": {"chunks": "sparse"}}},
+    ])
+    r = {x.doc_id: x for x in out.collect()}
+    assert r[1].chunks == ["alpha ", "beta ", "alpha"]
+    assert r[1].sparse == [{"alpha": 1.0}, {"beta": 1.0}, {"alpha": 1.0}]
+    assert r[3].sparse == []
+
+
+def test_encode_whole_doc_with_prune(spark, docs):
+    out = pl.run_pipeline(docs, [
+        {"sparse_encoding": {"field_map": {"text": "sparse"},
+                             "prune_type": "top_k", "prune_ratio": 1}},
+    ])
+    r = {x.doc_id: x.sparse for x in out.collect()}
+    assert r[1] == {"alpha": 2.0}   # top-1 by weight
+    assert r[2] == {"gamma": 2.0}
+    assert r[3] == {}
+
+
+def test_embedding_double(spark, docs):
+    out = pl.run_pipeline(docs, [
+        {"text_embedding": {"field_map": {"text": "emb"}}},
+    ])
+    r = {x.doc_id: x.emb for x in out.collect()}
+    # doc 1 "alpha beta alpha": a×5 b×1 e×1 h×2 l×2 p×2 t×1 →
+    # abcd=6, efgh=3, ijkl=2, mnop=2, qrst=1, uvwx=0, yz=0, 0-9_=0
+    raw = [6.0, 3.0, 2.0, 2.0, 1.0, 0.0, 0.0, 0.0]
+    nrm = math.sqrt(sum(x * x for x in raw))
+    assert r[1] == pytest.approx([x / nrm for x in raw])
+    assert r[3] == [0.0] * 8                      # empty text stays all-zero
+    assert sum(x * x for x in r[2]) == pytest.approx(1.0)
+
+
+def test_pipeline_is_single_narrow_stage(spark, docs):
+    out = pl.run_pipeline(docs, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"fixed_char_length": {"char_limit": 8}}}},
+        {"sparse_encoding": {"field_map": {"chunks": "sparse"}}},
+        {"text_embedding": {"field_map": {"text": "emb"}}},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan   # the whole chain fuses, no shuffle
+
+
+def test_explode_encoded_shapes(spark, docs):
+    chunked = pl.run_pipeline(docs, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"delimiter": {"delimiter": " "}}}},
+        {"sparse_encoding": {"field_map": {"chunks": "sparse", "text": "whole"}}},
+    ])
+    nested = pl.explode_encoded(chunked, "doc_id", "sparse").collect()
+    # doc 2 chunks on " ": ["gamma\ngamma ", "delta"]
+    assert {(r.doc_id, r.chunk_idx, r.term, r.weight) for r in nested} == {
+        (1, 0, "alpha", 1.0), (1, 1, "beta", 1.0), (1, 2, "alpha", 1.0),
+        (2, 0, "gamma", 2.0), (2, 1, "delta", 1.0),
+    }
+    flat = pl.explode_encoded(chunked, "doc_id", "whole").collect()
+    assert {(r.doc_id, r.chunk_idx, r.term, r.weight) for r in flat} == {
+        (1, 0, "alpha", 2.0), (1, 0, "beta", 1.0),
+        (2, 0, "gamma", 2.0), (2, 0, "delta", 1.0),
+    }
+
+
+def test_fixed_token_algorithm_in_pipeline(spark, docs):
+    out = pl.run_pipeline(docs, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"fixed_token_length": {"token_limit": 2}}}},
+    ])
+    r = {x.doc_id: x.chunks for x in out.collect()}
+    assert r[1] == ["alpha beta ", "alpha"]
+
+
+def test_validation_errors(spark, docs):
+    with pytest.raises(ValueError, match="field_map"):
+        pl.run_pipeline(docs, [{"sparse_encoding": {}}])
+    with pytest.raises(ValueError, match="unknown processor"):
+        pl.run_pipeline(docs, [{"nope": {"field_map": {"text": "x"}}}])
+    with pytest.raises(ValueError, match="exactly one"):
+        pl.run_pipeline(docs, [{"text_chunking": {
+            "field_map": {"text": "c"},
+            "algorithm": {"delimiter": {}, "fixed_char_length": {}}}}])
+    with pytest.raises(ValueError, match="unknown chunking"):
+        pl.run_pipeline(docs, [{"text_chunking": {
+            "field_map": {"text": "c"}, "algorithm": {"bogus": {}}}}])
+    with pytest.raises(ValueError, match="unknown prune_type"):
+        pl.run_pipeline(docs, [{"sparse_encoding": {
+            "field_map": {"text": "s"}, "prune_type": "bogus", "prune_ratio": 1}}])
