@@ -84,6 +84,29 @@ def cmd_search(spark: SparkSession, args) -> None:
     print(json.dumps(out))
 
 
+def cmd_request(spark: SparkSession, args) -> None:
+    """Full search-request body (the POST /_search analog): query + aggs +
+    collapse + sort + search_pipeline in one JSON document."""
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.query.request import search_request
+
+    idx = load_index(spark, args.index_dir)
+    if args.warmup:
+        idx.warmup()
+    body = json.loads(args.body)
+    dv = spark.read.parquet(args.doc_values) if args.doc_values else None
+    out = search_request(idx, body, doc_values=dv,
+                         doc_values_id=args.doc_values_id)
+    resp: dict = {}
+    if out["hits"] is not None:
+        resp["hits"] = [r.asDict() for r in out["hits"].collect()]
+    resp["aggregations"] = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in out["aggregations"].items()
+    }
+    print(json.dumps(resp, default=float))
+
+
 def cmd_compact(spark: SparkSession, args) -> None:
     from neural_search_spark.index.merge import compact_index
 
@@ -248,6 +271,15 @@ def main(argv: list[str] | None = None) -> None:
     st = sub.add_parser("stats", help="index-level statistics")
     st.add_argument("--index-dir", required=True)
 
+    rq = sub.add_parser("request", help="full search-request JSON body "
+                        "(query + aggs + collapse + sort + search_pipeline)")
+    rq.add_argument("--index-dir", required=True)
+    rq.add_argument("--body", required=True, help="JSON search-request body")
+    rq.add_argument("--doc-values", help="parquet path of the field table "
+                    "(default: the index forward table)")
+    rq.add_argument("--doc-values-id", help="id column of --doc-values")
+    rq.add_argument("--warmup", action="store_true")
+
     cp = sub.add_parser("compact", help="force-merge: apply deletes, clear mask")
     cp.add_argument("--index-dir", required=True)
 
@@ -311,7 +343,7 @@ def main(argv: list[str] | None = None) -> None:
     try:
         {"build": cmd_build, "append": cmd_append, "search": cmd_search,
          "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
-         "ann": cmd_ann, "stats": cmd_stats,
+         "ann": cmd_ann, "stats": cmd_stats, "request": cmd_request,
          "compact": cmd_compact}[args.cmd](spark, args)
     finally:
         spark.stop()

@@ -430,11 +430,17 @@ def _norm_cte(i: int, technique: str) -> str:
     return f"n{i} AS (SELECT doc_id, {ns} AS ns FROM {base})"
 
 
-def _comb_exprs(n: int, combination: str) -> tuple[str, str]:
+def _comb_exprs(n: int, combination: str,
+                weights: list[float] | None = None) -> tuple[str, str]:
     cols = [f"s{i}" for i in range(n)]
+    ws = weights or [1.0] * n
     if combination in ("arithmetic_mean", "rrf"):
-        num = " + ".join(f"(CASE WHEN {c} >= 0.0 THEN {c} ELSE 0.0 END)" for c in cols)
-        wsum = " + ".join(f"(CASE WHEN {c} >= 0.0 THEN 1.0 ELSE 0.0 END)" for c in cols)
+        num = " + ".join(
+            f"(CASE WHEN {c} >= 0.0 THEN {c} * {w!r} ELSE 0.0 END)"
+            for c, w in zip(cols, ws))
+        wsum = " + ".join(
+            f"(CASE WHEN {c} >= 0.0 THEN {w!r} ELSE 0.0 END)"
+            for c, w in zip(cols, ws))
         if combination == "arithmetic_mean":
             sc = f"CASE WHEN (0.0 + {wsum}) = 0.0 THEN 0.0 ELSE (0.0 + {num}) / (0.0 + {wsum}) END"
         else:
@@ -581,6 +587,7 @@ def _hybrid_bounded_sql(
     depth: int = HYBRID_DEPTH, k: int = HYBRID_K,
     from_: int = 0, explain: bool = False,
     min_score: float | None = None,
+    weights: list[float] | None = None,
 ) -> str:
     """min_max + arithmetic_mean hybrid oracle with optional bounds /
     offset / explain columns (shares the sub-query CTE shape of _hybrid_sql)."""
@@ -614,7 +621,7 @@ def _hybrid_bounded_sql(
         joined += f" FULL OUTER JOIN n{i} t{i} ON coalesce({id_expr}) = t{i}.doc_id"
         id_expr += f", t{i}.doc_id"
     sel = ", ".join(f"coalesce(t{i}.ns, 0.0) AS s{i}" for i in range(n))
-    _, comb = _comb_exprs(n, "arithmetic_mean")
+    _, comb = _comb_exprs(n, "arithmetic_mean", weights)
     extra_out = "".join(
         f", round(s{i}, 4) AS nscore_{i}" for i in range(n)
     ) if explain else ""
@@ -1354,6 +1361,80 @@ def _ingest_embedding_sql() -> str:
     """
 
 
+# -------------------------------------------------- search-request body
+
+SEARCH_REQ_WEIGHTS = [0.7, 0.3]
+
+
+def q_search_request_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full POST /_search body through query/request.py: hybrid query +
+    normalization-processor pipeline config with combination weights."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    out = search_request(idx, {
+        "query": {"hybrid": {
+            "queries": [{"match": {"text": "data"}},
+                        {"match": {"text": "query join"}}],
+            "pagination_depth": HYBRID_DEPTH,
+        }},
+        "size": HYBRID_K,
+        "search_pipeline": {"phase_results_processors": [
+            {"normalization-processor": {
+                "normalization": {"technique": "min_max"},
+                "combination": {"technique": "arithmetic_mean",
+                                "parameters": {"weights": SEARCH_REQ_WEIGHTS}},
+            }},
+        ]},
+    })
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_search_request_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single match query + collapse: raw BM25 top-k, one best hit per lang
+    (collapse applied to the final ranking — see request.py docstring)."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = search_request(idx, {
+        "query": {"match": {"text": " ".join(WAND_TERMS_MULTI)}},
+        "collapse": {"field": "lang"},
+    }, doc_values=docs, doc_values_id="doc_id")
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"),
+        "lang",
+    )
+
+
+def _search_req_collapse_sql(terms: list[str], k: int) -> str:
+    """Collapse windows over the EXACT f64 score (round only in the final
+    projection, same as every other entry)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+           FROM tf JOIN dfreq USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+           GROUP BY tf.doc_id),
+         topk AS (SELECT doc_id, s FROM scored
+                  ORDER BY s DESC, doc_id ASC LIMIT {k})
+    SELECT topk.doc_id AS doc_id, round(topk.s, 4) AS score, d.lang AS lang
+    FROM topk JOIN documents d USING (doc_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY d.lang ORDER BY topk.s DESC, topk.doc_id ASC) = 1
+    ORDER BY score DESC, doc_id ASC
+    """
+
+
 # ----------------------------------------------------------- registry
 
 SPARK_QUERIES_EXT = {
@@ -1387,6 +1468,8 @@ SPARK_QUERIES_EXT = {
     "agg_top_hits": q_agg_top_hits,
     "ingest_chunked_sparse": q_ingest_chunked_sparse,
     "ingest_embedding": q_ingest_embedding,
+    "search_request_hybrid": q_search_request_hybrid,
+    "search_request_collapse": q_search_request_collapse,
     "rerank_by_field": q_rerank_by_field,
     "collapse_top2_lang": q_collapse_top2_lang,
     "chunk_delimiter": q_chunk_delimiter,
@@ -1444,6 +1527,9 @@ ORACLE_SQL_EXT = {
     "agg_top_hits": AGG_TOP_HITS_SQL,
     "ingest_chunked_sparse": INGEST_CHUNKED_SQL,
     "ingest_embedding": _ingest_embedding_sql(),
+    "search_request_hybrid": _hybrid_bounded_sql(
+        HYBRID_SUBS, None, None, weights=SEARCH_REQ_WEIGHTS),
+    "search_request_collapse": _search_req_collapse_sql(WAND_TERMS_MULTI, 10),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "collapse_top2_lang": COLLAPSE_SQL,
     "chunk_delimiter": CHUNK_DELIM_SQL,

@@ -1,0 +1,223 @@
+"""Search-request body entry point — the engine's ``POST index/_search``.
+
+One function, ``search_request(index, body)``, accepts a dict mirroring the
+reference's search-request surface and orchestrates the implemented
+operators:
+
+* ``query``: ``{"hybrid": {"queries": [...], "pagination_depth": n}}`` or a
+  single sub-query. Sub-query forms follow the reference query builders:
+  ``{"match": {field: "text"}}`` (analyzed, main/query/NeuralSparseQueryBuilder
+  analysis path), ``{"neural_sparse": {field: {"query_tokens": {tok: w}}}}``
+  (pre-weighted token map), each optionally carrying ``"filter"`` (SQL
+  predicate string over the forward index — the reference AND-s filter
+  clauses into each sub-query, main/query/HybridQuery.java:45-87).
+* ``search_pipeline``: the normalization-processor config exactly as the
+  reference factories parse it (technique + parameters for normalization
+  and combination, main/processor/factory/NormalizationProcessorFactory.java),
+  incl. min_max lower_bounds/upper_bounds and combination weights.
+* ``size`` / ``from`` / ``min_score`` / ``explain`` — pagination and the
+  post-combination score floor (HybridAggregationProcessor re-applies
+  min_score to COMBINED results).
+* ``aggs`` — the aggregation body runs over the query's full matched set
+  (query/aggs.py); ``global`` aggs escape the query context.
+* ``collapse``: ``{"field": f}`` one-best-per-group. NOTE: applied to the
+  final combined ranking (a documented simplification — the reference
+  collapses per sub-query during collection,
+  HybridCollapsingTopDocsCollector); semantics coincide for single-query
+  requests and for hybrid requests whose groups don't straddle the depth
+  cutoff.
+* ``sort`` + ``search_after``: field sorting via keyset pagination
+  (operators/sort_search.py); like the reference's field-sort collector,
+  hits carry the sort fields instead of relevance scores.
+
+Validation mirrors HybridQueryPhaseSearcher.java:91-129: a hybrid query is
+only legal at the TOP level of the request — nesting it under bool/
+function_score raises.
+
+Returns ``{"hits": DataFrame, "aggregations": {name: DataFrame}}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.query import hybrid as hy
+
+
+def _find_nested_hybrid(q: Any) -> bool:
+    if isinstance(q, dict):
+        return any(
+            k == "hybrid" or _find_nested_hybrid(v) for k, v in q.items()
+        )
+    if isinstance(q, list):
+        return any(_find_nested_hybrid(x) for x in q)
+    return False
+
+
+def _parse_subquery(q: dict) -> dict:
+    """One reference sub-query dict → hybrid_search's dict form."""
+    kinds = [k for k in q if k != "filter"]
+    if len(kinds) != 1:
+        raise ValueError(f"sub-query must have exactly one type, got {sorted(kinds)}")
+    kind = kinds[0]
+    body = q[kind]
+    if _find_nested_hybrid(body):
+        # reference: HybridQueryPhaseSearcher.java:91-129
+        raise ValueError("hybrid query must be a top-level query")
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ValueError(f"'{kind}' body must be {{field: spec}}")
+    (_field, spec), = body.items()
+    if kind == "match":
+        sub: dict = {"terms": str(spec)}
+    elif kind == "neural_sparse":
+        tokens = spec.get("query_tokens") if isinstance(spec, dict) else None
+        if not tokens:
+            raise ValueError("neural_sparse requires query_tokens")
+        sub = {"terms": sorted(tokens), "weights": dict(tokens)}
+    else:
+        raise ValueError(f"unsupported sub-query type: {kind}")
+    if q.get("filter") is not None:
+        flt = q["filter"]
+        sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
+    return sub
+
+
+def _parse_pipeline(cfg: dict | None) -> dict:
+    """normalization-processor config → hybrid_search kwargs."""
+    out: dict = {}
+    if not cfg:
+        return out
+    procs = cfg.get("phase_results_processors", [])
+    norm_procs = [p["normalization-processor"] for p in procs
+                  if "normalization-processor" in p]
+    if len(norm_procs) > 1:
+        raise ValueError("at most one normalization-processor")
+    if not norm_procs:
+        return out
+    np_ = norm_procs[0]
+    norm = np_.get("normalization", {})
+    if norm:
+        out["normalization"] = norm.get("technique", "min_max")
+        params = norm.get("parameters", {})
+        if params.get("lower_bounds") is not None:
+            out["lower_bounds"] = params["lower_bounds"]
+        if params.get("upper_bounds") is not None:
+            out["upper_bounds"] = params["upper_bounds"]
+    comb = np_.get("combination", {})
+    if comb:
+        out["combination"] = comb.get("technique", "arithmetic_mean")
+        params = comb.get("parameters", {})
+        if params.get("weights") is not None:
+            out["weights"] = list(params["weights"])
+        if params.get("rank_constant") is not None:
+            out["rank_constant"] = int(params["rank_constant"])
+    return out
+
+
+def search_request(
+    index,
+    body: dict,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+) -> dict:
+    from neural_search_spark.operators.collapse import collapse as collapse_op
+    from neural_search_spark.operators.sort_search import field_sort_search
+    from neural_search_spark.query import aggs as ag
+
+    query = body.get("query")
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+
+    is_hybrid = query is not None and "hybrid" in query
+    if is_hybrid:
+        hb = query["hybrid"]
+        subqueries = [_parse_subquery(q) for q in hb.get("queries", [])]
+        depth = hb.get("pagination_depth")
+    elif query is not None:
+        subqueries = [_parse_subquery(query)]
+        depth = body.get("pagination_depth")
+    else:
+        subqueries, depth = None, None
+    query_terms = sorted({
+        t for s in subqueries
+        for t in (tokenize_query(s["terms"]) if isinstance(s["terms"], str)
+                  else s["terms"])
+    }) if subqueries is not None else None
+
+    out: dict = {"hits": None, "aggregations": {}}
+
+    if body.get("sort"):
+        if subqueries is None:
+            raise ValueError("sort requires a query")
+        sort_cols = []
+        for s in body["sort"]:
+            if isinstance(s, str):
+                sort_cols.append((s, True))
+            else:
+                (f_, spec), = s.items()
+                sort_cols.append((f_, spec.get("order", "asc") == "asc"))
+        dv = doc_values if doc_values is not None else index.docmap
+        id_col = doc_values_id or index.id_col
+        dv = dv.withColumn("docID", F.col(id_col).cast("long"))
+        matched = ag.matched_docs(index, query_terms)
+        joined = dv.join(matched, "docID", "left_semi")
+        after = tuple(body["search_after"]) if body.get("search_after") else None
+        out["hits"] = field_sort_search(
+            joined.select("docID", *[c for c, _ in sort_cols]),
+            sort_cols, size, "docID", after=after,
+        )
+    elif is_hybrid:
+        kwargs = _parse_pipeline(body.get("search_pipeline"))
+        hits = hy.hybrid_search(
+            index, subqueries, k=size, pagination_depth=depth, from_=from_,
+            min_score=body.get("min_score"),
+            explain=bool(body.get("explain", False)),
+            **kwargs,
+        )
+        if body.get("collapse"):
+            field = body["collapse"]["field"]
+            dv = doc_values if doc_values is not None else index.docmap
+            id_col = doc_values_id or index.id_col
+            dv = dv.withColumn("docID", F.col(id_col).cast("long"))
+            hits = collapse_op(
+                hits.join(dv.select("docID", field), "docID"),
+                field, score_col="score", id_col="docID",
+                per_group=int(body["collapse"].get("per_group", 1)),
+            ).orderBy(F.desc("score"), F.asc("docID"))
+        out["hits"] = hits
+    elif subqueries is not None:
+        # single non-hybrid query: RAW BM25 scores, no normalization
+        # pipeline (the reference only normalizes hybrid results;
+        # min_score is the plain Lucene floor here)
+        from neural_search_spark.query import wand
+
+        s0 = subqueries[0]
+        hits = wand.search(
+            index, s0["terms"], k=from_ + size,
+            weights=s0.get("weights"), where=s0.get("where"),
+        )
+        if body.get("min_score") is not None:
+            hits = hits.where(F.col("score") >= float(body["min_score"]))
+        if from_ > 0:
+            hits = hits.offset(from_)
+        if body.get("collapse"):
+            field = body["collapse"]["field"]
+            dv = doc_values if doc_values is not None else index.docmap
+            id_col = doc_values_id or index.id_col
+            dv = dv.withColumn("docID", F.col(id_col).cast("long"))
+            hits = collapse_op(
+                hits.join(dv.select("docID", field), "docID"),
+                field, score_col="score", id_col="docID",
+                per_group=int(body["collapse"].get("per_group", 1)),
+            ).orderBy(F.desc("score"), F.asc("docID"))
+        out["hits"] = hits
+
+    if body.get("aggs"):
+        out["aggregations"] = ag.aggregate(
+            index, body["aggs"], query=query_terms,
+            doc_values=doc_values, doc_values_id=doc_values_id,
+        )
+    return out

@@ -85,3 +85,24 @@ def test_cli_ann_build_and_search(spark, tmp_path, capsys):
     ))
     out = _json_out(capsys)
     assert out["hits"][0]["id"] == 0  # self-match first at nprobe=nlist
+
+
+def test_cli_request(spark, idx_dir, capsys):
+    body = {
+        "query": {"hybrid": {
+            "queries": [{"match": {"text": "def"}},
+                        {"match": {"text": "return"}}],
+            "pagination_depth": 10,
+        }},
+        "size": 5,
+        "aggs": {"dl": {"stats": {"field": "doclen"}}},
+    }
+    cli.cmd_request(spark, Namespace(
+        index_dir=idx_dir, body=json.dumps(body), doc_values=None,
+        doc_values_id=None, warmup=False,
+    ))
+    out = _json_out(capsys)
+    assert len(out["hits"]) == 5
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    assert out["aggregations"]["dl"][0]["dl_count"] > 0

@@ -1,0 +1,191 @@
+"""search_request body parsing + orchestration (query/request.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query import hybrid, request, wand
+
+DOCS = [
+    (1, "alpha beta gamma", "en"),
+    (2, "alpha beta", "en"),
+    (3, "alpha delta", "de"),
+    (4, "beta delta epsilon", "de"),
+    (5, "zeta eta", "fr"),
+    (6, "alpha alpha beta", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(d[0], d[1]) for d in DOCS], "doc_id long, text string"
+    )
+    return build_index(
+        spark, df, str(tmp_path_factory.mktemp("reqidx") / "idx"),
+        text_col="text", id_col="doc_id", bucket_bits=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def docvals(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def _pairs(df):
+    return [(r["docID"], r["score"]) for r in df.collect()]
+
+
+def test_single_match_is_raw_bm25(idx):
+    got = request.search_request(idx, {"query": {"match": {"text": "Alpha, BETA!"}}})
+    want = wand.search(idx, ["alpha", "beta"], k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_single_query_from_offset_and_min_score(idx):
+    full = wand.search(idx, ["alpha", "beta"], k=10).collect()
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}}, "from": 2, "size": 2,
+    })
+    assert _pairs(got["hits"]) == [(r["docID"], r["score"]) for r in full[2:4]]
+    cut = full[1]["score"]
+    floored = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}}, "min_score": cut,
+    })
+    assert all(r["score"] >= cut for r in floored["hits"].collect())
+    assert floored["hits"].count() < len(full)
+
+
+def test_neural_sparse_weights(idx):
+    got = request.search_request(idx, {
+        "query": {"neural_sparse": {"text": {"query_tokens": {"alpha": 2.0, "beta": 0.5}}}},
+    })
+    want = wand.search(idx, ["alpha", "beta"], k=10,
+                       weights={"alpha": 2.0, "beta": 0.5})
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_subquery_filter(idx):
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha"}, "filter": "doclen >= 3"},
+    })
+    ids = {r["docID"] for r in got["hits"].collect()}
+    assert ids == {1, 6}  # 3-token docs matching alpha
+
+
+def test_hybrid_with_pipeline_config(idx):
+    body = {
+        "query": {"hybrid": {
+            "queries": [{"match": {"text": "alpha"}},
+                        {"match": {"text": "delta epsilon"}}],
+            "pagination_depth": 10,
+        }},
+        "size": 5,
+        "search_pipeline": {"phase_results_processors": [
+            {"normalization-processor": {
+                "normalization": {"technique": "l2"},
+                "combination": {"technique": "geometric_mean"},
+            }},
+        ]},
+    }
+    got = request.search_request(idx, body)
+    want = hybrid.hybrid_search(
+        idx, ["alpha", ["delta", "epsilon"]], k=5, normalization="l2",
+        combination="geometric_mean", pagination_depth=10,
+    )
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_hybrid_weights_and_min_score(idx):
+    body = {
+        "query": {"hybrid": {"queries": [
+            {"match": {"text": "alpha"}}, {"match": {"text": "beta"}},
+        ]}},
+        "min_score": 0.5,
+        "search_pipeline": {"phase_results_processors": [
+            {"normalization-processor": {
+                "combination": {"technique": "arithmetic_mean",
+                                "parameters": {"weights": [0.7, 0.3]}},
+            }},
+        ]},
+    }
+    got = request.search_request(idx, body)["hits"].collect()
+    want = hybrid.hybrid_search(
+        idx, ["alpha", "beta"], k=10, weights=[0.7, 0.3], min_score=0.5,
+    ).collect()
+    assert [(r["docID"], r["score"]) for r in got] == \
+        [(r["docID"], r["score"]) for r in want]
+    assert all(r["score"] >= 0.5 for r in got)
+
+
+def test_collapse_in_request(idx, docvals):
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}},
+        "collapse": {"field": "lang"},
+    }, doc_values=docvals, doc_values_id="doc_id")["hits"].collect()
+    langs = [r["lang"] for r in got]
+    assert sorted(langs) == ["de", "en", "fr"]  # one best hit per lang
+
+
+def test_sort_and_search_after(idx, docvals):
+    body = {
+        "query": {"match": {"text": "alpha beta"}},
+        "sort": [{"lang": {"order": "asc"}}], "size": 3,
+    }
+    page1 = request.search_request(
+        idx, body, doc_values=docvals, doc_values_id="doc_id")["hits"].collect()
+    assert [r["lang"] for r in page1] == sorted(r["lang"] for r in page1)
+    last = page1[-1]
+    body2 = dict(body, search_after=[last["lang"], last["docID"]])
+    page2 = request.search_request(
+        idx, body2, doc_values=docvals, doc_values_id="doc_id")["hits"].collect()
+    seen = {r["docID"] for r in page1}
+    assert seen.isdisjoint({r["docID"] for r in page2})
+    assert len(page1) + len(page2) == 5  # docs 1,2,3,4,6 match alpha OR beta
+
+
+def test_aggs_in_request(idx, docvals):
+    out = request.search_request(idx, {
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 10}},
+            "all": {"global": {}},
+        },
+    }, doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r["doc_count"]
+            for r in out["aggregations"]["langs"].collect()}
+    assert rows == {"en": 2, "de": 1, "fr": 1}
+    assert out["aggregations"]["all"].collect()[0]["doc_count"] == len(DOCS)
+
+
+def test_match_all_aggs_without_query(idx, docvals):
+    out = request.search_request(idx, {
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    }, doc_values=docvals, doc_values_id="doc_id")
+    assert out["hits"] is None
+    rows = {r["key"]: r["doc_count"]
+            for r in out["aggregations"]["langs"].collect()}
+    assert rows == {"en": 2, "de": 2, "fr": 2}
+
+
+def test_validation(idx):
+    with pytest.raises(ValueError, match="top-level"):
+        request.search_request(idx, {"query": {"hybrid": {"queries": [
+            {"match": {"f": {"bool": {"must": {"hybrid": {}}}}}},
+        ]}}})
+    with pytest.raises(ValueError, match="exactly one type"):
+        request.search_request(idx, {"query": {
+            "match": {"text": "a"}, "neural_sparse": {"text": {}}}})
+    with pytest.raises(ValueError, match="query_tokens"):
+        request.search_request(idx, {"query": {"neural_sparse": {"text": {}}}})
+    with pytest.raises(ValueError, match="unsupported"):
+        request.search_request(idx, {"query": {"bool": {"must": []}}})
+    with pytest.raises(ValueError, match="at most one"):
+        request.search_request(idx, {
+            "query": {"hybrid": {"queries": [{"match": {"text": "a"}}]}},
+            "search_pipeline": {"phase_results_processors": [
+                {"normalization-processor": {}}, {"normalization-processor": {}},
+            ]},
+        })
+    with pytest.raises(ValueError, match="sort requires"):
+        request.search_request(idx, {"sort": [{"lang": {"order": "asc"}}]})
