@@ -116,6 +116,28 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             "speedup_vs_sequential": round(seq_s / max(batch_s, 1e-9), 2),
         }
 
+        # full search-request body: hybrid (2 sub-queries, min_max +
+        # arithmetic) + a metric and a bucket aggregation over the matched
+        # set — the POST /_search analog end-to-end in one call
+        from neural_search_spark.query.request import search_request
+        t0 = time.perf_counter()
+        req = search_request(index, {
+            "query": {"hybrid": {
+                "queries": [{"match": {"text": "query token score"}},
+                            {"match": {"text": "merge block"}}],
+                "pagination_depth": 20,
+            }},
+            "size": 10,
+            "aggs": {
+                "dl_stats": {"stats": {"field": "doclen"}},
+                "dl_hist": {"histogram": {"field": "doclen", "interval": 32}},
+            },
+        })
+        req["hits"].collect()
+        for df in req["aggregations"].values():
+            df.collect()
+        request_s = time.perf_counter() - t0
+
         shutil.rmtree(idx_dir, ignore_errors=True)
         return {
             "cpus": cpus,
@@ -127,6 +149,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             "queries": lat,
             "heavy_query_profile": heavy_profile,
             "msearch": msearch_stats,
+            "request_hybrid_aggs_s": round(request_s, 3),
         }
     finally:
         spark.stop()
@@ -210,6 +233,7 @@ def main() -> None:
             "query_p99_s": res["query_p99_s"],
             "heavy_query_profile": res["heavy_query_profile"],
             "msearch": res["msearch"],
+            "request_hybrid_aggs_s": res["request_hybrid_aggs_s"],
             **extra,
         },
     }
