@@ -95,8 +95,10 @@ def cmd_request(spark: SparkSession, args) -> None:
         idx.warmup()
     body = json.loads(args.body)
     dv = spark.read.parquet(args.doc_values) if args.doc_values else None
+    vecs = spark.read.parquet(args.vectors) if args.vectors else None
     out = search_request(idx, body, doc_values=dv,
-                         doc_values_id=args.doc_values_id)
+                         doc_values_id=args.doc_values_id,
+                         vectors=vecs, vectors_id=args.vectors_id)
     resp: dict = {}
     if out["hits"] is not None:
         resp["hits"] = [r.asDict() for r in out["hits"].collect()]
@@ -275,6 +277,11 @@ def main(argv: list[str] | None = None) -> None:
                         "(query + aggs + collapse + sort + search_pipeline)")
     rq.add_argument("--index-dir", required=True)
     rq.add_argument("--body", required=True, help="JSON search-request body")
+    rq.add_argument("--vectors", default=None,
+                    help="parquet of (id, embedding) for the ext.mmr "
+                         "diversity rerank extension")
+    rq.add_argument("--vectors-id", default="docID",
+                    help="id column in --vectors (default docID)")
     rq.add_argument("--doc-values", help="parquet path of the field table "
                     "(default: the index forward table)")
     rq.add_argument("--doc-values-id", help="id column of --doc-values")

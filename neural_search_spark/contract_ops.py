@@ -945,6 +945,87 @@ def _cosine_batch_sql(query_ids, k: int) -> str:
     return f"SELECT * FROM ({legs}) ORDER BY query_id, score DESC, vec_id"
 
 
+MMR_DIVERSITY = 0.5
+MMR_WINDOW = 50
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank of a cosine-relevance candidate window
+    (reference: the ``mmr`` search extension; neural-search ships the
+    query transformer, main/processor/mmr/MMRNeuralQueryTransformer.java).
+    Oracled by a k-step greedy CTE chain in DuckDB."""
+    from neural_search_spark.operators.rerank import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    hits = similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=MMR_WINDOW)
+    res = mmr_rerank(
+        hits, emb, k=10, diversity=MMR_DIVERSITY, candidates=MMR_WINDOW,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return res.select(
+        "vec_id", "rank", F.round("score", 4).alias("score"),
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )
+
+
+def _mmr_sql(k: int, diversity: float, window: int) -> str:
+    """Unrolled greedy MMR as a chain of one-row CTE selections.
+
+    Step i picks argmax (1-d)*rel - d*max(cos to already-selected) among
+    candidates not yet selected — exactly ``mmr_select``'s loop, with
+    DuckDB's list_cosine_similarity as the similarity kernel and the same
+    (objective desc, vec_id asc) tie-break.
+    """
+    lam = 1.0 - diversity
+    parts = [f"""
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, orig, v, {lam!r} * rel AS mmr, 1 AS rank
+      FROM norm ORDER BY rel DESC, vec_id LIMIT 1
+    ), p1 AS MATERIALIZED (SELECT * FROM sel1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    sel{i} AS MATERIALIZED (
+      SELECT n.vec_id, n.orig, n.v,
+             {lam!r} * n.rel - {diversity!r} *
+               (SELECT max(list_cosine_similarity(n.v, s.v)) FROM p{i-1} s)
+               AS mmr,
+             {i} AS rank
+      FROM norm n
+      WHERE n.vec_id NOT IN (SELECT vec_id FROM p{i-1})
+      ORDER BY mmr DESC, n.vec_id LIMIT 1
+    ), p{i} AS MATERIALIZED (SELECT * FROM p{i-1} UNION ALL SELECT * FROM sel{i})""")
+    chain = ",".join(parts)
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, len(v)), i -> v[i] * q.qv[i])), (a, b) -> a + b)
+        / ( sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(q.qv, x -> x * x)), (a, b) -> a + b)) ) AS s
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings) CROSS JOIN q
+    ),
+    cand AS MATERIALIZED (SELECT vec_id, s AS orig, v FROM scored
+             ORDER BY s DESC, vec_id LIMIT {window}),
+    norm AS MATERIALIZED (
+      SELECT vec_id, orig, v,
+        CASE WHEN max(orig) OVER () = min(orig) OVER () THEN 1.0
+             ELSE (orig - min(orig) OVER ())
+                  / (max(orig) OVER () - min(orig) OVER ()) END AS rel
+      FROM cand
+    ),{chain}
+    SELECT vec_id, CAST(rank AS INTEGER) AS rank, round(orig, 4) AS score,
+           round(mmr, 4) AS mmr_score
+    FROM p{k} ORDER BY rank
+"""
+
+
 COSINE_TOPK_SQL = """
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
@@ -1487,6 +1568,7 @@ SPARK_QUERIES_EXT = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_batch": q_cosine_topk_batch,
+    "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
@@ -1546,6 +1628,7 @@ ORACLE_SQL_EXT = {
     # minhash_lsh_pairs / simhash_pairs: rows-only
     "cosine_topk": COSINE_TOPK_SQL,
     "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),
+    "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)
     "multimodal_features": MULTIMODAL_SQL,

@@ -7,13 +7,29 @@ score := target field value, optional ``previous_score`` column, optional
 removal of the target field from the returned payload, hits re-sorted by
 the new score (RescoringRerankProcessor sorts rescored hits descending).
 
-Spark shape: one broadcast-friendly equi-join of the (small, top-k-sized)
-result set against the docmap, then a driver-side sort of k rows — no
-shuffle of the big table.
+``mmr_rerank`` is the Maximal Marginal Relevance diversity rerank behind
+the reference's ``mmr`` search extension: neural-search ships the query
+transformer that widens the fetch window to ``candidates`` hits
+(reference: main/processor/mmr/MMRNeuralQueryTransformer.java:47-49 sets
+k = candidates), and the coordinator-side greedy selection over that
+window uses the classic MMR objective (Carbonell & Goldstein 1998):
+
+    argmax_d  (1 - diversity) * rel(d) - diversity * max_{s in S} sim(d, s)
+
+with ``diversity`` in [0, 1] (0 = pure relevance order).
+
+Spark shape for both: one broadcast-friendly equi-join of the (small,
+candidate-window-sized) result set against the doc/vector table, then a
+driver-side pass over <= candidates rows — no shuffle of the big table.
+The greedy selection is inherently sequential over a bounded window; the
+reference likewise reranks the fetched window on the coordinator node, so
+driver-side numpy is the honest 100 TB shape (the expensive part — fetching
+candidates — stays distributed).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -66,3 +82,111 @@ def rerank_by_field(
         joined.select(*out_cols)
         .orderBy(F.desc("score"), F.asc(id_col))
     )
+
+
+def mmr_select(
+    ids: list,
+    rel: np.ndarray,
+    vecs: np.ndarray,
+    k: int,
+    diversity: float,
+) -> list[tuple[object, float]]:
+    """Greedy MMR over an in-memory candidate window.
+
+    ``rel`` (n,) relevance scores, ``vecs`` (n, d) embeddings. Returns up to
+    ``k`` (id, mmr_score) in selection order. Similarity = cosine. Ties break
+    on id ascending (stable across runs). Pure numpy so tests can oracle it
+    against a scalar reimplementation.
+    """
+    n = len(ids)
+    if n == 0 or k <= 0:
+        return []
+    lam = 1.0 - diversity
+    norms = np.linalg.norm(vecs, axis=1)
+    norms[norms == 0.0] = 1.0  # zero vector: sim 0 to everything
+    unit = vecs / norms[:, None]
+    order = np.lexsort((ids, -rel))  # rel desc, id asc tie-break
+    selected: list[tuple[object, float]] = []
+    sel_mask = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    first = order[0]
+    selected.append((ids[first], float(lam * rel[first])))
+    sel_mask[first] = True
+    np.maximum(max_sim, unit @ unit[first], out=max_sim)
+    while len(selected) < min(k, n):
+        mmr = lam * rel - diversity * max_sim
+        mmr[sel_mask] = -np.inf
+        best = np.lexsort((ids, -mmr))[0]
+        selected.append((ids[best], float(mmr[best])))
+        sel_mask[best] = True
+        np.maximum(max_sim, unit @ unit[best], out=max_sim)
+    return selected
+
+
+def mmr_rerank(
+    results: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    diversity: float = 0.5,
+    candidates: int | None = None,
+    id_col: str = "docID",
+    vec_col: str = "embedding",
+    normalize_relevance: bool = True,
+) -> DataFrame:
+    """Diversity-rerank ``results`` by MMR over a vector field.
+
+    ``results``: (id_col, score) hits, already relevance-sorted upstream.
+    ``vectors``: table holding (id_col, vec_col). Only the top ``candidates``
+    hits (default ``max(3*k, 10)`` — the widened fetch window the reference's
+    MMR transformer requests, main/processor/mmr/MMRNeuralQueryTransformer
+    .java:47-49) are considered; they are joined to their vectors and pulled
+    to the driver (bounded: candidate-window rows, not the table).
+
+    ``diversity`` in [0,1]: selection objective is
+    ``(1-diversity)*rel - diversity*max_sim_to_selected``; diversity=0
+    reproduces the input relevance order. ``normalize_relevance`` min-max
+    scales rel over the window to [0,1] so it shares the cosine scale —
+    BM25-sized scores would otherwise drown the diversity term.
+
+    A hit with no vector row fails the job (explicit, like rerank_by_field's
+    validator) — diversity against a missing embedding is undefined.
+
+    Output: (id_col, rank, score, mmr_score) ordered by selection rank;
+    ``score`` is the original relevance (the reference keeps original scores
+    on reordered hits), ``mmr_score`` the selection-time objective value.
+    """
+    if not 0.0 <= diversity <= 1.0:
+        raise ValueError(f"diversity must be in [0, 1], got {diversity}")
+    if candidates is None:
+        candidates = max(3 * k, 10)
+    if candidates < k:
+        raise ValueError(f"candidates ({candidates}) < k ({k})")
+    window = (
+        results.select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(candidates)
+    )
+    rows = (
+        window.join(vectors.select(id_col, vec_col), id_col, "left")
+        .select(id_col, "score", vec_col)
+        .collect()
+    )
+    missing = [r[id_col] for r in rows if r[vec_col] is None]
+    if missing:
+        raise ValueError(f"hits without a {vec_col} vector: {missing[:5]}")
+    ids = [r[id_col] for r in rows]
+    rel = np.array([r["score"] for r in rows], dtype=np.float64)
+    orig = dict(zip(ids, rel))
+    vecs = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    if normalize_relevance and len(rel):
+        span = rel.max() - rel.min()
+        rel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+    picked = mmr_select(ids, rel, vecs, k, diversity)
+    spark = results.sparkSession
+    id_type = results.schema[id_col].dataType.simpleString()
+    out = spark.createDataFrame(
+        [(i, rank + 1, float(orig[i]), float(m))
+         for rank, (i, m) in enumerate(picked)],
+        schema=f"{id_col} {id_type}, rank int, score double, mmr_score double",
+    )
+    return out.orderBy("rank")

@@ -29,6 +29,14 @@ operators:
 * ``sort`` + ``search_after``: field sorting via keyset pagination
   (operators/sort_search.py); like the reference's field-sort collector,
   hits carry the sort fields instead of relevance scores.
+* ``ext.mmr``: the MMR diversity-rerank search extension
+  (``{"diversity": d, "candidates": n}``). Like the reference's
+  transformer (main/processor/mmr/MMRNeuralQueryTransformer.java:47-49),
+  the fetch window widens to ``candidates`` hits, which are then
+  greedy-selected by operators/rerank.mmr_rerank. Requires a ``vectors``
+  DataFrame (the embedding source the reference resolves from the knn
+  field mapping); incompatible with ``sort``/``collapse`` (no relevance
+  scores to trade off / conflicting post-passes).
 
 Validation mirrors HybridQueryPhaseSearcher.java:91-129: a hybrid query is
 only legal at the TOP level of the request — nesting it under bool/
@@ -122,6 +130,9 @@ def search_request(
     body: dict,
     doc_values: DataFrame | None = None,
     doc_values_id: str | None = None,
+    vectors: DataFrame | None = None,
+    vectors_id: str = "docID",
+    vectors_col: str = "embedding",
 ) -> dict:
     from neural_search_spark.operators.collapse import collapse as collapse_op
     from neural_search_spark.operators.sort_search import field_sort_search
@@ -130,6 +141,16 @@ def search_request(
     query = body.get("query")
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
+
+    mmr = (body.get("ext") or {}).get("mmr")
+    if mmr is not None:
+        if body.get("sort") or body.get("collapse") or body.get("explain"):
+            raise ValueError("ext.mmr is incompatible with sort/collapse/explain")
+        if vectors is None:
+            raise ValueError("ext.mmr requires a vectors DataFrame")
+        # widened fetch window, reference MMRNeuralQueryTransformer:47-49
+        mmr_candidates = int(mmr.get("candidates", 3 * (from_ + size)))
+        mmr_diversity = float(mmr.get("diversity", 0.5))
 
     is_hybrid = query is not None and "hybrid" in query
     if is_hybrid:
@@ -148,6 +169,19 @@ def search_request(
     }) if subqueries is not None else None
 
     out: dict = {"hits": None, "aggregations": {}}
+
+    def _mmr_post(hits: DataFrame) -> DataFrame:
+        from neural_search_spark.operators.rerank import mmr_rerank
+
+        vecs = vectors
+        if vectors_id != "docID":
+            vecs = vecs.withColumnRenamed(vectors_id, "docID")
+        reranked = mmr_rerank(
+            hits.select("docID", "score"), vecs, k=from_ + size,
+            diversity=mmr_diversity, candidates=mmr_candidates,
+            id_col="docID", vec_col=vectors_col,
+        )
+        return reranked.offset(from_) if from_ > 0 else reranked
 
     if body.get("sort"):
         if subqueries is None:
@@ -172,7 +206,12 @@ def search_request(
     elif is_hybrid:
         kwargs = _parse_pipeline(body.get("search_pipeline"))
         hits = hy.hybrid_search(
-            index, subqueries, k=size, pagination_depth=depth, from_=from_,
+            index, subqueries,
+            # mmr: fetch the widened candidate window; pagination applies
+            # to the MMR-reordered list, not the relevance list
+            k=mmr_candidates if mmr is not None else size,
+            pagination_depth=depth,
+            from_=0 if mmr is not None else from_,
             min_score=body.get("min_score"),
             explain=bool(body.get("explain", False)),
             **kwargs,
@@ -196,12 +235,13 @@ def search_request(
 
         s0 = subqueries[0]
         hits = wand.search(
-            index, s0["terms"], k=from_ + size,
+            index, s0["terms"],
+            k=mmr_candidates if mmr is not None else from_ + size,
             weights=s0.get("weights"), where=s0.get("where"),
         )
         if body.get("min_score") is not None:
             hits = hits.where(F.col("score") >= float(body["min_score"]))
-        if from_ > 0:
+        if from_ > 0 and mmr is None:
             hits = hits.offset(from_)
         if body.get("collapse"):
             field = body["collapse"]["field"]
@@ -214,6 +254,9 @@ def search_request(
                 per_group=int(body["collapse"].get("per_group", 1)),
             ).orderBy(F.desc("score"), F.asc("docID"))
         out["hits"] = hits
+
+    if mmr is not None and out["hits"] is not None:
+        out["hits"] = _mmr_post(out["hits"])
 
     if body.get("aggs"):
         out["aggregations"] = ag.aggregate(

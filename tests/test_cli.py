@@ -99,10 +99,34 @@ def test_cli_request(spark, idx_dir, capsys):
     }
     cli.cmd_request(spark, Namespace(
         index_dir=idx_dir, body=json.dumps(body), doc_values=None,
-        doc_values_id=None, warmup=False,
+        doc_values_id=None, warmup=False, vectors=None, vectors_id="docID",
     ))
     out = _json_out(capsys)
     assert len(out["hits"]) == 5
     scores = [h["score"] for h in out["hits"]]
     assert scores == sorted(scores, reverse=True)
     assert out["aggregations"]["dl"][0]["dl_count"] > 0
+
+
+def test_cli_request_mmr(spark, idx_dir, tmp_path, capsys):
+    """ext.mmr via --vectors parquet: returns rank/score/mmr_score hits."""
+    from neural_search_spark.index.build import load_index
+    ids = [r["docID"] for r in load_index(spark, idx_dir).docmap
+           .select("docID").collect()]
+    rng = np.random.default_rng(4)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in ids],
+        "docID long, embedding array<double>",
+    )
+    vdir = str(tmp_path / "vecs")
+    vecs.write.parquet(vdir)
+    body = {"query": {"match": {"text": "def return"}}, "size": 5,
+            "ext": {"mmr": {"diversity": 0.4, "candidates": 15}}}
+    cli.cmd_request(spark, Namespace(
+        index_dir=idx_dir, body=json.dumps(body), doc_values=None,
+        doc_values_id=None, warmup=False, vectors=vdir, vectors_id="docID",
+    ))
+    out = _json_out(capsys)
+    assert len(out["hits"]) == 5
+    assert [h["rank"] for h in out["hits"]] == [1, 2, 3, 4, 5]
+    assert all("mmr_score" in h for h in out["hits"])

@@ -189,3 +189,70 @@ def test_validation(idx):
         })
     with pytest.raises(ValueError, match="sort requires"):
         request.search_request(idx, {"sort": [{"lang": {"order": "asc"}}]})
+
+
+# ------------------------------------------------------------------ ext.mmr
+
+@pytest.fixture(scope="module")
+def docvecs(spark):
+    # docs 1 and 2 nearly parallel; 3 orthogonal; rest spread out
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.02, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+        (5, [0.5, 0.5, 0.0]),
+        (6, [0.98, 0.05, 0.0]),
+    ]
+    return spark.createDataFrame(vecs, "docID long, embedding array<double>")
+
+
+def test_mmr_ext_diversifies(idx, docvecs):
+    """High diversity must not return both near-duplicate top docs."""
+    body = {"query": {"match": {"text": "alpha beta"}}, "size": 3,
+            "ext": {"mmr": {"diversity": 0.8, "candidates": 6}}}
+    got = request.search_request(idx, body, vectors=docvecs)["hits"].collect()
+    ids = [r["docID"] for r in got]
+    assert len(ids) == 3
+    rel = [r["docID"] for r in
+           wand.search(idx, ["alpha", "beta"], k=6).collect()]
+    # relevance order would put the near-clones adjacent; MMR must not
+    top2 = set(ids[:2])
+    assert not ({1, 6} <= top2 or {1, 2} <= top2 or {2, 6} <= top2), (ids, rel)
+    # diversity=0 reproduces pure relevance order
+    body["ext"]["mmr"]["diversity"] = 0.0
+    got0 = request.search_request(idx, body, vectors=docvecs)["hits"].collect()
+    assert [r["docID"] for r in got0] == rel[:3]
+
+
+def test_mmr_ext_hybrid_and_pagination(idx, docvecs):
+    body = {
+        "query": {"hybrid": {"queries": [
+            {"match": {"text": "alpha"}}, {"match": {"text": "beta"}},
+        ], "pagination_depth": 6}},
+        "size": 2,
+        "ext": {"mmr": {"diversity": 0.5, "candidates": 6}},
+    }
+    page1 = request.search_request(idx, body, vectors=docvecs)["hits"].collect()
+    body2 = dict(body, size=2, **{"from": 2})
+    page2 = request.search_request(idx, body2, vectors=docvecs)["hits"].collect()
+    full = request.search_request(
+        idx, dict(body, size=4), vectors=docvecs)["hits"].collect()
+    got = [r["docID"] for r in page1] + [r["docID"] for r in page2]
+    assert got == [r["docID"] for r in full]
+
+
+def test_mmr_ext_validation(idx, docvecs):
+    base = {"query": {"match": {"text": "alpha"}},
+            "ext": {"mmr": {"diversity": 0.5}}}
+    with pytest.raises(ValueError, match="requires a vectors"):
+        request.search_request(idx, base)
+    with pytest.raises(ValueError, match="incompatible"):
+        request.search_request(
+            idx, dict(base, collapse={"field": "lang"}), vectors=docvecs)
+    with pytest.raises(ValueError, match="incompatible"):
+        request.search_request(
+            idx, dict(base, sort=[{"doclen": {"order": "asc"}}]),
+            vectors=docvecs)
+    with pytest.raises(ValueError, match="incompatible"):
+        request.search_request(idx, dict(base, explain=True), vectors=docvecs)

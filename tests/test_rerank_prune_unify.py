@@ -5,7 +5,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from neural_search_spark.operators.rerank import rerank_by_field
+from neural_search_spark.operators.rerank import mmr_rerank, rerank_by_field
 
 
 @pytest.fixture(scope="module")
@@ -86,3 +86,101 @@ def test_split_weights_equals_pruners(spark, kind, param):
         )
         assert kept == high, (kind, trial, weights)
         assert cut == low, (kind, trial, weights)
+
+
+# ---------------------------------------------------------------- MMR rerank
+
+def _mmr_bruteforce(ids, rel, vecs, k, diversity):
+    """Scalar-python MMR oracle: no numpy in the selection loop."""
+    import math
+    lam = 1.0 - diversity
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    remaining = list(range(len(ids)))
+    selected = []
+    while remaining and len(selected) < k:
+        best, best_val = None, None
+        for i in remaining:
+            if selected:
+                pen = max(cos(vecs[i], vecs[j]) for j in selected)
+                val = lam * rel[i] - diversity * pen
+            else:
+                val = lam * rel[i]
+            key = (-val, ids[i])
+            if best is None or key < best_val:
+                best, best_val = i, key
+        selected.append(best)
+        remaining.remove(best)
+    return [ids[i] for i in selected]
+
+
+def test_mmr_select_matches_bruteforce():
+    """Vectorized greedy == scalar oracle on random windows."""
+    import numpy as np
+    from neural_search_spark.operators.rerank import mmr_select
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n, d = int(rng.integers(1, 30)), 8
+        ids = list(rng.permutation(1000)[:n].astype(int))
+        rel = rng.random(n)
+        vecs = rng.normal(size=(n, d))
+        div = float(rng.random())
+        k = int(rng.integers(1, n + 1))
+        got = [i for i, _ in mmr_select(ids, rel, vecs, k, div)]
+        want = _mmr_bruteforce(ids, list(rel), vecs.tolist(), k, div)
+        assert got == want, (trial, div, k)
+
+
+def test_mmr_diversity_zero_is_relevance_order(spark):
+    """diversity=0 must reproduce the input relevance ranking."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    results = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(rng.permutation(40))],
+        "docID long, score double",
+    )
+    vectors = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(40)],
+        "docID long, embedding array<double>",
+    )
+    rows = mmr_rerank(results, vectors, k=5, diversity=0.0).collect()
+    want = [r["docID"] for r in
+            results.orderBy(F.desc("score"), F.asc("docID")).limit(5).collect()]
+    assert [r["docID"] for r in rows] == want
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # original scores preserved on reordered hits
+    orig = {r["docID"]: r["score"] for r in results.collect()}
+    assert all(abs(r["score"] - orig[r["docID"]]) < 1e-12 for r in rows)
+
+
+def test_mmr_diversity_picks_spread(spark):
+    """Two near-duplicate top hits: high diversity must skip the clone."""
+    vectors = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "docID long, embedding array<double>",
+    )
+    results = spark.createDataFrame(
+        [(1, 10.0), (2, 9.9), (3, 5.0)], "docID long, score double"
+    )
+    rows = mmr_rerank(results, vectors, k=2, diversity=0.7).collect()
+    assert [r["docID"] for r in rows] == [1, 3]
+    # and with diversity ~0 the clone wins instead
+    rows = mmr_rerank(results, vectors, k=2, diversity=0.0).collect()
+    assert [r["docID"] for r in rows] == [1, 2]
+
+
+def test_mmr_validation(spark):
+    results = spark.createDataFrame([(1, 1.0)], "docID long, score double")
+    vectors = spark.createDataFrame(
+        [(2, [1.0])], "docID long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="diversity"):
+        mmr_rerank(results, vectors, diversity=1.5)
+    with pytest.raises(ValueError, match="candidates"):
+        mmr_rerank(results, vectors, k=10, candidates=5)
+    with pytest.raises(ValueError, match="without a"):
+        mmr_rerank(results, vectors, k=1).collect()
