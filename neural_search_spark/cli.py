@@ -39,17 +39,28 @@ def _load_input(spark: SparkSession, args) -> tuple[DataFrame, str]:
 
 def cmd_build(spark: SparkSession, args) -> None:
     from neural_search_spark.index.build import build_index
+    from neural_search_spark.index.multifield import build_multi_field_index
 
     corpus, id_col = _load_input(spark, args)
     t0 = time.perf_counter()
-    idx = build_index(
-        spark, corpus, args.index_dir,
-        text_col=args.text_col, id_col=id_col, resume=not args.no_resume,
-        k1=args.k1, b=args.b,
-    )
+    if args.fields:
+        idx = build_multi_field_index(
+            spark, corpus, args.index_dir,
+            text_cols=[c.strip() for c in args.fields.split(",") if c.strip()],
+            id_col=id_col, resume=not args.no_resume, k1=args.k1, b=args.b,
+        )
+        out = {"fields": sorted(idx.fields),
+               "default_field": idx.default_field}
+    else:
+        idx = build_index(
+            spark, corpus, args.index_dir,
+            text_col=args.text_col, id_col=id_col, resume=not args.no_resume,
+            k1=args.k1, b=args.b,
+        )
+        out = {"avgdl": round(idx.avgdl, 4)}
     print(json.dumps({
         "action": "build", "index_dir": args.index_dir, "n_docs": idx.n_docs,
-        "avgdl": round(idx.avgdl, 4), "wall_s": round(time.perf_counter() - t0, 2),
+        "wall_s": round(time.perf_counter() - t0, 2), **out,
     }))
 
 
@@ -87,10 +98,10 @@ def cmd_search(spark: SparkSession, args) -> None:
 def cmd_request(spark: SparkSession, args) -> None:
     """Full search-request body (the POST /_search analog): query + aggs +
     collapse + sort + search_pipeline in one JSON document."""
-    from neural_search_spark.index.build import load_index
+    from neural_search_spark.index.multifield import load_any_index
     from neural_search_spark.query.request import search_request
 
-    idx = load_index(spark, args.index_dir)
+    idx = load_any_index(spark, args.index_dir)
     if args.warmup:
         idx.warmup()
     body = json.loads(args.body)
@@ -255,6 +266,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--k1", type=float, default=1.2,
                    help="BM25 k1 (per-index, baked into block maxes)")
     b.add_argument("--b", type=float, default=0.75, help="BM25 b (per-index)")
+    b.add_argument("--fields", default=None,
+                   help="comma-separated text columns for a multi-field "
+                        "index (one per-field term space; first = default "
+                        "field); overrides --text-col")
 
     a = sub.add_parser("append", help="append a delta to a committed index")
     common_input(a)

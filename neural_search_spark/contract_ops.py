@@ -945,6 +945,115 @@ def _cosine_batch_sql(query_ids, k: int) -> str:
     return f"SELECT * FROM ({legs}) ORDER BY query_id, score DESC, vec_id"
 
 
+MF_TEXT_QUERY = "data query"
+MF_LANG_TERM = "en"
+
+
+def _get_index_mf(spark: SparkSession, sf_dir: str):
+    """Multi-field index over (text, lang) — per-field term spaces
+    (index/multifield.py), cached/resumed like _get_index."""
+    from neural_search_spark.index.multifield import build_multi_field_index
+
+    key = (id(spark), sf_dir + "#mf")
+    if key not in _INDEX_CACHE:
+        tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"nss-contract-idx-mf-{tag}")
+        corpus = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        _INDEX_CACHE[key] = build_multi_field_index(
+            spark, corpus, idx_dir, text_cols=["text", "lang"],
+            id_col="doc_id", resume=True,
+        )
+    return _INDEX_CACHE[key]
+
+
+def q_multifield_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid across two FIELDS (text + lang), each its own term space with
+    field-local df/avgdl/n_docs — Lucene per-field BM25 semantics."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index_mf(spark, sf_dir)
+    out = search_request(idx, {
+        "query": {"hybrid": {
+            "queries": [{"match": {"text": MF_TEXT_QUERY}},
+                        {"match": {"lang": MF_LANG_TERM}}],
+            "pagination_depth": HYBRID_DEPTH,
+        }},
+        "size": HYBRID_K,
+    })
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_multifield_match_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single match routed to the non-default field's sub-index."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index_mf(spark, sf_dir)
+    out = search_request(idx, {
+        "query": {"match": {"lang": MF_LANG_TERM}}, "size": HYBRID_K,
+    })
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def _lang_bm25_sub(i: int, lang: str, limit: int) -> str:
+    """BM25 over the single-token ``lang`` field: tf=1, doclen=1, avgdl=1,
+    n_docs = docs having the field (Lucene per-field docCount)."""
+    return f"""
+    sub{i} AS (
+      SELECT doc_id,
+             ln(1 + (ls.n - ld.df + 0.5) / (ld.df + 0.5)) / 2.2 AS score
+      FROM documents
+      CROSS JOIN (SELECT count(*) AS n FROM documents
+                  WHERE lang IS NOT NULL) ls
+      CROSS JOIN (SELECT count(*) AS df FROM documents
+                  WHERE lang = '{lang}') ld
+      WHERE lang = '{lang}'
+      ORDER BY score DESC, doc_id ASC LIMIT {limit}
+    )"""
+
+
+def _multifield_hybrid_sql(text_terms: list[str], lang: str,
+                           depth: int = HYBRID_DEPTH, k: int = HYBRID_K) -> str:
+    tlist = ", ".join(f"'{t}'" for t in text_terms)
+    sub0 = f"""
+    sub0 AS (
+      SELECT doc_id, score FROM (
+        SELECT tf.doc_id AS doc_id,
+          sum( ln(1 + (st.n_docs - d0.df + 0.5) / (d0.df + 0.5))
+               * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+        FROM tf JOIN (SELECT term, count(*) AS df FROM tf
+                      WHERE term IN ({tlist}) GROUP BY term) d0 USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+        GROUP BY tf.doc_id)
+      ORDER BY score DESC, doc_id ASC LIMIT {depth}
+    )"""
+    _, comb = _comb_exprs(2, "arithmetic_mean")
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {sub0}, {_lang_bm25_sub(1, lang, depth)},
+         {_norm_cte(0, "min_max")}, {_norm_cte(1, "min_max")},
+         pv AS (SELECT coalesce(t0.doc_id, t1.doc_id) AS doc_id,
+                       coalesce(t0.ns, 0.0) AS s0, coalesce(t1.ns, 0.0) AS s1
+                FROM n0 t0 FULL OUTER JOIN n1 t1 ON t0.doc_id = t1.doc_id)
+    SELECT doc_id, round(cscore, 4) AS score FROM (
+      SELECT doc_id, {comb} AS cscore FROM pv
+      ORDER BY cscore DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
+def _multifield_lang_sql(lang: str, k: int = HYBRID_K) -> str:
+    return f"""
+    WITH {_lang_bm25_sub(0, lang, k)}
+    SELECT doc_id, round(score, 4) AS score FROM sub0
+    ORDER BY score DESC, doc_id ASC
+    """
+
+
 MMR_DIVERSITY = 0.5
 MMR_WINDOW = 50
 
@@ -1552,6 +1661,8 @@ SPARK_QUERIES_EXT = {
     "search_request_hybrid": q_search_request_hybrid,
     "search_request_collapse": q_search_request_collapse,
     "rerank_by_field": q_rerank_by_field,
+    "multifield_hybrid": q_multifield_hybrid,
+    "multifield_match_lang": q_multifield_match_lang,
     "collapse_top2_lang": q_collapse_top2_lang,
     "chunk_delimiter": q_chunk_delimiter,
     "chunk_fixed_char": q_chunk_fixed_char,
@@ -1613,6 +1724,9 @@ ORACLE_SQL_EXT = {
         HYBRID_SUBS, None, None, weights=SEARCH_REQ_WEIGHTS),
     "search_request_collapse": _search_req_collapse_sql(WAND_TERMS_MULTI, 10),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
+    "multifield_hybrid": _multifield_hybrid_sql(
+        sorted(MF_TEXT_QUERY.split()), MF_LANG_TERM),
+    "multifield_match_lang": _multifield_lang_sql(MF_LANG_TERM),
     "collapse_top2_lang": COLLAPSE_SQL,
     "chunk_delimiter": CHUNK_DELIM_SQL,
     "chunk_fixed_char": CHUNK_CHAR_SQL,

@@ -1,0 +1,189 @@
+"""Multi-field indexes: per-field term spaces sharing one doc-values table.
+
+Lucene's inverted index is per-field — the same token in ``title`` and in
+``body`` is two distinct terms with distinct df, doc count and average
+field length, and BM25 statistics are computed per field (the reference's
+indexes map several text fields this way; queries name the field:
+``{"match": {"title": ...}}``). The Spark-first shape mirrors that
+exactly: one *complete single-field index* per text column, built by the
+existing resumable ``build_index`` under ``index_dir/fields/<name>/``,
+plus one shared doc-values table (``docmap``) holding the non-text
+payload and per-field doclens.
+
+Why sub-indexes instead of a (field, term) composite key inside one
+postings table: BM25 needs per-field ``n_docs``/``avgdl`` and the block
+layout bakes doclen classes into the encoding — a per-field build gets
+all of that for free with zero kernel changes, and a query that names a
+field prunes to that field's postings *files* (directory-level pruning,
+stronger than a row-group filter on a composite key). Each sub-index
+build scans only ``(id, field)`` columns — Parquet column pruning keeps
+the multi-field build's total IO near the single-field build's.
+
+Per-field semantics matching Lucene:
+  - a doc with a NULL field simply has no postings, no doclen row and no
+    contribution to that field's n_docs/avgdl (Lucene's per-field
+    docCount / sumTotalTermFreq);
+  - df, idf and length normalization are all field-local.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from neural_search_spark.index.build import (
+    BM25_B, BM25_K1, Index, build_index, load_index,
+)
+
+_MANIFEST = "multifield.json"
+
+
+@dataclass
+class MultiFieldIndex:
+    spark: SparkSession
+    index_dir: str
+    fields: dict[str, Index]
+    docmap: DataFrame
+    id_col: str
+    default_field: str
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    def field(self, name: str | None) -> Index:
+        """Resolve a query's field name to its sub-index."""
+        if name is None:
+            name = self.default_field
+        if name not in self.fields:
+            raise ValueError(
+                f"unknown field {name!r}; indexed fields: "
+                f"{sorted(self.fields)}"
+            )
+        return self.fields[name]
+
+    # duck-typed surface shared with Index so request-level code
+    # (aggregations over doc values, sort, collapse) works unchanged
+    @property
+    def tombstones(self) -> DataFrame | None:
+        return self.fields[self.default_field].tombstones
+
+    @property
+    def n_docs(self) -> int:
+        return self.fields[self.default_field].n_docs
+
+    def warmup(self) -> "MultiFieldIndex":
+        for ix in self.fields.values():
+            ix.warmup()
+        return self
+
+    def clear_cache(self) -> "MultiFieldIndex":
+        for ix in self.fields.values():
+            ix.clear_cache()
+        return self
+
+
+def is_multifield_dir(index_dir: str) -> bool:
+    return os.path.exists(os.path.join(index_dir, _MANIFEST))
+
+
+def build_multi_field_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    *,
+    text_cols: list[str],
+    id_col: str = "docID",
+    resume: bool = True,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    **build_kw,
+) -> MultiFieldIndex:
+    """Build (or resume) one sub-index per field plus the shared docmap.
+
+    ``text_cols[0]`` is the default field (queries that don't name a field
+    search it). Every other keyword reaches each ``build_index`` call
+    unchanged, so per-field block layout / bucket tuning stays available.
+    Resumability composes: each sub-index has its own manifest, and a
+    re-run skips any field whose build already committed.
+    """
+    if not text_cols:
+        raise ValueError("text_cols must name at least one field")
+    missing = [c for c in text_cols if c not in corpus.columns]
+    if missing:
+        raise ValueError(f"text_cols not in corpus: {missing}")
+    os.makedirs(index_dir, exist_ok=True)
+    sub: dict[str, Index] = {}
+    for c in text_cols:
+        sub[c] = build_index(
+            spark,
+            corpus.select(id_col, c).where(F.col(c).isNotNull()),
+            os.path.join(index_dir, "fields", c),
+            text_col=c, id_col=id_col, resume=resume, k1=k1, b=b,
+            **build_kw,
+        )
+
+    # shared doc-values table: non-text payload + per-field doclens
+    # (doclen_<field>, NULL when the doc lacks the field — Lucene's
+    # "field absent" is representable, not conflated with length 0)
+    meta_cols = [c for c in corpus.columns if c not in text_cols]
+    docmap = corpus.select(*meta_cols)
+    for c in text_cols:
+        dl = sub[c].doclens.select(
+            F.col(id_col), F.col("doclen").alias(f"doclen_{c}")
+        )
+        docmap = docmap.join(dl, id_col, "left")
+    docmap_dir = os.path.join(index_dir, "docmap-shared")
+    man_path = os.path.join(index_dir, _MANIFEST)
+    sub_fps = {c: _build_fp(sub[c]) for c in text_cols}
+    cfg = {
+        "text_cols": list(text_cols), "id_col": id_col,
+        "default_field": text_cols[0], "k1": float(k1), "b": float(b),
+        "sub_fingerprints": sub_fps,
+    }
+    prev = None
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            prev = json.load(f)
+    if prev != cfg or not os.path.exists(docmap_dir):
+        docmap.write.mode("overwrite").parquet(docmap_dir)
+        with open(man_path, "w") as f:
+            json.dump(cfg, f, indent=1)
+    return load_multi_field_index(spark, index_dir)
+
+
+def _build_fp(ix: Index) -> str:
+    from neural_search_spark.index.catalog import Manifest
+
+    man = Manifest.load(ix.index_dir)
+    return str(man.stages.get("_config", {}).get("fingerprint", ""))
+
+
+def load_multi_field_index(
+    spark: SparkSession, index_dir: str
+) -> MultiFieldIndex:
+    man_path = os.path.join(index_dir, _MANIFEST)
+    with open(man_path) as f:
+        cfg = json.load(f)
+    fields = {
+        c: load_index(spark, os.path.join(index_dir, "fields", c))
+        for c in cfg["text_cols"]
+    }
+    return MultiFieldIndex(
+        spark=spark,
+        index_dir=index_dir,
+        fields=fields,
+        docmap=spark.read.parquet(os.path.join(index_dir, "docmap-shared")),
+        id_col=str(cfg["id_col"]),
+        default_field=str(cfg["default_field"]),
+        k1=float(cfg.get("k1", BM25_K1)),
+        b=float(cfg.get("b", BM25_B)),
+    )
+
+
+def load_any_index(spark: SparkSession, index_dir: str):
+    """Load whichever index kind lives at ``index_dir``."""
+    if is_multifield_dir(index_dir):
+        return load_multi_field_index(spark, index_dir)
+    return load_index(spark, index_dir)

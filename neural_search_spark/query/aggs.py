@@ -362,15 +362,19 @@ def aggregate(
     doc_values: DataFrame | None = None,
     where=None,
     doc_values_id: str | None = None,
+    matched: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run a search-request ``aggs`` body and return ``{name: DataFrame}``.
 
     ``query=None`` → match-all (aggs over every live doc, like a request
     with no query clause). ``doc_values`` supplies the field table (default
     ``index.docmap``); ``doc_values_id`` names its id column (default
-    ``index.id_col``). Many aggs over one query share the lazily-defined
-    matched frame; persist it (``matched_docs(...).persist()`` passed via
-    ``where``-free pre-join) only when issuing dozens of separate actions.
+    ``index.id_col``). ``matched`` overrides the matched-set computation
+    with a precomputed DataFrame(docID) — used by multi-field requests,
+    whose matched set unions per-field postings scans. Many aggs over one
+    query share the lazily-defined matched frame; persist it
+    (``matched_docs(...).persist()`` passed via ``where``-free pre-join)
+    only when issuing dozens of separate actions.
     """
     dv = doc_values if doc_values is not None else index.docmap
     id_col = doc_values_id or index.id_col
@@ -379,7 +383,11 @@ def aggregate(
     live = dv
     if index.tombstones is not None:
         live = live.join(index.tombstones.select("docID"), "docID", "left_anti")
-    if query is None:
+    if matched is not None:
+        base = dv.join(matched.select("docID"), "docID", "left_semi")
+        if where is not None:
+            base = base.where(where)
+    elif query is None:
         base = live.where(where) if where is not None else live
     else:
         ids = matched_docs(index, query, where=where)

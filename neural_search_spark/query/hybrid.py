@@ -258,7 +258,11 @@ def hybrid_search(
     ``{"terms": ..., "weights": {term: w}, "where": Column}`` — the dict
     form mirrors the reference's sub-queries being full queries that can
     carry per-token weights (neural_sparse) and filter clauses
-    (reference: main/query/HybridQuery.java:45-87 AND-ed filters).
+    (reference: main/query/HybridQuery.java:45-87 AND-ed filters). A dict
+    sub-query may also carry ``"index": Index`` to run against a different
+    (sub-)index — multi-field routing, where each field is its own term
+    space (index/multifield.py); such sub-queries skip the msearch
+    batching since their postings live in a different table.
 
     ``from_``: result offset; requires an explicit ``pagination_depth``
     covering from_+k — the reference errors on from>0 without depth
@@ -304,6 +308,7 @@ def hybrid_search(
         # `is None` checks: a where-Column must not be truth-tested
         return not isinstance(q, dict) or (
             q.get("weights") is None and q.get("where") is None
+            and q.get("index") is None
         )
 
     plain = {i: (q["terms"] if isinstance(q, dict) else q)
@@ -323,8 +328,9 @@ def hybrid_search(
     for i, q in enumerate(subqueries):
         if i in plain:
             continue
+        sub_index = (q.get("index") if isinstance(q, dict) else None) or index
         res = wand.search(
-            index, q["terms"] if isinstance(q, dict) else q, k=depth,
+            sub_index, q["terms"] if isinstance(q, dict) else q, k=depth,
             weights=q.get("weights") if isinstance(q, dict) else None,
             where=q.get("where") if isinstance(q, dict) else None,
         )

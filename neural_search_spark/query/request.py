@@ -11,6 +11,10 @@ operators:
   (pre-weighted token map), each optionally carrying ``"filter"`` (SQL
   predicate string over the forward index — the reference AND-s filter
   clauses into each sub-query, main/query/HybridQuery.java:45-87).
+  On a MultiFieldIndex (index/multifield.py) the sub-query's field name
+  routes to that field's term space — per-field df/avgdl/n_docs, Lucene
+  semantics — and hybrid sub-queries may mix fields; on a single-field
+  Index the field name is accepted unchecked.
 * ``search_pipeline``: the normalization-processor config exactly as the
   reference factories parse it (technique + parameters for normalization
   and combination, main/processor/factory/NormalizationProcessorFactory.java),
@@ -79,12 +83,13 @@ def _parse_subquery(q: dict) -> dict:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
     if kind == "match":
-        sub: dict = {"terms": str(spec)}
+        sub: dict = {"terms": str(spec), "field": _field}
     elif kind == "neural_sparse":
         tokens = spec.get("query_tokens") if isinstance(spec, dict) else None
         if not tokens:
             raise ValueError("neural_sparse requires query_tokens")
-        sub = {"terms": sorted(tokens), "weights": dict(tokens)}
+        sub = {"terms": sorted(tokens), "weights": dict(tokens),
+               "field": _field}
     else:
         raise ValueError(f"unsupported sub-query type: {kind}")
     if q.get("filter") is not None:
@@ -162,11 +167,42 @@ def search_request(
         depth = body.get("pagination_depth")
     else:
         subqueries, depth = None, None
+
+    # multi-field routing: each sub-query resolves its named field to that
+    # field's sub-index (per-field term space, index/multifield.py). On a
+    # single-field Index the field name is accepted unchecked — the index
+    # has exactly one term space, reference behavior for a one-field doc.
+    multi = hasattr(index, "fields")
+    base_index = index.field(None) if multi else index
+    if multi and subqueries is not None:
+        for s in subqueries:
+            s["index"] = index.field(s.get("field"))
+
+    def _sub_terms(s) -> list[str]:
+        t = s["terms"]
+        return tokenize_query(t) if isinstance(t, str) else list(t)
+
     query_terms = sorted({
-        t for s in subqueries
-        for t in (tokenize_query(s["terms"]) if isinstance(s["terms"], str)
-                  else s["terms"])
+        t for s in subqueries for t in _sub_terms(s)
     }) if subqueries is not None else None
+
+    def _matched():
+        """Matched-docs frame for aggs/sort — unions per-field scans on a
+        multi-field index (a term's postings live per field)."""
+        from neural_search_spark.query import aggs as ag
+
+        if not multi:
+            return ag.matched_docs(index, query_terms)
+        per_field: dict = {}
+        for s in subqueries:
+            f_ = s.get("field") or index.default_field
+            per_field.setdefault(f_, set()).update(_sub_terms(s))
+        frames = [ag.matched_docs(index.field(f_), sorted(ts))
+                  for f_, ts in per_field.items()]
+        out_ = frames[0]
+        for x in frames[1:]:
+            out_ = out_.unionByName(x)
+        return out_.distinct()
 
     out: dict = {"hits": None, "aggregations": {}}
 
@@ -196,8 +232,7 @@ def search_request(
         dv = doc_values if doc_values is not None else index.docmap
         id_col = doc_values_id or index.id_col
         dv = dv.withColumn("docID", F.col(id_col).cast("long"))
-        matched = ag.matched_docs(index, query_terms)
-        joined = dv.join(matched, "docID", "left_semi")
+        joined = dv.join(_matched(), "docID", "left_semi")
         after = tuple(body["search_after"]) if body.get("search_after") else None
         out["hits"] = field_sort_search(
             joined.select("docID", *[c for c, _ in sort_cols]),
@@ -206,7 +241,7 @@ def search_request(
     elif is_hybrid:
         kwargs = _parse_pipeline(body.get("search_pipeline"))
         hits = hy.hybrid_search(
-            index, subqueries,
+            base_index, subqueries,
             # mmr: fetch the widened candidate window; pagination applies
             # to the MMR-reordered list, not the relevance list
             k=mmr_candidates if mmr is not None else size,
@@ -235,7 +270,7 @@ def search_request(
 
         s0 = subqueries[0]
         hits = wand.search(
-            index, s0["terms"],
+            s0.get("index") or index, s0["terms"],
             k=mmr_candidates if mmr is not None else from_ + size,
             weights=s0.get("weights"), where=s0.get("where"),
         )
@@ -259,8 +294,14 @@ def search_request(
         out["hits"] = _mmr_post(out["hits"])
 
     if body.get("aggs"):
+        agg_dv = doc_values if doc_values is not None else (
+            index.docmap if multi else None)
+        agg_dv_id = doc_values_id or (index.id_col if multi else None)
+        use_matched = multi and query_terms is not None
         out["aggregations"] = ag.aggregate(
-            index, body["aggs"], query=query_terms,
-            doc_values=doc_values, doc_values_id=doc_values_id,
+            base_index, body["aggs"],
+            query=None if use_matched else query_terms,
+            matched=_matched() if use_matched else None,
+            doc_values=agg_dv, doc_values_id=agg_dv_id,
         )
     return out

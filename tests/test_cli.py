@@ -130,3 +130,28 @@ def test_cli_request_mmr(spark, idx_dir, tmp_path, capsys):
     assert len(out["hits"]) == 5
     assert [h["rank"] for h in out["hits"]] == [1, 2, 3, 4, 5]
     assert all("mmr_score" in h for h in out["hits"])
+
+
+def test_cli_build_multifield_and_request(spark, tmp_path, capsys):
+    """build --fields creates a multi-field index; request routes fields."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "guide one"), (2, "alpha", "alpha guide"),
+         (3, "gamma delta", "notes two")],
+        "doc_id long, body string, title string",
+    )
+    src = str(tmp_path / "corpus")
+    docs.write.parquet(src)
+    d = str(tmp_path / "mfidx")
+    cli.cmd_build(spark, Namespace(
+        input=src, text_col="body", id_col="doc_id", index_dir=d,
+        no_resume=False, k1=1.2, b=0.75, fields="body,title",
+    ))
+    out = _json_out(capsys)
+    assert out["fields"] == ["body", "title"] and out["default_field"] == "body"
+    body = {"query": {"match": {"title": "guide"}}, "size": 5}
+    cli.cmd_request(spark, Namespace(
+        index_dir=d, body=json.dumps(body), doc_values=None,
+        doc_values_id=None, warmup=False, vectors=None, vectors_id="docID",
+    ))
+    hits = _json_out(capsys)["hits"]
+    assert {h["docID"] for h in hits} == {1, 2}

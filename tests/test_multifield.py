@@ -1,0 +1,191 @@
+"""Multi-field indexes: per-field term spaces, routing, shared doc values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import build_index
+from neural_search_spark.index.multifield import (
+    build_multi_field_index, is_multifield_dir, load_any_index,
+    load_multi_field_index,
+)
+from neural_search_spark.query import wand
+from neural_search_spark.query.request import search_request
+
+DOCS = [
+    # (doc_id, title, body, lang) — doc 5 has no body (NULL field)
+    (1, "alpha handbook", "alpha beta gamma delta", "en"),
+    (2, "beta guide", "alpha beta", "en"),
+    (3, "alpha alpha primer", "delta epsilon", "de"),
+    (4, "gamma notes", "beta beta beta gamma", "de"),
+    (5, "alpha beta digest", None, "fr"),
+    (6, "zeta manual", "alpha gamma gamma", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, title string, body string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def mf(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mf") / "idx")
+    return build_multi_field_index(
+        spark, corpus, d, text_cols=["title", "body"], id_col="doc_id",
+        bucket_bits=2,
+    )
+
+
+def _pairs(df):
+    return [(r["docID"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_per_field_equals_standalone_index(spark, corpus, mf, tmp_path):
+    """Each sub-index must be rank-and-score identical to a single-field
+    index built over only that column (per-field df/avgdl/n_docs)."""
+    for field, col in (("title", "title"), ("body", "body")):
+        solo = build_index(
+            spark, corpus.select("doc_id", col).where(F.col(col).isNotNull()),
+            str(tmp_path / f"solo-{field}"), text_col=col, id_col="doc_id",
+            bucket_bits=2,
+        )
+        got = _pairs(wand.search(mf.field(field), ["alpha", "gamma"], k=10))
+        want = _pairs(wand.search(solo, ["alpha", "gamma"], k=10))
+        assert got == want, field
+
+
+def test_null_field_excluded_from_stats(mf):
+    """Doc 5 has no body: absent from the body term space and its stats
+    (Lucene per-field docCount), but searchable via title."""
+    assert mf.field("body").n_docs == 5
+    assert mf.field("title").n_docs == 6
+    body_hits = {r["docID"] for r in
+                 wand.search(mf.field("body"), ["alpha"], k=10).collect()}
+    assert 5 not in body_hits
+    title_hits = {r["docID"] for r in
+                  wand.search(mf.field("title"), ["alpha"], k=10).collect()}
+    assert 5 in title_hits
+
+
+def test_field_stats_differ(mf):
+    """'alpha' has different df per field — the point of per-field spaces."""
+    df_title = {r["term"]: r["df"] for r in mf.field("title").postings
+                .where(F.col("term") == "alpha")
+                .groupBy("term").agg(F.first("df").alias("df")).collect()}
+    df_body = {r["term"]: r["df"] for r in mf.field("body").postings
+               .where(F.col("term") == "alpha")
+               .groupBy("term").agg(F.first("df").alias("df")).collect()}
+    assert df_title["alpha"] == 3  # docs 1, 3, 5
+    assert df_body["alpha"] == 3   # docs 1, 2, 6
+    assert mf.field("title").avgdl != mf.field("body").avgdl
+
+
+def test_request_routes_match_by_field(mf):
+    got = search_request(mf, {"query": {"match": {"title": "alpha"}}})
+    want = wand.search(mf.field("title"), ["alpha"], k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+    got = search_request(mf, {"query": {"match": {"body": "alpha"}}})
+    want = wand.search(mf.field("body"), ["alpha"], k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_request_unknown_field_errors(mf):
+    with pytest.raises(ValueError, match="unknown field"):
+        search_request(mf, {"query": {"match": {"nope": "alpha"}}})
+
+
+def test_hybrid_across_fields_oracle(mf):
+    """min_max + arithmetic_mean across title/body sub-queries, checked
+    against a scalar reimplementation over the per-field wand results."""
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"title": "alpha"}},
+        {"match": {"body": "gamma beta"}},
+    ], "pagination_depth": 10}}, "size": 10}
+    got = [(r["docID"], round(r["score"], 6))
+           for r in search_request(mf, body)["hits"].collect()]
+
+    def norm(pairs):
+        scores = [s for _, s in pairs]
+        mn, mx = min(scores), max(scores)
+        out = {}
+        for d, s in pairs:
+            ns = 1.0 if mx == mn else (s - mn) / (mx - mn)
+            out[d] = max(ns, 0.001) if ns == 0.0 else (1.0 if mx == mn else ns)
+        return out
+    s0 = norm(_pairs(wand.search(mf.field("title"), ["alpha"], k=10)))
+    s1 = norm(_pairs(wand.search(mf.field("body"), ["gamma", "beta"], k=10)))
+    want = sorted(
+        ((d, round((s0.get(d, 0.0) + s1.get(d, 0.0)) / 2, 6))
+         for d in set(s0) | set(s1)),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want[:10]
+
+
+def test_aggs_match_union_across_fields(mf):
+    """Matched set for aggs = union of per-field postings scans."""
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"title": "zeta"}},   # doc 6 only
+        {"match": {"body": "epsilon"}},  # doc 3 only
+    ], "pagination_depth": 10}}, "size": 10,
+        "aggs": {"n": {"value_count": {"field": "doc_id"}},
+                 "langs": {"terms": {"field": "lang"}}}}
+    out = search_request(mf, body)
+    n = out["aggregations"]["n"].collect()[0]["n"]
+    assert n == 2
+    langs = {r["key"]: r["doc_count"]
+             for r in out["aggregations"]["langs"].collect()}
+    assert langs == {"de": 1, "fr": 1}
+
+
+def test_sort_over_multifield_matched(mf):
+    body = {"query": {"match": {"title": "alpha"}},
+            "sort": [{"doclen_title": {"order": "desc"}}], "size": 10}
+    rows = search_request(mf, body)["hits"].collect()
+    ids = [r["docID"] for r in rows]
+    assert set(ids) == {1, 3, 5}
+    lens = [r["doclen_title"] for r in rows]
+    assert lens == sorted(lens, reverse=True)
+
+
+def test_resume_and_load_any(spark, corpus, mf):
+    """Second build resumes (no rebuild) and load_any_index round-trips."""
+    again = build_multi_field_index(
+        spark, corpus, mf.index_dir, text_cols=["title", "body"],
+        id_col="doc_id", bucket_bits=2,
+    )
+    assert _pairs(wand.search(again.field("title"), ["alpha"], k=10)) == \
+        _pairs(wand.search(mf.field("title"), ["alpha"], k=10))
+    assert is_multifield_dir(mf.index_dir)
+    loaded = load_any_index(spark, mf.index_dir)
+    assert sorted(loaded.fields) == ["body", "title"]
+    assert loaded.default_field == "title"
+    # shared docmap carries payload + per-field doclens (NULL when absent)
+    row5 = loaded.docmap.where(F.col("doc_id") == 5).collect()[0]
+    assert row5["lang"] == "fr" and row5["doclen_body"] is None
+    assert row5["doclen_title"] == 3
+
+
+def test_multifield_validation(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="at least one"):
+        build_multi_field_index(spark, corpus, str(tmp_path / "x"),
+                                text_cols=[], id_col="doc_id")
+    with pytest.raises(ValueError, match="not in corpus"):
+        build_multi_field_index(spark, corpus, str(tmp_path / "y"),
+                                text_cols=["title", "nope"], id_col="doc_id")
+
+
+def test_mmr_with_multifield(spark, mf):
+    """ext.mmr composes with field routing."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(1, 7)],
+        "docID long, embedding array<double>",
+    )
+    body = {"query": {"match": {"title": "alpha beta"}}, "size": 2,
+            "ext": {"mmr": {"diversity": 0.3, "candidates": 5}}}
+    rows = search_request(mf, body, vectors=vecs)["hits"].collect()
+    assert len(rows) == 2 and rows[0]["rank"] == 1
