@@ -1213,6 +1213,78 @@ def q_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search(spark, idx_dir, _query_vec(spark, sf_dir), k=10, nprobe=4)
 
 
+# ------------------------------------------------ SEISMIC sparse ANN index
+
+# query token weights over the corpus vocabulary; ceilings chosen so tf
+# features keep discrimination (the reference default ingest ceiling 3.0
+# targets learned-sparse weights in [0,3])
+SEISMIC_QUERY = {"dup": 3.0, "vector": 2.0, "hash": 1.5, "join": 1.0}
+SEISMIC_CEIL_IN = 16.0
+SEISMIC_CEIL_SEARCH = 16.0
+_SEISMIC_CACHE: dict[tuple, object] = {}
+
+
+def _get_seismic(spark: SparkSession, sf_dir: str, variant: str):
+    """Build (or resume) a SEISMIC index over sf_dir's documents with tf
+    feature maps. variant: 'default' (reference params: 0.1 cluster ratio,
+    truncation rule) or 'sharp' (cluster_ratio=0, no truncation — the ANN
+    walk is then provably exact, giving the approximate path a SQL oracle)."""
+    from neural_search_spark.analysis.pipeline import tf_map_col
+    from neural_search_spark.index.seismic import build_seismic_index
+
+    key = (id(spark), sf_dir, variant)
+    if key not in _SEISMIC_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}:{variant}".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"nss-seis-idx-{tag}")
+        feats = _docs(spark, sf_dir).select(
+            "doc_id", tf_map_col("text").alias("features"))
+        sharp = variant == "sharp"
+        _SEISMIC_CACHE[key] = build_seismic_index(
+            spark, feats, idx_dir, id_col="doc_id", modulus=None,
+            quant_ceil_ingest=SEISMIC_CEIL_IN,
+            quant_ceil_search=SEISMIC_CEIL_SEARCH,
+            cluster_ratio=0.0 if sharp else 0.1,
+            n_postings=-1 if sharp else None, resume=True)
+    return _SEISMIC_CACHE[key]
+
+
+def _seismic_entry(variant: str, mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from neural_search_spark.index.seismic import seismic_search
+
+        idx = _get_seismic(spark, sf_dir, variant)
+        r = seismic_search(idx, SEISMIC_QUERY, k=10, mode=mode)
+        return r.select(F.col("docID").alias("doc_id"),
+                        F.round("score", 6).alias("score"))
+    return run
+
+
+def _seismic_sql(query: dict[str, float], k: int,
+                 ceil_in: float, ceil_s: float) -> str:
+    """Quantized-dot top-k: round-half-up u8 quantization both sides
+    (Java Math.round = floor(x+0.5)), integer dot, rescale by
+    ceil_in·ceil_s/255² (SparseQueryWeight.java:146-148). Ordering by the
+    exact integer dot, so the 6-dp rounding cannot reorder ties."""
+    import numpy as np
+
+    from neural_search_spark.index.seismic import quantize_np
+
+    vals = ", ".join(
+        f"('{t}', {int(quantize_np(np.array([w]), ceil_s)[0])})"
+        for t, w in sorted(query.items()))
+    return f"""
+    WITH tf AS ({_TF_SQL}),
+    q(term, qw) AS (VALUES {vals}),
+    s AS (
+      SELECT tf.doc_id AS doc_id,
+             SUM(CAST(floor(least(greatest(CAST(tf.tf AS DOUBLE), 0.0), {ceil_in})
+                            * 255.0 / {ceil_in} + 0.5) AS BIGINT) * q.qw) AS dot
+      FROM tf JOIN q USING (term) GROUP BY tf.doc_id)
+    SELECT doc_id, round(dot * ({ceil_in} * {ceil_s} / 255.0 / 255.0), 6) AS score
+    FROM s WHERE dot > 0 ORDER BY dot DESC, doc_id ASC LIMIT {k}
+    """
+
+
 # -------------------------------------------------------- multimodal
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1684,6 +1756,9 @@ SPARK_QUERIES_EXT = {
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "ann_indexed_topk": q_ann_indexed_topk,
+    "seismic_exact_topk": _seismic_entry("default", "exact"),
+    "seismic_ann_sharp": _seismic_entry("sharp", "ann"),
+    "seismic_ann_topk": _seismic_entry("default", "ann"),
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1745,5 +1820,11 @@ ORACLE_SQL_EXT = {
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)
+    "seismic_exact_topk": _seismic_sql(
+        SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
+    "seismic_ann_sharp": _seismic_sql(
+        SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
+    # seismic_ann_topk: rows-only (approximate: truncation + cluster skip;
+    # recall vs the exact path is pytest-asserted in tests/test_seismic.py)
     "multimodal_features": MULTIMODAL_SQL,
 }

@@ -1,0 +1,618 @@
+"""SEISMIC approximate sparse-vector index — the reference's own index, opt-in.
+
+The round-1 engine implements the reference's *exact* retrieval contract
+(block-max WAND over BM25, no posting truncation). This module adds the
+reference's APPROXIMATE mode — the `sparse/` package's SEISMIC algorithm —
+as a separate, opt-in index over learned-sparse (or tf) feature maps:
+
+  build   token fold to a bounded id space, merge duplicates by max weight
+          (main/sparse/data/SparseVector.java:35-87), u8 quantization with
+          the ingest ceiling (main/sparse/quantization/ByteQuantizer.java:24-34,
+          defaults main/sparse/common/SparseConstants.java:34-35), per-term
+          posting truncation to n_postings = max(ceil(0.0005·N), 160) by
+          weight (main/sparse/algorithm/PostingsProcessingUtils.java:38-56;
+          defaults main/sparse/codec/ClusteredPostingTermsWriter.java:138-141),
+          random clustering with ceil(size·cluster_ratio) centers assigned by
+          full-vector dot product (main/sparse/algorithm/seismic/
+          RandomClusteringAlgorithm.java:42-91; lists under 10 docs become a
+          single no-skip cluster, SeismicPostingClusterer.java:23,44-68), and
+          per-cluster summaries = token-wise max pruned to summary_prune_ratio
+          of total mass (PostingsProcessingUtils.java:70-108).
+  query   cut the query to its top_n tokens by weight
+          (main/sparse/query/SparseAnnQueryBuilder.java:226-238), quantize
+          with the search ceiling, then walk each token's clusters keeping a
+          size-10 score heap whose threshold drives cluster skipping:
+          a cluster is decoded only if summary·query ≥ θ/heap_factor
+          (main/sparse/query/SeismicBaseScorer.java:41,99-122,202-220).
+          Final scores rescale by ceil_ingest·ceil_search/255²
+          (main/sparse/query/SparseQueryWeight.java:146-148).
+
+Spark shape (not a port — the reference is per-segment Java on one node):
+
+  * A "segment" is a doc-range BUCKET (high bits of the biased docID, the
+    same layout as the exact index). Build is ONE shuffle: explode feature
+    maps → (docID, tokenID, qw) runs → groupBy(bucket) → one vectorized
+    applyInPandas that clusters every token of the bucket in numpy.
+  * The index is ONE table `sindex`, two row kinds per (bucket, tokenID):
+    kind 0 = the full (untruncated) posting run — docIDs asc + u8 weights —
+    and kind 1 = the clustered/truncated view with summaries. Rows are
+    sorted by tokenID inside each file so a `tokenID IN (...)` query prunes
+    parquet row groups; a query reads ONLY its tokens' rows, never a
+    forward index: since score(d) = Σ_t∈query d_t·q_t, the run rows of the
+    query's tokens already carry every non-zero coordinate the dot product
+    can touch (the reference instead dots against a RAM-cached forward
+    index, main/sparse/cache/ForwardIndexCache.java — a full-vector read
+    this layout provably never needs).
+  * Query = one partition-pruned scan + one applyInPandas over buckets +
+    one TakeOrderedAndProject. The per-bucket kernel is numpy: candidate
+    scores for ALL run docs are ONE weighted bincount up front; the SEISMIC
+    loop then only decides which docs become *visible* (visited sets, heap
+    thresholds, cluster skips) with per-cluster vectorized updates — no
+    per-doc Python.
+
+Documented divergences from the Java (all rank-safe or deterministic):
+
+  * zero-quantized postings are dropped (they contribute 0 to every dot;
+    the reference stores them, which only pads clusters);
+  * ties at heap boundaries break (score desc, docID asc) instead of the
+    reference's arrival order — deterministic across partitionings;
+  * docs whose dot is 0 are never returned (the reference can pad an
+    underfull heap with 0-score docs);
+  * the exact-vs-approx switch (approximate_threshold, default 1e6 —
+    main/sparse/common/PredicateUtils.java:23-38) tests the global doc
+    count, not per-segment maxDoc;
+  * random centers come from a per-(bucket, tokenID) seeded Philox stream,
+    so builds are deterministic — the reference uses a shared Random.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, IntegerType, LongType, StructField,
+    StructType,
+)
+
+from neural_search_spark.index.build import bucket_col, default_bucket_bits
+from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
+
+MODULUS_FOR_SHORT = 65536          # SparseConstants.java:22
+DEFAULT_SUMMARY_PRUNE_RATIO = 0.4  # SparseConstants.Seismic defaults
+DEFAULT_CLUSTER_RATIO = 0.1
+DEFAULT_APPROXIMATE_THRESHOLD = 1_000_000
+DEFAULT_POSTING_PRUNE_RATIO = 0.0005
+DEFAULT_POSTING_MINIMUM_LENGTH = 160
+DEFAULT_CEIL_INGEST = 3.0
+DEFAULT_CEIL_SEARCH = 16.0
+MIN_DOCS_TO_CLUSTER = 10           # SeismicPostingClusterer.java:23
+SEISMIC_HEAP_SIZE = 10             # SeismicBaseScorer.java:41
+DEFAULT_TOP_K = 10                 # SparseAnnQueryBuilder.java:85-87
+DEFAULT_QUERY_CUT = 10
+DEFAULT_HEAP_FACTOR = 1.0
+
+CLUSTER_STRUCT = StructType([
+    StructField("skipless", BooleanType()),   # DocumentCluster.shouldNotSkip
+    StructField("docs", BinaryType()),        # i64 LE, ascending
+    StructField("weights", BinaryType()),     # u8, parallel to docs
+    StructField("stoks", BinaryType()),       # summary tokens (tok dtype), asc
+    StructField("sweights", BinaryType()),    # u8, parallel to stoks
+])
+
+SINDEX_SCHEMA = StructType([
+    StructField("bucket", IntegerType()),
+    StructField("tokenID", LongType()),
+    StructField("kind", IntegerType()),       # 0 = full run, 1 = clusters
+    StructField("n_docs", IntegerType()),
+    StructField("docs", BinaryType()),        # kind 0: i64 LE ascending
+    StructField("weights", BinaryType()),     # kind 0: u8
+    StructField("clusters", ArrayType(CLUSTER_STRUCT)),
+])
+
+_KERNEL_SCHEMA = StructType([
+    StructField("docID", LongType()),
+    StructField("dot", LongType()),
+])
+
+
+def quantize_col(c, ceil_value: float):
+    """float → u8 as a JVM expression: round-half-up(clip(v,0,ceil)·255/ceil).
+    Java Math.round(f) = floor(f + 0.5) (ByteQuantizer.java:24-34)."""
+    clipped = F.least(F.greatest(c, F.lit(0.0)), F.lit(float(ceil_value)))
+    return F.floor(clipped * F.lit(255.0) / F.lit(float(ceil_value)) + F.lit(0.5)).cast("int")
+
+
+def quantize_np(v: np.ndarray, ceil_value: float) -> np.ndarray:
+    """numpy twin of quantize_col (floor(x+0.5) = Java Math.round)."""
+    clipped = np.clip(np.asarray(v, dtype=np.float64), 0.0, ceil_value)
+    return np.floor(clipped * 255.0 / ceil_value + 0.5).astype(np.int64)
+
+
+def token_id_col(term, modulus: int | None):
+    """Deterministic token fold. The reference folds to 16 bits
+    (SparseVector.java:85-87, SparseConstants.java:22); modulus=None keeps
+    the full 64-bit hash — collision-free in practice, which lets a SQL
+    oracle join on raw terms."""
+    h = F.xxhash64(term)
+    return F.pmod(h, F.lit(int(modulus))) if modulus else h
+
+
+def _tok_dtype(modulus: int | None) -> str:
+    return "<u2" if modulus and modulus <= MODULUS_FOR_SHORT else "<i8"
+
+
+def _default_n_postings(n_docs_bucket: int) -> int:
+    return max(
+        int(math.ceil(DEFAULT_POSTING_PRUNE_RATIO * n_docs_bucket)),
+        DEFAULT_POSTING_MINIMUM_LENGTH,
+    )
+
+
+def _stable_tag(fp: str) -> str:
+    return hashlib.sha1(fp.encode()).hexdigest()[:12]
+
+
+def _gather_rows(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Indices gathering variable-length rows [start, start+len) of a CSR
+    value array, fully vectorized (one np.repeat + one arange)."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out_starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=out_starts[1:])
+    return np.repeat(starts - out_starts, lengths) + np.arange(total, dtype=np.int64)
+
+
+# ------------------------------------------------------------------- build
+
+def _member_entries(m_doc, docs_u, doc_start, doc_len, d_tok, d_w):
+    """Full-vector entries of member docs from the bucket CSR: returns
+    (per-member lengths, entry tokens, entry weights, member index/entry)."""
+    ridx = np.searchsorted(docs_u, m_doc)
+    lens = doc_len[ridx]
+    g = _gather_rows(doc_start[ridx], lens)
+    owner = np.repeat(np.arange(len(m_doc), dtype=np.int64), lens)
+    return lens, d_tok[g], d_w[g], owner
+
+
+def _cluster_token(m_doc, m_w, docs_u, doc_start, doc_len, d_tok, d_w, *,
+                   cluster_ratio: float, summary_prune_ratio: float,
+                   rng_seed: int, tok_dtype: str) -> list[dict]:
+    """Cluster ONE token's truncated posting list; returns cluster dicts."""
+    size = len(m_doc)
+    if size < MIN_DOCS_TO_CLUSTER or cluster_ratio <= 0.0:
+        asc = np.argsort(m_doc, kind="stable")
+        return [{
+            "skipless": True,
+            "docs": m_doc[asc].astype("<i8").tobytes(),
+            "weights": m_w[asc].astype(np.uint8).tobytes(),
+            "stoks": b"", "sweights": b"",
+        }]
+
+    numc = min(size, max(1, int(math.ceil(size * cluster_ratio))))
+    rng = np.random.default_rng(rng_seed)
+    centers = rng.choice(size, size=numc, replace=False)
+
+    lens, e_tok, e_w, owner = _member_entries(
+        m_doc, docs_u, doc_start, doc_len, d_tok, d_w)
+    starts = np.zeros(size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+
+    # assignment: argmax over centers of dot(center_vec, doc_vec); ties go
+    # to the first max (RandomClusteringAlgorithm.java:42-91 strict '>').
+    scores = np.zeros((numc, size), dtype=np.int64)
+    for j, c in enumerate(centers):
+        c_tok = e_tok[starts[c]:starts[c] + lens[c]]
+        c_w = e_w[starts[c]:starts[c] + lens[c]]
+        pos = np.searchsorted(c_tok, e_tok)
+        pos_c = np.minimum(pos, len(c_tok) - 1)
+        hit = c_tok[pos_c] == e_tok
+        contrib = np.where(hit, e_w * c_w[pos_c], 0)
+        np.add.at(scores[j], owner, contrib)
+    assign = np.argmax(scores, axis=0)
+
+    out = []
+    for j in range(numc):
+        sel = assign == j
+        if not sel.any():
+            continue  # the reference drops empty clusters
+        c_doc, c_w = m_doc[sel], m_w[sel]
+        # summary: token-wise max over member full vectors, pruned to
+        # summary_prune_ratio of mass (PostingsProcessingUtils.java:70-108:
+        # keep weight-desc items until the running sum EXCEEDS
+        # floor(total·ratio), inclusive of the crossing item)
+        sel_entries = sel[owner]
+        s_tok, s_w = e_tok[sel_entries], e_w[sel_entries]
+        so = np.lexsort((-s_w, s_tok))
+        s_tok, s_w = s_tok[so], s_w[so]
+        u_tok, u_first = np.unique(s_tok, return_index=True)
+        u_max = s_w[u_first]  # first within token = max (weight-desc sort)
+        po = np.lexsort((u_tok, -u_max))  # weight desc, token asc
+        p_tok, p_w = u_tok[po], u_max[po]
+        threshold = math.floor(float(p_w.sum()) * summary_prune_ratio)
+        keep = min(int(np.searchsorted(np.cumsum(p_w), threshold, side="right")) + 1,
+                   len(p_w))
+        k_tok, k_w = p_tok[:keep], p_w[:keep]
+        ko = np.argsort(k_tok, kind="stable")
+        asc = np.argsort(c_doc, kind="stable")
+        out.append({
+            "skipless": False,
+            "docs": c_doc[asc].astype("<i8").tobytes(),
+            "weights": c_w[asc].astype(np.uint8).tobytes(),
+            "stoks": k_tok[ko].astype(tok_dtype).tobytes(),
+            "sweights": k_w[ko].astype(np.uint8).tobytes(),
+        })
+    return out
+
+
+def _cluster_bucket(pdf: pd.DataFrame, *, n_postings: int | None,
+                    summary_prune_ratio: float, cluster_ratio: float,
+                    seed: int, tok_dtype: str) -> pd.DataFrame:
+    """One bucket (= segment analog) → sindex rows, numpy throughout.
+    pdf columns: bucket, docID int64, tokenID int64, qw int64 (u8, > 0).
+
+    The outer loop is per TOKEN (bounded by the fold modulus per bucket),
+    never per posting row; every inner step is array arithmetic.
+    """
+    bucket = int(pdf["bucket"].iloc[0])
+    doc = pdf["docID"].to_numpy(np.int64)
+    tok = pdf["tokenID"].to_numpy(np.int64)
+    qw = pdf["qw"].to_numpy(np.int64)
+
+    # ---- per-doc CSR (full vectors: center dots + summaries need them)
+    d_order = np.lexsort((tok, doc))
+    d_doc, d_tok, d_w = doc[d_order], tok[d_order], qw[d_order]
+    docs_u, doc_start, doc_len = np.unique(
+        d_doc, return_index=True, return_counts=True)
+
+    if n_postings is None:
+        n_post = _default_n_postings(len(docs_u))
+    elif n_postings <= 0:
+        n_post = None  # no truncation (exactness lever for tests)
+    else:
+        n_post = n_postings
+
+    # ---- per-token runs ordered (tokenID asc, weight desc, docID asc)
+    t_order = np.lexsort((doc, -qw, tok))
+    t_doc, t_tok, t_w = doc[t_order], tok[t_order], qw[t_order]
+    toks_u, tok_start, tok_len = np.unique(
+        t_tok, return_index=True, return_counts=True)
+
+    rows: list[dict] = []
+    for ti in range(len(toks_u)):
+        s, ln = int(tok_start[ti]), int(tok_len[ti])
+        r_doc, r_w = t_doc[s:s + ln], t_w[s:s + ln]
+        asc = np.argsort(r_doc, kind="stable")
+        rows.append({
+            "bucket": bucket, "tokenID": int(toks_u[ti]), "kind": 0,
+            "n_docs": ln,
+            "docs": r_doc[asc].astype("<i8").tobytes(),
+            "weights": r_w[asc].astype(np.uint8).tobytes(),
+            "clusters": None,
+        })
+        m = ln if n_post is None else min(ln, n_post)
+        rng_seed = int.from_bytes(
+            hashlib.sha1(f"{seed}:{bucket}:{int(toks_u[ti])}".encode()).digest()[:8],
+            "big")
+        clusters = _cluster_token(
+            r_doc[:m], r_w[:m], docs_u, doc_start, doc_len, d_tok, d_w,
+            cluster_ratio=cluster_ratio, summary_prune_ratio=summary_prune_ratio,
+            rng_seed=rng_seed, tok_dtype=tok_dtype,
+        )
+        rows.append({
+            "bucket": bucket, "tokenID": int(toks_u[ti]), "kind": 1,
+            "n_docs": m, "docs": None, "weights": None, "clusters": clusters,
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in SINDEX_SCHEMA.fields])
+
+
+@dataclass
+class SeismicIndex:
+    spark: SparkSession
+    index_dir: str
+    params: dict = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_dir: str) -> "SeismicIndex":
+        man = Manifest.load(index_dir)
+        info = man.stages.get("sindex")
+        if not info:
+            raise FileNotFoundError(f"no seismic index committed in {index_dir}")
+        params = json.loads(info["fingerprint"])
+        return cls(spark=spark, index_dir=index_dir, params=params)
+
+    def sindex(self) -> DataFrame:
+        return snapshot_read(self.spark, self.index_dir, "sindex")
+
+    def stats(self) -> dict:
+        return snapshot_read(self.spark, self.index_dir, "sstats").head().asDict()
+
+    def warmup(self) -> None:
+        """RAM-cache analog of the reference /warmup API
+        (main/transport/NeuralSparseWarmupTransportAction.java:32-114)."""
+        self.sindex().persist().count()
+
+    def clear_cache(self) -> None:
+        self.sindex().unpersist()
+
+    def search(self, query_tokens: dict[str, float], **kw) -> DataFrame:
+        return seismic_search(self, query_tokens, **kw)
+
+
+def build_seismic_index(
+    spark: SparkSession,
+    features: DataFrame,
+    index_dir: str,
+    *,
+    id_col: str = "docID",
+    feat_col: str = "features",
+    modulus: int | None = MODULUS_FOR_SHORT,
+    n_postings: int | None = None,
+    summary_prune_ratio: float = DEFAULT_SUMMARY_PRUNE_RATIO,
+    cluster_ratio: float = DEFAULT_CLUSTER_RATIO,
+    quant_ceil_ingest: float = DEFAULT_CEIL_INGEST,
+    quant_ceil_search: float = DEFAULT_CEIL_SEARCH,
+    approximate_threshold: int = DEFAULT_APPROXIMATE_THRESHOLD,
+    bucket_bits: int | None = None,
+    seed: int = 42,
+    resume: bool = True,
+) -> SeismicIndex:
+    """Build the SEISMIC index over (id, map<term,float>) feature rows.
+
+    ``n_postings``: None → the reference default rule per bucket
+    (max(ceil(0.0005·N_bucket), 160)); ≤ 0 → NO truncation (with
+    cluster_ratio=0 this makes the ANN path exactly equal to exact search —
+    the sharp oracle the tests lean on); > 0 → fixed cap. One shuffle
+    (groupBy bucket); resumable via the same manifest snapshot protocol as
+    the exact index.
+    """
+    man = Manifest.load(index_dir)
+    ex = features.select(
+        F.col(id_col).cast("long").alias("docID"),
+        F.explode(F.col(feat_col)).alias("term", "w"),
+    )
+    runs = (
+        ex.select("docID",
+                  token_id_col(F.col("term"), modulus).alias("tokenID"), "w")
+        .groupBy("docID", "tokenID")
+        .agg(F.max("w").alias("w"))  # fold collisions merge by max weight
+        .select("docID", "tokenID",
+                quantize_col(F.col("w"), quant_ceil_ingest).cast("long").alias("qw"))
+        .where(F.col("qw") > 0)
+    )
+    n_docs = runs.select("docID").distinct().count()
+    bits = default_bucket_bits(n_docs) if bucket_bits is None else bucket_bits
+
+    params = {
+        "modulus": modulus, "n_postings": n_postings,
+        "summary_prune_ratio": summary_prune_ratio,
+        "cluster_ratio": cluster_ratio,
+        "quant_ceil_ingest": quant_ceil_ingest,
+        "quant_ceil_search": quant_ceil_search,
+        "approximate_threshold": approximate_threshold,
+        "seed": seed, "tok_dtype": _tok_dtype(modulus),
+        "bucket_bits": bits, "n_docs": n_docs,
+    }
+    fp = json.dumps(params, sort_keys=True)
+
+    if not (resume and man.stage_done("sindex", fp)):
+        tok_dtype = params["tok_dtype"]
+        bucketed = runs.withColumn("bucket", bucket_col("docID", bits))
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _cluster_bucket(
+                pdf, n_postings=n_postings,
+                summary_prune_ratio=summary_prune_ratio,
+                cluster_ratio=cluster_ratio, seed=seed, tok_dtype=tok_dtype)
+
+        sindex = (
+            bucketed.groupBy("bucket").applyInPandas(kernel, SINDEX_SCHEMA)
+            .sortWithinPartitions("tokenID", "kind")  # row-group pruning key
+        )
+        t0 = time.time()
+        tag = _stable_tag(fp)
+        snap = snapshot_write(sindex, index_dir, "sindex", f"snap-{tag}")
+        stats = spark.createDataFrame(
+            [(n_docs, 1 << bits)], "n_docs long, n_buckets int")
+        snap_s = snapshot_write(stats, index_dir, "sstats", f"snap-{tag}")
+        man.record_stage("sindex", fp, {"sindex": snap, "sstats": snap_s},
+                         {"wall_s": round(time.time() - t0, 3)})
+        man.commit()
+    return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
+
+
+# --------------------------------------------------------------- query side
+
+def _fold_terms(spark: SparkSession, terms: list[str],
+                modulus: int | None) -> list[int]:
+    """xxhash64 fold via a tiny JVM job — keeps the query-side fold
+    bit-identical to the build side without a Python xxhash dependency.
+    O(#query tokens), driver-side, once per query."""
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    rows = df.select(
+        "term", token_id_col(F.col("term"), modulus).alias("tid")).collect()
+    by_term = {r["term"]: r["tid"] for r in rows}
+    return [by_term[t] for t in terms]
+
+
+def _seismic_kernel(pdf: pd.DataFrame, *, q_tok: np.ndarray, q_w: np.ndarray,
+                    q_tok_sorted: np.ndarray, q_w_sorted: np.ndarray,
+                    k: int, heap_factor: float, mode: str, tok_dtype: str,
+                    accepted: frozenset | None) -> pd.DataFrame:
+    """Per-bucket SEISMIC search over this bucket's pruned sindex rows.
+    Returns ≤ k (docID, dot) rows with dot > 0."""
+    runs = pdf[pdf["kind"] == 0]
+    if runs.empty:
+        return pd.DataFrame({"docID": pd.Series(dtype="int64"),
+                             "dot": pd.Series(dtype="int64")})
+
+    # ---- candidate scores: ONE weighted bincount over all run entries.
+    # score(d) = Σ_t∈cut d_t·q_t — runs of the cut tokens carry every
+    # coordinate the dot can touch, so this equals the reference's
+    # forward-index dot (SeismicBaseScorer.java:113-118).
+    q_of = {int(t): int(w) for t, w in zip(q_tok, q_w)}
+    doc_parts, contrib_parts = [], []
+    for _, r in runs.iterrows():  # ≤ top_n rows per bucket
+        d = np.frombuffer(r["docs"], dtype="<i8")
+        w = np.frombuffer(r["weights"], dtype=np.uint8).astype(np.int64)
+        doc_parts.append(d)
+        contrib_parts.append(w * q_of[int(r["tokenID"])])
+    all_docs = np.concatenate(doc_parts)
+    all_contrib = np.concatenate(contrib_parts)
+    docs_u, inv = np.unique(all_docs, return_inverse=True)
+    dots = np.bincount(
+        inv, weights=all_contrib, minlength=len(docs_u)).astype(np.int64)
+
+    acc_mask = None
+    if accepted is not None:
+        acc_mask = np.fromiter((int(d) in accepted for d in docs_u),
+                               dtype=bool, count=len(docs_u))
+
+    def topk_frame(sel_idx: np.ndarray) -> pd.DataFrame:
+        d, s = docs_u[sel_idx], dots[sel_idx]
+        pos = s > 0
+        d, s = d[pos], s[pos]
+        if len(d) > k:
+            part = np.lexsort((d, -s))[:k]
+            d, s = d[part], s[part]
+        return pd.DataFrame({"docID": d.astype(np.int64), "dot": s})
+
+    if mode == "exact":
+        sel = (np.arange(len(docs_u)) if acc_mask is None
+               else np.nonzero(acc_mask)[0])
+        return topk_frame(sel)
+
+    # ---- ANN: walk clusters token-by-token in cut (weight-desc) order
+    clusters_by_tok: dict[int, list] = {
+        int(r["tokenID"]): r["clusters"]
+        for _, r in pdf[pdf["kind"] == 1].iterrows()
+    }
+    t_dtype = np.dtype(tok_dtype)
+    visited = np.zeros(len(docs_u), dtype=bool)
+    score_heap = np.empty(0, dtype=np.int64)   # top SEISMIC_HEAP_SIZE scores
+    result = np.empty(0, dtype=np.int64)       # indices into docs_u
+
+    for t in q_tok:
+        cls = clusters_by_tok.get(int(t))
+        if cls is None:
+            continue
+        for cl in cls:
+            if not cl["skipless"] and len(score_heap) >= SEISMIC_HEAP_SIZE:
+                stoks = np.frombuffer(cl["stoks"], dtype=t_dtype).astype(np.int64)
+                sws = np.frombuffer(cl["sweights"], dtype=np.uint8).astype(np.int64)
+                pos = np.searchsorted(q_tok_sorted, stoks)
+                pos_c = np.minimum(pos, len(q_tok_sorted) - 1)
+                hit = q_tok_sorted[pos_c] == stoks
+                sdot = int(np.where(hit, sws * q_w_sorted[pos_c], 0).sum())
+                # skip below θ/heap_factor (SeismicBaseScorer.java:202-220)
+                if sdot < score_heap.min() / heap_factor:
+                    continue
+            c_docs = np.frombuffer(cl["docs"], dtype="<i8")
+            idx = np.searchsorted(docs_u, c_docs)
+            fresh = ~visited[idx]
+            if acc_mask is not None:
+                fresh &= acc_mask[idx]
+            if not fresh.any():
+                continue
+            new_idx = idx[fresh]
+            visited[new_idx] = True
+            # the SET admitted per cluster is order-free, so both heaps
+            # update vectorized between clusters (threshold evolution is
+            # identical to the reference's per-doc adds)
+            score_heap = np.sort(
+                np.concatenate([score_heap, dots[new_idx]])
+            )[-SEISMIC_HEAP_SIZE:]
+            result = np.concatenate([result, new_idx])
+            if len(result) > 4 * k:  # bound the working set
+                result = result[np.lexsort((docs_u[result], -dots[result]))[:k]]
+
+    return topk_frame(np.unique(result))
+
+
+def seismic_search(
+    index: SeismicIndex,
+    query_tokens: dict[str, float],
+    *,
+    k: int = DEFAULT_TOP_K,
+    top_n: int = DEFAULT_QUERY_CUT,
+    heap_factor: float = DEFAULT_HEAP_FACTOR,
+    mode: str = "auto",
+    candidates: DataFrame | None = None,
+    _candidate_cap: int = 200_000,
+) -> DataFrame:
+    """Top-k by quantized dot product: (docID, score), score desc / docID asc.
+
+    mode: "auto" follows the reference's approximate_threshold predicate
+    (main/sparse/common/PredicateUtils.java:23-38) on the global doc count;
+    "ann"/"exact" force a path. ``candidates`` (a docID frame) mirrors the
+    pre-filter BitSet: |candidates| ≤ k switches to exact scoring of just
+    those docs (main/sparse/query/SparseQueryWeight.java:156-166).
+    """
+    spark = index.spark
+    p = index.params or {}
+    modulus = p.get("modulus", MODULUS_FOR_SHORT)
+    ceil_in = p.get("quant_ceil_ingest", DEFAULT_CEIL_INGEST)
+    ceil_s = p.get("quant_ceil_search", DEFAULT_CEIL_SEARCH)
+    tok_dtype = p.get("tok_dtype", _tok_dtype(modulus))
+    if mode not in ("auto", "ann", "exact"):
+        raise ValueError("mode must be auto|ann|exact")
+
+    # cut by float weight desc, term asc (SparseAnnQueryBuilder.java:226-238)
+    items = sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    if not items:
+        return spark.createDataFrame([], "docID long, score double")
+    tids = _fold_terms(spark, [t for t, _ in items], modulus)
+    merged: dict[int, float] = {}
+    for tid, (_, w) in zip(tids, items):
+        merged[int(tid)] = max(merged.get(int(tid), float("-inf")), float(w))
+    q_tok = np.fromiter(merged.keys(), dtype=np.int64, count=len(merged))
+    q_w = quantize_np(
+        np.fromiter(merged.values(), dtype=np.float64, count=len(merged)),
+        ceil_s)
+
+    accepted: frozenset | None = None
+    if candidates is not None:
+        cand_rows = candidates.limit(_candidate_cap + 1).collect()
+        if len(cand_rows) > _candidate_cap:
+            raise ValueError(
+                f"candidates exceeds the {_candidate_cap}-doc broadcast cap; "
+                "pre-filter the feature frame with a semi-join instead")
+        accepted = frozenset(int(r[0]) for r in cand_rows)
+        if len(accepted) <= k:
+            mode = "exact"  # filter-cardinality switch
+    if mode == "auto":
+        n_docs = p.get("n_docs") or index.stats()["n_docs"]
+        thr = p.get("approximate_threshold", DEFAULT_APPROXIMATE_THRESHOLD)
+        mode = "exact" if n_docs < thr else "ann"
+
+    pruned = index.sindex().where(
+        F.col("tokenID").isin([int(t) for t in q_tok]))
+    if mode == "exact":
+        pruned = pruned.where(F.col("kind") == 0)
+
+    order = np.argsort(q_tok, kind="stable")
+    q_tok_sorted, q_w_sorted = q_tok[order], q_w[order]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _seismic_kernel(
+            pdf, q_tok=q_tok, q_w=q_w,
+            q_tok_sorted=q_tok_sorted, q_w_sorted=q_w_sorted,
+            k=k, heap_factor=float(heap_factor), mode=mode,
+            tok_dtype=tok_dtype, accepted=accepted)
+
+    per_bucket = pruned.groupBy("bucket").applyInPandas(kernel, _KERNEL_SCHEMA)
+    scale = float(ceil_in) * float(ceil_s) / 255.0 / 255.0
+    return (
+        per_bucket
+        .orderBy(F.col("dot").desc(), F.col("docID").asc())
+        .limit(k)
+        .select("docID",
+                (F.col("dot").cast("double") * F.lit(scale)).alias("score"))
+    )

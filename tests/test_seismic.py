@@ -1,0 +1,243 @@
+"""SEISMIC approximate sparse index: build invariants, search semantics,
+exactness levers, recall, and parity with a brute-force numpy oracle.
+
+Reference semantics under test:
+  quantization   main/sparse/quantization/ByteQuantizer.java:24-34
+  truncation     main/sparse/algorithm/PostingsProcessingUtils.java:38-56
+  clustering     main/sparse/algorithm/seismic/RandomClusteringAlgorithm.java:42-91
+  summaries      main/sparse/algorithm/PostingsProcessingUtils.java:70-108
+  search loop    main/sparse/query/SeismicBaseScorer.java:99-122, 202-220
+  filter switch  main/sparse/query/SparseQueryWeight.java:156-166
+"""
+
+import math
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.seismic import (
+    DEFAULT_CEIL_SEARCH, MIN_DOCS_TO_CLUSTER, SeismicIndex,
+    build_seismic_index, quantize_np, seismic_search,
+)
+
+VOCAB = [f"t{i:02d}" for i in range(40)]
+
+
+def _synth_features(spark, n_docs=240, seed=7):
+    """Deterministic synthetic learned-sparse corpus: each doc gets 6-14
+    tokens with float weights in (0, 3]."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for d in range(n_docs):
+        n_tok = int(rng.integers(6, 15))
+        toks = rng.choice(len(VOCAB), size=n_tok, replace=False)
+        ws = rng.uniform(0.05, 3.0, size=n_tok)
+        rows.append((d, {VOCAB[t]: float(w) for t, w in zip(toks, ws)}))
+    return spark.createDataFrame(rows, "docID long, features map<string,double>")
+
+
+def _brute_topk(feats_rows, query, k, ceil_in, ceil_s):
+    """numpy oracle: quantize both sides (Java round-half-up), integer dot,
+    order (dot desc, docID asc), drop zero dots."""
+    q = {t: int(quantize_np(np.array([w]), ceil_s)[0]) for t, w in query.items()}
+    scored = []
+    for doc_id, feats in feats_rows:
+        dot = 0
+        for t, w in feats.items():
+            if t in q:
+                dot += int(quantize_np(np.array([w]), ceil_in)[0]) * q[t]
+        if dot > 0:
+            scored.append((doc_id, dot))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    scale = ceil_in * ceil_s / 255.0 / 255.0
+    return [(d, dot * scale) for d, dot in scored[:k]]
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    return _synth_features(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def feats_rows(feats):
+    return [(r["docID"], dict(r["features"])) for r in feats.collect()]
+
+
+def _build(spark, feats, tag, **kw):
+    d = f"/tmp/nss-test-seis-{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    kw.setdefault("modulus", None)
+    kw.setdefault("quant_ceil_ingest", 3.0)
+    kw.setdefault("bucket_bits", 2)
+    return build_seismic_index(spark, feats, d, **kw)
+
+
+QUERY = {"t03": 2.5, "t11": 1.8, "t17": 1.2, "t29": 0.7, "t00": 0.4}
+
+
+def test_quantizer_matches_java():
+    # Java: round(clip(v,0,ceil)*255/ceil) with Math.round = floor(x+0.5)
+    v = np.array([-1.0, 0.0, 1.5, 3.0, 99.0])
+    assert quantize_np(v, 3.0).tolist() == [0, 0, 128, 255, 255]
+    # half-up at the boundary: 0.5 rounds up (banker's would give 0)
+    assert quantize_np(np.array([0.5 * 3.0 / 255.0]), 3.0).tolist() == [1]
+
+
+def test_exact_matches_brute_force(spark, feats, feats_rows):
+    idx = _build(spark, feats, "exact")
+    got = [(r["docID"], r["score"])
+           for r in seismic_search(idx, QUERY, k=10, mode="exact").collect()]
+    want = _brute_topk(feats_rows, QUERY, 10, 3.0, DEFAULT_CEIL_SEARCH)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_ann_untruncated_single_cluster_equals_exact(spark, feats):
+    """cluster_ratio=0 + n_postings<=0 → single no-skip cluster over the full
+    list: the ANN walk must visit everything ⇒ identical to exact."""
+    idx = _build(spark, feats, "sharp", cluster_ratio=0.0, n_postings=-1)
+    exact = seismic_search(idx, QUERY, k=10, mode="exact").collect()
+    ann = seismic_search(idx, QUERY, k=10, mode="ann").collect()
+    assert [(r["docID"], r["score"]) for r in ann] == \
+           [(r["docID"], r["score"]) for r in exact]
+
+
+def test_ann_default_recall(spark, feats):
+    """Default SEISMIC params (0.1 cluster ratio, 0.4 summary mass, untruncated
+    lists at this size — 160 > any df here) with heap_factor=2: recall ≥ 0.9."""
+    idx = _build(spark, feats, "recall")
+    exact = {r["docID"] for r in
+             seismic_search(idx, QUERY, k=10, mode="exact").collect()}
+    ann = {r["docID"] for r in
+           seismic_search(idx, QUERY, k=10, mode="ann", heap_factor=2.0).collect()}
+    assert len(ann & exact) >= 9
+
+
+def test_truncation_caps_cluster_view_not_runs(spark, feats):
+    idx = _build(spark, feats, "trunc", n_postings=5)
+    si = idx.sindex()
+    trunc = si.where(F.col("kind") == 1).agg(F.max("n_docs")).head()[0]
+    full = si.where(F.col("kind") == 0).agg(F.max("n_docs")).head()[0]
+    assert trunc <= 5 < full
+    # ANN retrieves only docs reachable through some token's truncated list,
+    # but still scores them by the FULL dot (run rows)
+    ann = seismic_search(idx, QUERY, k=10, mode="ann").collect()
+    exact = {r["docID"]: r["score"]
+             for r in seismic_search(idx, QUERY, k=240, mode="exact").collect()}
+    for r in ann:
+        assert r["score"] == pytest.approx(exact[r["docID"]], rel=1e-12)
+
+
+def test_clusters_form_and_summaries_prune(spark, feats):
+    idx = _build(spark, feats, "shape")
+    rows = idx.sindex().where(F.col("kind") == 1).collect()
+    multi = [r for r in rows if len(r["clusters"]) > 1]
+    assert multi, "expected at least one clustered posting list"
+    for r in multi:
+        n = r["n_docs"]
+        assert len(r["clusters"]) <= max(1, math.ceil(n * 0.1))
+        for cl in r["clusters"]:
+            assert not cl["skipless"]
+            docs = np.frombuffer(cl["docs"], dtype="<i8")
+            assert (np.diff(docs) > 0).all()  # ascending, unique
+            assert len(cl["stoks"]) > 0  # summary non-empty
+    # short lists stay single no-skip clusters
+    for r in rows:
+        if r["n_docs"] < MIN_DOCS_TO_CLUSTER:
+            assert len(r["clusters"]) == 1 and r["clusters"][0]["skipless"]
+
+
+def test_summary_mass_ratio(spark):
+    """Hand-checkable summary: 10 identical docs (so summary == per-token
+    max == the doc vector); ratio 0.4 keeps the weight-desc prefix until
+    cumsum exceeds floor(0.4·total), inclusive of the crossing item."""
+    rows_in = [(i, {"shared": 3.0, "a": 3.0, "b": 1.5, "c": 0.75, "d": 0.375})
+               for i in range(10)]
+    df = spark.createDataFrame(rows_in, "docID long, features map<string,double>")
+    idx = _build(spark, df, "summass", cluster_ratio=0.5)
+    rows = idx.sindex().where(F.col("kind") == 1).collect()
+    # quantized weights (ceil 3): shared/a=255, b=128, c=64, d=32
+    # total=734, floor(0.4·734)=293; cumsum 255 ≤ 293 < 510 → keep 2 items
+    checked = 0
+    for r in rows:
+        for cl in r["clusters"]:
+            if cl["skipless"]:
+                continue
+            sws = np.frombuffer(cl["sweights"], dtype=np.uint8)
+            assert sorted(sws.tolist(), reverse=True) == [255, 255]
+            checked += 1
+    assert checked > 0
+
+
+def test_candidate_filter_switch_and_mask(spark, feats, feats_rows):
+    idx = _build(spark, feats, "cand")
+    want_all = _brute_topk(feats_rows, QUERY, 240, 3.0, DEFAULT_CEIL_SEARCH)
+    # small candidate set (≤ k) → exact over just those docs
+    small = spark.createDataFrame([(d,) for d, _ in want_all[:3]], "docID long")
+    got = seismic_search(idx, QUERY, k=10, candidates=small).collect()
+    assert {r["docID"] for r in got} == {d for d, _ in want_all[:3]}
+    # larger candidate set → mask inside the walk; results ⊆ candidates
+    big_ids = [d for d, _ in want_all[2:40]]
+    big = spark.createDataFrame([(d,) for d in big_ids], "docID long")
+    got = seismic_search(idx, QUERY, k=5, mode="ann", candidates=big).collect()
+    assert got and all(r["docID"] in set(big_ids) for r in got)
+    want = [d for d, _ in want_all if d in set(big_ids)][:5]
+    assert [r["docID"] for r in got] == want
+
+
+def test_mode_auto_threshold(spark, feats):
+    low = _build(spark, feats, "auto-lo", approximate_threshold=10)
+    assert low.params["n_docs"] >= 10  # auto → ann path runs without error
+    assert seismic_search(low, QUERY, k=5, mode="auto").count() == 5
+    hi = _build(spark, feats, "auto-hi", approximate_threshold=10**9)
+    assert seismic_search(hi, QUERY, k=5, mode="auto").count() == 5
+
+
+def test_build_deterministic_and_resumable(spark, feats):
+    a = _build(spark, feats, "det-a")
+    b = _build(spark, feats, "det-b")
+    ra = a.sindex().orderBy("bucket", "tokenID", "kind").collect()
+    rb = b.sindex().orderBy("bucket", "tokenID", "kind").collect()
+    assert ra == rb
+    # resume: same dir, same params → stage skipped, same snapshot dir
+    man_before = os.listdir(os.path.join(a.index_dir, "sindex"))
+    a2 = build_seismic_index(
+        spark, feats, a.index_dir, modulus=None, quant_ceil_ingest=3.0,
+        bucket_bits=2, resume=True)
+    assert os.listdir(os.path.join(a2.index_dir, "sindex")) == man_before
+    # and SeismicIndex.load restores params without a build pass
+    loaded = SeismicIndex.load(spark, a.index_dir)
+    assert loaded.params["quant_ceil_ingest"] == 3.0
+
+
+def test_fold_collisions_merge_by_max(spark):
+    """modulus=1 folds every term to token 0; the doc vector collapses to a
+    single entry holding the MAX weight (SparseVector.java:63-83)."""
+    df = spark.createDataFrame(
+        [(1, {"x": 1.0, "y": 2.5, "z": 0.5})],
+        "docID long, features map<string,double>")
+    idx = _build(spark, df, "fold", modulus=1, bucket_bits=1)
+    rows = idx.sindex().where(F.col("kind") == 0).collect()
+    assert len(rows) == 1
+    w = np.frombuffer(rows[0]["weights"], dtype=np.uint8)
+    assert w.tolist() == [int(quantize_np(np.array([2.5]), 3.0)[0])]
+
+
+def test_empty_query_and_unknown_tokens(spark, feats):
+    idx = _build(spark, feats, "edge")
+    assert seismic_search(idx, {}, k=5).count() == 0
+    assert seismic_search(idx, {"zzz_not_a_token": 1.0}, k=5).count() == 0
+
+
+def test_query_cut_top_n(spark, feats, feats_rows):
+    """top_n=2 keeps only the two heaviest query tokens (weight desc,
+    term asc tie-break) — SparseAnnQueryBuilder.java:226-238."""
+    idx = _build(spark, feats, "cut")
+    got = seismic_search(idx, QUERY, k=10, top_n=2, mode="exact").collect()
+    want = _brute_topk(feats_rows, {"t03": 2.5, "t11": 1.8}, 10,
+                       3.0, DEFAULT_CEIL_SEARCH)
+    assert [r["docID"] for r in got] == [d for d, _ in want]
