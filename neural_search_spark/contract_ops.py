@@ -1285,6 +1285,107 @@ def _seismic_sql(query: dict[str, float], k: int,
     """
 
 
+SEISMIC_REQ_TOKENS = {"stream": 2.0, "table": 1.5, "agg": 1.0}
+
+
+def q_search_request_seismic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neural_sparse + method_parameters through the search-request body:
+    routes to the SEISMIC index (auto mode → exact under the approximate
+    threshold at this scale, so the SQL oracle applies end-to-end)."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    seis = _get_seismic(spark, sf_dir, "default")
+    out = search_request(idx, {
+        "query": {"neural_sparse": {"sv": {
+            "query_tokens": SEISMIC_REQ_TOKENS,
+            "method_parameters": {"k": 10},
+        }}},
+        "size": 8,
+    }, seismic_index=seis)
+    return out["hits"].select(F.col("docID").alias("doc_id"),
+                              F.round("score", 6).alias("score"))
+
+
+KNN_HYBRID_DEPTH = 20
+KNN_HYBRID_K = 10
+
+
+def q_hybrid_knn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + dense kNN — the reference's headline query shape
+    (match sub-query + neural sub-query, min_max/arithmetic_mean). The knn
+    side scores raw cosine over the embeddings table (vec_id as docID)."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    out = search_request(idx, {
+        "query": {"hybrid": {
+            "queries": [
+                {"match": {"text": "data query"}},
+                {"knn": {"vec": {"query_vector": _query_vec(spark, sf_dir)}}},
+            ],
+            "pagination_depth": KNN_HYBRID_DEPTH,
+        }},
+        "size": KNN_HYBRID_K,
+    }, vectors=emb, vectors_id="vec_id")
+    return out["hits"].select(F.col("docID").alias("doc_id"),
+                              F.round("score", 4).alias("score"))
+
+
+_COSINE_SUB_SQL = """
+        SELECT vec_id AS doc_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, len(v)), i -> v[i] * q.qv[i])), (a, b) -> a + b)
+          / ( sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(v, x -> x * x)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(q.qv, x -> x * x)), (a, b) -> a + b)) ) AS score
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+        CROSS JOIN (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                    FROM embeddings WHERE vec_id = 0) q
+"""
+
+
+def _hybrid_knn_sql(terms: list[str], depth: int, k: int) -> str:
+    """min_max + arithmetic_mean over one BM25 sub and one cosine sub —
+    the mixed-modality twin of _hybrid_sql."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    sub0 = f"""
+        sub0 AS (
+          SELECT doc_id, score FROM (
+            SELECT tf.doc_id AS doc_id,
+              sum( ln(1 + (st.n_docs - d0.df + 0.5) / (d0.df + 0.5))
+                   * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+            FROM tf JOIN (SELECT term, count(*) AS df FROM tf
+                          WHERE term IN ({tlist}) GROUP BY term) d0 USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+            GROUP BY tf.doc_id)
+          ORDER BY score DESC, doc_id ASC LIMIT {depth}
+        )"""
+    sub1 = f"""
+        sub1 AS (
+          SELECT doc_id, score FROM ({_COSINE_SUB_SQL})
+          ORDER BY score DESC, doc_id ASC LIMIT {depth}
+        )"""
+    norms = [_norm_cte(0, "min_max"), _norm_cte(1, "min_max")]
+    _, comb = _comb_exprs(2, "arithmetic_mean")
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {sub0}, {sub1}, {norms[0]}, {norms[1]},
+         pv AS (SELECT coalesce(t0.doc_id, t1.doc_id) AS doc_id,
+                       coalesce(t0.ns, 0.0) AS s0, coalesce(t1.ns, 0.0) AS s1
+                FROM n0 t0 FULL OUTER JOIN n1 t1 ON t0.doc_id = t1.doc_id)
+    SELECT doc_id, round(cscore, 4) AS score FROM (
+      SELECT doc_id, {comb} AS cscore FROM pv
+      ORDER BY cscore DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
 # -------------------------------------------------------- multimodal
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1759,6 +1860,8 @@ SPARK_QUERIES_EXT = {
     "seismic_exact_topk": _seismic_entry("default", "exact"),
     "seismic_ann_sharp": _seismic_entry("sharp", "ann"),
     "seismic_ann_topk": _seismic_entry("default", "ann"),
+    "search_request_seismic": q_search_request_seismic,
+    "hybrid_knn_text": q_hybrid_knn_text,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1824,6 +1927,10 @@ ORACLE_SQL_EXT = {
         SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
     "seismic_ann_sharp": _seismic_sql(
         SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
+    "search_request_seismic": _seismic_sql(
+        SEISMIC_REQ_TOKENS, 8, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
+    "hybrid_knn_text": _hybrid_knn_sql(
+        ["data", "query"], KNN_HYBRID_DEPTH, KNN_HYBRID_K),
     # seismic_ann_topk: rows-only (approximate: truncation + cluster skip;
     # recall vs the exact path is pytest-asserted in tests/test_seismic.py)
     "multimodal_features": MULTIMODAL_SQL,

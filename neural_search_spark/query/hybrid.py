@@ -264,6 +264,15 @@ def hybrid_search(
     space (index/multifield.py); such sub-queries skip the msearch
     batching since their postings live in a different table.
 
+    A dict sub-query may instead carry ``"frame": DataFrame`` — a
+    pre-scored (docID, score) frame from any other scorer. This is how
+    non-lexical sub-queries join a hybrid: dense kNN (operators/similarity
+    cosine top-k — the reference's neural/NeuralKNNQueryBuilder sub-query)
+    and SEISMIC sparse ANN (index/seismic — SparseAnnQueryBuilder). The
+    frame is cut to the per-shard depth with the standard (score desc,
+    docID asc) tie-break before normalization, exactly like a lexical
+    sub-query's collector output.
+
     ``from_``: result offset; requires an explicit ``pagination_depth``
     covering from_+k — the reference errors on from>0 without depth
     (main/search/query/HybridCollectorManager.java:240-256).
@@ -308,7 +317,7 @@ def hybrid_search(
         # `is None` checks: a where-Column must not be truth-tested
         return not isinstance(q, dict) or (
             q.get("weights") is None and q.get("where") is None
-            and q.get("index") is None
+            and q.get("index") is None and q.get("frame") is None
         )
 
     plain = {i: (q["terms"] if isinstance(q, dict) else q)
@@ -328,12 +337,21 @@ def hybrid_search(
     for i, q in enumerate(subqueries):
         if i in plain:
             continue
-        sub_index = (q.get("index") if isinstance(q, dict) else None) or index
-        res = wand.search(
-            sub_index, q["terms"] if isinstance(q, dict) else q, k=depth,
-            weights=q.get("weights") if isinstance(q, dict) else None,
-            where=q.get("where") if isinstance(q, dict) else None,
-        )
+        if isinstance(q, dict) and q.get("frame") is not None:
+            res = (
+                q["frame"]
+                .select(F.col("docID").cast("long").alias("docID"),
+                        F.col("score").cast("double").alias("score"))
+                .orderBy(F.desc("score"), F.asc("docID"))
+                .limit(depth)
+            )
+        else:
+            sub_index = (q.get("index") if isinstance(q, dict) else None) or index
+            res = wand.search(
+                sub_index, q["terms"] if isinstance(q, dict) else q, k=depth,
+                weights=q.get("weights") if isinstance(q, dict) else None,
+                where=q.get("where") if isinstance(q, dict) else None,
+            )
         per_sub.append(res.withColumn("subquery_idx", F.lit(i)))
     unioned = per_sub[0]
     for df in per_sub[1:]:

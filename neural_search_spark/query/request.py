@@ -11,6 +11,14 @@ operators:
   (pre-weighted token map), each optionally carrying ``"filter"`` (SQL
   predicate string over the forward index — the reference AND-s filter
   clauses into each sub-query, main/query/HybridQuery.java:45-87).
+  ``neural_sparse`` with ``"method_parameters": {k, top_n, heap_factor}``
+  routes to the SEISMIC ANN index (pass ``seismic_index=``; reference
+  main/sparse/query/SparseAnnQueryBuilder.java). ``{"neural"|"knn":
+  {field: {"query_vector": [...], "k": n}}}`` is the dense kNN sub-query
+  (main/query/NeuralKNNQueryBuilder.java) scored as raw cosine over the
+  ``vectors`` frame — the ML text→vector client is out of scope, so the
+  vector arrives precomputed. Both return pre-scored frames that hybrid
+  normalization/combination treats exactly like lexical collector output.
   On a MultiFieldIndex (index/multifield.py) the sub-query's field name
   routes to that field's term space — per-field df/avgdl/n_docs, Lucene
   semantics — and hybrid sub-queries may mix fields; on a single-field
@@ -88,8 +96,31 @@ def _parse_subquery(q: dict) -> dict:
         tokens = spec.get("query_tokens") if isinstance(spec, dict) else None
         if not tokens:
             raise ValueError("neural_sparse requires query_tokens")
-        sub = {"terms": sorted(tokens), "weights": dict(tokens),
-               "field": _field}
+        mp = spec.get("method_parameters") if isinstance(spec, dict) else None
+        if mp is not None:
+            # SEISMIC ANN routing — the reference wraps the neural_sparse
+            # query in a SparseAnnQueryBuilder when method_parameters is
+            # present and the field is sparse_vector-typed
+            # (main/sparse/query/SparseAnnQueryBuilder.java:126-238)
+            sub = {"seismic": {
+                "tokens": dict(tokens),
+                "k": mp.get("k"),
+                "top_n": mp.get("top_n", 10),
+                "heap_factor": float(mp.get("heap_factor", 1.0)),
+            }, "field": _field}
+        else:
+            sub = {"terms": sorted(tokens), "weights": dict(tokens),
+                   "field": _field}
+    elif kind in ("neural", "knn"):
+        # dense kNN sub-query (main/query/NeuralKNNQueryBuilder.java /
+        # NeuralQueryBuilder.java). The ML text→vector client is out of
+        # scope (SURVEY §2.10), so the body carries a precomputed
+        # query_vector; scoring is raw cosine over the vectors frame
+        # (space-type score transforms belong to the k-NN plugin).
+        if not isinstance(spec, dict) or spec.get("query_vector") is None:
+            raise ValueError(f"{kind} requires a query_vector")
+        sub = {"knn": {"query_vector": list(spec["query_vector"]),
+                       "k": spec.get("k")}, "field": _field}
     else:
         raise ValueError(f"unsupported sub-query type: {kind}")
     if q.get("filter") is not None:
@@ -138,6 +169,7 @@ def search_request(
     vectors: DataFrame | None = None,
     vectors_id: str = "docID",
     vectors_col: str = "embedding",
+    seismic_index=None,
 ) -> dict:
     from neural_search_spark.operators.collapse import collapse as collapse_op
     from neural_search_spark.operators.sort_search import field_sort_search
@@ -172,14 +204,56 @@ def search_request(
     # field's sub-index (per-field term space, index/multifield.py). On a
     # single-field Index the field name is accepted unchecked — the index
     # has exactly one term space, reference behavior for a one-field doc.
+    # Frame-producing sub-queries (seismic/knn) name a vector field, which
+    # is not a text term space — they bypass routing.
     multi = hasattr(index, "fields")
     base_index = index.field(None) if multi else index
     if multi and subqueries is not None:
         for s in subqueries:
-            s["index"] = index.field(s.get("field"))
+            if "terms" in s:
+                s["index"] = index.field(s.get("field"))
+
+    def _resolve_frame(s: dict, fetch_k: int) -> dict:
+        """seismic / knn markers → pre-scored (docID, score) frames."""
+        if "seismic" in s:
+            if seismic_index is None:
+                raise ValueError(
+                    "neural_sparse with method_parameters requires a "
+                    "seismic_index (the sparse_vector field's SEISMIC index)")
+            from neural_search_spark.index.seismic import seismic_search
+
+            sp = s["seismic"]
+            fr = seismic_search(
+                seismic_index, sp["tokens"],
+                k=int(sp["k"]) if sp.get("k") else fetch_k,
+                top_n=int(sp["top_n"]), heap_factor=sp["heap_factor"])
+            return {"frame": fr}
+        if "knn" in s:
+            if vectors is None:
+                raise ValueError("a dense kNN sub-query requires a vectors "
+                                 "DataFrame (the knn field's embeddings)")
+            from neural_search_spark.operators.similarity import cosine_topk
+
+            vecs = (vectors if vectors_id == "docID"
+                    else vectors.withColumnRenamed(vectors_id, "docID"))
+            kn = s["knn"]
+            fr = cosine_topk(
+                vecs, kn["query_vector"],
+                k=int(kn["k"]) if kn.get("k") else fetch_k,
+                id_col="docID", vec_col=vectors_col)
+            return {"frame": fr}
+        return s
+
+    if subqueries is not None:
+        fetch_k = (mmr_candidates if mmr is not None else from_ + size)
+        if is_hybrid:
+            fetch_k = depth or (mmr_candidates if mmr is not None else size)
+        subqueries = [_resolve_frame(s, fetch_k) for s in subqueries]
 
     def _sub_terms(s) -> list[str]:
-        t = s["terms"]
+        t = s.get("terms")
+        if t is None:
+            return []
         return tokenize_query(t) if isinstance(t, str) else list(t)
 
     query_terms = sorted({
@@ -187,20 +261,26 @@ def search_request(
     }) if subqueries is not None else None
 
     def _matched():
-        """Matched-docs frame for aggs/sort — unions per-field scans on a
-        multi-field index (a term's postings live per field)."""
+        """Matched-docs frame for aggs/sort — unions per-field term scans
+        (multi-field: a term's postings live per field) and the docIDs of
+        frame sub-queries (seismic/knn: their hits ARE the matched set)."""
         from neural_search_spark.query import aggs as ag
 
-        if not multi:
-            return ag.matched_docs(index, query_terms)
-        per_field: dict = {}
-        for s in subqueries:
-            f_ = s.get("field") or index.default_field
-            per_field.setdefault(f_, set()).update(_sub_terms(s))
-        frames = [ag.matched_docs(index.field(f_), sorted(ts))
-                  for f_, ts in per_field.items()]
-        out_ = frames[0]
-        for x in frames[1:]:
+        parts = [s["frame"].select(F.col("docID").cast("long").alias("docID"))
+                 for s in subqueries if "frame" in s]
+        term_subs = [s for s in subqueries if "frame" not in s]
+        if term_subs and not multi:
+            terms = sorted({t for s in term_subs for t in _sub_terms(s)})
+            parts.append(ag.matched_docs(index, terms))
+        elif term_subs:
+            per_field: dict = {}
+            for s in term_subs:
+                f_ = s.get("field") or index.default_field
+                per_field.setdefault(f_, set()).update(_sub_terms(s))
+            parts += [ag.matched_docs(index.field(f_), sorted(ts))
+                      for f_, ts in per_field.items()]
+        out_ = parts[0]
+        for x in parts[1:]:
             out_ = out_.unionByName(x)
         return out_.distinct()
 
@@ -269,11 +349,21 @@ def search_request(
         from neural_search_spark.query import wand
 
         s0 = subqueries[0]
-        hits = wand.search(
-            s0.get("index") or index, s0["terms"],
-            k=mmr_candidates if mmr is not None else from_ + size,
-            weights=s0.get("weights"), where=s0.get("where"),
-        )
+        single_k = mmr_candidates if mmr is not None else from_ + size
+        if "frame" in s0:
+            hits = (
+                s0["frame"]
+                .select(F.col("docID").cast("long").alias("docID"),
+                        F.col("score").cast("double").alias("score"))
+                .orderBy(F.desc("score"), F.asc("docID"))
+                .limit(single_k)
+            )
+        else:
+            hits = wand.search(
+                s0.get("index") or index, s0["terms"],
+                k=single_k,
+                weights=s0.get("weights"), where=s0.get("where"),
+            )
         if body.get("min_score") is not None:
             hits = hits.where(F.col("score") >= float(body["min_score"]))
         if from_ > 0 and mmr is None:
@@ -297,7 +387,9 @@ def search_request(
         agg_dv = doc_values if doc_values is not None else (
             index.docmap if multi else None)
         agg_dv_id = doc_values_id or (index.id_col if multi else None)
-        use_matched = multi and query_terms is not None
+        has_frames = subqueries is not None and any(
+            "frame" in s for s in subqueries)
+        use_matched = (multi or has_frames) and subqueries is not None
         out["aggregations"] = ag.aggregate(
             base_index, body["aggs"],
             query=None if use_matched else query_terms,

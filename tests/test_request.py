@@ -256,3 +256,102 @@ def test_mmr_ext_validation(idx, docvecs):
             vectors=docvecs)
     with pytest.raises(ValueError, match="incompatible"):
         request.search_request(idx, dict(base, explain=True), vectors=docvecs)
+
+
+# ---------------------------------------------------- frame sub-queries
+# dense kNN (neural/knn) and SEISMIC sparse ANN (neural_sparse with
+# method_parameters) enter hybrid as pre-scored frames
+
+
+@pytest.fixture(scope="module")
+def seis(spark, tmp_path_factory):
+    from neural_search_spark.analysis.pipeline import tf_map_col
+    from neural_search_spark.index.seismic import build_seismic_index
+
+    df = spark.createDataFrame(
+        [(d[0], d[1]) for d in DOCS], "doc_id long, text string")
+    feats = df.select("doc_id", tf_map_col("text").alias("features"))
+    return build_seismic_index(
+        spark, feats, str(tmp_path_factory.mktemp("seisidx") / "idx"),
+        id_col="doc_id", modulus=None, quant_ceil_ingest=16.0, bucket_bits=1)
+
+
+def test_knn_single_query(idx, docvecs):
+    from neural_search_spark.operators.similarity import cosine_topk
+
+    got = request.search_request(idx, {
+        "query": {"knn": {"vec": {"query_vector": [1.0, 0.0, 0.0], "k": 3}}},
+    }, vectors=docvecs)
+    want = cosine_topk(docvecs, [1.0, 0.0, 0.0], k=3, id_col="docID")
+    assert _pairs(got["hits"]) == [(r["docID"], r["score"])
+                                   for r in want.collect()]
+
+
+def test_hybrid_match_plus_knn(idx, docvecs):
+    from neural_search_spark.operators.similarity import cosine_topk
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "alpha beta"}},
+        {"neural": {"vec": {"query_vector": [0.5, 0.5, 0.0]}}},
+    ]}}, "size": 4}
+    got = request.search_request(idx, body, vectors=docvecs)
+    fr = cosine_topk(docvecs, [0.5, 0.5, 0.0], k=4, id_col="docID")
+    want = hybrid.hybrid_search(idx, [["alpha", "beta"], {"frame": fr}], k=4)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_neural_sparse_method_parameters_routes_seismic(idx, seis):
+    from neural_search_spark.index.seismic import seismic_search
+
+    toks = {"alpha": 2.0, "beta": 1.0}
+    body = {"query": {"neural_sparse": {"sv": {
+        "query_tokens": toks,
+        "method_parameters": {"k": 4, "heap_factor": 1.5},
+    }}}, "size": 4}
+    got = request.search_request(idx, body, seismic_index=seis)
+    want = seismic_search(seis, toks, k=4, heap_factor=1.5)
+    assert _pairs(got["hits"]) == [(r["docID"], r["score"])
+                                   for r in want.collect()]
+
+
+def test_hybrid_match_plus_seismic(idx, seis):
+    from neural_search_spark.index.seismic import seismic_search
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "delta"}},
+        {"neural_sparse": {"sv": {
+            "query_tokens": {"alpha": 1.0},
+            "method_parameters": {"k": 3},
+        }}},
+    ]}}, "size": 5}
+    got = request.search_request(idx, body, seismic_index=seis)
+    fr = seismic_search(seis, {"alpha": 1.0}, k=3)
+    want = hybrid.hybrid_search(idx, [["delta"], {"frame": fr}], k=5)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_frame_requires_resources(idx):
+    with pytest.raises(ValueError, match="seismic_index"):
+        request.search_request(idx, {"query": {"neural_sparse": {"sv": {
+            "query_tokens": {"alpha": 1.0},
+            "method_parameters": {"k": 3}}}}})
+    with pytest.raises(ValueError, match="vectors"):
+        request.search_request(idx, {
+            "query": {"knn": {"v": {"query_vector": [1.0, 0.0, 0.0]}}}})
+    with pytest.raises(ValueError, match="query_vector"):
+        request.search_request(idx, {"query": {"neural": {"v": {"k": 3}}}})
+
+
+def test_frame_query_aggs_use_hits_as_matched_set(idx, docvecs, docvals):
+    out = request.search_request(idx, {
+        "query": {"knn": {"vec": {"query_vector": [1.0, 0.0, 0.0], "k": 3}}},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    }, vectors=docvecs, doc_values=docvals, doc_values_id="doc_id")
+    hit_ids = {r["docID"] for r in out["hits"].collect()}
+    langs = {d[0]: d[2] for d in DOCS}
+    want: dict = {}
+    for i in hit_ids:
+        want[langs[i]] = want.get(langs[i], 0) + 1
+    rows = {r["key"]: r["doc_count"]
+            for r in out["aggregations"]["langs"].collect()}
+    assert rows == want
