@@ -48,7 +48,8 @@ QUERY_SET: list[list[str]] = [
 ]
 
 
-def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> dict:
+def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
+              skip_seismic: bool = False) -> dict:
     from neural_search_spark.session import get_spark
     from neural_search_spark.corpus import generate_corpus, with_doc_id
     from neural_search_spark.index.build import build_index
@@ -138,6 +139,53 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             df.collect()
         request_s = time.perf_counter() - t0
 
+        # SEISMIC approximate sparse index: build throughput over the same
+        # corpus (tf features via the vectorized tokenizer runs) + forced-ANN
+        # query latency. Kept OUT of the headline value for metric
+        # continuity with earlier rounds, and skipped in the scaling legs
+        # (which only consume index_files_per_sec).
+        if skip_seismic:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            return {
+                "cpus": cpus, "n_files": n_files,
+                "index_build_s": round(build_s, 3),
+                "index_files_per_sec": round(n_files / build_s, 1),
+                "query_p50_s": p50, "query_p99_s": p99, "queries": lat,
+                "heavy_query_profile": heavy_profile,
+                "msearch": msearch_stats,
+                "request_hybrid_aggs_s": round(request_s, 3),
+            }
+        from neural_search_spark.analysis.tokenizer import tokens_with_tf
+        from neural_search_spark.index.seismic import (
+            build_seismic_index, seismic_search,
+        )
+        seis_dir = tempfile.mkdtemp(prefix="nss-bench-seis-")
+        t0 = time.perf_counter()
+        sidx = build_seismic_index(
+            spark, tokens_with_tf(corpus), seis_dir,
+            bucket_bits=5, quant_ceil_ingest=16.0, resume=False,
+        )
+        seis_build_s = time.perf_counter() - t0
+        sidx.warmup()
+        seis_queries = [
+            {"def": 2.0, "return": 1.5, "parse": 1.0, "query": 0.8},
+            {"merge": 2.0, "block": 1.0},
+            {"if": 1.0, "for": 1.0, "while": 1.0, "self": 1.0},
+            {"cache": 1.5, "filter": 1.0, "uniq_17": 3.0},
+        ]
+        seismic_search(sidx, seis_queries[0], k=10, mode="ann").collect()
+        slat = []
+        for qt in seis_queries:
+            t0 = time.perf_counter()
+            seismic_search(sidx, qt, k=10, mode="ann").collect()
+            slat.append(time.perf_counter() - t0)
+        seismic_stats = {
+            "build_s": round(seis_build_s, 3),
+            "build_files_per_sec": round(n_files / seis_build_s, 1),
+            "ann_query_p50_s": round(sorted(slat)[len(slat) // 2], 4),
+        }
+        shutil.rmtree(seis_dir, ignore_errors=True)
+
         shutil.rmtree(idx_dir, ignore_errors=True)
         return {
             "cpus": cpus,
@@ -150,6 +198,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER) -> di
             "heavy_query_profile": heavy_profile,
             "msearch": msearch_stats,
             "request_hybrid_aggs_s": round(request_s, 3),
+            "seismic": seismic_stats,
         }
     finally:
         spark.stop()
@@ -162,9 +211,11 @@ def main() -> None:
     ap.add_argument("--multiplier", type=int, default=CORPUS_MULTIPLIER,
                     help="synthetic corpus size = documents rows x this")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--skip-seismic", action="store_true")
     args = ap.parse_args()
 
-    res = run_bench(args.cpus, SF_DIR, args.multiplier)
+    res = run_bench(args.cpus, SF_DIR, args.multiplier,
+                    skip_seismic=args.skip_seismic)
     if args.json_only:
         print(json.dumps(res))
         return
@@ -190,7 +241,8 @@ def main() -> None:
             for _ in range(trials_per_leg):
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-                     "--multiplier", str(scale_mult), "--json-only"],
+                     "--multiplier", str(scale_mult), "--json-only",
+                     "--skip-seismic"],
                     capture_output=True, text=True, check=True,
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
                 )
@@ -234,6 +286,7 @@ def main() -> None:
             "heavy_query_profile": res["heavy_query_profile"],
             "msearch": res["msearch"],
             "request_hybrid_aggs_s": res["request_hybrid_aggs_s"],
+            **({"seismic": res["seismic"]} if "seismic" in res else {}),
             **extra,
         },
     }

@@ -107,9 +107,15 @@ def cmd_request(spark: SparkSession, args) -> None:
     body = json.loads(args.body)
     dv = spark.read.parquet(args.doc_values) if args.doc_values else None
     vecs = spark.read.parquet(args.vectors) if args.vectors else None
+    seis = None
+    if getattr(args, "seismic_index", None):
+        from neural_search_spark.index.seismic import SeismicIndex
+
+        seis = SeismicIndex.load(spark, args.seismic_index)
     out = search_request(idx, body, doc_values=dv,
                          doc_values_id=args.doc_values_id,
-                         vectors=vecs, vectors_id=args.vectors_id)
+                         vectors=vecs, vectors_id=args.vectors_id,
+                         seismic_index=seis)
     resp: dict = {}
     if out["hits"] is not None:
         resp["hits"] = [r.asDict() for r in out["hits"].collect()]
@@ -248,6 +254,56 @@ def cmd_ann(spark: SparkSession, args) -> None:
         }))
 
 
+def cmd_seismic(spark: SparkSession, args) -> None:
+    """SEISMIC approximate sparse-vector index (index/seismic.py): build
+    from a feature-map column (or tf-encode a text column as the lexical
+    stand-in for a learned sparse model), then serve top-k ANN queries."""
+    from neural_search_spark.index.seismic import (
+        SeismicIndex, build_seismic_index, seismic_search,
+    )
+
+    if args.seismic_cmd == "build":
+        df, id_col = _load_input(spark, args)
+        if args.feat_col in df.columns and \
+                dict(df.dtypes)[args.feat_col].startswith("map"):
+            feats = df.select(F.col(id_col), F.col(args.feat_col))
+        else:
+            from neural_search_spark.analysis.pipeline import tf_map_col
+
+            feats = df.select(
+                F.col(id_col), tf_map_col(args.text_col).alias(args.feat_col))
+        t0 = time.perf_counter()
+        idx = build_seismic_index(
+            spark, feats, args.index_dir, id_col=id_col,
+            feat_col=args.feat_col,
+            n_postings=args.n_postings, cluster_ratio=args.cluster_ratio,
+            summary_prune_ratio=args.summary_prune_ratio,
+            quant_ceil_ingest=args.ceil_ingest,
+            quant_ceil_search=args.ceil_search,
+            modulus=None if args.no_fold else 65536,
+            resume=not args.no_resume,
+        )
+        print(json.dumps({
+            "action": "seismic-build", "index_dir": args.index_dir,
+            "wall_s": round(time.perf_counter() - t0, 2), **idx.params,
+        }))
+    else:
+        idx = SeismicIndex.load(spark, args.index_dir)
+        if args.warmup:
+            idx.warmup()
+        tokens = json.loads(args.query_tokens)
+        rows = seismic_search(
+            idx, tokens, k=args.k, top_n=args.top_n,
+            heap_factor=args.heap_factor, mode=args.mode,
+        ).collect()
+        print(json.dumps({
+            "action": "seismic-search", "query_tokens": tokens,
+            "mode": args.mode,
+            "hits": [{"docID": r["docID"], "score": round(r["score"], 6)}
+                     for r in rows],
+        }))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="neural_search_spark")
     ap.add_argument("--master", default=None, help="spark master (default: env/cluster)")
@@ -293,8 +349,11 @@ def main(argv: list[str] | None = None) -> None:
     rq.add_argument("--index-dir", required=True)
     rq.add_argument("--body", required=True, help="JSON search-request body")
     rq.add_argument("--vectors", default=None,
-                    help="parquet of (id, embedding) for the ext.mmr "
-                         "diversity rerank extension")
+                    help="parquet of (id, embedding) for ext.mmr and for "
+                         "neural/knn sub-queries")
+    rq.add_argument("--seismic-index", default=None,
+                    help="SEISMIC index dir for neural_sparse sub-queries "
+                         "with method_parameters")
     rq.add_argument("--vectors-id", default="docID",
                     help="id column in --vectors (default docID)")
     rq.add_argument("--doc-values", help="parquet path of the field table "
@@ -336,6 +395,35 @@ def main(argv: list[str] | None = None) -> None:
     r.add_argument("--keep-previous-score", action="store_true")
     r.add_argument("--remove-target-field", action="store_true")
 
+    se = sub.add_parser("seismic",
+                        help="SEISMIC approximate sparse-vector index")
+    se.add_argument("seismic_cmd", choices=["build", "search"])
+    se.add_argument("--index-dir", required=True)
+    se.add_argument("--input", help="corpus/features parquet (build)")
+    se.add_argument("--text-col", default="content")
+    se.add_argument("--id-col", default="auto",
+                    help="'auto' = xxhash64(repo,path,commit), else a column")
+    se.add_argument("--feat-col", default="features",
+                    help="map<string,float> column; if absent, --text-col is "
+                         "tf-encoded as the feature map")
+    se.add_argument("--n-postings", type=int, default=None,
+                    help="posting truncation (default: max(0.0005*N,160); "
+                         "<=0 disables truncation)")
+    se.add_argument("--cluster-ratio", type=float, default=0.1)
+    se.add_argument("--summary-prune-ratio", type=float, default=0.4)
+    se.add_argument("--ceil-ingest", type=float, default=3.0)
+    se.add_argument("--ceil-search", type=float, default=16.0)
+    se.add_argument("--no-fold", action="store_true",
+                    help="keep 64-bit token ids (default folds to 16 bits "
+                         "like the reference)")
+    se.add_argument("--no-resume", action="store_true")
+    se.add_argument("--query-tokens", help='JSON map {"token": weight} (search)')
+    se.add_argument("--top-n", type=int, default=10)
+    se.add_argument("--heap-factor", type=float, default=1.0)
+    se.add_argument("--mode", default="auto", choices=["auto", "ann", "exact"])
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--warmup", action="store_true")
+
     an = sub.add_parser("ann", help="persisted ANN index over embeddings")
     an.add_argument("ann_cmd", choices=["build", "search"])
     an.add_argument("--index-dir", required=True)
@@ -357,6 +445,11 @@ def main(argv: list[str] | None = None) -> None:
             ap.error("ann build requires --input")
         if args.ann_cmd == "search" and not args.query_vec:
             ap.error("ann search requires --query-vec")
+    if args.cmd == "seismic":
+        if args.seismic_cmd == "build" and not args.input:
+            ap.error("seismic build requires --input")
+        if args.seismic_cmd == "search" and not args.query_tokens:
+            ap.error("seismic search requires --query-tokens")
 
     from neural_search_spark.session import get_spark
 
@@ -366,7 +459,7 @@ def main(argv: list[str] | None = None) -> None:
         {"build": cmd_build, "append": cmd_append, "search": cmd_search,
          "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
          "ann": cmd_ann, "stats": cmd_stats, "request": cmd_request,
-         "compact": cmd_compact}[args.cmd](spark, args)
+         "compact": cmd_compact, "seismic": cmd_seismic}[args.cmd](spark, args)
     finally:
         spark.stop()
 

@@ -1334,6 +1334,54 @@ def q_hybrid_knn_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.round("score", 4).alias("score"))
 
 
+HL_TERMS = ["data", "query"]
+
+
+def q_search_request_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical highlight post-pass: top-k match query, query terms wrapped
+    in <em> tags over the stored text (whole-field tagging)."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    out = search_request(idx, {
+        "query": {"match": {"text": " ".join(HL_TERMS)}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 8,
+    }, doc_values=_docs(spark, sf_dir), doc_values_id="doc_id")
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"),
+        "highlight_text")
+
+
+def _search_req_highlight_sql(terms: list[str], k: int) -> str:
+    """BM25 top-k joined to stored text with RE2 \\b-bounded tagging —
+    \\b's word chars are exactly the tokenizer's [a-z0-9_] alphabet, so the
+    SQL replace matches the engine's Java-regex replace occurrence-for-
+    occurrence."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    alt = "|".join(terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+           FROM tf JOIN dfreq USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+           GROUP BY tf.doc_id),
+         topk AS (SELECT doc_id, s FROM scored
+                  ORDER BY s DESC, doc_id ASC LIMIT {k})
+    SELECT topk.doc_id AS doc_id, round(topk.s, 4) AS score,
+           regexp_replace(d.text, '\\b({alt})\\b', '<em>\\1</em>', 'gi')
+             AS highlight_text
+    FROM topk JOIN documents d USING (doc_id)
+    ORDER BY score DESC, doc_id ASC
+    """
+
+
 _COSINE_SUB_SQL = """
         SELECT vec_id AS doc_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1861,6 +1909,7 @@ SPARK_QUERIES_EXT = {
     "seismic_ann_sharp": _seismic_entry("sharp", "ann"),
     "seismic_ann_topk": _seismic_entry("default", "ann"),
     "search_request_seismic": q_search_request_seismic,
+    "search_request_highlight": q_search_request_highlight,
     "hybrid_knn_text": q_hybrid_knn_text,
     "multimodal_features": q_multimodal_features,
 }
@@ -1929,6 +1978,7 @@ ORACLE_SQL_EXT = {
         SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
     "search_request_seismic": _seismic_sql(
         SEISMIC_REQ_TOKENS, 8, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
+    "search_request_highlight": _search_req_highlight_sql(HL_TERMS, 8),
     "hybrid_knn_text": _hybrid_knn_sql(
         ["data", "query"], KNN_HYBRID_DEPTH, KNN_HYBRID_K),
     # seismic_ann_topk: rows-only (approximate: truncation + cluster skip;

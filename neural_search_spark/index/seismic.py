@@ -372,12 +372,29 @@ def build_seismic_index(
     the sharp oracle the tests lean on); > 0 → fixed cap. One shuffle
     (groupBy bucket); resumable via the same manifest snapshot protocol as
     the exact index.
+
+    ``features`` is either a map-column frame (``feat_col`` is
+    map<string,float> — the learned-sparse shape) or an already-exploded
+    runs frame with columns (id_col, term, <weight>): ingest pipelines that
+    produce per-(doc, term) rows — e.g. the tokenizer's vectorized
+    ``tokens_with_tf`` — skip the build-a-map-then-explode detour, which
+    is O(unique·len) JVM work per document.
     """
     man = Manifest.load(index_dir)
-    ex = features.select(
-        F.col(id_col).cast("long").alias("docID"),
-        F.explode(F.col(feat_col)).alias("term", "w"),
-    )
+    if dict(features.dtypes).get(feat_col, "").startswith("map"):
+        ex = features.select(
+            F.col(id_col).cast("long").alias("docID"),
+            F.explode(F.col(feat_col)).alias("term", "w"),
+        )
+    elif "term" in features.columns:
+        wcol = next(c for c in ("w", "weight", "tf") if c in features.columns)
+        ex = features.select(
+            F.col(id_col).cast("long").alias("docID"), "term",
+            F.col(wcol).cast("double").alias("w"),
+        )
+    else:
+        raise ValueError(
+            f"features needs a map column {feat_col!r} or (id, term, weight) runs")
     runs = (
         ex.select("docID",
                   token_id_col(F.col("term"), modulus).alias("tokenID"), "w")
@@ -387,6 +404,8 @@ def build_seismic_index(
                 quantize_col(F.col("w"), quant_ceil_ingest).cast("long").alias("qw"))
         .where(F.col("qw") > 0)
     )
+    # the n_docs job and the kernel pass share the tokenize+groupBy work
+    runs = runs.persist()
     n_docs = runs.select("docID").distinct().count()
     bits = default_bucket_bits(n_docs) if bucket_bits is None else bucket_bits
 
@@ -425,6 +444,7 @@ def build_seismic_index(
         man.record_stage("sindex", fp, {"sindex": snap, "sstats": snap_s},
                          {"wall_s": round(time.time() - t0, 3)})
         man.commit()
+    runs.unpersist()
     return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
 
 

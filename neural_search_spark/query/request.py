@@ -41,6 +41,18 @@ operators:
 * ``sort`` + ``search_after``: field sorting via keyset pagination
   (operators/sort_search.py); like the reference's field-sort collector,
   hits carry the sort fields instead of relevance scores.
+* ``highlight``: ``{"fields": {field: {}}, "pre_tags": [...], "post_tags":
+  [...]}`` — lexical highlighting of the query's terms in stored fields
+  (requires ``doc_values`` carrying the field text). Every tokenizer-level
+  occurrence of a query term is wrapped in pre/post tags (default
+  ``<em>``/``</em>``, the reference's defaults —
+  main/highlight/SemanticHighlightingConstants.java:32). Whole-field
+  tagging, i.e. OpenSearch's ``number_of_fragments: 0`` semantics; the
+  match boundary is ``\\b`` (word chars = the tokenizer's [a-z0-9_]
+  alphabet), case-insensitive, original case preserved. The reference's
+  own highlighter is ML-sentence-based (main/highlight/
+  SemanticHighlighter.java) and out of scope like the other model-backed
+  processors; this is the lexical counterpart a search user expects.
 * ``ext.mmr``: the MMR diversity-rerank search extension
   (``{"diversity": d, "candidates": n}``). Like the reference's
   transformer (main/processor/mmr/MMRNeuralQueryTransformer.java:47-49),
@@ -382,6 +394,45 @@ def search_request(
 
     if mmr is not None and out["hits"] is not None:
         out["hits"] = _mmr_post(out["hits"])
+
+    if body.get("highlight") and out["hits"] is not None:
+        import re as _re
+
+        hl = body["highlight"]
+        pre = (hl.get("pre_tags") or ["<em>"])[0]
+        post = (hl.get("post_tags") or ["</em>"])[0]
+        terms = sorted({t for t in (query_terms or []) if t})
+        if not hl.get("fields"):
+            raise ValueError("highlight requires fields")
+        if doc_values is None:
+            raise ValueError("highlight requires doc_values with the "
+                             "highlighted fields' stored text")
+        dv = doc_values.withColumn(
+            "docID", F.col(doc_values_id or "docID").cast("long"))
+        hits = out["hits"]
+        for field in hl["fields"]:
+            if terms:
+                pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+                tagged = F.regexp_replace(F.col(field), pat, f"{pre}$1{post}")
+            else:
+                tagged = F.col(field)  # no lexical terms (pure kNN/ANN query)
+            hits = hits.join(
+                dv.select("docID", tagged.alias(f"highlight_{field}")),
+                "docID", "left")
+        # the joins must not disturb the response order
+        if "score" in hits.columns:
+            order = [F.desc("score"), F.asc("docID")]
+        else:  # field-sort path: re-apply the request's sort spec
+            order = []
+            for s_ in body.get("sort", []):
+                if isinstance(s_, str):
+                    order.append(F.asc(s_))
+                else:
+                    (f_, spec_), = s_.items()
+                    asc_ = spec_.get("order", "asc") == "asc"
+                    order.append(F.asc(f_) if asc_ else F.desc(f_))
+            order.append(F.asc("docID"))
+        out["hits"] = hits.orderBy(*order)
 
     if body.get("aggs"):
         agg_dv = doc_values if doc_values is not None else (

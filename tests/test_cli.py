@@ -155,3 +155,30 @@ def test_cli_build_multifield_and_request(spark, tmp_path, capsys):
     ))
     hits = _json_out(capsys)["hits"]
     assert {h["docID"] for h in hits} == {1, 2}
+
+
+def test_cli_seismic_build_and_search(spark, tmp_path, capsys):
+    import re
+
+    corpus = with_doc_id(generate_corpus(spark, 60, seed=9))
+    inp = str(tmp_path / "corpus")
+    corpus.write.parquet(inp)
+    d = str(tmp_path / "seis")
+    cli.cmd_seismic(spark, Namespace(
+        seismic_cmd="build", index_dir=d, input=inp, text_col="content",
+        id_col="docID", feat_col="features", n_postings=None,
+        cluster_ratio=0.1, summary_prune_ratio=0.4, ceil_ingest=16.0,
+        ceil_search=16.0, no_fold=True, no_resume=False))
+    out = _json_out(capsys)
+    assert out["action"] == "seismic-build" and out["n_docs"] == 60
+
+    text = corpus.select("content").first()["content"]
+    toks = [t for t in re.split(r"[^a-z0-9_]+", text.lower()) if t][:2]
+    cli.cmd_seismic(spark, Namespace(
+        seismic_cmd="search", index_dir=d,
+        query_tokens=json.dumps({toks[0]: 2.0, toks[1]: 1.0}),
+        k=5, top_n=10, heap_factor=1.0, mode="auto", warmup=False))
+    out = _json_out(capsys)
+    assert out["action"] == "seismic-search" and len(out["hits"]) >= 1
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)

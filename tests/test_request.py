@@ -355,3 +355,41 @@ def test_frame_query_aggs_use_hits_as_matched_set(idx, docvecs, docvals):
     rows = {r["key"]: r["doc_count"]
             for r in out["aggregations"]["langs"].collect()}
     assert rows == want
+
+
+# ------------------------------------------------------------- highlight
+
+
+def test_highlight_tags_query_terms(idx, docvals):
+    out = request.search_request(idx, {
+        "query": {"match": {"text": "alpha delta"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 10,
+    }, doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["docID"]: r["highlight_text"] for r in out["hits"].collect()}
+    assert rows[3] == "<em>alpha</em> <em>delta</em>"
+    assert rows[1] == "<em>alpha</em> beta gamma"
+    # ordering preserved after the join
+    scores = [r["score"] for r in out["hits"].collect()]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_highlight_custom_tags_and_hybrid(idx, docvals):
+    out = request.search_request(idx, {
+        "query": {"hybrid": {"queries": [
+            {"match": {"text": "alpha"}}, {"match": {"text": "epsilon"}},
+        ]}},
+        "highlight": {"fields": {"text": {}},
+                      "pre_tags": ["<b>"], "post_tags": ["</b>"]},
+        "size": 10,
+    }, doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["docID"]: r["highlight_text"] for r in out["hits"].collect()}
+    assert rows[4] == "beta delta <b>epsilon</b>"
+
+
+def test_highlight_requires_doc_values(idx):
+    with pytest.raises(ValueError, match="doc_values"):
+        request.search_request(idx, {
+            "query": {"match": {"text": "alpha"}},
+            "highlight": {"fields": {"text": {}}},
+        })
