@@ -259,10 +259,11 @@ def cmd_seismic(spark: SparkSession, args) -> None:
     from a feature-map column (or tf-encode a text column as the lexical
     stand-in for a learned sparse model), then serve top-k ANN queries."""
     from neural_search_spark.index.seismic import (
-        SeismicIndex, build_seismic_index, seismic_search,
+        SeismicIndex, append_to_seismic_index, build_seismic_index,
+        seismic_search,
     )
 
-    if args.seismic_cmd == "build":
+    if args.seismic_cmd in ("build", "append"):
         df, id_col = _load_input(spark, args)
         if args.feat_col in df.columns and \
                 dict(df.dtypes)[args.feat_col].startswith("map"):
@@ -273,18 +274,24 @@ def cmd_seismic(spark: SparkSession, args) -> None:
             feats = df.select(
                 F.col(id_col), tf_map_col(args.text_col).alias(args.feat_col))
         t0 = time.perf_counter()
-        idx = build_seismic_index(
-            spark, feats, args.index_dir, id_col=id_col,
-            feat_col=args.feat_col,
-            n_postings=args.n_postings, cluster_ratio=args.cluster_ratio,
-            summary_prune_ratio=args.summary_prune_ratio,
-            quant_ceil_ingest=args.ceil_ingest,
-            quant_ceil_search=args.ceil_search,
-            modulus=None if args.no_fold else 65536,
-            resume=not args.no_resume,
-        )
+        if args.seismic_cmd == "append":
+            idx = append_to_seismic_index(
+                spark, args.index_dir, feats, id_col=id_col,
+                feat_col=args.feat_col)
+        else:
+            idx = build_seismic_index(
+                spark, feats, args.index_dir, id_col=id_col,
+                feat_col=args.feat_col,
+                n_postings=args.n_postings, cluster_ratio=args.cluster_ratio,
+                summary_prune_ratio=args.summary_prune_ratio,
+                quant_ceil_ingest=args.ceil_ingest,
+                quant_ceil_search=args.ceil_search,
+                modulus=None if args.no_fold else 65536,
+                resume=not args.no_resume,
+            )
         print(json.dumps({
-            "action": "seismic-build", "index_dir": args.index_dir,
+            "action": f"seismic-{args.seismic_cmd}",
+            "index_dir": args.index_dir,
             "wall_s": round(time.perf_counter() - t0, 2), **idx.params,
         }))
     else:
@@ -397,7 +404,7 @@ def main(argv: list[str] | None = None) -> None:
 
     se = sub.add_parser("seismic",
                         help="SEISMIC approximate sparse-vector index")
-    se.add_argument("seismic_cmd", choices=["build", "search"])
+    se.add_argument("seismic_cmd", choices=["build", "append", "search"])
     se.add_argument("--index-dir", required=True)
     se.add_argument("--input", help="corpus/features parquet (build)")
     se.add_argument("--text-col", default="content")
@@ -446,8 +453,8 @@ def main(argv: list[str] | None = None) -> None:
         if args.ann_cmd == "search" and not args.query_vec:
             ap.error("ann search requires --query-vec")
     if args.cmd == "seismic":
-        if args.seismic_cmd == "build" and not args.input:
-            ap.error("seismic build requires --input")
+        if args.seismic_cmd in ("build", "append") and not args.input:
+            ap.error(f"seismic {args.seismic_cmd} requires --input")
         if args.seismic_cmd == "search" and not args.query_tokens:
             ap.error("seismic search requires --query-tokens")
 

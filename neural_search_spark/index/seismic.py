@@ -325,7 +325,8 @@ class SeismicIndex:
         info = man.stages.get("sindex")
         if not info:
             raise FileNotFoundError(f"no seismic index committed in {index_dir}")
-        params = json.loads(info["fingerprint"])
+        # append fingerprints carry a "+delta:<hash>" suffix after the params
+        params = json.loads(info["fingerprint"].split("+delta:")[0])
         return cls(spark=spark, index_dir=index_dir, params=params)
 
     def sindex(self) -> DataFrame:
@@ -381,29 +382,8 @@ def build_seismic_index(
     is O(unique·len) JVM work per document.
     """
     man = Manifest.load(index_dir)
-    if dict(features.dtypes).get(feat_col, "").startswith("map"):
-        ex = features.select(
-            F.col(id_col).cast("long").alias("docID"),
-            F.explode(F.col(feat_col)).alias("term", "w"),
-        )
-    elif "term" in features.columns:
-        wcol = next(c for c in ("w", "weight", "tf") if c in features.columns)
-        ex = features.select(
-            F.col(id_col).cast("long").alias("docID"), "term",
-            F.col(wcol).cast("double").alias("w"),
-        )
-    else:
-        raise ValueError(
-            f"features needs a map column {feat_col!r} or (id, term, weight) runs")
-    runs = (
-        ex.select("docID",
-                  token_id_col(F.col("term"), modulus).alias("tokenID"), "w")
-        .groupBy("docID", "tokenID")
-        .agg(F.max("w").alias("w"))  # fold collisions merge by max weight
-        .select("docID", "tokenID",
-                quantize_col(F.col("w"), quant_ceil_ingest).cast("long").alias("qw"))
-        .where(F.col("qw") > 0)
-    )
+    runs = _features_to_runs(features, id_col, feat_col, modulus,
+                             quant_ceil_ingest)
     # the n_docs job and the kernel pass share the tokenize+groupBy work
     runs = runs.persist()
     n_docs = runs.select("docID").distinct().count()
@@ -420,31 +400,152 @@ def build_seismic_index(
         "bucket_bits": bits, "n_docs": n_docs,
     }
     fp = json.dumps(params, sort_keys=True)
-
     if not (resume and man.stage_done("sindex", fp)):
-        tok_dtype = params["tok_dtype"]
-        bucketed = runs.withColumn("bucket", bucket_col("docID", bits))
-
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _cluster_bucket(
-                pdf, n_postings=n_postings,
-                summary_prune_ratio=summary_prune_ratio,
-                cluster_ratio=cluster_ratio, seed=seed, tok_dtype=tok_dtype)
-
-        sindex = (
-            bucketed.groupBy("bucket").applyInPandas(kernel, SINDEX_SCHEMA)
-            .sortWithinPartitions("tokenID", "kind")  # row-group pruning key
-        )
-        t0 = time.time()
-        tag = _stable_tag(fp)
-        snap = snapshot_write(sindex, index_dir, "sindex", f"snap-{tag}")
-        stats = spark.createDataFrame(
-            [(n_docs, 1 << bits)], "n_docs long, n_buckets int")
-        snap_s = snapshot_write(stats, index_dir, "sstats", f"snap-{tag}")
-        man.record_stage("sindex", fp, {"sindex": snap, "sstats": snap_s},
-                         {"wall_s": round(time.time() - t0, 3)})
-        man.commit()
+        _commit_sindex(spark, index_dir, man, runs, params, fp)
     runs.unpersist()
+    return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
+
+
+def _features_to_runs(features: DataFrame, id_col: str, feat_col: str,
+                      modulus: int | None, quant_ceil_ingest: float) -> DataFrame:
+    """features (map column or (id, term, weight) rows) → quantized runs
+    (docID, tokenID, qw) with qw > 0."""
+    if dict(features.dtypes).get(feat_col, "").startswith("map"):
+        ex = features.select(
+            F.col(id_col).cast("long").alias("docID"),
+            F.explode(F.col(feat_col)).alias("term", "w"),
+        )
+    elif "term" in features.columns:
+        wcol = next(c for c in ("w", "weight", "tf") if c in features.columns)
+        ex = features.select(
+            F.col(id_col).cast("long").alias("docID"), "term",
+            F.col(wcol).cast("double").alias("w"),
+        )
+    else:
+        raise ValueError(
+            f"features needs a map column {feat_col!r} or (id, term, weight) runs")
+    return (
+        ex.select("docID",
+                  token_id_col(F.col("term"), modulus).alias("tokenID"), "w")
+        .groupBy("docID", "tokenID")
+        .agg(F.max("w").alias("w"))  # fold collisions merge by max weight
+        .select("docID", "tokenID",
+                quantize_col(F.col("w"), quant_ceil_ingest).cast("long").alias("qw"))
+        .where(F.col("qw") > 0)
+    )
+
+
+def _commit_sindex(spark: SparkSession, index_dir: str, man: Manifest,
+                   runs: DataFrame, params: dict, fp: str) -> None:
+    """One shuffle: runs → per-bucket clustering kernel → snapshot commit."""
+    tok_dtype = params["tok_dtype"]
+    n_postings = params["n_postings"]
+    summary_prune_ratio = params["summary_prune_ratio"]
+    cluster_ratio = params["cluster_ratio"]
+    seed = params["seed"]
+    bucketed = runs.withColumn("bucket", bucket_col("docID", params["bucket_bits"]))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cluster_bucket(
+            pdf, n_postings=n_postings,
+            summary_prune_ratio=summary_prune_ratio,
+            cluster_ratio=cluster_ratio, seed=seed, tok_dtype=tok_dtype)
+
+    sindex = (
+        bucketed.groupBy("bucket").applyInPandas(kernel, SINDEX_SCHEMA)
+        .sortWithinPartitions("tokenID", "kind")  # row-group pruning key
+    )
+    t0 = time.time()
+    tag = _stable_tag(fp)
+    snap = snapshot_write(sindex, index_dir, "sindex", f"snap-{tag}")
+    stats = spark.createDataFrame(
+        [(params["n_docs"], 1 << params["bucket_bits"])],
+        "n_docs long, n_buckets int")
+    snap_s = snapshot_write(stats, index_dir, "sstats", f"snap-{tag}")
+    man.record_stage("sindex", fp, {"sindex": snap, "sstats": snap_s},
+                     {"wall_s": round(time.time() - t0, 3)})
+    man.commit()
+
+
+_RUNS_SCHEMA = StructType([
+    StructField("docID", LongType()),
+    StructField("tokenID", LongType()),
+    StructField("qw", LongType()),
+])
+
+
+def decode_runs(sindex: DataFrame) -> DataFrame:
+    """kind-0 run rows → (docID, tokenID, qw) — the exact inverse of the
+    build's pack. Vectorized per Arrow batch: one buffer concat + one
+    frombuffer per column (no per-row Python), mirroring the exact index's
+    decode_postings rule."""
+    rows = sindex.where(F.col("kind") == 0).select("tokenID", "docs", "weights")
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = np.frombuffer(b"".join(pdf["docs"]), dtype="<i8")
+            qws = np.frombuffer(b"".join(pdf["weights"]),
+                                dtype=np.uint8).astype(np.int64)
+            lens = (pdf["docs"].str.len() // 8).to_numpy(np.int64)
+            toks = np.repeat(pdf["tokenID"].to_numpy(np.int64), lens)
+            yield pd.DataFrame({"docID": docs, "tokenID": toks, "qw": qws})
+
+    return rows.mapInPandas(gen, _RUNS_SCHEMA)
+
+
+def append_to_seismic_index(
+    spark: SparkSession,
+    index_dir: str,
+    features_delta: DataFrame,
+    *,
+    id_col: str = "docID",
+    feat_col: str = "features",
+    check_disjoint: bool = True,
+) -> SeismicIndex:
+    """Merge a feature delta into a committed SEISMIC index.
+
+    The segment-merge analog (main/sparse/codec/SparsePostingsReader.java:
+    47-145 unions per-term postings of N segments and re-clusters): old
+    postings are DECODED from the committed run rows — never re-encoded
+    from source text — unioned with the delta's quantized runs, and every
+    bucket re-clusters through the same deterministic kernel (seeded per
+    (seed, bucket, tokenID)), so append ≡ fresh build over old ∪ new,
+    byte-identical (tested invariant). Truncation re-applies on the merged
+    lists exactly as the reference's merge does.
+
+    Only NEW docIDs are supported; ``check_disjoint`` (one semi-join)
+    turns a double-ingest into a ValueError.
+    """
+    idx = SeismicIndex.load(spark, index_dir)
+    p = idx.params
+    man = Manifest.load(index_dir)
+
+    delta_runs = _features_to_runs(
+        features_delta, id_col, feat_col, p["modulus"], p["quant_ceil_ingest"])
+    old_runs = decode_runs(idx.sindex())
+    if check_disjoint:
+        dup = (delta_runs.select("docID").distinct()
+               .join(old_runs.select("docID").distinct(), "docID", "left_semi")
+               .limit(1).count())
+        if dup:
+            raise ValueError(
+                "delta contains docIDs already in the index (upsert/delete "
+                "is not supported on the seismic index)")
+    merged = old_runs.unionByName(delta_runs).persist()
+    n_docs = merged.select("docID").distinct().count()
+
+    # fingerprint covers the delta's id SET (order-free, overflow-free XOR
+    # fold), so a crashed append resumes and a repeated identical append is
+    # a no-op
+    delta_fp = delta_runs.select("docID").distinct().agg(
+        F.expr("bit_xor(xxhash64(docID))")).head()[0]
+    params = dict(p, n_docs=n_docs)
+    fp = json.dumps(params, sort_keys=True) + f"+delta:{delta_fp}"
+    if not man.stage_done("sindex", fp):
+        _commit_sindex(spark, index_dir, man, merged, params, fp)
+    merged.unpersist()
     return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
 
 

@@ -241,3 +241,57 @@ def test_query_cut_top_n(spark, feats, feats_rows):
     want = _brute_topk(feats_rows, {"t03": 2.5, "t11": 1.8}, 10,
                        3.0, DEFAULT_CEIL_SEARCH)
     assert [r["docID"] for r in got] == [d for d, _ in want]
+
+
+# --------------------------------------------------------------- append
+
+
+def test_append_equals_fresh_build(spark, feats):
+    """Segment-merge invariant: append(old, delta) ≡ fresh build over
+    old ∪ delta, byte-identical sindex rows (decode → union → re-cluster
+    with the same deterministic per-(bucket, token) seeds)."""
+    from neural_search_spark.index.seismic import append_to_seismic_index
+
+    old = feats.where(F.col("docID") < 180)
+    delta = feats.where(F.col("docID") >= 180)
+    base = _build(spark, old, "app-base")
+    appended = append_to_seismic_index(
+        spark, base.index_dir, delta, feat_col="features")
+    fresh = _build(spark, feats, "app-fresh")
+    ra = appended.sindex().orderBy("bucket", "tokenID", "kind").collect()
+    rf = fresh.sindex().orderBy("bucket", "tokenID", "kind").collect()
+    assert ra == rf
+    assert appended.params["n_docs"] == fresh.params["n_docs"]
+    # search through the appended index matches the fresh build
+    got = seismic_search(appended, QUERY, k=10, mode="ann").collect()
+    want = seismic_search(fresh, QUERY, k=10, mode="ann").collect()
+    assert [(r["docID"], r["score"]) for r in got] == \
+           [(r["docID"], r["score"]) for r in want]
+
+
+def test_append_rejects_duplicate_ids(spark, feats):
+    from neural_search_spark.index.seismic import append_to_seismic_index
+
+    base = _build(spark, feats, "app-dup")
+    with pytest.raises(ValueError, match="already in the index"):
+        append_to_seismic_index(
+            spark, base.index_dir, feats.limit(3), feat_col="features")
+
+
+def test_append_is_idempotent_on_rerun(spark, feats):
+    """Re-running the SAME append (same delta id set) is a no-op: the
+    fingerprint covers the delta's ids, so the committed stage is reused."""
+    import os as _os
+
+    from neural_search_spark.index.seismic import append_to_seismic_index
+
+    old = feats.where(F.col("docID") < 200)
+    delta = feats.where(F.col("docID") >= 200)
+    base = _build(spark, old, "app-idem")
+    a1 = append_to_seismic_index(spark, base.index_dir, delta,
+                                 feat_col="features", check_disjoint=False)
+    snaps = sorted(_os.listdir(_os.path.join(base.index_dir, "sindex")))
+    a2 = append_to_seismic_index(spark, base.index_dir, delta,
+                                 feat_col="features", check_disjoint=False)
+    assert sorted(_os.listdir(_os.path.join(base.index_dir, "sindex"))) == snaps
+    assert a1.params["n_docs"] == a2.params["n_docs"]
