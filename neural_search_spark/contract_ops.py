@@ -1285,6 +1285,48 @@ def _seismic_sql(query: dict[str, float], k: int,
     """
 
 
+def q_seismic_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level scoring breakdown of the top-k hits (the reference's
+    SparseExplanationBuilder as exploded rows)."""
+    from neural_search_spark.index.seismic import seismic_explain
+
+    idx = _get_seismic(spark, sf_dir, "default")
+    r = seismic_explain(idx, SEISMIC_QUERY, k=10, mode="exact")
+    return r.select(F.col("docID").alias("doc_id"),
+                    F.round("score", 6).alias("score"),
+                    "term", F.round("contribution", 6).alias("contribution"))
+
+
+def _seismic_explain_sql(query: dict[str, float], k: int,
+                         ceil_in: float, ceil_s: float) -> str:
+    """Top-k dots + per-(doc, term) contribution rows, same quantization
+    arithmetic as _seismic_sql."""
+    import numpy as np
+
+    from neural_search_spark.index.seismic import quantize_np
+
+    vals = ", ".join(
+        f"('{t}', {int(quantize_np(np.array([w]), ceil_s)[0])})"
+        for t, w in sorted(query.items()))
+    scale = f"({ceil_in} * {ceil_s} / 255.0 / 255.0)"
+    dq = f"""CAST(floor(least(greatest(CAST(tf.tf AS DOUBLE), 0.0), {ceil_in})
+                        * 255.0 / {ceil_in} + 0.5) AS BIGINT)"""
+    return f"""
+    WITH tf AS ({_TF_SQL}),
+    q(term, qw) AS (VALUES {vals}),
+    c AS (
+      SELECT tf.doc_id AS doc_id, tf.term AS term, {dq} * q.qw AS raw
+      FROM tf JOIN q USING (term)),
+    s AS (SELECT doc_id, SUM(raw) AS dot FROM c GROUP BY doc_id),
+    topk AS (SELECT doc_id, dot FROM s WHERE dot > 0
+             ORDER BY dot DESC, doc_id ASC LIMIT {k})
+    SELECT c.doc_id AS doc_id, round(topk.dot * {scale}, 6) AS score,
+           c.term AS term, round(c.raw * {scale}, 6) AS contribution
+    FROM c JOIN topk USING (doc_id) WHERE c.raw > 0
+    ORDER BY score DESC, doc_id ASC, term ASC
+    """
+
+
 SEISMIC_REQ_TOKENS = {"stream": 2.0, "table": 1.5, "agg": 1.0}
 
 
@@ -1908,6 +1950,7 @@ SPARK_QUERIES_EXT = {
     "seismic_exact_topk": _seismic_entry("default", "exact"),
     "seismic_ann_sharp": _seismic_entry("sharp", "ann"),
     "seismic_ann_topk": _seismic_entry("default", "ann"),
+    "seismic_explain": q_seismic_explain,
     "search_request_seismic": q_search_request_seismic,
     "search_request_highlight": q_search_request_highlight,
     "hybrid_knn_text": q_hybrid_knn_text,
@@ -1983,5 +2026,7 @@ ORACLE_SQL_EXT = {
         ["data", "query"], KNN_HYBRID_DEPTH, KNN_HYBRID_K),
     # seismic_ann_topk: rows-only (approximate: truncation + cluster skip;
     # recall vs the exact path is pytest-asserted in tests/test_seismic.py)
+    "seismic_explain": _seismic_explain_sql(
+        SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
     "multimodal_features": MULTIMODAL_SQL,
 }

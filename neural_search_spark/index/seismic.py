@@ -549,6 +549,71 @@ def append_to_seismic_index(
     return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
 
 
+def seismic_explain(
+    index: SeismicIndex,
+    query_tokens: dict[str, float],
+    *,
+    k: int = DEFAULT_TOP_K,
+    top_n: int = DEFAULT_QUERY_CUT,
+    heap_factor: float = DEFAULT_HEAP_FACTOR,
+    mode: str = "auto",
+) -> DataFrame:
+    """Token-level scoring breakdown for the top-k hits — the reference's
+    sparse explanation (main/sparse/query/explain/SparseExplanationBuilder
+    .java: query token pruning → raw dot with per-token contributions →
+    quantization rescale), as exploded rows.
+
+    Returns (docID, score, term, contribution): per hit, one row per query
+    term present in the doc, with contribution = d_t·q_t·rescale summing
+    exactly to score. Terms that fold to the same tokenID report under the
+    first term (collision-merged, like the index itself).
+    """
+    spark = index.spark
+    p = index.params or {}
+    modulus = p.get("modulus", MODULUS_FOR_SHORT)
+    ceil_in = p.get("quant_ceil_ingest", DEFAULT_CEIL_INGEST)
+    ceil_s = p.get("quant_ceil_search", DEFAULT_CEIL_SEARCH)
+    scale = float(ceil_in) * float(ceil_s) / 255.0 / 255.0
+
+    hits = seismic_search(index, query_tokens, k=k, top_n=top_n,
+                          heap_factor=heap_factor, mode=mode)
+
+    items = sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    if not items:
+        return spark.createDataFrame(
+            [], "docID long, score double, term string, contribution double")
+    tids = _fold_terms(spark, [t for t, _ in items], modulus)
+    merged: dict[int, tuple[str, float]] = {}
+    for tid, (t, w) in zip(tids, items):
+        tid = int(tid)
+        if tid in merged:  # first term keeps the name, max weight wins
+            merged[tid] = (merged[tid][0], max(merged[tid][1], w))
+        else:
+            merged[tid] = (t, w)
+    qw_of = {tid: int(quantize_np(np.array([w]), ceil_s)[0])
+             for tid, (_, w) in merged.items()}
+
+    runs = decode_runs(
+        index.sindex().where(F.col("tokenID").isin(list(merged))))
+    term_map = F.create_map(*[
+        x for tid, (t, _) in merged.items() for x in (F.lit(tid), F.lit(t))])
+    qw_map = F.create_map(*[
+        x for tid, qw in qw_of.items() for x in (F.lit(tid), F.lit(qw))])
+    return (
+        runs.join(F.broadcast(hits), "docID")
+        .select(
+            "docID", "score",
+            term_map[F.col("tokenID")].alias("term"),
+            (F.col("qw") * qw_map[F.col("tokenID")]).cast("double")
+            .alias("_raw"),
+        )
+        .where(F.col("_raw") > 0)
+        .select("docID", "score",
+                "term", (F.col("_raw") * F.lit(scale)).alias("contribution"))
+        .orderBy(F.desc("score"), F.asc("docID"), F.asc("term"))
+    )
+
+
 # --------------------------------------------------------------- query side
 
 def _fold_terms(spark: SparkSession, terms: list[str],

@@ -295,3 +295,25 @@ def test_append_is_idempotent_on_rerun(spark, feats):
                                  feat_col="features", check_disjoint=False)
     assert sorted(_os.listdir(_os.path.join(base.index_dir, "sindex"))) == snaps
     assert a1.params["n_docs"] == a2.params["n_docs"]
+
+
+# --------------------------------------------------------------- explain
+
+
+def test_explain_contributions_sum_to_score(spark, feats):
+    """SparseExplanationBuilder parity: per-term contributions are the
+    rescaled quantized products and sum exactly to the hit's score."""
+    from neural_search_spark.index.seismic import seismic_explain
+
+    idx = _build(spark, feats, "explain")
+    rows = seismic_explain(idx, QUERY, k=5, mode="exact").collect()
+    hits = {(r["docID"], r["score"]) for r in rows}
+    assert len(hits) == 5
+    by_doc: dict = {}
+    for r in rows:
+        assert r["term"] in QUERY
+        assert r["contribution"] > 0
+        by_doc.setdefault((r["docID"], r["score"]), 0.0)
+        by_doc[(r["docID"], r["score"])] += r["contribution"]
+    for (_, score), total in by_doc.items():
+        assert total == pytest.approx(score, rel=1e-9)
