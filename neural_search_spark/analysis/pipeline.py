@@ -169,6 +169,69 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
     return df
 
 
+INFERENCE_PROCESSORS = ("sparse_encoding", "text_embedding")
+
+
+def run_pipeline_incremental(
+    df: DataFrame,
+    processors: list[dict],
+    existing: DataFrame,
+    id_col: str = "docID",
+) -> DataFrame:
+    """Re-ingest pipeline that skips inference for unchanged fields.
+
+    The reference's InferenceFilter optimization (main/processor/
+    optimization/InferenceFilter.java, TextEmbeddingInferenceFilter.java:
+    38-81): on update/reindex, if a document's inference-source field value
+    equals the existing document's and an existing embedding is present,
+    the embedding is COPIED instead of re-inferred. At pipeline scale this
+    is the difference between embedding a 100 TB corpus and embedding its
+    daily delta.
+
+    Spark shape: per inference processor and per (src → dst) field-map
+    pair, the frame splits on ``src unchanged AND existing dst present``
+    (null-safe equality against ``existing`` joined by ``id_col``); the
+    reuse branch copies the stored dst column, only the changed/new branch
+    executes the processor — a real skip, not a post-hoc overwrite, so an
+    expensive ``embed_fn``/``encode_fn`` UDF never runs on unchanged rows.
+    Non-inference processors (chunking) run on every row, like the
+    reference (the filter wraps only inference calls).
+
+    ``existing`` must carry ``id_col``, each inference src column, and the
+    previously produced dst columns (i.e. the stored output of the last
+    pipeline run).
+    """
+    for spec in processors:
+        if len(spec) != 1:
+            raise ValueError("each pipeline entry must be {processor: params}")
+        (name, params), = spec.items()
+        if name not in PROCESSORS:
+            raise ValueError(f"unknown processor: {name}")
+        if "field_map" not in params or not params["field_map"]:
+            raise ValueError(f"processor '{name}' requires a field_map")
+        if name not in INFERENCE_PROCESSORS:
+            df = PROCESSORS[name](df, params)
+            continue
+        for src, dst in params["field_map"].items():
+            ex = existing.select(
+                F.col(id_col),
+                F.col(src).alias("_ex_src"), F.col(dst).alias("_ex_dst"))
+            j = df.join(ex, id_col, "left")
+            reuse = F.col(src).eqNullSafe(F.col("_ex_src")) & \
+                F.col("_ex_dst").isNotNull()
+            reused = (
+                j.where(reuse)
+                .withColumn(dst, F.col("_ex_dst"))
+                .drop("_ex_src", "_ex_dst")
+            )
+            fresh = PROCESSORS[name](
+                j.where(~reuse | reuse.isNull()).drop("_ex_src", "_ex_dst"),
+                {**params, "field_map": {src: dst}},
+            )
+            df = reused.unionByName(fresh)
+    return df
+
+
 def explode_encoded(df: DataFrame, id_col: str, col: str) -> DataFrame:
     """Flatten a sparse-encoded column to (id, chunk_idx, term, weight) runs.
 

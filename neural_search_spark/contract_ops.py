@@ -1814,6 +1814,52 @@ def _ingest_embedding_sql() -> str:
     """
 
 
+def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-ingest (InferenceFilter.java semantics): docs whose
+    text is unchanged COPY the stored embedding instead of re-inferring.
+    The embedding double is run-tagged ([run, len(text)]) so the oracle can
+    tell a copied v1 embedding from a recomputed v2 one."""
+    from neural_search_spark.analysis import pipeline as pl
+
+    def tagged(run: float):
+        return lambda c: F.array(
+            F.lit(run), F.length(F.col(c) if isinstance(c, str) else c)
+            .cast("double"))
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    stored = pl.run_pipeline(d, [
+        {"text_embedding": {"field_map": {"text": "emb"},
+                            "embed_fn": tagged(1.0)}}])
+    v2 = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2")))
+        .otherwise(F.col("text")),
+    ).unionByName(
+        d.where(F.col("doc_id") < 25)
+        .select((F.col("doc_id") + 50000).alias("doc_id"), "text"))
+    out = pl.run_pipeline_incremental(v2, [
+        {"text_embedding": {"field_map": {"text": "emb"},
+                            "embed_fn": tagged(2.0)}}],
+        stored, id_col="doc_id")
+    return out.select("doc_id", F.posexplode("emb").alias("dim", "val"))
+
+
+INGEST_INCREMENTAL_SQL = """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+             doc_id % 7 = 0 AS changed
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 50000 AS doc_id, text, TRUE AS changed
+      FROM documents WHERE doc_id < 25)
+    SELECT doc_id, g.i - 1 AS dim,
+           CASE WHEN g.i = 1 THEN (CASE WHEN changed THEN 2.0 ELSE 1.0 END)
+                ELSE CAST(length(text) AS DOUBLE) END AS val
+    FROM v2 CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS i) g
+"""
+
+
 # -------------------------------------------------- search-request body
 
 SEARCH_REQ_WEIGHTS = [0.7, 0.3]
@@ -1921,6 +1967,7 @@ SPARK_QUERIES_EXT = {
     "agg_top_hits": q_agg_top_hits,
     "ingest_chunked_sparse": q_ingest_chunked_sparse,
     "ingest_embedding": q_ingest_embedding,
+    "ingest_incremental": q_ingest_incremental,
     "search_request_hybrid": q_search_request_hybrid,
     "search_request_collapse": q_search_request_collapse,
     "rerank_by_field": q_rerank_by_field,
@@ -1990,6 +2037,7 @@ ORACLE_SQL_EXT = {
     "agg_top_hits": AGG_TOP_HITS_SQL,
     "ingest_chunked_sparse": INGEST_CHUNKED_SQL,
     "ingest_embedding": _ingest_embedding_sql(),
+    "ingest_incremental": INGEST_INCREMENTAL_SQL,
     "search_request_hybrid": _hybrid_bounded_sql(
         HYBRID_SUBS, None, None, weights=SEARCH_REQ_WEIGHTS),
     "search_request_collapse": _search_req_collapse_sql(WAND_TERMS_MULTI, 10),

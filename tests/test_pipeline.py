@@ -123,3 +123,63 @@ def test_validation_errors(spark, docs):
     with pytest.raises(ValueError, match="unknown prune_type"):
         pl.run_pipeline(docs, [{"sparse_encoding": {
             "field_map": {"text": "s"}, "prune_type": "bogus", "prune_ratio": 1}}])
+
+
+# ------------------------------------------------ incremental re-ingest
+
+
+def _tagged_embed(tag):
+    """Embedding double that records WHICH run produced it: [tag, len]."""
+    def fn(c):
+        col = F.col(c) if isinstance(c, str) else c
+        return F.array(F.lit(float(tag)), F.length(col).cast("double"))
+    return fn
+
+
+def test_incremental_skips_unchanged_rows(spark):
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")],
+        "docID long, text string")
+    procs1 = [{"text_embedding": {"field_map": {"text": "emb"},
+                                  "embed_fn": _tagged_embed(1)}}]
+    stored = pl.run_pipeline(v1, procs1)
+    assert all(r["emb"][0] == 1.0 for r in stored.collect())
+
+    # v2: doc 1 unchanged, doc 2 edited, doc 4 new, doc 3 dropped
+    v2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta EDITED"), (4, "zeta")],
+        "docID long, text string")
+    procs2 = [{"text_embedding": {"field_map": {"text": "emb"},
+                                  "embed_fn": _tagged_embed(2)}}]
+    out = {r["docID"]: r["emb"] for r in
+           pl.run_pipeline_incremental(v2, procs2, stored).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1][0] == 1.0   # copied from the existing doc (skip proven)
+    assert out[2][0] == 2.0   # text changed → re-embedded
+    assert out[4][0] == 2.0   # new doc → embedded
+
+
+def test_incremental_multiple_fields_and_sparse(spark):
+    v1 = spark.createDataFrame(
+        [(1, "a b", "x y"), (2, "c d", "z w")],
+        "docID long, title string, body string")
+    procs = [{"sparse_encoding": {"field_map": {"title": "st", "body": "sb"}}}]
+    stored = pl.run_pipeline(v1, procs)
+    v2 = spark.createDataFrame(
+        [(1, "a b", "x CHANGED"), (2, "c d", "z w")],
+        "docID long, title string, body string")
+    out = pl.run_pipeline_incremental(v2, procs, stored)
+    rows = {r["docID"]: r for r in out.collect()}
+    # per-FIELD granularity: doc 1 reuses title encoding, recomputes body
+    assert rows[1]["st"] == {"a": 1.0, "b": 1.0}
+    assert rows[1]["sb"] == {"x": 1.0, "changed": 1.0}
+    assert rows[2]["st"] == {"c": 1.0, "d": 1.0}
+    # chunking (non-inference) still runs on every row
+    procs_c = [
+        {"text_chunking": {"field_map": {"title": "chunks"}}},
+        {"sparse_encoding": {"field_map": {"title": "st"}}},
+    ]
+    stored_c = pl.run_pipeline(v1, procs_c)
+    out_c = pl.run_pipeline_incremental(v2, procs_c, stored_c)
+    assert {r["docID"] for r in out_c.collect()} == {1, 2}
+    assert "chunks" in out_c.columns
