@@ -139,6 +139,19 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
             df.collect()
         request_s = time.perf_counter() - t0
 
+        result = {
+            "cpus": cpus,
+            "n_files": n_files,
+            "index_build_s": round(build_s, 3),
+            "index_files_per_sec": round(n_files / build_s, 1),
+            "query_p50_s": p50,
+            "query_p99_s": p99,
+            "queries": lat,
+            "heavy_query_profile": heavy_profile,
+            "msearch": msearch_stats,
+            "request_hybrid_aggs_s": round(request_s, 3),
+        }
+
         # SEISMIC approximate sparse index: build throughput over the same
         # corpus (tf features via the vectorized tokenizer runs) + forced-ANN
         # query latency. Kept OUT of the headline value for metric
@@ -146,15 +159,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
         # (which only consume index_files_per_sec).
         if skip_seismic:
             shutil.rmtree(idx_dir, ignore_errors=True)
-            return {
-                "cpus": cpus, "n_files": n_files,
-                "index_build_s": round(build_s, 3),
-                "index_files_per_sec": round(n_files / build_s, 1),
-                "query_p50_s": p50, "query_p99_s": p99, "queries": lat,
-                "heavy_query_profile": heavy_profile,
-                "msearch": msearch_stats,
-                "request_hybrid_aggs_s": round(request_s, 3),
-            }
+            return result
         from neural_search_spark.analysis.tokenizer import tokens_with_tf
         from neural_search_spark.index.seismic import (
             build_seismic_index, seismic_search,
@@ -187,19 +192,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
         shutil.rmtree(seis_dir, ignore_errors=True)
 
         shutil.rmtree(idx_dir, ignore_errors=True)
-        return {
-            "cpus": cpus,
-            "n_files": n_files,
-            "index_build_s": round(build_s, 3),
-            "index_files_per_sec": round(n_files / build_s, 1),
-            "query_p50_s": p50,
-            "query_p99_s": p99,
-            "queries": lat,
-            "heavy_query_profile": heavy_profile,
-            "msearch": msearch_stats,
-            "request_hybrid_aggs_s": round(request_s, 3),
-            "seismic": seismic_stats,
-        }
+        return {**result, "seismic": seismic_stats}
     finally:
         spark.stop()
 

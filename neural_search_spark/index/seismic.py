@@ -384,9 +384,13 @@ def build_seismic_index(
     man = Manifest.load(index_dir)
     runs = _features_to_runs(features, id_col, feat_col, modulus,
                              quant_ceil_ingest)
-    # the n_docs job and the kernel pass share the tokenize+groupBy work
+    # the id-stats job and the kernel pass share the tokenize+groupBy work
     runs = runs.persist()
-    n_docs = runs.select("docID").distinct().count()
+    stats_row = runs.select("docID").distinct().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(docID))").alias("idfp"),
+    ).head()
+    n_docs, ids_fp = int(stats_row["n"]), int(stats_row["idfp"] or 0)
     bits = default_bucket_bits(n_docs) if bucket_bits is None else bucket_bits
 
     params = {
@@ -399,7 +403,9 @@ def build_seismic_index(
         "seed": seed, "tok_dtype": _tok_dtype(modulus),
         "bucket_bits": bits, "n_docs": n_docs,
     }
-    fp = json.dumps(params, sort_keys=True)
+    # the fingerprint covers the doc id SET (order-free XOR fold), so a
+    # different corpus with the same row count cannot silently resume
+    fp = json.dumps(dict(params, ids_fp=ids_fp), sort_keys=True)
     if not (resume and man.stage_done("sindex", fp)):
         _commit_sindex(spark, index_dir, man, runs, params, fp)
     runs.unpersist()
@@ -416,7 +422,11 @@ def _features_to_runs(features: DataFrame, id_col: str, feat_col: str,
             F.explode(F.col(feat_col)).alias("term", "w"),
         )
     elif "term" in features.columns:
-        wcol = next(c for c in ("w", "weight", "tf") if c in features.columns)
+        wcol = next(
+            (c for c in ("w", "weight", "tf") if c in features.columns), None)
+        if wcol is None:
+            raise ValueError(
+                "runs-shaped features need a weight column (w/weight/tf)")
         ex = features.select(
             F.col(id_col).cast("long").alias("docID"), "term",
             F.col(wcol).cast("double").alias("w"),
@@ -525,25 +535,27 @@ def append_to_seismic_index(
     delta_runs = _features_to_runs(
         features_delta, id_col, feat_col, p["modulus"], p["quant_ceil_ingest"])
     old_runs = decode_runs(idx.sindex())
-    if check_disjoint:
-        dup = (delta_runs.select("docID").distinct()
-               .join(old_runs.select("docID").distinct(), "docID", "left_semi")
-               .limit(1).count())
-        if dup:
-            raise ValueError(
-                "delta contains docIDs already in the index (upsert/delete "
-                "is not supported on the seismic index)")
     merged = old_runs.unionByName(delta_runs).persist()
     n_docs = merged.select("docID").distinct().count()
 
     # fingerprint covers the delta's id SET (order-free, overflow-free XOR
     # fold), so a crashed append resumes and a repeated identical append is
-    # a no-op
+    # a no-op — checked BEFORE the disjointness guard, which would
+    # otherwise reject the retry of an already-committed append
     delta_fp = delta_runs.select("docID").distinct().agg(
         F.expr("bit_xor(xxhash64(docID))")).head()[0]
     params = dict(p, n_docs=n_docs)
     fp = json.dumps(params, sort_keys=True) + f"+delta:{delta_fp}"
     if not man.stage_done("sindex", fp):
+        if check_disjoint:
+            dup = (delta_runs.select("docID").distinct()
+                   .join(old_runs.select("docID").distinct(),
+                         "docID", "left_semi")
+                   .limit(1).count())
+            if dup:
+                raise ValueError(
+                    "delta contains docIDs already in the index (upsert/"
+                    "delete is not supported on the seismic index)")
         _commit_sindex(spark, index_dir, man, merged, params, fp)
     merged.unpersist()
     return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
@@ -578,27 +590,19 @@ def seismic_explain(
     hits = seismic_search(index, query_tokens, k=k, top_n=top_n,
                           heap_factor=heap_factor, mode=mode)
 
-    items = sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
-    if not items:
+    q_tok, names, q_w = _prepare_query(spark, query_tokens, top_n, modulus,
+                                       ceil_s)
+    if not len(q_tok):
         return spark.createDataFrame(
             [], "docID long, score double, term string, contribution double")
-    tids = _fold_terms(spark, [t for t, _ in items], modulus)
-    merged: dict[int, tuple[str, float]] = {}
-    for tid, (t, w) in zip(tids, items):
-        tid = int(tid)
-        if tid in merged:  # first term keeps the name, max weight wins
-            merged[tid] = (merged[tid][0], max(merged[tid][1], w))
-        else:
-            merged[tid] = (t, w)
-    qw_of = {tid: int(quantize_np(np.array([w]), ceil_s)[0])
-             for tid, (_, w) in merged.items()}
 
     runs = decode_runs(
-        index.sindex().where(F.col("tokenID").isin(list(merged))))
+        index.sindex().where(F.col("tokenID").isin([int(t) for t in q_tok])))
     term_map = F.create_map(*[
-        x for tid, (t, _) in merged.items() for x in (F.lit(tid), F.lit(t))])
+        x for tid, t in zip(q_tok, names) for x in (F.lit(int(tid)), F.lit(t))])
     qw_map = F.create_map(*[
-        x for tid, qw in qw_of.items() for x in (F.lit(tid), F.lit(qw))])
+        x for tid, qw in zip(q_tok, q_w)
+        for x in (F.lit(int(tid)), F.lit(int(qw)))])
     return (
         runs.join(F.broadcast(hits), "docID")
         .select(
@@ -626,6 +630,33 @@ def _fold_terms(spark: SparkSession, terms: list[str],
         "term", token_id_col(F.col("term"), modulus).alias("tid")).collect()
     by_term = {r["term"]: r["tid"] for r in rows}
     return [by_term[t] for t in terms]
+
+
+def _prepare_query(spark: SparkSession, query_tokens: dict[str, float],
+                   top_n: int, modulus: int | None, ceil_s: float):
+    """THE query-preparation rule, shared by search and explain so the two
+    can never drift: cut to top_n by (weight desc, term asc —
+    SparseAnnQueryBuilder.java:226-238), fold, merge collisions by max
+    weight (first term keeps the name), quantize with the search ceiling.
+    Returns (tokenIDs in cut order, first-term names, quantized weights).
+    """
+    items = sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    if not items:
+        return np.empty(0, np.int64), [], np.empty(0, np.int64)
+    tids = _fold_terms(spark, [t for t, _ in items], modulus)
+    merged: dict[int, tuple[str, float]] = {}
+    for tid, (t, w) in zip(tids, items):
+        tid = int(tid)
+        if tid in merged:
+            merged[tid] = (merged[tid][0], max(merged[tid][1], float(w)))
+        else:
+            merged[tid] = (t, float(w))
+    q_tok = np.fromiter(merged.keys(), dtype=np.int64, count=len(merged))
+    names = [v[0] for v in merged.values()]
+    q_w = quantize_np(
+        np.fromiter((v[1] for v in merged.values()), dtype=np.float64,
+                    count=len(merged)), ceil_s)
+    return q_tok, names, q_w
 
 
 def _seismic_kernel(pdf: pd.DataFrame, *, q_tok: np.ndarray, q_w: np.ndarray,
@@ -740,6 +771,13 @@ def seismic_search(
     "ann"/"exact" force a path. ``candidates`` (a docID frame) mirrors the
     pre-filter BitSet: |candidates| ≤ k switches to exact scoring of just
     those docs (main/sparse/query/SparseQueryWeight.java:156-166).
+
+    Note on k > 10: the cluster-skip threshold heap is FIXED at size 10
+    regardless of k — faithfully mirroring the reference
+    (SEISMIC_HEAP_SIZE = 10, SeismicBaseScorer.java:41), whose skip test
+    also uses the 10th-best score for any result size. Deep-k ANN recall
+    therefore degrades for ranks > 10 exactly as the reference's does;
+    raise ``heap_factor`` (the reference's own knob) or use mode="exact".
     """
     spark = index.spark
     p = index.params or {}
@@ -750,18 +788,9 @@ def seismic_search(
     if mode not in ("auto", "ann", "exact"):
         raise ValueError("mode must be auto|ann|exact")
 
-    # cut by float weight desc, term asc (SparseAnnQueryBuilder.java:226-238)
-    items = sorted(query_tokens.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
-    if not items:
+    q_tok, _, q_w = _prepare_query(spark, query_tokens, top_n, modulus, ceil_s)
+    if not len(q_tok):
         return spark.createDataFrame([], "docID long, score double")
-    tids = _fold_terms(spark, [t for t, _ in items], modulus)
-    merged: dict[int, float] = {}
-    for tid, (_, w) in zip(tids, items):
-        merged[int(tid)] = max(merged.get(int(tid), float("-inf")), float(w))
-    q_tok = np.fromiter(merged.keys(), dtype=np.int64, count=len(merged))
-    q_w = quantize_np(
-        np.fromiter(merged.values(), dtype=np.float64, count=len(merged)),
-        ceil_s)
 
     accepted: frozenset | None = None
     if candidates is not None:

@@ -225,6 +225,19 @@ def search_request(
             if "terms" in s:
                 s["index"] = index.field(s.get("field"))
 
+    def _frame_filter(s: dict):
+        """A sub-query 'filter' on a frame query resolves against the
+        forward index (the reference evaluates filters into per-leaf
+        BitSets before ANN scoring, main/sparse/query/SparseVectorQuery
+        .java:105-150): docmap.where(pred) → accepted docID frame."""
+        if s.get("where") is None:
+            return None
+        return (
+            base_index.docmap
+            .withColumn("docID", F.col(base_index.id_col).cast("long"))
+            .where(s["where"]).select("docID")
+        )
+
     def _resolve_frame(s: dict, fetch_k: int) -> dict:
         """seismic / knn markers → pre-scored (docID, score) frames."""
         if "seismic" in s:
@@ -238,7 +251,8 @@ def search_request(
             fr = seismic_search(
                 seismic_index, sp["tokens"],
                 k=int(sp["k"]) if sp.get("k") else fetch_k,
-                top_n=int(sp["top_n"]), heap_factor=sp["heap_factor"])
+                top_n=int(sp["top_n"]), heap_factor=sp["heap_factor"],
+                candidates=_frame_filter(s))
             return {"frame": fr}
         if "knn" in s:
             if vectors is None:
@@ -248,6 +262,9 @@ def search_request(
 
             vecs = (vectors if vectors_id == "docID"
                     else vectors.withColumnRenamed(vectors_id, "docID"))
+            accepted = _frame_filter(s)
+            if accepted is not None:
+                vecs = vecs.join(accepted, "docID", "left_semi")
             kn = s["knn"]
             fr = cosine_topk(
                 vecs, kn["query_vector"],
@@ -420,7 +437,9 @@ def search_request(
                 dv.select("docID", tagged.alias(f"highlight_{field}")),
                 "docID", "left")
         # the joins must not disturb the response order
-        if "score" in hits.columns:
+        if "rank" in hits.columns:  # MMR output: selection order, not score
+            order = [F.asc("rank")]
+        elif "score" in hits.columns:
             order = [F.desc("score"), F.asc("docID")]
         else:  # field-sort path: re-apply the request's sort spec
             order = []

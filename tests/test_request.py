@@ -393,3 +393,39 @@ def test_highlight_requires_doc_values(idx):
             "query": {"match": {"text": "alpha"}},
             "highlight": {"fields": {"text": {}}},
         })
+
+
+def test_frame_subquery_filter_applies(idx, docvecs, docvals, seis):
+    """A 'filter' on a knn or seismic sub-query resolves against the
+    forward index and restricts the ANN result (the reference's pre-filter
+    BitSet), instead of being silently dropped."""
+    got = request.search_request(idx, {
+        "query": {"knn": {"vec": {"query_vector": [1.0, 0.0, 0.0], "k": 6}},
+                  "filter": "doclen >= 3"},
+    }, vectors=docvecs)
+    ids = {r["docID"] for r in got["hits"].collect()}
+    long_docs = {d[0] for d in DOCS if len(d[1].split()) >= 3}
+    assert ids and ids <= long_docs
+    got = request.search_request(idx, {
+        "query": {"neural_sparse": {"sv": {
+            "query_tokens": {"alpha": 1.0, "beta": 1.0},
+            "method_parameters": {"k": 6}}},
+            "filter": "doclen >= 3"},
+    }, seismic_index=seis)
+    ids = {r["docID"] for r in got["hits"].collect()}
+    assert ids and ids <= long_docs
+
+
+def test_highlight_preserves_mmr_order(idx, docvecs, docvals):
+    body = {"query": {"match": {"text": "alpha beta"}},
+            "ext": {"mmr": {"diversity": 0.9, "candidates": 6}},
+            "highlight": {"fields": {"text": {}}},
+            "size": 4}
+    plain = request.search_request(
+        idx, {k: v for k, v in body.items() if k != "highlight"},
+        vectors=docvecs)["hits"].collect()
+    lit = request.search_request(
+        idx, body, vectors=docvecs, doc_values=docvals,
+        doc_values_id="doc_id")["hits"].collect()
+    assert [r["docID"] for r in lit] == [r["docID"] for r in plain]
+    assert all("highlight_text" in r.asDict() for r in lit)

@@ -289,12 +289,29 @@ def test_append_is_idempotent_on_rerun(spark, feats):
     delta = feats.where(F.col("docID") >= 200)
     base = _build(spark, old, "app-idem")
     a1 = append_to_seismic_index(spark, base.index_dir, delta,
-                                 feat_col="features", check_disjoint=False)
+                                 feat_col="features")
     snaps = sorted(_os.listdir(_os.path.join(base.index_dir, "sindex")))
+    # retry of the committed append with the DEFAULT disjointness guard:
+    # the fingerprint check runs first, so the retry is a no-op, not a
+    # duplicate-id error
     a2 = append_to_seismic_index(spark, base.index_dir, delta,
-                                 feat_col="features", check_disjoint=False)
+                                 feat_col="features")
     assert sorted(_os.listdir(_os.path.join(base.index_dir, "sindex"))) == snaps
     assert a1.params["n_docs"] == a2.params["n_docs"]
+
+
+def test_build_resume_detects_changed_corpus(spark, feats):
+    """Same doc COUNT, different doc SET → the ids_fp in the fingerprint
+    forces a rebuild instead of silently serving the stale index."""
+    a = feats.where(F.col("docID") < 120)
+    b = feats.where((F.col("docID") >= 120) & (F.col("docID") < 240))
+    idx = _build(spark, a, "resume-chg")
+    rebuilt = build_seismic_index(
+        spark, b, idx.index_dir, modulus=None, quant_ceil_ingest=3.0,
+        bucket_bits=2, resume=True)
+    docs = {r["docID"] for r in
+            seismic_search(rebuilt, QUERY, k=240, mode="exact").collect()}
+    assert docs and all(d >= 120 for d in docs)
 
 
 # --------------------------------------------------------------- explain
