@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Seismic scale probe: build f/s at two parallelism levels + query latency.
+
+Runs the SAME seismic build (200k synthetic files by default) at local[N]
+and local[4N] in fresh subprocesses (one JVM per leg, like bench.py
+--scaling) and times forced-ANN queries on the larger leg. Prints one JSON
+line; numbers feed BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def one_leg(cpus: int, n_files: int, queries: bool) -> dict:
+    from neural_search_spark.analysis.tokenizer import tokens_with_tf
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.seismic import (
+        build_seismic_index, seismic_search,
+    )
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("seis-probe", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_files, seed=42))
+        # JIT warmup on a small disjoint corpus
+        warm = tempfile.mkdtemp(prefix="seis-probe-warm-")
+        build_seismic_index(
+            spark, tokens_with_tf(with_doc_id(generate_corpus(spark, 3000, seed=1))),
+            warm, quant_ceil_ingest=16.0, resume=False)
+        shutil.rmtree(warm, ignore_errors=True)
+
+        d = tempfile.mkdtemp(prefix="seis-probe-")
+        t0 = time.perf_counter()
+        idx = build_seismic_index(
+            spark, tokens_with_tf(corpus), d,
+            quant_ceil_ingest=16.0, resume=False)
+        build_s = time.perf_counter() - t0
+        out = {
+            "cpus": cpus, "n_files": n_files,
+            "build_s": round(build_s, 2),
+            "files_per_sec": round(n_files / build_s, 1),
+            "bucket_bits": idx.params["bucket_bits"],
+        }
+        if queries:
+            idx.warmup()
+            qs = [
+                {"def": 2.0, "return": 1.5, "parse": 1.0, "query": 0.8},
+                {"merge": 2.0, "block": 1.0},
+                {"if": 1.0, "for": 1.0, "while": 1.0, "self": 1.0},
+                {"cache": 1.5, "filter": 1.0, "uniq_17": 3.0},
+                {"shard": 1.0, "segment": 1.0, "vector": 1.0},
+            ]
+            seismic_search(idx, qs[0], k=10, mode="ann").collect()
+            lat = []
+            for q in qs:
+                t0 = time.perf_counter()
+                seismic_search(idx, q, k=10, mode="ann").collect()
+                lat.append(round(time.perf_counter() - t0, 3))
+            out["ann_lat_s"] = lat
+            out["ann_p50_s"] = sorted(lat)[len(lat) // 2]
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-files", type=int, default=200_000)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--leg", type=int, default=None, help="internal: one leg")
+    args = ap.parse_args()
+
+    if args.leg is not None:
+        print(json.dumps(one_leg(args.leg, args.n_files, queries=args.leg >= 16)))
+        return
+
+    legs: dict[str, list] = {}
+    for cpus in (8, 32):
+        legs[str(cpus)] = []
+        for _ in range(args.trials):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--leg", str(cpus),
+                 "--n-files", str(args.n_files)],
+                capture_output=True, text=True, check=True)
+            legs[str(cpus)].append(json.loads(r.stdout.strip().splitlines()[-1]))
+    fps = {c: sorted(x["files_per_sec"] for x in v)[len(v) // 2]
+           for c, v in legs.items()}
+    print(json.dumps({
+        "n_files": args.n_files,
+        "files_per_sec_median": fps,
+        "efficiency_8_to_32": round(fps["32"] / fps["8"] / 4.0, 3),
+        "legs": legs,
+    }))
+
+
+if __name__ == "__main__":
+    main()
