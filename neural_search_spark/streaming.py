@@ -28,7 +28,7 @@ asynchronously for the same reason).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from neural_search_spark.index.merge import append_to_index
 
@@ -80,6 +80,70 @@ def stream_ingest(
         append_to_index(
             spark, index_dir, batch_df, text_col=text_col, id_col=id_col
         )
+
+    writer = (
+        src.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def stream_ingest_seismic(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "docID",
+    feat_col: str = "features",
+    text_col: str | None = None,
+    schema: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Trickle-ingest for the SEISMIC sparse index: stream parquet deltas
+    into ``append_to_seismic_index`` with the same two idempotence layers
+    as ``stream_ingest`` (fingerprint-resumable append + fully-ingested-
+    batch skip).
+
+    Input files carry either a ``feat_col`` map column, or — when
+    ``text_col`` is given — raw text that is tf-encoded per micro-batch
+    (the lexical stand-in for a learned sparse encoder; swap in a real
+    model by pre-materializing feature maps upstream).
+    """
+    from neural_search_spark.index.seismic import (
+        SeismicIndex, append_to_seismic_index, decode_runs,
+    )
+
+    if schema is None:
+        schema = (
+            f"{id_col} long, {text_col} string" if text_col
+            else f"{id_col} long, {feat_col} map<string,double>"
+        )
+    src = spark.readStream.schema(schema).parquet(input_dir)
+
+    def absorb(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        feats = batch_df
+        if text_col is not None:
+            from neural_search_spark.analysis.pipeline import tf_map_col
+
+            feats = batch_df.select(
+                id_col, tf_map_col(text_col).alias(feat_col))
+        idx = SeismicIndex.load(spark, index_dir)
+        ids = feats.select(F.col(id_col).cast("long").alias("docID")).distinct()
+        present = decode_runs(idx.sindex()).select("docID").distinct()
+        n_batch = ids.count()
+        n_present = ids.join(present, "docID", "left_semi").count()
+        if n_present == n_batch:
+            return  # redelivered fully-ingested batch
+        append_to_seismic_index(
+            spark, index_dir, feats, id_col=id_col, feat_col=feat_col)
 
     writer = (
         src.writeStream.foreachBatch(absorb)

@@ -71,3 +71,56 @@ def test_stream_redelivery_of_completed_batch_is_noop(spark, tmp_path):
     q2.awaitTermination(120)
     assert q2.exception() is None  # no ValueError clash
     assert load_index(spark, idx_dir).n_docs == n1 == full.count()
+
+
+def test_stream_ingest_seismic_matches_batch_build(spark, tmp_path):
+    """Seismic twin of the batch-equivalence invariant: two streamed drops
+    into a seismic index ≡ one fresh build over the union."""
+    from neural_search_spark.index.seismic import (
+        SeismicIndex, build_seismic_index, seismic_search,
+    )
+    from neural_search_spark.streaming import stream_ingest_seismic
+
+    full = with_doc_id(generate_corpus(spark, 90, seed=23)).cache()
+    base = full.where(F.pmod(F.col("docID"), F.lit(3)) == 0)
+    d1 = full.where(F.pmod(F.col("docID"), F.lit(3)) == 1)
+    d2 = full.where(F.pmod(F.col("docID"), F.lit(3)) == 2)
+
+    from neural_search_spark.analysis.tokenizer import tokens_with_tf
+
+    idx_dir = str(tmp_path / "seis-idx")
+    build_seismic_index(
+        spark, tokens_with_tf(base, "content"), idx_dir,
+        bucket_bits=2, quant_ceil_ingest=16.0)
+
+    drop_dir = str(tmp_path / "seis-incoming")
+    d1.select("docID", "content").write.mode("append").parquet(drop_dir)
+    q = stream_ingest_seismic(
+        spark, drop_dir, idx_dir, str(tmp_path / "seis-ckpt"),
+        text_col="content", available_now=True)
+    q.awaitTermination(180)
+    d2.select("docID", "content").write.mode("append").parquet(drop_dir)
+    q2 = stream_ingest_seismic(
+        spark, drop_dir, idx_dir, str(tmp_path / "seis-ckpt"),
+        text_col="content", available_now=True)
+    q2.awaitTermination(180)
+
+    streamed = SeismicIndex.load(spark, idx_dir)
+    fresh = build_seismic_index(
+        spark, tokens_with_tf(full, "content"),
+        str(tmp_path / "seis-fresh"), bucket_bits=2, quant_ceil_ingest=16.0)
+    assert streamed.params["n_docs"] == fresh.params["n_docs"]
+    rs = streamed.sindex().orderBy("bucket", "tokenID", "kind").collect()
+    rf = fresh.sindex().orderBy("bucket", "tokenID", "kind").collect()
+    assert rs == rf
+    # redelivery: re-running the drained stream with a FRESH checkpoint
+    # re-offers both batches; the fully-ingested guard keeps it a no-op
+    q3 = stream_ingest_seismic(
+        spark, drop_dir, idx_dir, str(tmp_path / "seis-ckpt2"),
+        text_col="content", available_now=True)
+    q3.awaitTermination(180)
+    assert SeismicIndex.load(spark, idx_dir).sindex().count() == len(rf)
+    got = seismic_search(streamed, {"def": 2.0, "parse": 1.0}, k=5).collect()
+    want = seismic_search(fresh, {"def": 2.0, "parse": 1.0}, k=5).collect()
+    assert [(r["docID"], r["score"]) for r in got] == \
+           [(r["docID"], r["score"]) for r in want]
