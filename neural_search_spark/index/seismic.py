@@ -332,6 +332,14 @@ class SeismicIndex:
     def sindex(self) -> DataFrame:
         return snapshot_read(self.spark, self.index_dir, "sindex")
 
+    def docs(self) -> DataFrame:
+        """DataFrame(docID) of every indexed doc — the compact membership
+        table (falls back to a full run decode on pre-sdocs indexes)."""
+        try:
+            return snapshot_read(self.spark, self.index_dir, "sdocs")
+        except FileNotFoundError:
+            return decode_runs(self.sindex()).select("docID").distinct()
+
     def stats(self) -> dict:
         return snapshot_read(self.spark, self.index_dir, "sstats").head().asDict()
 
@@ -472,7 +480,13 @@ def _commit_sindex(spark: SparkSession, index_dir: str, man: Manifest,
         [(params["n_docs"], 1 << params["bucket_bits"])],
         "n_docs long, n_buckets int")
     snap_s = snapshot_write(stats, index_dir, "sstats", f"snap-{tag}")
-    man.record_stage("sindex", fp, {"sindex": snap, "sstats": snap_s},
+    # compact docID membership table: append's disjointness guard and the
+    # streaming redelivery check read THIS (n_docs rows) instead of
+    # decoding the whole posting index just to learn which ids exist
+    docs = runs.select("docID").distinct()
+    snap_d = snapshot_write(docs, index_dir, "sdocs", f"snap-{tag}")
+    man.record_stage("sindex", fp,
+                     {"sindex": snap, "sstats": snap_s, "sdocs": snap_d},
                      {"wall_s": round(time.time() - t0, 3)})
     man.commit()
 
@@ -549,8 +563,7 @@ def append_to_seismic_index(
     if not man.stage_done("sindex", fp):
         if check_disjoint:
             dup = (delta_runs.select("docID").distinct()
-                   .join(old_runs.select("docID").distinct(),
-                         "docID", "left_semi")
+                   .join(idx.docs(), "docID", "left_semi")
                    .limit(1).count())
             if dup:
                 raise ValueError(

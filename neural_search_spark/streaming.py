@@ -116,7 +116,7 @@ def stream_ingest_seismic(
     model by pre-materializing feature maps upstream).
     """
     from neural_search_spark.index.seismic import (
-        SeismicIndex, append_to_seismic_index, decode_runs,
+        SeismicIndex, append_to_seismic_index,
     )
 
     if schema is None:
@@ -137,9 +137,9 @@ def stream_ingest_seismic(
                 id_col, tf_map_col(text_col).alias(feat_col))
         idx = SeismicIndex.load(spark, index_dir)
         ids = feats.select(F.col(id_col).cast("long").alias("docID")).distinct()
-        present = decode_runs(idx.sindex()).select("docID").distinct()
+        # membership via the compact sdocs table — no posting decode
         n_batch = ids.count()
-        n_present = ids.join(present, "docID", "left_semi").count()
+        n_present = ids.join(idx.docs(), "docID", "left_semi").count()
         if n_present == n_batch:
             return  # redelivered fully-ingested batch
         append_to_seismic_index(
