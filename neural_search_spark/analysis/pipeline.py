@@ -142,10 +142,47 @@ def _proc_text_embedding(df: DataFrame, params: dict) -> DataFrame:
     return df
 
 
+def text_image_embed_col(text_col, image_col) -> Column:
+    """Joint text+image embedding test double: the text char-class counts
+    plus one image dimension (byte length), L2-normalized together. A real
+    multimodal model plugs in as ``embed_fn(text_col, image_col)``; either
+    input may be None (reference: text/image are each optional but at
+    least one is required)."""
+    arms: list[Column] = []
+    if text_col is not None:
+        low = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+        arms += [
+            (F.length(low) - F.length(F.translate(low, g, ""))).cast("double")
+            for g in LETTER_GROUPS
+        ]
+    if image_col is not None:
+        img = F.col(image_col) if isinstance(image_col, str) else image_col
+        arms.append(F.length(img).cast("double"))  # bytes for BinaryType
+    raw = F.array(*arms)
+    nrm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(nrm == 0.0, raw).otherwise(F.transform(raw, lambda x: x / nrm))
+
+
+def _proc_text_image_embedding(df: DataFrame, params: dict) -> DataFrame:
+    """Reference TextImageEmbeddingProcessor.java: ONE embedding from a
+    text field and an image field. Config mirrors the reference's shape:
+    ``field_map`` = {"text": col, "image": col} (each optional, ≥1
+    required), ``embedding`` = the destination column."""
+    fm = params["field_map"]
+    unknown = set(fm) - {"text", "image"}
+    if unknown:
+        raise ValueError(f"text_image_embedding field_map keys must be "
+                         f"text/image, got {sorted(unknown)}")
+    dst = params.get("embedding", "embedding")
+    embed = params.get("embed_fn", text_image_embed_col)
+    return df.withColumn(dst, embed(fm.get("text"), fm.get("image")))
+
+
 PROCESSORS = {
     "text_chunking": _proc_text_chunking,
     "sparse_encoding": _proc_sparse_encoding,
     "text_embedding": _proc_text_embedding,
+    "text_image_embedding": _proc_text_image_embedding,
 }
 
 
@@ -169,7 +206,8 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
     return df
 
 
-INFERENCE_PROCESSORS = ("sparse_encoding", "text_embedding")
+INFERENCE_PROCESSORS = (
+    "sparse_encoding", "text_embedding", "text_image_embedding")
 
 
 def run_pipeline_incremental(
@@ -212,22 +250,31 @@ def run_pipeline_incremental(
         if name not in INFERENCE_PROCESSORS:
             df = PROCESSORS[name](df, params)
             continue
-        for src, dst in params["field_map"].items():
+        if name == "text_image_embedding":
+            # one destination, 1-2 sources; reuse only when ALL sources are
+            # unchanged (TextImageEmbeddingInferenceFilter.java semantics)
+            pairs = [(sorted(params["field_map"].values()),
+                      params.get("embedding", "embedding"), params)]
+        else:
+            pairs = [([src], dst, {**params, "field_map": {src: dst}})
+                     for src, dst in params["field_map"].items()]
+        for srcs, dst, sub_params in pairs:
             ex = existing.select(
                 F.col(id_col),
-                F.col(src).alias("_ex_src"), F.col(dst).alias("_ex_dst"))
+                *[F.col(s).alias(f"_ex_src_{i}") for i, s in enumerate(srcs)],
+                F.col(dst).alias("_ex_dst"))
+            drop_cols = [f"_ex_src_{i}" for i in range(len(srcs))] + ["_ex_dst"]
             j = df.join(ex, id_col, "left")
-            reuse = F.col(src).eqNullSafe(F.col("_ex_src")) & \
-                F.col("_ex_dst").isNotNull()
+            reuse = F.col("_ex_dst").isNotNull()
+            for i, s in enumerate(srcs):
+                reuse = reuse & F.col(s).eqNullSafe(F.col(f"_ex_src_{i}"))
             reused = (
                 j.where(reuse)
                 .withColumn(dst, F.col("_ex_dst"))
-                .drop("_ex_src", "_ex_dst")
+                .drop(*drop_cols)
             )
             fresh = PROCESSORS[name](
-                j.where(~reuse | reuse.isNull()).drop("_ex_src", "_ex_dst"),
-                {**params, "field_map": {src: dst}},
-            )
+                j.where(~reuse | reuse.isNull()).drop(*drop_cols), sub_params)
             df = reused.unionByName(fresh)
     return df
 

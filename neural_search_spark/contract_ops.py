@@ -1814,6 +1814,41 @@ def _ingest_embedding_sql() -> str:
     """
 
 
+def q_ingest_text_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_image_embedding processor (reference TextImageEmbeddingProcessor
+    .java): one joint embedding from a text field + an image binary (here
+    the UTF-8 bytes of the text, the same deterministic media double as
+    multimodal_features)."""
+    from neural_search_spark.analysis import pipeline as pl
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.encode("text", "UTF-8").alias("media"))
+    out = pl.run_pipeline(d, [{"text_image_embedding": {
+        "field_map": {"text": "text", "image": "media"},
+        "embedding": "emb"}}])
+    return out.select(
+        "doc_id", F.posexplode("emb").alias("dim", "val")
+    ).withColumn("val", F.round("val", 6))
+
+
+def _ingest_text_image_sql() -> str:
+    from neural_search_spark.analysis.pipeline import LETTER_GROUPS
+
+    arms = ", ".join(
+        f"CAST(length(lower(text)) - length(translate(lower(text), '{g}', ''))"
+        " AS DOUBLE)" for g in LETTER_GROUPS
+    ) + ", CAST(octet_length(encode(text)) AS DOUBLE)"
+    n = len(LETTER_GROUPS) + 1
+    return f"""
+    WITH e AS (SELECT doc_id, [{arms}] AS raw FROM documents),
+    n AS (SELECT doc_id, raw,
+                 sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM e)
+    SELECT doc_id, i - 1 AS dim,
+           round(CASE WHEN nrm = 0 THEN raw[i] ELSE raw[i] / nrm END, 6) AS val
+    FROM n CROSS JOIN (SELECT unnest(generate_series(1, {n})) AS i) g
+    """
+
+
 def q_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-ingest (InferenceFilter.java semantics): docs whose
     text is unchanged COPY the stored embedding instead of re-inferring.
@@ -1967,6 +2002,7 @@ SPARK_QUERIES_EXT = {
     "agg_top_hits": q_agg_top_hits,
     "ingest_chunked_sparse": q_ingest_chunked_sparse,
     "ingest_embedding": q_ingest_embedding,
+    "ingest_text_image": q_ingest_text_image,
     "ingest_incremental": q_ingest_incremental,
     "search_request_hybrid": q_search_request_hybrid,
     "search_request_collapse": q_search_request_collapse,
@@ -2037,6 +2073,7 @@ ORACLE_SQL_EXT = {
     "agg_top_hits": AGG_TOP_HITS_SQL,
     "ingest_chunked_sparse": INGEST_CHUNKED_SQL,
     "ingest_embedding": _ingest_embedding_sql(),
+    "ingest_text_image": _ingest_text_image_sql(),
     "ingest_incremental": INGEST_INCREMENTAL_SQL,
     "search_request_hybrid": _hybrid_bounded_sql(
         HYBRID_SUBS, None, None, weights=SEARCH_REQ_WEIGHTS),

@@ -183,3 +183,65 @@ def test_incremental_multiple_fields_and_sparse(spark):
     out_c = pl.run_pipeline_incremental(v2, procs_c, stored_c)
     assert {r["docID"] for r in out_c.collect()} == {1, 2}
     assert "chunks" in out_c.columns
+
+
+def test_text_image_embedding(spark):
+    """TextImageEmbeddingProcessor double: joint text+image embedding,
+    L2-normalized (8 text dims + 1 image-bytes dim)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "abc xyz"), (2, "")], "docID long, text string")
+    media = docs.withColumn("media", F.encode("text", "UTF-8"))
+    out = pl.run_pipeline(media, [{"text_image_embedding": {
+        "field_map": {"text": "text", "image": "media"},
+        "embedding": "emb"}}])
+    rows = {r["docID"]: r["emb"] for r in out.collect()}
+    assert len(rows[1]) == 9
+    assert math.isqrt(1)  # noqa - keep math import used
+    nrm = sum(x * x for x in rows[1])
+    assert abs(nrm - 1.0) < 1e-9
+    # text-only and image-only variants
+    t_only = pl.run_pipeline(media, [{"text_image_embedding": {
+        "field_map": {"text": "text"}, "embedding": "e"}}]).head()["e"]
+    assert len(t_only) == 8
+    i_only = pl.run_pipeline(media, [{"text_image_embedding": {
+        "field_map": {"image": "media"}, "embedding": "e"}}]).head()["e"]
+    assert len(i_only) == 1
+    with pytest.raises(ValueError, match="text/image"):
+        pl.run_pipeline(media, [{"text_image_embedding": {
+            "field_map": {"bogus": "x"}}}])
+
+
+def test_incremental_text_image_requires_both_unchanged(spark):
+    """TextImageEmbeddingInferenceFilter semantics: the stored embedding is
+    reused only when BOTH source fields are unchanged."""
+    def tagged(run):
+        def fn(t, i):
+            cols = []
+            if t is not None:
+                cols.append(F.length(t).cast("double"))
+            if i is not None:
+                cols.append(F.length(i).cast("double"))
+            return F.array(F.lit(float(run)), *cols)
+        return fn
+
+    v1 = spark.createDataFrame(
+        [(1, "aa", bytearray(b"i1")), (2, "bb", bytearray(b"i2")),
+         (3, "cc", bytearray(b"i3"))],
+        "docID long, text string, media binary")
+    spec1 = [{"text_image_embedding": {
+        "field_map": {"text": "text", "image": "media"},
+        "embedding": "emb", "embed_fn": tagged(1)}}]
+    stored = pl.run_pipeline(v1, spec1)
+    v2 = spark.createDataFrame(
+        [(1, "aa", bytearray(b"i1")),       # both unchanged → reuse
+         (2, "bb", bytearray(b"i2!")),      # image changed → re-infer
+         (3, "CHANGED", bytearray(b"i3"))], # text changed → re-infer
+        "docID long, text string, media binary")
+    spec2 = [{"text_image_embedding": {
+        "field_map": {"text": "text", "image": "media"},
+        "embedding": "emb", "embed_fn": tagged(2)}}]
+    out = {r["docID"]: r["emb"][0] for r in
+           pl.run_pipeline_incremental(v2, spec2, stored).collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: 2.0}
