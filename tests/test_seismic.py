@@ -334,3 +334,17 @@ def test_explain_contributions_sum_to_score(spark, feats):
         by_doc[(r["docID"], r["score"])] += r["contribution"]
     for (_, score), total in by_doc.items():
         assert total == pytest.approx(score, rel=1e-9)
+
+
+def test_seismic_plan_shape_invariants(spark, feats):
+    """PLANS.md §2c pins: tokenID filter pushed to the parquet scan, one
+    bucket exchange, Arrow-batched kernel, TakeOrderedAndProject, and no
+    row-at-a-time Python anywhere in the query plan."""
+    idx = _build(spark, feats, "plan")
+    df = seismic_search(idx, QUERY, k=10, mode="ann")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(tokenID" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
