@@ -574,6 +574,29 @@ def append_to_seismic_index(
     return SeismicIndex(spark=spark, index_dir=index_dir, params=params)
 
 
+def seismic_profile(
+    index: SeismicIndex,
+    query_tokens: dict[str, float],
+    **kw,
+) -> tuple[list, dict]:
+    """Run an ANN search and return (rows, cluster-skip profile) — the
+    seismic twin of wand.profile_search. Counts clusters and their posting
+    entries touched vs skipped by the θ/heap_factor test across all
+    buckets (Spark accumulators, so numbers aggregate across executors)."""
+    sc = index.spark.sparkContext
+    accs = {name: sc.accumulator(0) for name in
+            ("clusters_total", "clusters_skipped",
+             "cluster_docs_total", "cluster_docs_skipped")}
+    rows = seismic_search(index, query_tokens, mode="ann",
+                          counters=accs, **kw).collect()
+    prof = {name: a.value for name, a in accs.items()}
+    ct, cs = prof["clusters_total"], prof["clusters_skipped"]
+    prof["cluster_skip_ratio"] = round(cs / ct, 4) if ct else 0.0
+    dt, ds = prof["cluster_docs_total"], prof["cluster_docs_skipped"]
+    prof["posting_skip_ratio"] = round(ds / dt, 4) if dt else 0.0
+    return rows, prof
+
+
 def seismic_explain(
     index: SeismicIndex,
     query_tokens: dict[str, float],
@@ -675,7 +698,8 @@ def _prepare_query(spark: SparkSession, query_tokens: dict[str, float],
 def _seismic_kernel(pdf: pd.DataFrame, *, q_tok: np.ndarray, q_w: np.ndarray,
                     q_tok_sorted: np.ndarray, q_w_sorted: np.ndarray,
                     k: int, heap_factor: float, mode: str, tok_dtype: str,
-                    accepted: frozenset | None) -> pd.DataFrame:
+                    accepted: frozenset | None,
+                    counters: dict | None = None) -> pd.DataFrame:
     """Per-bucket SEISMIC search over this bucket's pruned sindex rows.
     Returns ≤ k (docID, dot) rows with dot > 0."""
     runs = pdf[pdf["kind"] == 0]
@@ -734,6 +758,9 @@ def _seismic_kernel(pdf: pd.DataFrame, *, q_tok: np.ndarray, q_w: np.ndarray,
         if cls is None:
             continue
         for cl in cls:
+            if counters is not None:
+                counters["clusters_total"].add(1)
+                counters["cluster_docs_total"].add(len(cl["docs"]) // 8)
             if not cl["skipless"] and len(score_heap) >= SEISMIC_HEAP_SIZE:
                 stoks = np.frombuffer(cl["stoks"], dtype=t_dtype).astype(np.int64)
                 sws = np.frombuffer(cl["sweights"], dtype=np.uint8).astype(np.int64)
@@ -743,6 +770,10 @@ def _seismic_kernel(pdf: pd.DataFrame, *, q_tok: np.ndarray, q_w: np.ndarray,
                 sdot = int(np.where(hit, sws * q_w_sorted[pos_c], 0).sum())
                 # skip below θ/heap_factor (SeismicBaseScorer.java:202-220)
                 if sdot < score_heap.min() / heap_factor:
+                    if counters is not None:
+                        counters["clusters_skipped"].add(1)
+                        counters["cluster_docs_skipped"].add(
+                            len(cl["docs"]) // 8)
                     continue
             c_docs = np.frombuffer(cl["docs"], dtype="<i8")
             idx = np.searchsorted(docs_u, c_docs)
@@ -775,6 +806,7 @@ def seismic_search(
     heap_factor: float = DEFAULT_HEAP_FACTOR,
     mode: str = "auto",
     candidates: DataFrame | None = None,
+    counters: dict | None = None,
     _candidate_cap: int = 200_000,
 ) -> DataFrame:
     """Top-k by quantized dot product: (docID, score), score desc / docID asc.
@@ -833,7 +865,7 @@ def seismic_search(
             pdf, q_tok=q_tok, q_w=q_w,
             q_tok_sorted=q_tok_sorted, q_w_sorted=q_w_sorted,
             k=k, heap_factor=float(heap_factor), mode=mode,
-            tok_dtype=tok_dtype, accepted=accepted)
+            tok_dtype=tok_dtype, accepted=accepted, counters=counters)
 
     per_bucket = pruned.groupBy("bucket").applyInPandas(kernel, _KERNEL_SCHEMA)
     scale = float(ceil_in) * float(ceil_s) / 255.0 / 255.0

@@ -348,3 +348,24 @@ def test_seismic_plan_shape_invariants(spark, feats):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_seismic_profile_counts_skips(spark, feats):
+    """seismic_profile: accumulator counters reconcile and the θ/heap_factor
+    test actually skips clusters once the heap is full (aggressive
+    heap_factor < 1 forces skipping on this corpus)."""
+    from neural_search_spark.index.seismic import seismic_profile
+
+    idx = _build(spark, feats, "profile")
+    rows, prof = seismic_profile(idx, QUERY, k=10, heap_factor=0.5)
+    assert len(rows) == 10
+    assert 0 <= prof["clusters_skipped"] <= prof["clusters_total"]
+    assert prof["cluster_docs_skipped"] <= prof["cluster_docs_total"]
+    assert prof["clusters_total"] > 0
+    assert prof["clusters_skipped"] > 0  # aggressive factor must skip
+    # skipping never breaks the score contract: every returned score is
+    # the exact quantized dot of that doc
+    exact = {r["docID"]: r["score"]
+             for r in seismic_search(idx, QUERY, k=240, mode="exact").collect()}
+    for r in rows:
+        assert r["score"] == pytest.approx(exact[r["docID"]], rel=1e-12)
