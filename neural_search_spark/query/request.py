@@ -32,12 +32,17 @@ operators:
   min_score to COMBINED results).
 * ``aggs`` — the aggregation body runs over the query's full matched set
   (query/aggs.py); ``global`` aggs escape the query context.
-* ``collapse``: ``{"field": f}`` one-best-per-group. NOTE: applied to the
-  final combined ranking (a documented simplification — the reference
-  collapses per sub-query during collection,
-  HybridCollapsingTopDocsCollector); semantics coincide for single-query
-  requests and for hybrid requests whose groups don't straddle the depth
-  cutoff.
+* ``collapse``: ``{"field": f}`` one-best-per-group, matching the
+  reference's two-stage pipeline: per sub-query the FULL match set is
+  scored and per-group candidates are kept within the depth window of
+  GROUPS (HybridCollapsingTopDocsCollector collects per-group candidates;
+  it "does NOT" dedup — its own docstring), then the dedup runs on the
+  COMBINED ranking (CollapseExecutor at the coordinator,
+  NormalizationProcessorWorkflow.java:247-257). A group whose docs sit
+  below the plain top-depth cutoff therefore still surfaces. Frame
+  sub-queries (knn/seismic) keep the plain depth window (they cannot be
+  re-collected); ``per_group > 1`` members beyond the hybrid depth cut
+  may be trimmed before combination.
 * ``sort`` + ``search_after``: field sorting via keyset pagination
   (operators/sort_search.py); like the reference's field-sort collector,
   hits carry the sort fields instead of relevance scores.
@@ -349,8 +354,54 @@ def search_request(
         )
     elif is_hybrid:
         kwargs = _parse_pipeline(body.get("search_pipeline"))
+        run_subqueries = subqueries
+        if body.get("collapse") and all("terms" in s for s in subqueries):
+            # collapse-aware collection, mirroring the reference pipeline
+            # (HybridCollapsingTopDocsCollector collects per-GROUP
+            # candidates per sub-query; the dedup itself happens on the
+            # COMBINED scores at the coordinator,
+            # NormalizationProcessorWorkflow.java:247-257 → the post-pass
+            # below). Each sub-query scores its FULL match set (the
+            # collector also touches every match), keeps per_group best
+            # docs per group, then the top `depth` groups by their best
+            # score — so a group whose docs sit below the plain top-depth
+            # cutoff still reaches normalization, exactly like the
+            # reference. Frame sub-queries (knn/seismic) can't be
+            # re-collected; they keep the plain depth window.
+            from pyspark.sql import Window
+
+            from neural_search_spark.query.aggs import scored_matches
+
+            field = body["collapse"]["field"]
+            per_group = int(body["collapse"].get("per_group", 1))
+            dv = doc_values if doc_values is not None else index.docmap
+            id_col = doc_values_id or index.id_col
+            dvf = dv.select(F.col(id_col).cast("long").alias("docID"), field)
+            c_depth = depth or size
+            run_subqueries = []
+            for s in subqueries:
+                scored = scored_matches(
+                    s.get("index") or base_index, _sub_terms(s),
+                    weights=s.get("weights"), where=s.get("where"))
+                wg = Window.partitionBy(field).orderBy(
+                    F.desc("score"), F.asc("docID"))
+                cand = (
+                    scored.join(dvf, "docID")
+                    .withColumn("_rn", F.row_number().over(wg))
+                    .where(F.col("_rn") <= per_group)
+                )
+                top_groups = (
+                    cand.groupBy(field)
+                    .agg(F.max("score").alias("_gbest"))
+                    .orderBy(F.desc("_gbest"), F.asc(field))
+                    .limit(c_depth)
+                )
+                run_subqueries.append({"frame": (
+                    cand.join(top_groups.select(field), field, "left_semi")
+                    .select("docID", "score")
+                )})
         hits = hy.hybrid_search(
-            base_index, subqueries,
+            base_index, run_subqueries,
             # mmr: fetch the widened candidate window; pagination applies
             # to the MMR-reordered list, not the relevance list
             k=mmr_candidates if mmr is not None else size,

@@ -429,3 +429,37 @@ def test_highlight_preserves_mmr_order(idx, docvecs, docvals):
         doc_values_id="doc_id")["hits"].collect()
     assert [r["docID"] for r in lit] == [r["docID"] for r in plain]
     assert all("highlight_text" in r.asDict() for r in lit)
+
+
+def test_hybrid_collapse_keeps_groups_below_depth_cutoff(spark, tmp_path):
+    """Reference collapse pipeline: per-sub-query collection is per-GROUP,
+    so a group whose best doc sits below the plain top-depth cutoff still
+    reaches normalization and the final (combined) dedup."""
+    from neural_search_spark.index.build import build_index
+
+    # 'en' docs mention alpha twice (high tf); the lone 'fr' doc once —
+    # with size=2 a plain top-2 window is all-en, but collapse must still
+    # surface the fr group (top-2 GROUPS, not top-2 docs)
+    docs = [
+        (1, "alpha alpha beta", "en"),
+        (2, "alpha alpha gamma", "en"),
+        (3, "alpha alpha delta", "en"),
+        (4, "alpha zeta", "fr"),
+        (5, "eta theta", "de"),
+    ]
+    df = spark.createDataFrame([(d[0], d[1]) for d in docs],
+                               "doc_id long, text string")
+    dv = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    idx = build_index(spark, df, str(tmp_path / "cidx"),
+                      text_col="text", id_col="doc_id", bucket_bits=2)
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "alpha"}}, {"match": {"text": "alpha beta"}},
+    ]}}, "size": 2, "collapse": {"field": "lang"}}
+    got = request.search_request(idx, body, doc_values=dv,
+                                 doc_values_id="doc_id")["hits"].collect()
+    langs = {r["lang"] for r in got}
+    assert "fr" in langs and len(got) == 2  # top-2 groups, one hit each
+    # sanity: without collapse the top-2 docs are both en
+    plain = request.search_request(idx, {
+        "query": body["query"], "size": 2})["hits"].collect()
+    assert {r["docID"] for r in plain} <= {1, 2, 3}
