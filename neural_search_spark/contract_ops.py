@@ -1943,6 +1943,78 @@ def q_search_request_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HYC_DEPTH = 12
+HYC_SIZE = 6
+
+
+def q_hybrid_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid + collapse through the reference's two-stage pipeline:
+    per-sub-query per-GROUP collection (full match set, best doc per lang,
+    top depth groups), min_max + arithmetic combination, dedup on the
+    combined ranking."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    out = search_request(idx, {
+        "query": {"hybrid": {
+            "queries": [{"match": {"text": " ".join(HYBRID_SUBS[0])}},
+                        {"match": {"text": " ".join(HYBRID_SUBS[1])}}],
+            "pagination_depth": HYC_DEPTH,
+        }},
+        "size": HYC_SIZE,
+        "collapse": {"field": "lang"},
+    }, doc_values=_docs(spark, sf_dir), doc_values_id="doc_id")
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"),
+        "lang")
+
+
+def _hybrid_collapse_sql(subqueries: list[list[str]], depth: int,
+                         k: int) -> str:
+    """Per-sub-query group-aware collection (per_group=1: one best doc per
+    lang, top `depth` groups by that doc's score) → min_max normalization →
+    arithmetic-mean combine → top-k → one best per lang on the combined
+    ranking."""
+    subs, norms = [], []
+    for i, terms in enumerate(subqueries):
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        subs.append(f"""
+        full{i} AS (
+          SELECT tf.doc_id AS doc_id,
+            sum( ln(1 + (st.n_docs - d{i}.df + 0.5) / (d{i}.df + 0.5))
+                 * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS score
+          FROM tf JOIN (SELECT term, count(*) AS df FROM tf
+                        WHERE term IN ({tlist}) GROUP BY term) d{i} USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+          GROUP BY tf.doc_id),
+        sub{i} AS (
+          SELECT doc_id, score FROM (
+            SELECT f.doc_id, f.score,
+                   row_number() OVER (PARTITION BY d.lang
+                                      ORDER BY f.score DESC, f.doc_id ASC) AS rn
+            FROM full{i} f JOIN documents d USING (doc_id))
+          WHERE rn = 1
+          ORDER BY score DESC, doc_id ASC LIMIT {depth}
+        )""")
+        norms.append(_norm_cte(i, "min_max"))
+    _, comb = _comb_exprs(2, "arithmetic_mean")
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {", ".join(subs)}, {", ".join(norms)},
+         pv AS (SELECT coalesce(t0.doc_id, t1.doc_id) AS doc_id,
+                       coalesce(t0.ns, 0.0) AS s0, coalesce(t1.ns, 0.0) AS s1
+                FROM n0 t0 FULL OUTER JOIN n1 t1 ON t0.doc_id = t1.doc_id),
+         topk AS (SELECT doc_id, {comb} AS cscore FROM pv
+                  ORDER BY cscore DESC, doc_id ASC LIMIT {k})
+    SELECT topk.doc_id AS doc_id, round(topk.cscore, 4) AS score, d.lang AS lang
+    FROM topk JOIN documents d USING (doc_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY d.lang ORDER BY topk.cscore DESC, topk.doc_id ASC) = 1
+    ORDER BY score DESC, doc_id ASC
+    """
+
+
 def _search_req_collapse_sql(terms: list[str], k: int) -> str:
     """Collapse windows over the EXACT f64 score (round only in the final
     projection, same as every other entry)."""
@@ -2006,6 +2078,7 @@ SPARK_QUERIES_EXT = {
     "ingest_incremental": q_ingest_incremental,
     "search_request_hybrid": q_search_request_hybrid,
     "search_request_collapse": q_search_request_collapse,
+    "hybrid_collapse": q_hybrid_collapse,
     "rerank_by_field": q_rerank_by_field,
     "multifield_hybrid": q_multifield_hybrid,
     "multifield_match_lang": q_multifield_match_lang,
@@ -2078,6 +2151,7 @@ ORACLE_SQL_EXT = {
     "search_request_hybrid": _hybrid_bounded_sql(
         HYBRID_SUBS, None, None, weights=SEARCH_REQ_WEIGHTS),
     "search_request_collapse": _search_req_collapse_sql(WAND_TERMS_MULTI, 10),
+    "hybrid_collapse": _hybrid_collapse_sql(HYBRID_SUBS, HYC_DEPTH, HYC_SIZE),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "multifield_hybrid": _multifield_hybrid_sql(
         sorted(MF_TEXT_QUERY.split()), MF_LANG_TERM),
