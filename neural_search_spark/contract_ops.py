@@ -1927,8 +1927,9 @@ def q_search_request_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_search_request_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single match query + collapse: raw BM25 top-k, one best hit per lang
-    (collapse applied to the final ranking — see request.py docstring)."""
+    """Single match query + collapse: one best hit per lang collected over
+    the FULL match set, then top-`size` distinct groups — Lucene's
+    CollapsingTopDocsCollector semantics (see request.py docstring)."""
     from neural_search_spark.query.request import search_request
 
     idx = _get_index(spark, sf_dir)
@@ -1950,8 +1951,9 @@ HYC_SIZE = 6
 def q_hybrid_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid + collapse through the reference's two-stage pipeline:
     per-sub-query per-GROUP collection (full match set, best doc per lang,
-    top depth groups), min_max + arithmetic combination, dedup on the
-    combined ranking."""
+    top depth groups), min_max + arithmetic combination, then dedup over
+    the FULL combined depth window BEFORE the size trim (CollapseExecutor,
+    NormalizationProcessorWorkflow.java:247-257)."""
     from neural_search_spark.query.request import search_request
 
     idx = _get_index(spark, sf_dir)
@@ -1973,8 +1975,9 @@ def _hybrid_collapse_sql(subqueries: list[list[str]], depth: int,
                          k: int) -> str:
     """Per-sub-query group-aware collection (per_group=1: one best doc per
     lang, top `depth` groups by that doc's score) → min_max normalization →
-    arithmetic-mean combine → top-k → one best per lang on the combined
-    ranking."""
+    arithmetic-mean combine → collapse (one best per lang) over the FULL
+    depth window → trim to size k. Dedup precedes the LIMIT, matching
+    CollapseExecutor's position in the reference workflow."""
     subs, norms = [], []
     for i, terms in enumerate(subqueries):
         tlist = ", ".join(f"'{t}'" for t in terms)
@@ -2005,18 +2008,24 @@ def _hybrid_collapse_sql(subqueries: list[list[str]], depth: int,
          pv AS (SELECT coalesce(t0.doc_id, t1.doc_id) AS doc_id,
                        coalesce(t0.ns, 0.0) AS s0, coalesce(t1.ns, 0.0) AS s1
                 FROM n0 t0 FULL OUTER JOIN n1 t1 ON t0.doc_id = t1.doc_id),
-         topk AS (SELECT doc_id, {comb} AS cscore FROM pv
-                  ORDER BY cscore DESC, doc_id ASC LIMIT {k})
-    SELECT topk.doc_id AS doc_id, round(topk.cscore, 4) AS score, d.lang AS lang
-    FROM topk JOIN documents d USING (doc_id)
-    QUALIFY row_number() OVER (
-      PARTITION BY d.lang ORDER BY topk.cscore DESC, topk.doc_id ASC) = 1
+         win AS (SELECT doc_id, {comb} AS cscore FROM pv
+                 ORDER BY cscore DESC, doc_id ASC LIMIT {depth}),
+         dedup AS (
+           SELECT win.doc_id AS doc_id, win.cscore AS cscore, d.lang AS lang
+           FROM win JOIN documents d USING (doc_id)
+           QUALIFY row_number() OVER (
+             PARTITION BY d.lang ORDER BY win.cscore DESC, win.doc_id ASC) = 1)
+    SELECT doc_id, round(cscore, 4) AS score, lang
+    FROM dedup
     ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
     """
 
 
 def _search_req_collapse_sql(terms: list[str], k: int) -> str:
-    """Collapse windows over the EXACT f64 score (round only in the final
+    """Collapse during collection (CollapsingTopDocsCollector touches every
+    match): full match-set scores → one best doc per lang → top-k distinct
+    groups. Windows run over the EXACT f64 score (round only in the final
     projection, same as every other entry)."""
     tlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
@@ -2031,13 +2040,15 @@ def _search_req_collapse_sql(terms: list[str], k: int) -> str:
            FROM tf JOIN dfreq USING (term)
            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
            GROUP BY tf.doc_id),
-         topk AS (SELECT doc_id, s FROM scored
-                  ORDER BY s DESC, doc_id ASC LIMIT {k})
-    SELECT topk.doc_id AS doc_id, round(topk.s, 4) AS score, d.lang AS lang
-    FROM topk JOIN documents d USING (doc_id)
-    QUALIFY row_number() OVER (
-      PARTITION BY d.lang ORDER BY topk.s DESC, topk.doc_id ASC) = 1
+         dedup AS (
+           SELECT scored.doc_id AS doc_id, scored.s AS s, d.lang AS lang
+           FROM scored JOIN documents d USING (doc_id)
+           QUALIFY row_number() OVER (
+             PARTITION BY d.lang ORDER BY scored.s DESC, scored.doc_id ASC) = 1)
+    SELECT doc_id, round(s, 4) AS score, lang
+    FROM dedup
     ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
     """
 
 

@@ -37,12 +37,17 @@ operators:
   scored and per-group candidates are kept within the depth window of
   GROUPS (HybridCollapsingTopDocsCollector collects per-group candidates;
   it "does NOT" dedup — its own docstring), then the dedup runs on the
-  COMBINED ranking (CollapseExecutor at the coordinator,
-  NormalizationProcessorWorkflow.java:247-257). A group whose docs sit
-  below the plain top-depth cutoff therefore still surfaces. Frame
-  sub-queries (knn/seismic) keep the plain depth window (they cannot be
-  re-collected); ``per_group > 1`` members beyond the hybrid depth cut
-  may be trimmed before combination.
+  FULL combined depth window BEFORE the from/size trim (CollapseExecutor
+  at the coordinator, NormalizationProcessorWorkflow.java:247-257 —
+  updateOriginalQueryResults collapses, THEN pagination applies). A group
+  whose docs sit below the plain top-depth cutoff therefore still
+  surfaces, and the response never shrinks below ``size`` while distinct
+  groups remain in the window. On a plain (non-hybrid) query, collapse is
+  collected by Lucene's CollapsingTopDocsCollector, which touches every
+  match — the full match set is scored and the top ``size`` DISTINCT
+  groups return. Frame sub-queries (knn/seismic) keep the plain depth
+  window (they cannot be re-collected); ``per_group > 1`` members beyond
+  the hybrid depth cut may be trimmed before combination.
 * ``sort`` + ``search_after``: field sorting via keyset pagination
   (operators/sort_search.py); like the reference's field-sort collector,
   hits carry the sort fields instead of relevance scores.
@@ -253,9 +258,11 @@ def search_request(
             from neural_search_spark.index.seismic import seismic_search
 
             sp = s["seismic"]
+            # absent/0 k maps to DEFAULT_TOP_K=10, NOT the request fetch
+            # window (main/sparse/query/SparseAnnQueryBuilder.java:238)
             fr = seismic_search(
                 seismic_index, sp["tokens"],
-                k=int(sp["k"]) if sp.get("k") else fetch_k,
+                k=int(sp["k"]) if sp.get("k") else 10,
                 top_n=int(sp["top_n"]), heap_factor=sp["heap_factor"],
                 candidates=_frame_filter(s))
             return {"frame": fr}
@@ -400,18 +407,27 @@ def search_request(
                     cand.join(top_groups.select(field), field, "left_semi")
                     .select("docID", "score")
                 )})
+        has_collapse = bool(body.get("collapse"))
         hits = hy.hybrid_search(
             base_index, run_subqueries,
             # mmr: fetch the widened candidate window; pagination applies
-            # to the MMR-reordered list, not the relevance list
-            k=mmr_candidates if mmr is not None else size,
+            # to the MMR-reordered list, not the relevance list.
+            # collapse: the dedup runs over the FULL combined depth window
+            # BEFORE the from/size trim (CollapseExecutor inside
+            # NormalizationProcessorWorkflow.updateOriginalQueryResults,
+            # main/processor/NormalizationProcessorWorkflow.java:247-257),
+            # so fetch k=depth here and trim after collapse_op below —
+            # otherwise two same-group docs in the combined top-size would
+            # shrink the response below `size` and drop the next group.
+            k=(mmr_candidates if mmr is not None
+               else (depth or size) if has_collapse else size),
             pagination_depth=depth,
-            from_=0 if mmr is not None else from_,
+            from_=0 if (mmr is not None or has_collapse) else from_,
             min_score=body.get("min_score"),
             explain=bool(body.get("explain", False)),
             **kwargs,
         )
-        if body.get("collapse"):
+        if has_collapse:
             field = body["collapse"]["field"]
             dv = doc_values if doc_values is not None else index.docmap
             id_col = doc_values_id or index.id_col
@@ -421,6 +437,9 @@ def search_request(
                 field, score_col="score", id_col="docID",
                 per_group=int(body["collapse"].get("per_group", 1)),
             ).orderBy(F.desc("score"), F.asc("docID"))
+            if from_ > 0:
+                hits = hits.offset(from_)
+            hits = hits.limit(size)
         out["hits"] = hits
     elif subqueries is not None:
         # single non-hybrid query: RAW BM25 scores, no normalization
@@ -430,14 +449,27 @@ def search_request(
 
         s0 = subqueries[0]
         single_k = mmr_candidates if mmr is not None else from_ + size
+        has_collapse = bool(body.get("collapse"))
         if "frame" in s0:
             hits = (
                 s0["frame"]
                 .select(F.col("docID").cast("long").alias("docID"),
                         F.col("score").cast("double").alias("score"))
                 .orderBy(F.desc("score"), F.asc("docID"))
-                .limit(single_k)
             )
+            if not has_collapse:
+                hits = hits.limit(single_k)
+        elif has_collapse:
+            # collapse on a plain query is collected by Lucene's
+            # CollapsingTopDocsCollector, which touches EVERY match and
+            # returns `size` distinct groups — a group whose best doc sits
+            # below the plain top-k cutoff still surfaces. Score the full
+            # match set, then collapse below.
+            from neural_search_spark.query.aggs import scored_matches
+
+            hits = scored_matches(
+                s0.get("index") or index, _sub_terms(s0),
+                weights=s0.get("weights"), where=s0.get("where"))
         else:
             hits = wand.search(
                 s0.get("index") or index, s0["terms"],
@@ -446,18 +478,24 @@ def search_request(
             )
         if body.get("min_score") is not None:
             hits = hits.where(F.col("score") >= float(body["min_score"]))
-        if from_ > 0 and mmr is None:
-            hits = hits.offset(from_)
-        if body.get("collapse"):
+        if has_collapse:
             field = body["collapse"]["field"]
             dv = doc_values if doc_values is not None else index.docmap
             id_col = doc_values_id or index.id_col
             dv = dv.withColumn("docID", F.col(id_col).cast("long"))
-            hits = collapse_op(
-                hits.join(dv.select("docID", field), "docID"),
-                field, score_col="score", id_col="docID",
-                per_group=int(body["collapse"].get("per_group", 1)),
-            ).orderBy(F.desc("score"), F.asc("docID"))
+            hits = (
+                collapse_op(
+                    hits.join(dv.select("docID", field), "docID"),
+                    field, score_col="score", id_col="docID",
+                    per_group=int(body["collapse"].get("per_group", 1)),
+                )
+                .orderBy(F.desc("score"), F.asc("docID"))
+            )
+            if from_ > 0:
+                hits = hits.offset(from_)
+            hits = hits.limit(size)
+        elif from_ > 0 and mmr is None:
+            hits = hits.offset(from_)
         out["hits"] = hits
 
     if mmr is not None and out["hits"] is not None:

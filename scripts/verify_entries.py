@@ -1,0 +1,119 @@
+"""Driver-style contract verification for selected entries.
+
+Usage: python scripts/verify_entries.py [--sf DIR] [--master local[8]] name...
+       python scripts/verify_entries.py --all          # every entry
+       python scripts/verify_entries.py --first N      # driver window
+
+Mirrors the external driver: run queries()[name] on Spark and
+oracle_sql()[name] on DuckDB over the same parquet tables, compare
+row count, sorted column names, and an order-insensitive value hash
+(floats rounded to 6 dp). Rows-only entries report spark row count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(v):
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--first", type=int, default=0)
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as m
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("verify", master=args.master, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    Q, O = m.queries(), m.oracle_sql()
+    names = (list(Q) if args.all
+             else list(Q)[: args.first] if args.first
+             else args.names)
+    bad = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = Q[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} SPARK-ERR {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        if name not in O:
+            print(f"{name:32s} rows-only spark={len(srows)}"
+                  f"  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(O[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} ORACLE-ERR {type(e).__name__}: {e}")
+            bad.append(name)
+            continue
+        rows_ok = len(srows) == len(orows)
+        cols_ok = sorted(scols) == sorted(ocols)
+        hash_ok = cols_ok and _hash(srows, scols) == _hash(orows, ocols)
+        ok = rows_ok and cols_ok and hash_ok
+        print(f"{name:32s} {'PASS' if ok else 'FAIL'}"
+              f" rows={len(srows)}/{len(orows)}"
+              f" cols={'ok' if cols_ok else f'{sorted(scols)} vs {sorted(ocols)}'}"
+              f" hash={'ok' if hash_ok else 'MISMATCH'}"
+              f"  ({time.time()-t0:.1f}s)")
+        if not ok:
+            bad.append(name)
+    spark.stop()
+    if bad:
+        print("FAILED:", ", ".join(bad))
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

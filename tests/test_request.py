@@ -463,3 +463,60 @@ def test_hybrid_collapse_keeps_groups_below_depth_cutoff(spark, tmp_path):
     plain = request.search_request(idx, {
         "query": body["query"], "size": 2})["hits"].collect()
     assert {r["docID"] for r in plain} <= {1, 2, 3}
+
+
+def test_hybrid_collapse_dedups_before_size_trim(spark, tmp_path):
+    """CollapseExecutor runs over the FULL combined depth window BEFORE the
+    from/size trim (NormalizationProcessorWorkflow.java:247-257): two
+    same-group docs in the combined top-`size` must NOT shrink the response
+    — the next distinct group in the depth window takes the slot."""
+    from neural_search_spark.index.build import build_index
+
+    # en docs 1,2 dominate both sub-queries (combined top-2 is en,en);
+    # fr doc 4 sits just below. With pagination_depth=4 the collapse
+    # window sees fr, so size=2 must return {en, fr} — not a single en row.
+    docs = [
+        (1, "alpha alpha beta", "en"),
+        (2, "alpha alpha beta gamma", "en"),
+        (3, "alpha delta", "en"),
+        (4, "alpha beta zeta", "fr"),
+        (5, "eta theta", "de"),
+    ]
+    df = spark.createDataFrame([(d[0], d[1]) for d in docs],
+                               "doc_id long, text string")
+    dv = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    idx = build_index(spark, df, str(tmp_path / "cidx2"),
+                      text_col="text", id_col="doc_id", bucket_bits=2)
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "alpha"}}, {"match": {"text": "beta"}},
+    ], "pagination_depth": 4}}, "size": 2, "collapse": {"field": "lang"}}
+    got = request.search_request(idx, body, doc_values=dv,
+                                 doc_values_id="doc_id")["hits"].collect()
+    assert len(got) == 2  # never fewer than size while groups remain
+    assert [r["lang"] for r in got] == ["en", "fr"]
+
+
+def test_single_query_collapse_full_match_set(spark, tmp_path):
+    """Plain-query collapse = CollapsingTopDocsCollector: the full match
+    set is collected, so a group below the plain top-size cutoff still
+    surfaces and exactly min(size, n_groups) rows return."""
+    from neural_search_spark.index.build import build_index
+
+    docs = [
+        (1, "alpha alpha alpha", "en"),
+        (2, "alpha alpha", "en"),
+        (3, "alpha alpha", "en"),
+        (4, "alpha", "fr"),
+    ]
+    df = spark.createDataFrame([(d[0], d[1]) for d in docs],
+                               "doc_id long, text string")
+    dv = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    idx = build_index(spark, df, str(tmp_path / "cidx3"),
+                      text_col="text", id_col="doc_id", bucket_bits=2)
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha"}},
+        "size": 2, "collapse": {"field": "lang"},
+    }, doc_values=dv, doc_values_id="doc_id")["hits"].collect()
+    # plain top-2 docs are 1,2 (both en); collapse must return en + fr
+    assert [r["lang"] for r in got] == ["en", "fr"]
+    assert got[0]["docID"] == 1 and got[1]["docID"] == 4
