@@ -15,9 +15,10 @@ ChunkerFactory-built chunkers):
                      (reference: FixedTokenLengthChunker.java:119-170,
                      defaults 384 / 0.0)
 
-delimiter and fixed_char_length are pure Catalyst expressions (JVM-side);
-fixed_token_length needs token character offsets, which the regex tokenizer
-does not expose in SQL, so it is an Arrow-vectorized pandas UDF.
+All three chunkers are pure Catalyst expressions (JVM-side, inside
+whole-stage codegen) — fixed_token_length included: it reconstructs each
+chunk from the token/gap interleaving instead of materializing character
+offsets (see make_fixed_token_chunker).
 """
 
 from __future__ import annotations
@@ -25,10 +26,7 @@ from __future__ import annotations
 import math
 import re
 
-import pandas as pd
 from pyspark.sql import Column, functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
 
 DEFAULT_DELIMITER = "\n\n"      # reference: DelimiterChunker.java:30
 DEFAULT_CHAR_LIMIT = 2048       # reference: FixedCharLengthChunker.java:29-40
@@ -84,36 +82,54 @@ def chunk_fixed_char(
 def make_fixed_token_chunker(
     token_limit: int = DEFAULT_TOKEN_LIMIT, overlap_rate: float = 0.0
 ):
-    """pandas UDF string → array<string>: token-count windows cut at token
-    start offsets (gap characters stay with the preceding chunk)."""
+    """Column → array<string>: token-count windows cut at token start
+    offsets (gap characters stay with the preceding chunk).
+
+    Pure Catalyst — no per-row Python. Token start offsets are never
+    materialized: a chunk that starts at token index ``s`` and cuts at the
+    start of token ``s+token_limit`` is exactly the concatenation
+    ``Σ_{j=s}^{s+L-1} (tok[j] + gap[j+1])`` where ``toks`` come from
+    ``regexp_extract_all`` and ``gaps`` (size n+1, leading + trailing kept)
+    from ``split(c, pattern, -1)``; chunk 0 additionally prepends the
+    leading gap, and the final chunk runs to end-of-string, i.e. through
+    the trailing gap — the same identity the DuckDB contract oracle uses.
+    Reference loop semantics: FixedTokenLengthChunker.java:119-170.
+    """
     if token_limit <= 0:
         raise ValueError("token_limit must be a positive integer")
     _validate_overlap(overlap_rate)
     overlap_tokens = int(math.floor(token_limit * overlap_rate))
     step = token_limit - overlap_tokens
+    lim = F.lit(token_limit)
 
-    def chunk_one(content: str) -> list[str]:
-        if content is None:
-            return None
-        starts = [m.start() for m in TOKEN_PATTERN.finditer(content)]
-        if not starts:
-            return [content] if content else []
-        chunks = []
-        i = 0
-        while i < len(starts):
-            begin = 0 if i == 0 else starts[i]
-            if i + token_limit >= len(starts):
-                chunks.append(content[begin:])
-                break
-            chunks.append(content[begin: starts[i + token_limit]])
-            i += step
-        return chunks
+    def apply(col: str | Column) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        toks = F.regexp_extract_all(c, F.lit(f"({TOKEN_PATTERN.pattern})"), 1)
+        gaps = F.split(c, TOKEN_PATTERN.pattern, -1)
+        n = F.size(toks)
+        # parts[j] = tok[j] + the gap that follows it (0-based j)
+        parts = F.zip_with(
+            toks, F.slice(gaps, 2, n), lambda t, g: F.concat(t, g))
+        # chunk count: 1 window if everything fits, else the reference
+        # loop emits ceil((n-L)/step) full windows + the tail window
+        m = F.when(n <= lim, F.lit(1)).otherwise(
+            F.ceil((n - lim) / F.lit(step)).cast("int") + F.lit(1))
+        chunks = F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda j: F.concat(
+                F.when(j == 0, F.element_at(gaps, 1)).otherwise(F.lit("")),
+                F.array_join(
+                    F.slice(
+                        parts, j * step + 1,
+                        F.when(j == m - 1, n - j * step).otherwise(lim)),
+                    ""),
+            ),
+        )
+        no_tokens = F.when(F.length(c) > 0, F.array(c)).otherwise(
+            F.array().cast("array<string>"))
+        return F.when(n == 0, no_tokens).otherwise(chunks)
 
-    @pandas_udf(ArrayType(StringType()))
-    def fixed_token_chunker(s: pd.Series) -> pd.Series:
-        return s.map(chunk_one)
-
-    return fixed_token_chunker
+    return apply
 
 
 CHUNKERS = {

@@ -12,8 +12,8 @@ Spark shape, designed for the 10^12-file case: every processor is a
 column-expression rewrite — ``run_pipeline`` is ONE narrow projection stage,
 no shuffle, no Python in the hot path:
 
-* ``text_chunking``  → array<string> via `analysis/chunkers` (JVM exprs;
-  the fixed_token algorithm is the one Arrow-batched pandas UDF).
+* ``text_chunking``  → array<string> via `analysis/chunkers` (all three
+  algorithms are JVM column expressions, fixed_token included).
 * ``sparse_encoding``→ map<term,weight> per doc or per chunk. The lexical
   "model" is term frequency (the engine's FeatureField analog); pruning
   reuses `analysis/prune.PRUNERS` inside the same projection. Real learned

@@ -726,13 +726,55 @@ CHUNK_CHAR_SQL = f"""
 """
 
 
+CHUNK_TOK_LIMIT = 16
+CHUNK_TOK_OVERLAP = 0.25  # step = 16 - floor(16*0.25) = 12
+
+
 def q_chunk_fixed_token(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (token byte offsets are not SQL-expressible)."""
     d = _docs(spark, sf_dir)
-    chunker = chunkers.make_fixed_token_chunker(16, 0.25)
+    chunker = chunkers.make_fixed_token_chunker(
+        CHUNK_TOK_LIMIT, CHUNK_TOK_OVERLAP)
     return d.select(
         "doc_id", F.posexplode(chunker(F.col("text"))).alias("chunk_idx", "chunk")
     )
+
+
+# The oracle mirrors the Catalyst reconstruction identity (chunkers.py
+# make_fixed_token_chunker): chunk j = [leading gap if j=0] +
+# Σ (tok[k] + gap[k+1]) over its token window; the last window runs to
+# end-of-string (through the trailing gap). string_split_regex keeps the
+# leading and trailing empty gaps, so len(gaps) = len(toks) + 1 exactly
+# as Spark's split(c, pat, -1).
+CHUNK_TOKEN_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+             string_split_regex(text, '[A-Za-z0-9_]+') AS gaps
+      FROM documents),
+    sized AS (
+      SELECT doc_id, text, toks, gaps, len(toks) AS n,
+             CASE WHEN len(toks) <= {CHUNK_TOK_LIMIT} THEN 1
+                  ELSE 1 + CAST(ceil((len(toks) - {CHUNK_TOK_LIMIT}) / 12.0)
+                                AS INT)
+             END AS m
+      FROM base),
+    exploded AS (
+      SELECT doc_id, text, toks, gaps, n, m,
+             unnest(generate_series(0, m - 1)) AS j
+      FROM sized)
+    SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+           (CASE WHEN j = 0 THEN gaps[1] ELSE '' END) ||
+           coalesce(list_aggregate(
+             list_transform(
+               generate_series(CAST(j AS INT) * 12 + 1,
+                               CAST(j AS INT) * 12 +
+                               (CASE WHEN j = m - 1 THEN n - CAST(j AS INT) * 12
+                                     ELSE {CHUNK_TOK_LIMIT} END)),
+               k -> toks[k] || gaps[k + 1]),
+             'string_agg', ''), '') AS chunk
+    FROM exploded
+    WHERE NOT (n = 0 AND text = '')
+"""
 
 
 # ------------------------------------------------------------ prune
@@ -2169,8 +2211,8 @@ ORACLE_SQL_EXT = {
     "multifield_match_lang": _multifield_lang_sql(MF_LANG_TERM),
     "collapse_top2_lang": COLLAPSE_SQL,
     "chunk_delimiter": CHUNK_DELIM_SQL,
+    "chunk_fixed_token": CHUNK_TOKEN_SQL,
     "chunk_fixed_char": CHUNK_CHAR_SQL,
-    # chunk_fixed_token: rows-only
     "prune_top_k": PRUNE_TOPK_SQL,
     "prune_max_ratio": PRUNE_MAXRATIO_SQL,
     "prune_abs_value": PRUNE_ABS_SQL,

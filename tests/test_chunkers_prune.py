@@ -117,3 +117,52 @@ def test_collapse(spark):
     df = spark.createDataFrame(rows, "docID long, lang string, score double")
     got = {r["lang"]: r["docID"] for r in collapse(df, "lang").collect()}
     assert got == {"py": 2, "go": 3}  # score desc, docID asc tie-break
+
+
+def _chunk_token_oracle(content, token_limit, overlap_rate):
+    """The reference loop (FixedTokenLengthChunker.java:119-170), verbatim
+    in Python — the oracle the Catalyst reconstruction must reproduce."""
+    import math as _math
+
+    starts = [m.start() for m in chunkers.TOKEN_PATTERN.finditer(content)]
+    if not starts:
+        return [content] if content else []
+    step = token_limit - int(_math.floor(token_limit * overlap_rate))
+    chunks, i = [], 0
+    while i < len(starts):
+        begin = 0 if i == 0 else starts[i]
+        if i + token_limit >= len(starts):
+            chunks.append(content[begin:])
+            break
+        chunks.append(content[begin: starts[i + token_limit]])
+        i += step
+    return chunks
+
+
+def test_fixed_token_catalyst_matches_reference_loop(spark):
+    texts = [
+        "",                                   # empty → []
+        "!!! ...",                            # no tokens → [content]
+        "one",                                # single token
+        "  leading gap kept with chunk0",     # leading gap
+        "trailing gap kept   ",               # trailing gap
+        "a b c d e f g h i j k l m",          # many 1-char tokens
+        "exact four tokens here",             # n == token_limit boundary
+        "tab\tand\nnewline gaps; mixed_under_scores 123 42x",
+        "x" * 50,                             # one huge token
+        ("lorem ipsum dolor sit amet " * 9).strip(),  # n % step edges
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    for limit, rate in [(1, 0.0), (3, 0.0), (4, 0.5), (4, 0.25), (16, 0.25)]:
+        f = chunkers.make_fixed_token_chunker(limit, rate)
+        got = [r["c"] for r in df.select(f(F.col("t")).alias("c")).collect()]
+        want = [_chunk_token_oracle(t, limit, rate) for t in texts]
+        assert got == want, (limit, rate)
+
+
+def test_fixed_token_chunker_is_jvm_side(spark):
+    df = spark.createDataFrame([("a b c d e",)], "t string")
+    f = chunkers.make_fixed_token_chunker(2, 0.0)
+    plan = df.select(f(F.col("t")).alias("c"))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
