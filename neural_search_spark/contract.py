@@ -165,6 +165,9 @@ _R03_FRONT = [
     "mmr_rerank", "cosine_topk_batch",
     # newly oracled this round (was err: no_oracle in r01/r02)
     "chunk_fixed_token",
+    # new this round: index mutation paths (append/delete/compact/upsert)
+    "append_then_topk", "delete_then_topk", "compact_then_topk",
+    "upsert_then_topk",
     # never driver-verified, rows-only
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",
     "minhash_lsh_pairs", "simhash_pairs",

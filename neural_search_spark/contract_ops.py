@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from neural_search_spark.analysis import chunkers, prune as pr, textstats as ts
 from neural_search_spark.analysis.tokenizer import tokens_with_tf
-from neural_search_spark.index.build import Index, build_index
+from neural_search_spark.index.build import Index, build_index, delete_docs, load_index
+from neural_search_spark.index.merge import (
+    append_to_index, compact_index, upsert_to_index,
+)
 from neural_search_spark.operators import dedup, multimodal, similarity
 from neural_search_spark.operators.collapse import collapse
 from neural_search_spark.query import hybrid, wand
@@ -2094,6 +2097,162 @@ def _search_req_collapse_sql(terms: list[str], k: int) -> str:
     """
 
 
+# ------------------------------------------------- index mutation paths
+#
+# End-to-end oracle rows for the segment-merge axis: append / delete /
+# compact / upsert each build a small mutated index and answer a BM25
+# top-k through it, so the merge path is driver-verified against DuckDB
+# and not just byte-identity pytest. Reference analogs: segment merge
+# (main/sparse/codec/SparsePostingsReader.java:47-145), live-docs mask
+# (main/sparse/query/SeismicBaseScorer.java:105-107), force-merge, and
+# the index API's same-_id-overwrites semantics.
+
+DELETE_MOD, DELETE_REM = 7, 3   # tombstone every doc with doc_id % 7 == 3
+UPSERT_MOD = 5                  # stale text for doc_id % 5 == 0 pre-upsert
+
+
+def _mutated_index(spark: SparkSession, sf_dir: str, tag: str, builder) -> Index:
+    """Build-once mutated index. A done-marker makes re-runs (driver
+    re-invocations, warm /tmp) load the committed result instead of
+    re-mutating; any partial state is discarded and rebuilt cold — the
+    mutation RESUME paths have their own pytest coverage (test_merge.py)."""
+    key = (id(spark), f"{sf_dir}#{tag}")
+    if key not in _INDEX_CACHE:
+        import shutil
+
+        h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"nss-contract-{tag}-{h}")
+        marker = os.path.join(idx_dir, ".contract-mutation-done")
+        if os.path.exists(marker):
+            _INDEX_CACHE[key] = load_index(spark, idx_dir)
+        else:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            idx = builder(idx_dir)
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write("done")
+            _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _topk_contract(idx: Index, terms: list[str], k: int = 10) -> DataFrame:
+    res = wand.search(idx, terms, k=k)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score")
+    )
+
+
+def q_append_then_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split ingest: build on even doc_ids, ``append_to_index`` the odds,
+    BM25 top-k over the merged index. Oracle = full-corpus BM25 — the
+    append ≡ fresh-build invariant made query-visible."""
+
+    def build(idx_dir: str) -> Index:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(spark, docs.where(F.col("doc_id") % 2 == 0), idx_dir,
+                    text_col="text", id_col="doc_id", resume=False)
+        return append_to_index(spark, idx_dir,
+                               docs.where(F.col("doc_id") % 2 == 1),
+                               text_col="text", id_col="doc_id")
+
+    return _topk_contract(_mutated_index(spark, sf_dir, "aidx", build),
+                          WAND_TERMS_MULTI)
+
+
+def q_delete_then_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone mask at query time: delete doc_id % 7 == 3 then search.
+    Lucene live-docs semantics — masked docs still count in df/avgdl/N
+    until a merge, so the oracle keeps FULL-corpus stats and only filters
+    the candidate set."""
+
+    def build(idx_dir: str) -> Index:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(spark, docs, idx_dir,
+                    text_col="text", id_col="doc_id", resume=False)
+        victims = docs.select("doc_id").where(
+            F.col("doc_id") % DELETE_MOD == DELETE_REM)
+        return delete_docs(spark, idx_dir, victims)
+
+    return _topk_contract(_mutated_index(spark, sf_dir, "didx", build),
+                          WAND_TERMS_MULTI)
+
+
+def q_compact_then_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force-merge analog: delete doc_id % 7 == 3, physically compact, then
+    search. Compaction ≡ fresh build over the live corpus, so — unlike
+    delete_then_topk — df/avgdl/N are recomputed over survivors; the two
+    entries pin both sides of the Lucene delete-visibility contract."""
+
+    def build(idx_dir: str) -> Index:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        build_index(spark, docs, idx_dir,
+                    text_col="text", id_col="doc_id", resume=False)
+        victims = docs.select("doc_id").where(
+            F.col("doc_id") % DELETE_MOD == DELETE_REM)
+        delete_docs(spark, idx_dir, victims)
+        return compact_index(spark, idx_dir)
+
+    return _topk_contract(_mutated_index(spark, sf_dir, "cidx", build),
+                          WAND_TERMS_MULTI)
+
+
+def q_upsert_then_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace-by-id: build with placeholder text for doc_id % 5 == 0, then
+    ``upsert_to_index`` the real text for exactly those ids. The upserted
+    index must be indistinguishable from a fresh build over the true
+    corpus, so the oracle is plain full-corpus BM25; a lost or duplicated
+    replacement shifts df and the top-k."""
+
+    def build(idx_dir: str) -> Index:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        stale = docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") % UPSERT_MOD == 0,
+                   F.lit("placeholder pending reindex")).otherwise(F.col("text")),
+        )
+        build_index(spark, stale, idx_dir,
+                    text_col="text", id_col="doc_id", resume=False)
+        delta = docs.where(F.col("doc_id") % UPSERT_MOD == 0)
+        return upsert_to_index(spark, idx_dir, delta,
+                               text_col="text", id_col="doc_id")
+
+    return _topk_contract(_mutated_index(spark, sf_dir, "uidx", build),
+                          WAND_TERMS_MULTI)
+
+
+def _bm25_mut_sql(terms: list[str], k: int,
+                  corpus_where: str = "TRUE",
+                  candidate_where: str = "TRUE") -> str:
+    """Full-corpus-stats BM25 with independent corpus / candidate filters:
+    ``corpus_where`` restricts the docs the STATS see (compacted index),
+    ``candidate_where`` only masks result candidates (tombstoned index)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    toks = """
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9_]+')) AS term
+      FROM src
+    """
+    return f"""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE {corpus_where}),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS INT) AS tf
+                FROM ({toks}) WHERE term <> '' GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, count(*) AS doclen
+                FROM ({toks}) WHERE term <> '' GROUP BY doc_id),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      WHERE {candidate_where}
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
+    """
+
+
 # ----------------------------------------------------------- registry
 
 SPARK_QUERIES_EXT = {
@@ -2164,6 +2323,10 @@ SPARK_QUERIES_EXT = {
     "search_request_highlight": q_search_request_highlight,
     "hybrid_knn_text": q_hybrid_knn_text,
     "multimodal_features": q_multimodal_features,
+    "append_then_topk": q_append_then_topk,
+    "delete_then_topk": q_delete_then_topk,
+    "compact_then_topk": q_compact_then_topk,
+    "upsert_then_topk": q_upsert_then_topk,
 }
 
 ORACLE_SQL_EXT = {
@@ -2241,4 +2404,12 @@ ORACLE_SQL_EXT = {
     "seismic_explain": _seismic_explain_sql(
         SEISMIC_QUERY, 10, SEISMIC_CEIL_IN, SEISMIC_CEIL_SEARCH),
     "multimodal_features": MULTIMODAL_SQL,
+    "append_then_topk": _bm25_mut_sql(WAND_TERMS_MULTI, 10),
+    "delete_then_topk": _bm25_mut_sql(
+        WAND_TERMS_MULTI, 10,
+        candidate_where=f"tf.doc_id % {DELETE_MOD} <> {DELETE_REM}"),
+    "compact_then_topk": _bm25_mut_sql(
+        WAND_TERMS_MULTI, 10,
+        corpus_where=f"doc_id % {DELETE_MOD} <> {DELETE_REM}"),
+    "upsert_then_topk": _bm25_mut_sql(WAND_TERMS_MULTI, 10),
 }
