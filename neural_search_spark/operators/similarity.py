@@ -261,6 +261,7 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_band_df: int = 10_000,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
 
@@ -270,7 +271,16 @@ def embedding_near_dup_pairs(
     probabilistic: P(candidate) = 1 − (1 − p^r)^b with p = 1 − acos(cos)/π;
     at the 32-bit/4-band default, ≈0.90 at cosine 0.95 and 1.0 for
     bit-identical vectors. Raise ``bands`` (or lower nbits) for higher
-    recall at more candidate-join cost."""
+    recall at more candidate-join cost.
+
+    ``max_band_df`` drops band buckets holding more than that many vectors
+    before the self-join (same guard as dedup.py's shingle/chunk-df caps):
+    near-constant embeddings — dead pages, boilerplate — collapse to a few
+    signatures, and one degenerate bucket makes the candidate join
+    quadratic at corpus scale. Recall effect: a pair is missed only if
+    EVERY band that matches it is degenerate, i.e. only within the dropped
+    near-constant cluster itself (which exact-hash dedup upstream should
+    collapse anyway); cross-cluster pairs keep their other bands."""
     assert nbits % bands == 0
     rows = nbits // bands
     dim = len(emb.select(vec_col).first()[0])
@@ -286,6 +296,12 @@ def embedding_near_dup_pairs(
             for i in range(bands)
         ])).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ok_bands = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("bdf"))
+        .where(F.col("bdf") <= max_band_df)
+    )
+    banded = banded.join(ok_bands, ["band", "key"], "left_semi")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
