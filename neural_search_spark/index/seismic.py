@@ -726,8 +726,15 @@ def _seismic_kernel(pdf: pd.DataFrame, *, q_tok: np.ndarray, q_w: np.ndarray,
 
     acc_mask = None
     if accepted is not None:
-        acc_mask = np.fromiter((int(d) in accepted for d in docs_u),
-                               dtype=bool, count=len(docs_u))
+        if isinstance(accepted, frozenset):  # small-set exact path (≤ k ids)
+            acc_mask = np.fromiter((int(d) in accepted for d in docs_u),
+                                   dtype=bool, count=len(docs_u))
+        elif len(accepted):  # sorted per-bucket candidate array (cogrouped)
+            pos = np.minimum(np.searchsorted(accepted, docs_u),
+                             len(accepted) - 1)
+            acc_mask = accepted[pos] == docs_u
+        else:
+            acc_mask = np.zeros(len(docs_u), dtype=bool)
 
     def topk_frame(sel_idx: np.ndarray) -> pd.DataFrame:
         d, s = docs_u[sel_idx], dots[sel_idx]
@@ -807,7 +814,6 @@ def seismic_search(
     mode: str = "auto",
     candidates: DataFrame | None = None,
     counters: dict | None = None,
-    _candidate_cap: int = 200_000,
 ) -> DataFrame:
     """Top-k by quantized dot product: (docID, score), score desc / docID asc.
 
@@ -837,16 +843,25 @@ def seismic_search(
     if not len(q_tok):
         return spark.createDataFrame([], "docID long, score double")
 
+    # pre-filter (accepted-docs BitSet analog). Small sets (≤ k) collect to
+    # the driver — bounded by k — and force exact scoring of just those
+    # docs (filter-cardinality switch, SparseQueryWeight.java:156-166).
+    # Larger sets are never collected: the candidate frame cogroups with
+    # the sindex rows per bucket (same docID-hash bucketing), so the mask
+    # stays distributed at any cardinality.
     accepted: frozenset | None = None
+    cand_bucketed: DataFrame | None = None
     if candidates is not None:
-        cand_rows = candidates.limit(_candidate_cap + 1).collect()
-        if len(cand_rows) > _candidate_cap:
-            raise ValueError(
-                f"candidates exceeds the {_candidate_cap}-doc broadcast cap; "
-                "pre-filter the feature frame with a semi-join instead")
-        accepted = frozenset(int(r[0]) for r in cand_rows)
-        if len(accepted) <= k:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).cast("long").alias("docID"))
+        head = cand.limit(k + 1).collect()
+        if len(head) <= k:
+            accepted = frozenset(int(r[0]) for r in head)
             mode = "exact"  # filter-cardinality switch
+        else:
+            cand_bucketed = cand.select(
+                "docID",
+                bucket_col("docID", int(p["bucket_bits"])).alias("bucket"))
     if mode == "auto":
         n_docs = p.get("n_docs") or index.stats()["n_docs"]
         thr = p.get("approximate_threshold", DEFAULT_APPROXIMATE_THRESHOLD)
@@ -867,7 +882,25 @@ def seismic_search(
             k=k, heap_factor=float(heap_factor), mode=mode,
             tok_dtype=tok_dtype, accepted=accepted, counters=counters)
 
-    per_bucket = pruned.groupBy("bucket").applyInPandas(kernel, _KERNEL_SCHEMA)
+    if cand_bucketed is not None:
+        def kernel_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if not len(left):
+                return pd.DataFrame({"docID": pd.Series(dtype="int64"),
+                                     "dot": pd.Series(dtype="int64")})
+            acc = np.unique(right["docID"].to_numpy(np.int64))
+            return _seismic_kernel(
+                left, q_tok=q_tok, q_w=q_w,
+                q_tok_sorted=q_tok_sorted, q_w_sorted=q_w_sorted,
+                k=k, heap_factor=float(heap_factor), mode=mode,
+                tok_dtype=tok_dtype, accepted=acc, counters=counters)
+
+        per_bucket = (
+            pruned.groupBy("bucket")
+            .cogroup(cand_bucketed.groupBy("bucket"))
+            .applyInPandas(kernel_cogroup, _KERNEL_SCHEMA)
+        )
+    else:
+        per_bucket = pruned.groupBy("bucket").applyInPandas(kernel, _KERNEL_SCHEMA)
     scale = float(ceil_in) * float(ceil_s) / 255.0 / 255.0
     return (
         per_bucket

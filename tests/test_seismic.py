@@ -189,6 +189,21 @@ def test_candidate_filter_switch_and_mask(spark, feats, feats_rows):
     assert [r["docID"] for r in got] == want
 
 
+def test_candidate_filter_large_set_stays_distributed(spark, feats, feats_rows):
+    """A 250k-id candidate frame (the pre-rewrite path hard-errored past
+    200k) runs through the cogrouped per-bucket mask — never collected —
+    and returns exactly the brute-force filtered ranking."""
+    idx = _build(spark, feats, "cand-big")
+    cands = spark.range(0, 500_000, 2).select(F.col("id").alias("docID"))
+    for mode in ("exact", "ann"):
+        got = seismic_search(idx, QUERY, k=10, mode=mode,
+                             candidates=cands).collect()
+        want = [d for d, _ in
+                _brute_topk(feats_rows, QUERY, 240, 3.0, DEFAULT_CEIL_SEARCH)
+                if d % 2 == 0][:10]
+        assert [r["docID"] for r in got] == want, mode
+
+
 def test_mode_auto_threshold(spark, feats):
     low = _build(spark, feats, "auto-lo", approximate_threshold=10)
     assert low.params["n_docs"] >= 10  # auto → ann path runs without error
