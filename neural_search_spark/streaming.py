@@ -142,6 +142,20 @@ def stream_ingest_seismic(
         n_present = ids.join(idx.docs(), "docID", "left_semi").count()
         if n_present == n_batch:
             return  # redelivered fully-ingested batch
+        if n_present:
+            # partially-ingested batch (e.g. a crash between append commit
+            # and checkpoint advance, then a redelivery widened by new
+            # files): ingest only the genuinely new ids — re-appending the
+            # present ones would trip append's check_disjoint on every
+            # redelivery and wedge the stream
+            present = idx.docs().select(F.col("docID").alias("__present_id"))
+            feats = feats.join(
+                present,
+                F.col(id_col).cast("long") == F.col("__present_id"),
+                "left_anti")
+            print(f"[stream_ingest_seismic] batch {batch_id}: dropped "
+                  f"{n_present} already-present ids, appending "
+                  f"{n_batch - n_present} new")
         append_to_seismic_index(
             spark, index_dir, feats, id_col=id_col, feat_col=feat_col)
 

@@ -124,3 +124,44 @@ def test_stream_ingest_seismic_matches_batch_build(spark, tmp_path):
     want = seismic_search(fresh, {"def": 2.0, "parse": 1.0}, k=5).collect()
     assert [(r["docID"], r["score"]) for r in got] == \
            [(r["docID"], r["score"]) for r in want]
+
+
+def test_stream_seismic_partial_overlap_batch_ingests_new_ids(spark, tmp_path):
+    """A micro-batch that MIXES already-ingested ids with new ones (fresh
+    checkpoint re-offering old files alongside a new drop) must anti-join
+    the present ids out and ingest the rest — not wedge the stream on
+    append's check_disjoint."""
+    from neural_search_spark.index.seismic import (
+        SeismicIndex, build_seismic_index,
+    )
+    from neural_search_spark.streaming import stream_ingest_seismic
+    from neural_search_spark.analysis.tokenizer import tokens_with_tf
+
+    full = with_doc_id(generate_corpus(spark, 60, seed=31)).cache()
+    base = full.where(F.pmod(F.col("docID"), F.lit(3)) == 0)
+    old_delta = full.where(F.pmod(F.col("docID"), F.lit(3)) == 1)
+    new_delta = full.where(F.pmod(F.col("docID"), F.lit(3)) == 2)
+    n_base, n_old, n_new = base.count(), old_delta.count(), new_delta.count()
+    assert n_old and n_new
+
+    idx_dir = str(tmp_path / "seis-idx")
+    build_seismic_index(
+        spark, tokens_with_tf(base, "content"), idx_dir,
+        bucket_bits=2, quant_ceil_ingest=16.0)
+
+    drop_dir = str(tmp_path / "incoming")
+    old_delta.select("docID", "content").write.mode("append").parquet(drop_dir)
+    q = stream_ingest_seismic(
+        spark, drop_dir, idx_dir, str(tmp_path / "ckpt1"),
+        text_col="content", available_now=True)
+    q.awaitTermination(180)
+    assert SeismicIndex.load(spark, idx_dir).params["n_docs"] == n_base + n_old
+
+    # fresh checkpoint: one batch re-offers old_delta's files AND new ones
+    new_delta.select("docID", "content").write.mode("append").parquet(drop_dir)
+    q2 = stream_ingest_seismic(
+        spark, drop_dir, idx_dir, str(tmp_path / "ckpt2"),
+        text_col="content", available_now=True)
+    q2.awaitTermination(180)
+    assert SeismicIndex.load(spark, idx_dir).params["n_docs"] == \
+        n_base + n_old + n_new
