@@ -34,27 +34,6 @@ from neural_search_spark.operators.similarity import (
 __all__ = ["build_ann_index", "ann_search"]
 
 
-def _lloyd_refine(
-    emb: DataFrame, centroids: np.ndarray, iters: int,
-    id_col: str, vec_col: str,
-) -> np.ndarray:
-    """Distributed Lloyd steps: assign → per-list mean via posexplode agg.
-    Only (nlist × dim) floats ever reach the driver. Empty lists keep their
-    previous centroid (deterministic)."""
-    for _ in range(iters):
-        assigned = ivf_assign(emb, centroids, id_col, vec_col)
-        means = (
-            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
-            .groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = centroids.copy()
-        for r in means:
-            new[int(r["list_id"]), int(r["pos"])] = float(r["m"])
-        centroids = new
-    return centroids
-
-
 def build_ann_index(
     emb: DataFrame,
     index_dir: str,
@@ -62,7 +41,7 @@ def build_ann_index(
     nlist: int = 16,
     nbits: int = 16,
     bucket_bits: int = 8,
-    refine_iters: int = 0,
+    refine_iters: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -80,9 +59,8 @@ def build_ann_index(
     dim = len(emb.select(vec_col).first()[0])
     os.makedirs(index_dir, exist_ok=True)
     if kind == "ivf":
-        cents = ivf_centroids(emb, nlist, id_col, vec_col)
-        if refine_iters:
-            cents = _lloyd_refine(emb, cents, refine_iters, id_col, vec_col)
+        cents = ivf_centroids(emb, nlist, id_col, vec_col,
+                              refine_iters=refine_iters)
         assigned = ivf_assign(emb, cents, id_col, vec_col)
         (assigned.select(id_col, vec_col, "list_id")
          .write.mode("overwrite").partitionBy("list_id")

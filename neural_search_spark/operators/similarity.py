@@ -211,19 +211,48 @@ def ivf_assign(
     return emb.withColumn("list_id", _make_assigner(centroids)(F.col(vec_col)))
 
 
+def lloyd_refine(
+    emb: DataFrame, centroids: np.ndarray, iters: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd steps: assign → per-list mean via posexplode agg.
+    Only (nlist × dim) floats ever reach the driver. Empty lists keep their
+    previous centroid (deterministic)."""
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("list_id", "pos").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in means:
+            new[int(r["list_id"]), int(r["pos"])] = float(r["m"])
+        centroids = new
+    return centroids
+
+
 def ivf_centroids(
     emb: DataFrame,
     nlist: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 1,
 ) -> np.ndarray:
-    """Deterministic seed centroids: the nlist lowest-id vectors (stable
-    across runs/cluster sizes). One cheap refinement pass would be Lloyd's
-    step; omitted — recall is tested against the brute-force oracle."""
+    """Deterministic centroids: seeds are the nlist vectors with the lowest
+    xxhash64(id) — stable across runs/cluster sizes like id-order, but
+    DECORRELATED from id assignment (crawl-ordered ids would otherwise
+    cluster the seeds in one corpus region and crater recall) — then
+    ``refine_iters`` distributed Lloyd steps (default 1)."""
     rows = (
-        emb.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(nlist).collect()
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(nlist).collect()
     )
-    return np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    cents = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    if refine_iters:
+        cents = lloyd_refine(emb, cents, refine_iters, id_col, vec_col)
+    return cents
 
 
 def ivf_topk(
