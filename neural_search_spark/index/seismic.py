@@ -582,7 +582,14 @@ def seismic_profile(
     """Run an ANN search and return (rows, cluster-skip profile) — the
     seismic twin of wand.profile_search. Counts clusters and their posting
     entries touched vs skipped by the θ/heap_factor test across all
-    buckets (Spark accumulators, so numbers aggregate across executors)."""
+    buckets (Spark accumulators, so numbers aggregate across executors).
+
+    These are VISIBILITY-pruning metrics (reference-faithfulness: how much
+    the θ/heap_factor walk narrows what can enter the result heap,
+    SeismicBaseScorer.java:202-220), NOT compute savings — this layout's
+    kernel scores every doc of the cut tokens' runs up front in one
+    bincount, so ANN and exact modes scan the same run rows; the skipped
+    clusters gate result admission (recall), not postings decoded."""
     sc = index.spark.sparkContext
     accs = {name: sc.accumulator(0) for name in
             ("clusters_total", "clusters_skipped",
@@ -593,7 +600,8 @@ def seismic_profile(
     ct, cs = prof["clusters_total"], prof["clusters_skipped"]
     prof["cluster_skip_ratio"] = round(cs / ct, 4) if ct else 0.0
     dt, ds = prof["cluster_docs_total"], prof["cluster_docs_skipped"]
-    prof["posting_skip_ratio"] = round(ds / dt, 4) if dt else 0.0
+    # visibility pruning, not postings decoded (see docstring)
+    prof["visibility_skip_ratio"] = round(ds / dt, 4) if dt else 0.0
     return rows, prof
 
 
