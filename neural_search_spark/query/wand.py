@@ -582,8 +582,14 @@ def search(
         ).collect()
         dfs = {r["term"]: int(r["df"]) for r in stat}
         total_postings = sum(dfs.values())
-        if auto and total_postings <= max(4 * k * n_buckets, 2 * exact_threshold):
-            want_seed = False  # actual dfs too small for pruning to matter
+        # no-seed unless the per-bucket matched postings exceed the kernel's
+        # own brute-decode switch: below it every bucket exhaustively
+        # decodes regardless of θ, so the pre-pass job round-trips are pure
+        # overhead (measured 2× latency at 40k total postings / 8 buckets);
+        # above it pruning is live and the seed restores cross-bucket skip
+        if auto and total_postings <= max(4 * k * n_buckets,
+                                          exact_threshold * n_buckets):
+            want_seed = False
         if want_seed:
             # rare seed set: take the rarest terms until their union can
             # hold a full top-k; stop before any heavier term (the pre-pass
