@@ -929,15 +929,99 @@ NGRAM_JACCARD_SQL = f"""
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (signature hashes use xxhash64, unavailable in DuckDB)."""
+    """Fully oracled via hash="md5" (portable md5-prefix hash — DuckDB
+    reproduces shingle hashes, the 64 signature mins, band keys, candidate
+    join, and the exact-Jaccard verify end-to-end). xxhash64 stays the
+    production default; the pipeline is otherwise identical."""
     return dedup.minhash_lsh_pairs(
-        _aug_docs(spark, sf_dir), "text", "doc_id", threshold=0.7
+        _aug_docs(spark, sf_dir), "text", "doc_id", threshold=0.7, hash="md5"
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (xxhash64 bit planes)."""
-    return dedup.simhash_pairs(_aug_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+    """Fully oracled via hash="md5". The oracle scores ALL pairs: pigeonhole
+    chunk blocking is lossless for hamming ≤ max_hamming and the corpus is
+    far under max_chunk_df, so Spark's blocked output equals the brute set."""
+    return dedup.simhash_pairs(
+        _aug_docs(spark, sf_dir), "text", "doc_id", max_hamming=3, hash="md5"
+    )
+
+
+_MH_A, _MH_B = dedup._hash_params(64, 42)
+_M31 = 2147483647
+
+
+def _minhash_sql(bands: int = 16, rows: int = 4, threshold: float = 0.7) -> str:
+    sig_cols = ",\n             ".join(
+        f"min(({_MH_A[i]} * x + {_MH_B[i]}) % {_M31}) AS m{i}"
+        for i in range(bands * rows))
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {i} AS band, "
+        + " || ',' || ".join(f"m{i * rows + r}::VARCHAR" for r in range(rows))
+        + " AS key_str FROM sig"
+        for i in range(bands))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM ({_AUG_DOCS_SQL}))
+    ),
+    hx AS (SELECT doc_id,
+                  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_M31} AS x
+           FROM sh),
+    sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, band,
+             ('0x' || substr(md5(key_str), 1, 15))::BIGINT AS key
+      FROM ({band_rows})
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    plane_cols = []
+    for j in range(64):
+        digit = f"('0x' || substr(md5(term), {j // 4 + 1}, 1))::INT"
+        bit = f"(({digit} >> {j % 4}) & 1)"
+        plane_cols.append(f"sum(CASE WHEN {bit} = 1 THEN tf ELSE -tf END) AS b{j}")
+    planes = ",\n             ".join(plane_cols)
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END)::BIGINT * "
+        + (str(2 ** j) if j < 63 else "(-9223372036854775807 - 1)")
+        for j in range(64))
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS term FROM ({_AUG_DOCS_SQL}))
+      GROUP BY doc_id, term
+    ),
+    planes AS (SELECT doc_id, {planes} FROM tf GROUP BY doc_id),
+    sim AS (SELECT doc_id, {packed} AS simhash FROM planes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 # -------------------------------------------------------- similarity
@@ -2384,7 +2468,8 @@ ORACLE_SQL_EXT = {
     "dedup_exact_groups": DEDUP_GROUPS_SQL,
     "dedup_exact_survivors": DEDUP_SURVIVORS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
-    # minhash_lsh_pairs / simhash_pairs: rows-only
+    "minhash_lsh_pairs": _minhash_sql(),
+    "simhash_pairs": _simhash_sql(),
     "cosine_topk": COSINE_TOPK_SQL,
     "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),

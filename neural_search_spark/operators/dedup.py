@@ -135,6 +135,15 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def md5_prefix_hash(c):
+    """Portable 60-bit hash: the first 15 hex chars of md5 as an integer.
+    Bit-identical across engines — DuckDB spells it
+    ``('0x' || substr(md5(s), 1, 15))::BIGINT`` — which is what lets the
+    minhash/simhash contract entries carry full SQL oracles. xxhash64 stays
+    the default production hash (one JVM op vs an md5 round)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "content",
@@ -142,16 +151,22 @@ def minhash_signatures(
     num_hashes: int = 64,
     n: int = 3,
     seed: int = 42,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) MinHash signature per doc.
 
-    h_i(s) = (a_i·x + b_i) mod (2^31−1) with x = xxhash64(shingle) folded to
+    h_i(s) = (a_i·x + b_i) mod (2^31−1) with x = hash(shingle) folded to
     31 bits — all JVM expressions; the per-i min is num_hashes aggregate
     columns (map-side combined before the shuffle).
+
+    ``hash``: "xxhash64" (default) or "md5" (portable — reproducible in
+    ANSI-ish SQL, used by the DuckDB contract oracle).
     """
     a, b = _hash_params(num_hashes, seed)
     sh = shingles(df, text_col, id_col, n)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE31))
+    base = (F.xxhash64("shingle") if hash == "xxhash64"
+            else md5_prefix_hash(F.col("shingle")))
+    x = F.pmod(base, F.lit(MERSENNE31))
     hashed = sh.select(
         id_col,
         *[((F.lit(a[i]) * x + F.lit(b[i])) % MERSENNE31).alias(f"h{i}") for i in range(num_hashes)],
@@ -173,27 +188,34 @@ def minhash_lsh_pairs(
     n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     bands × rows = num_hashes; two docs collide if any band matches
     (P[collide] = 1 − (1 − j^rows)^bands). Candidates are verified against
     the true shingle sets so the output has no false positives.
+
+    ``hash``: "xxhash64" (default) or "md5" (portable; band keys and
+    shingle hashes reproducible in the DuckDB oracle).
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed, hash)
+
+    def band_key(i: int):
+        joined = F.concat_ws(",", *[
+            F.element_at("sig", i * rows + r + 1).cast("string")
+            for r in range(rows)
+        ])
+        return (F.xxhash64(joined) if hash == "xxhash64"
+                else md5_prefix_hash(joined))
+
     banded = sig.select(
         id_col,
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(F.concat_ws(",", *[
-                        F.element_at("sig", i * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ])).alias("key"),
-                )
+                F.struct(F.lit(i).alias("band"), band_key(i).alias("key"))
                 for i in range(bands)
             ])
         ).alias("bk"),
@@ -229,24 +251,40 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+def simhash64(df: DataFrame, text_col: str = "content", id_col: str = "docID",
+              hash: str = "xxhash64") -> DataFrame:
     """(id, simhash long): 64-bit tf-weighted SimHash, fully JVM-side.
 
     Each token contributes ±tf to 64 bit-plane sums (64 aggregate columns,
     map-side combined); the sign vector packs into one long.
+
+    ``hash``: "xxhash64" (default) takes bit j of xxhash64(term); "md5"
+    (portable, for the DuckDB oracle) takes bit j%4 of md5(term)'s j//4-th
+    hex digit — the same expression both engines evaluate identically.
     """
     toks = tokens_col(F.col(text_col))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
     )
+    if hash == "xxhash64":
+        tf = tf.withColumn("h", F.xxhash64("term"))
+
+        def bit(j: int):
+            return F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))
+    else:
+        tf = tf.withColumn("hhex", F.md5("term"))
+
+        def bit(j: int):
+            digit = F.conv(
+                F.substring(F.col("hhex"), j // 4 + 1, 1), 16, 10
+            ).cast("int")
+            return F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+
     planes = tf.groupBy(id_col).agg(*[
-        F.sum(
-            F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
-        ).alias(f"b{j}")
+        F.sum(F.when(bit(j) == 1, F.col("tf")).otherwise(-F.col("tf")))
+        .alias(f"b{j}")
         for j in range(64)
     ])
     packed = sum(
@@ -263,6 +301,7 @@ def simhash_pairs(
     id_col: str = "docID",
     max_hamming: int = 3,
     max_chunk_df: int = 100_000,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -286,7 +325,7 @@ def simhash_pairs(
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError("max_hamming must be in [0, 31]")
-    sh = simhash64(df, text_col, id_col)
+    sh = simhash64(df, text_col, id_col, hash)
     if max_hamming == 0:
         x, y = sh.alias("x"), sh.alias("y")
         return (
