@@ -1,7 +1,14 @@
-"""Pins the round-2 headline claim: heavy-term queries skip ≥80% of
-postings at bench scale with DEFAULT arguments (doclen-classed layout +
-adaptive θ seeding). Guards against layout/seeding regressions that the
-300-doc unit fixtures cannot see."""
+"""Pins the heavy-query pruning claims at bench scale (20k docs):
+
+  * MACHINERY — with the θ-seed forced on, the doclen-classed layout +
+    seeded global θ skip ≥80% of heavy-term postings (the at-scale path;
+    the 1M-doc soak measures ~98%). Guards layout/seeding regressions the
+    300-doc unit fixtures cannot see.
+  * POLICY — at this scale the matched postings per bucket sit UNDER the
+    kernel's exact_threshold, so every bucket brute-decodes regardless of
+    θ and the auto policy must DECLINE the seed (the pre-pass job
+    round-trips measured 2× latency for zero decode savings here).
+"""
 
 import pytest
 
@@ -21,11 +28,22 @@ def big_index(spark, tmp_path_factory):
     )
 
 
-def test_heavy_query_skips_default_args(big_index):
-    rows, prof = profile_search(big_index, ["if", "for", "while", "self"], k=10)
+def test_heavy_query_skips_when_seeded(big_index):
+    rows, prof = profile_search(
+        big_index, ["if", "for", "while", "self"], k=10, seed_theta=True)
     assert len(rows) == 10
     skip = 1 - prof["postings_decoded"] / prof["postings_total"]
     assert skip >= 0.80, prof  # counters include the seed pre-pass
+
+
+def test_auto_declines_seed_below_bucket_threshold(big_index):
+    """Default (auto) policy at 20k docs: per-bucket matched postings are
+    under exact_threshold, so no seed fires and the kernel brute-decodes —
+    the profile must show the main pass touching every matched posting
+    (i.e. no hidden pre-pass jobs)."""
+    rows, prof = profile_search(big_index, ["if", "for", "while", "self"], k=10)
+    assert len(rows) == 10
+    assert prof["postings_decoded"] == prof["postings_total"], prof
 
 
 def test_heavy_query_seeded_equals_unseeded(big_index):
