@@ -178,11 +178,74 @@ def _proc_text_image_embedding(df: DataFrame, params: dict) -> DataFrame:
     return df.withColumn(dst, embed(fm.get("text"), fm.get("image")))
 
 
+def _proc_semantic_field(df: DataFrame, params: dict) -> DataFrame:
+    """The semantic field type: mapper-level auto chunk + embed.
+
+    Reference: main/mapper/SemanticFieldMapper.java:1-416 declares a field
+    ``semantic``; main/processor/semantic/SemanticFieldProcessor.java:192-410
+    is then SYSTEMATICALLY invoked at ingest — chunking (disabled by
+    default, SemanticFieldConstants.CHUNKING), embedding per chunk (sparse
+    models pruned with max_ratio 0.1 by default — DEFAULT_PRUNE_RATIO,
+    SemanticFieldProcessor.java:96,393-401), and the result stored in a
+    sibling ``<field>_semantic_info`` structure holding the chunks, their
+    embeddings, and model metadata {id, name, type}
+    (SemanticInfoFieldConstants.java:25-32) — the reuse key of the
+    skip-existing check.
+
+    params: ``field_map`` {src: semantic_info_dst}; ``model_id`` required;
+    ``model_name`` (default model_id), ``model_type`` "dense" (default) |
+    "sparse"; ``chunking`` False (reference default) | a text_chunking
+    algorithm dict; sparse: ``prune_type`` (default "max_ratio") /
+    ``prune_ratio`` (default 0.1) / ``encode_fn``; dense: ``embed_fn``.
+    Pure column rewrite — stays inside the pipeline's single narrow stage.
+    """
+    if "model_id" not in params:
+        raise ValueError("semantic_field requires model_id")
+    model_id = params["model_id"]
+    model_type = params.get("model_type", "dense")
+    if model_type not in ("dense", "sparse"):
+        raise ValueError("model_type must be dense|sparse")
+    if model_type == "dense":
+        emb = params.get("embed_fn", embed_col)
+    else:
+        encode = params.get("encode_fn", tf_map_col)
+        kind = params.get("prune_type", "max_ratio")
+        ratio = params.get("prune_ratio", 0.1)
+        if kind == "none":
+            emb = encode
+        elif kind in prune.PRUNERS:
+            emb = lambda c: prune.PRUNERS[kind](encode(c), ratio)  # noqa: E731
+        else:
+            raise ValueError(f"unknown prune_type: {kind}")
+    model_struct = F.struct(
+        F.lit(model_id).alias("id"),
+        F.lit(params.get("model_name", model_id)).alias("name"),
+        F.lit(model_type).alias("type"),
+    )
+    chunk_cfg = params.get("chunking", False)
+    for src, dst in params["field_map"].items():
+        c = F.col(src)
+        if chunk_cfg:
+            fn = _chunker_from(
+                chunk_cfg if isinstance(chunk_cfg, dict) else {"delimiter": {}})
+            chunk_structs = F.transform(
+                fn(c),
+                lambda t: F.struct(t.alias("text"), emb(t).alias("embedding")),
+            )
+            df = df.withColumn(dst, F.struct(
+                chunk_structs.alias("chunks"), model_struct.alias("model")))
+        else:
+            df = df.withColumn(dst, F.struct(
+                emb(c).alias("embedding"), model_struct.alias("model")))
+    return df
+
+
 PROCESSORS = {
     "text_chunking": _proc_text_chunking,
     "sparse_encoding": _proc_sparse_encoding,
     "text_embedding": _proc_text_embedding,
     "text_image_embedding": _proc_text_image_embedding,
+    "semantic_field": _proc_semantic_field,
 }
 
 
@@ -207,7 +270,8 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
 
 
 INFERENCE_PROCESSORS = (
-    "sparse_encoding", "text_embedding", "text_image_embedding")
+    "sparse_encoding", "text_embedding", "text_image_embedding",
+    "semantic_field")
 
 
 def run_pipeline_incremental(
@@ -268,6 +332,11 @@ def run_pipeline_incremental(
             reuse = F.col("_ex_dst").isNotNull()
             for i, s in enumerate(srcs):
                 reuse = reuse & F.col(s).eqNullSafe(F.col(f"_ex_src_{i}"))
+            if name == "semantic_field":
+                # SemanticFieldProcessor.java:263-267: a stored semantic
+                # info generated by a DIFFERENT model id is never reused
+                reuse = reuse & (
+                    F.col("_ex_dst.model.id") == F.lit(params["model_id"]))
             reused = (
                 j.where(reuse)
                 .withColumn(dst, F.col("_ex_dst"))

@@ -168,7 +168,10 @@ _R03_FRONT = [
     # new this round: index mutation paths (append/delete/compact/upsert)
     "append_then_topk", "delete_then_topk", "compact_then_topk",
     "upsert_then_topk",
-    # never driver-verified, rows-only
+    # new this round: semantic field type (auto chunk+embed at the mapper)
+    "ingest_semantic",
+    # never driver-verified: rows-only ANN approximations, plus the
+    # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",
     "minhash_lsh_pairs", "simhash_pairs",
     # last green in r01 (pushed out of the r02 window)

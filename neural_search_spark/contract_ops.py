@@ -1911,6 +1911,50 @@ INGEST_CHUNKED_SQL = f"""
 """
 
 
+def q_ingest_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_field processor (mapper-level auto chunk + embed, reference
+    main/mapper/SemanticFieldMapper.java + main/processor/semantic/
+    SemanticFieldProcessor.java): one declaration produces the
+    `<field>_semantic_info` struct — delimiter chunks, per-chunk sparse
+    embedding pruned max_ratio 0.1 (the reference default), model
+    metadata. Flattened here to oracle-comparable runs."""
+    from neural_search_spark.analysis import pipeline as pl
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = pl.run_pipeline(d, [
+        {"semantic_field": {
+            "field_map": {"text": "text_semantic_info"},
+            "model_id": "sparse-double-v1", "model_type": "sparse",
+            "chunking": {"delimiter": {"delimiter": " "}},
+        }},
+    ])
+    ch = out.select(
+        "doc_id",
+        F.col("text_semantic_info.model.id").alias("model_id"),
+        F.col("text_semantic_info.model.type").alias("model_type"),
+        F.posexplode("text_semantic_info.chunks").alias("chunk_idx", "ch"),
+    )
+    return ch.select(
+        "doc_id", "chunk_idx", "model_id", "model_type",
+        F.explode("ch.embedding").alias("term", "weight"),
+    )
+
+
+INGEST_SEMANTIC_SQL = f"""
+    WITH chunks AS ({CHUNK_DELIM_SQL}),
+    tokc AS (
+      SELECT doc_id, chunk_idx,
+             unnest(string_split_regex(lower(chunk), '[^a-z0-9_]+')) AS term
+      FROM chunks),
+    tfc AS (SELECT doc_id, chunk_idx, term, CAST(count(*) AS DOUBLE) AS weight
+            FROM tokc WHERE term <> '' GROUP BY doc_id, chunk_idx, term)
+    SELECT doc_id, chunk_idx, 'sparse-double-v1' AS model_id,
+           'sparse' AS model_type, term, weight
+    FROM tfc
+    QUALIFY weight >= 0.1 * max(weight) OVER (PARTITION BY doc_id, chunk_idx)
+"""
+
+
 def q_ingest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_embedding processor with the deterministic test-double model
     (L2-normalized character-class counts; real models plug in as
@@ -2369,6 +2413,7 @@ SPARK_QUERIES_EXT = {
     "agg_pipeline_stats": q_agg_pipeline_stats,
     "agg_top_hits": q_agg_top_hits,
     "ingest_chunked_sparse": q_ingest_chunked_sparse,
+    "ingest_semantic": q_ingest_semantic,
     "ingest_embedding": q_ingest_embedding,
     "ingest_text_image": q_ingest_text_image,
     "ingest_incremental": q_ingest_incremental,
@@ -2445,6 +2490,7 @@ ORACLE_SQL_EXT = {
     "agg_pipeline_stats": AGG_PIPELINE_SQL,
     "agg_top_hits": AGG_TOP_HITS_SQL,
     "ingest_chunked_sparse": INGEST_CHUNKED_SQL,
+    "ingest_semantic": INGEST_SEMANTIC_SQL,
     "ingest_embedding": _ingest_embedding_sql(),
     "ingest_text_image": _ingest_text_image_sql(),
     "ingest_incremental": INGEST_INCREMENTAL_SQL,

@@ -245,3 +245,56 @@ def test_incremental_text_image_requires_both_unchanged(spark):
     out = {r["docID"]: r["emb"][0] for r in
            pl.run_pipeline_incremental(v2, spec2, stored).collect()}
     assert out == {1: 1.0, 2: 2.0, 3: 2.0}
+
+
+def test_semantic_field_chunked_sparse(spark, docs):
+    """semantic_field = mapper-level auto chunk+embed: chunks carry text +
+    pruned sparse embedding, model metadata rides along (reference
+    SemanticFieldProcessor.java:192-410 + SemanticInfoFieldConstants)."""
+    out = pl.run_pipeline(docs, [
+        {"semantic_field": {
+            "field_map": {"text": "text_semantic_info"},
+            "model_id": "m1", "model_type": "sparse",
+            "chunking": {"delimiter": {"delimiter": " "}},
+        }},
+    ])
+    rows = {r["doc_id"]: r["text_semantic_info"] for r in out.collect()}
+    info = rows[1]  # "alpha beta alpha" → chunks "alpha ", "beta ", "alpha"
+    assert info["model"]["id"] == "m1" and info["model"]["type"] == "sparse"
+    assert [c["text"] for c in info["chunks"]] == ["alpha ", "beta ", "alpha"]
+    assert info["chunks"][0]["embedding"] == {"alpha": 1.0}
+    assert rows[3]["chunks"] == []  # empty doc → no chunks
+
+
+def test_semantic_field_dense_unchunked(spark, docs):
+    """Chunking disabled (the reference default): one embedding at the
+    semantic-info root, no chunks field."""
+    out = pl.run_pipeline(docs, [
+        {"semantic_field": {"field_map": {"text": "si"}, "model_id": "d1"}},
+    ])
+    r1 = out.where(F.col("doc_id") == 1).first()["si"]
+    assert r1["model"]["type"] == "dense"
+    assert "chunks" not in r1.asDict()
+    assert math.isclose(sum(x * x for x in r1["embedding"]), 1.0, rel_tol=1e-9)
+
+
+def test_semantic_field_incremental_model_id_gate(spark):
+    """Skip-existing reuse (SemanticFieldProcessor.java:263-267): unchanged
+    source + same model id → semantic info copied; same source under a NEW
+    model id → re-embedded, never reused."""
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "docID long, text string")
+    mk = lambda mid: [{"semantic_field": {
+        "field_map": {"text": "si"}, "model_id": mid, "model_type": "sparse",
+        "chunking": {"delimiter": {"delimiter": " "}}}}]
+    stored = pl.run_pipeline(v1, mk("m1"))
+    v2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma EDITED")], "docID long, text string")
+    out = {r["docID"]: r["si"] for r in
+           pl.run_pipeline_incremental(v2, mk("m1"), stored).collect()}
+    assert out[1]["model"]["id"] == "m1"          # reused
+    assert out[2]["chunks"][1]["text"] == "EDITED"  # changed → recomputed
+    # same docs, new model id: nothing reused even though text is unchanged
+    out2 = {r["docID"]: r["si"] for r in
+            pl.run_pipeline_incremental(v2, mk("m2"), stored).collect()}
+    assert out2[1]["model"]["id"] == "m2"
