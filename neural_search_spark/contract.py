@@ -170,6 +170,8 @@ _R03_FRONT = [
     "upsert_then_topk",
     # new this round: semantic field type (auto chunk+embed at the mapper)
     "ingest_semantic",
+    # new this round: model-scored rescoring rerank (similarity seam)
+    "rerank_ml_similarity",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

@@ -669,6 +669,49 @@ def _rerank_by_field_sql(terms: list[str], k: int) -> str:
     """
 
 
+RERANK_ML_QUERY = " ".join(WAND_TERMS_MULTI)
+
+
+def q_rerank_ml_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored rescoring rerank (MLOpenSearchRerankProcessor analog):
+    BM25 top-10 rescored by the deterministic text-similarity double
+    against the query text, re-sorted by the new score."""
+    from neural_search_spark.operators.rerank import rerank_by_similarity
+
+    idx = _get_index(spark, sf_dir)
+    hits = wand.search(idx, WAND_TERMS_MULTI, k=10).select(
+        F.col("docID").alias("doc_id"), "score"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    res = rerank_by_similarity(
+        hits, docs, RERANK_ML_QUERY, text_field="text", id_col="doc_id",
+        keep_previous_score=True,
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"),
+        F.round("previous_score", 4).alias("previous_score"),
+    )
+
+
+def _rerank_ml_sql(terms: list[str], k: int) -> str:
+    qlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    nq = len(set(terms))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS ts FROM documents),
+    sim AS (
+      SELECT doc_id,
+             len(list_intersect(ts, [{qlist}]))::DOUBLE AS inter,
+             (len(ts) + {nq} - len(list_intersect(ts, [{qlist}])))::DOUBLE AS un
+      FROM toks)
+    SELECT b.doc_id AS doc_id,
+           round(CASE WHEN s.un = 0 THEN 0.0 ELSE s.inter / s.un END, 6) AS score,
+           b.score AS previous_score
+    FROM ({_bm25_exact_sql(terms, k)}) b
+    JOIN sim s ON s.doc_id = b.doc_id
+    """
+
+
 # --------------------------------------------------------- collapse
 
 def q_collapse_top2_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2421,6 +2464,7 @@ SPARK_QUERIES_EXT = {
     "search_request_collapse": q_search_request_collapse,
     "hybrid_collapse": q_hybrid_collapse,
     "rerank_by_field": q_rerank_by_field,
+    "rerank_ml_similarity": q_rerank_ml_similarity,
     "multifield_hybrid": q_multifield_hybrid,
     "multifield_match_lang": q_multifield_match_lang,
     "collapse_top2_lang": q_collapse_top2_lang,
@@ -2499,6 +2543,7 @@ ORACLE_SQL_EXT = {
     "search_request_collapse": _search_req_collapse_sql(WAND_TERMS_MULTI, 10),
     "hybrid_collapse": _hybrid_collapse_sql(HYBRID_SUBS, HYC_DEPTH, HYC_SIZE),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
+    "rerank_ml_similarity": _rerank_ml_sql(WAND_TERMS_MULTI, 10),
     "multifield_hybrid": _multifield_hybrid_sql(
         sorted(MF_TEXT_QUERY.split()), MF_LANG_TERM),
     "multifield_match_lang": _multifield_lang_sql(MF_LANG_TERM),

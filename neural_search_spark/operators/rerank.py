@@ -190,3 +190,64 @@ def mmr_rerank(
         schema=f"{id_col} {id_type}, rank int, score double, mmr_score double",
     )
     return out.orderBy("rank")
+
+
+def similarity_double(query_text: str, text_col) -> "F.Column":
+    """Deterministic TEXT_SIMILARITY test double: token-set Jaccard between
+    the query text and the document text, pure JVM expressions (and
+    reproducible in the DuckDB oracle). A real cross-encoder plugs in as
+    ``rerank_by_similarity(similarity_fn=...)`` — an Arrow-batched pandas
+    UDF scoring (query, doc) pairs, the reference's
+    MLCommonsClientAccessor.inferenceSimilarity analog."""
+    from neural_search_spark.analysis.tokenizer import tokenize_query, tokens_col
+
+    q = sorted(set(tokenize_query(query_text)))
+    toks = F.array_distinct(tokens_col(text_col))
+    qarr = F.array(*[F.lit(t) for t in q])
+    inter = F.size(F.array_intersect(toks, qarr)).cast("double")
+    union = (F.size(toks) + F.lit(len(q)) - inter).cast("double")
+    return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+
+
+def rerank_by_similarity(
+    results: DataFrame,
+    docs: DataFrame,
+    query_text: str,
+    text_field: str = "content",
+    id_col: str = "docID",
+    keep_previous_score: bool = False,
+    similarity_fn=None,
+) -> DataFrame:
+    """Model-scored rescoring rerank: every hit's document text is scored
+    against the query text by a similarity function, then hits re-sort by
+    the new score — the reference's ML rerank processor
+    (main/processor/rerank/MLOpenSearchRerankProcessor.java:56-88 scores
+    the document-context texts against the query via a TEXT_SIMILARITY
+    model; RescoringRerankProcessor.java:66-80 assigns and re-sorts desc).
+
+    ``similarity_fn(query_text, text_column) -> Column`` is the model seam;
+    the default is the deterministic ``similarity_double``. A hit whose doc
+    is missing from ``docs`` or has a null ``text_field`` fails the job
+    (the reference's document-context fetcher likewise errors when the
+    source field is absent). Tie-break (score desc, id asc) is documented:
+    the reference's stable sort keeps arrival order on ties, which is not
+    reproducible across partitionings.
+
+    Spark shape: one broadcast-friendly equi-join of the candidate-window-
+    sized hit set against the doc table — the big table never shuffles.
+    """
+    fn = similarity_fn or similarity_double
+    sim = fn(query_text, F.col(text_field))
+    checked = F.when(
+        F.col(text_field).isNull(),
+        F.raise_error(F.lit(
+            f"document context field {text_field!r} missing for a hit"
+        )).cast("double"),
+    ).otherwise(sim)
+    joined = results.select(
+        F.col(id_col), F.col("score").alias("previous_score")
+    ).join(docs.select(F.col(id_col), F.col(text_field)), id_col, "left")
+    out = [F.col(id_col), checked.alias("score")]
+    if keep_previous_score:
+        out.append(F.col("previous_score"))
+    return joined.select(*out).orderBy(F.desc("score"), F.asc(id_col))

@@ -184,3 +184,33 @@ def test_mmr_validation(spark):
         mmr_rerank(results, vectors, k=10, candidates=5)
     with pytest.raises(ValueError, match="without a"):
         mmr_rerank(results, vectors, k=1).collect()
+
+
+def test_rerank_by_similarity_rescores_and_sorts(spark):
+    """ML-rerank analog (MLOpenSearchRerankProcessor): every hit's doc text
+    is scored against the query, hits re-sorted desc by the new score."""
+    from neural_search_spark.operators.rerank import (
+        rerank_by_similarity, similarity_double,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "delta")],
+        "docID long, content string")
+    hits = spark.createDataFrame(
+        [(3, 9.0), (1, 5.0), (2, 1.0)], "docID long, score double")
+    rows = rerank_by_similarity(
+        hits, docs, "alpha beta", keep_previous_score=True).collect()
+    # doc 2 = {alpha,beta} vs query {alpha,beta}: jaccard 1.0; doc 1: 2/3;
+    # doc 3: 0 — ML order inverts the BM25 order
+    assert [(r["docID"], round(r["score"], 6)) for r in rows] == \
+        [(2, 1.0), (1, round(2 / 3, 6)), (3, 0.0)]
+    assert rows[0]["previous_score"] == 1.0
+    # custom similarity_fn seam (a "model" preferring longer docs)
+    rows2 = rerank_by_similarity(
+        hits, docs, "alpha beta",
+        similarity_fn=lambda q, c: F.length(c).cast("double")).collect()
+    assert [r["docID"] for r in rows2] == [1, 2, 3]
+    # missing doc context errors (reference: fetcher fails on absent field)
+    orphan = spark.createDataFrame([(99, 1.0)], "docID long, score double")
+    with pytest.raises(Exception, match="missing"):
+        rerank_by_similarity(orphan, docs, "alpha").collect()
