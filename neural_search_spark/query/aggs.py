@@ -371,10 +371,16 @@ def aggregate(
     ``index.docmap``); ``doc_values_id`` names its id column (default
     ``index.id_col``). ``matched`` overrides the matched-set computation
     with a precomputed DataFrame(docID) — used by multi-field requests,
-    whose matched set unions per-field postings scans. Many aggs over one
-    query share the lazily-defined matched frame; persist it
-    (``matched_docs(...).persist()`` passed via ``where``-free pre-join)
-    only when issuing dozens of separate actions.
+    whose matched set unions per-field postings scans.
+
+    Multi-agg requests share ONE matched-set scan: with more than one
+    top-level agg the matched base is persisted, every agg result is
+    materialized eagerly (agg outputs are bucket-sized by construction —
+    the reference likewise computes all aggs in one pass over the
+    collected docs and returns a materialized response body), and the
+    base is unpersisted before returning, so N aggs cost one postings
+    scan instead of N with no storage leaked past the call. The returned
+    values are still DataFrames (local-backed), keeping the API.
     """
     dv = doc_values if doc_values is not None else index.docmap
     id_col = doc_values_id or index.id_col
@@ -392,7 +398,18 @@ def aggregate(
     else:
         ids = matched_docs(index, query, where=where)
         base = dv.join(ids, "docID", "left_semi")
-    return _run_level(base, [], aggs, all_docs=live)
+    if len(aggs) <= 1:
+        return _run_level(base, [], aggs, all_docs=live)
+    base = base.persist()
+    try:
+        res = _run_level(base, [], aggs, all_docs=live)
+        spark = base.sparkSession
+        return {
+            name: spark.createDataFrame(df.collect(), df.schema)
+            for name, df in res.items()
+        }
+    finally:
+        base.unpersist()
 
 
 def top_hits_by_bucket(
