@@ -664,16 +664,27 @@ def seismic_explain(
 
 # --------------------------------------------------------------- query side
 
+_FOLD_CACHE: dict[tuple[str, int | None], int] = {}
+_FOLD_CACHE_MAX = 1_000_000  # query vocab — bound the process-lifetime map
+
+
 def _fold_terms(spark: SparkSession, terms: list[str],
                 modulus: int | None) -> list[int]:
     """xxhash64 fold via a tiny JVM job — keeps the query-side fold
     bit-identical to the build side without a Python xxhash dependency.
-    O(#query tokens), driver-side, once per query."""
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    rows = df.select(
-        "term", token_id_col(F.col("term"), modulus).alias("tid")).collect()
-    by_term = {r["term"]: r["tid"] for r in rows}
-    return [by_term[t] for t in terms]
+    Folded ids memoize per (term, modulus), so a repeated-vocabulary
+    workload (msearch batches, production query streams) pays the fold
+    job only on first sight of a term."""
+    missing = [t for t in set(terms) if (t, modulus) not in _FOLD_CACHE]
+    if missing:
+        df = spark.createDataFrame([(t,) for t in missing], "term string")
+        rows = df.select(
+            "term", token_id_col(F.col("term"), modulus).alias("tid")).collect()
+        if len(_FOLD_CACHE) + len(rows) > _FOLD_CACHE_MAX:
+            _FOLD_CACHE.clear()
+        for r in rows:
+            _FOLD_CACHE[(r["term"], modulus)] = int(r["tid"])
+    return [_FOLD_CACHE[(t, modulus)] for t in terms]
 
 
 def _prepare_query(spark: SparkSession, query_tokens: dict[str, float],
