@@ -773,7 +773,10 @@ CHUNK_CHAR_SQL = f"""
 
 
 CHUNK_TOK_LIMIT = 16
-CHUNK_TOK_OVERLAP = 0.25  # step = 16 - floor(16*0.25) = 12
+CHUNK_TOK_OVERLAP = 0.25
+# window advance, interpolated into the oracle SQL so the two sides
+# can never desynchronize when the constants change
+CHUNK_TOK_STEP = CHUNK_TOK_LIMIT - int(CHUNK_TOK_LIMIT * CHUNK_TOK_OVERLAP)
 
 
 def q_chunk_fixed_token(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -800,7 +803,7 @@ CHUNK_TOKEN_SQL = f"""
     sized AS (
       SELECT doc_id, text, toks, gaps, len(toks) AS n,
              CASE WHEN len(toks) <= {CHUNK_TOK_LIMIT} THEN 1
-                  ELSE 1 + CAST(ceil((len(toks) - {CHUNK_TOK_LIMIT}) / 12.0)
+                  ELSE 1 + CAST(ceil((len(toks) - {CHUNK_TOK_LIMIT}) / {CHUNK_TOK_STEP}.0)
                                 AS INT)
              END AS m
       FROM base),
@@ -812,9 +815,9 @@ CHUNK_TOKEN_SQL = f"""
            (CASE WHEN j = 0 THEN gaps[1] ELSE '' END) ||
            coalesce(list_aggregate(
              list_transform(
-               generate_series(CAST(j AS INT) * 12 + 1,
-                               CAST(j AS INT) * 12 +
-                               (CASE WHEN j = m - 1 THEN n - CAST(j AS INT) * 12
+               generate_series(CAST(j AS INT) * {CHUNK_TOK_STEP} + 1,
+                               CAST(j AS INT) * {CHUNK_TOK_STEP} +
+                               (CASE WHEN j = m - 1 THEN n - CAST(j AS INT) * {CHUNK_TOK_STEP}
                                      ELSE {CHUNK_TOK_LIMIT} END)),
                k -> toks[k] || gaps[k + 1]),
              'string_agg', ''), '') AS chunk
@@ -2231,10 +2234,10 @@ def _hybrid_collapse_sql(subqueries: list[list[str]], depth: int,
            FROM win JOIN documents d USING (doc_id)
            QUALIFY row_number() OVER (
              PARTITION BY d.lang ORDER BY win.cscore DESC, win.doc_id ASC) = 1)
-    SELECT doc_id, round(cscore, 4) AS score, lang
-    FROM dedup
-    ORDER BY score DESC, doc_id ASC
-    LIMIT {k}
+    SELECT doc_id, round(cscore, 4) AS score, lang FROM (
+      SELECT doc_id, cscore, lang FROM dedup
+      ORDER BY cscore DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
     """
 
 
@@ -2261,10 +2264,10 @@ def _search_req_collapse_sql(terms: list[str], k: int) -> str:
            FROM scored JOIN documents d USING (doc_id)
            QUALIFY row_number() OVER (
              PARTITION BY d.lang ORDER BY scored.s DESC, scored.doc_id ASC) = 1)
-    SELECT doc_id, round(s, 4) AS score, lang
-    FROM dedup
-    ORDER BY score DESC, doc_id ASC
-    LIMIT {k}
+    SELECT doc_id, round(s, 4) AS score, lang FROM (
+      SELECT doc_id, s, lang FROM dedup
+      ORDER BY s DESC, doc_id ASC LIMIT {k}
+    ) ORDER BY score DESC, doc_id ASC
     """
 
 

@@ -867,13 +867,19 @@ def seismic_search(
     # docs (filter-cardinality switch, SparseQueryWeight.java:156-166).
     # Larger sets are never collected: the candidate frame cogroups with
     # the sindex rows per bucket (same docID-hash bucketing), so the mask
-    # stays distributed at any cardinality.
+    # stays distributed at any cardinality. The probe evaluates the
+    # candidate frame once more than strictly needed (limit k+1
+    # short-circuits partition-by-partition); callers issuing many filtered
+    # queries against one expensive candidate frame should persist it.
     accepted: frozenset | None = None
     cand_bucketed: DataFrame | None = None
     if candidates is not None:
         cand = candidates.select(
             F.col(candidates.columns[0]).cast("long").alias("docID"))
-        head = cand.limit(k + 1).collect()
+        # cardinality probe over DISTINCT ids (a duplicated ≤k-id frame must
+        # still take the exact switch); the cogroup path keeps the raw frame
+        # — the kernel np.unique's its per-bucket slice, no extra shuffle
+        head = cand.distinct().limit(k + 1).collect()
         if len(head) <= k:
             accepted = frozenset(int(r[0]) for r in head)
             mode = "exact"  # filter-cardinality switch

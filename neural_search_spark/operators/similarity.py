@@ -267,7 +267,14 @@ def ivf_topk(
     assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the nprobe nearest centroid lists, exact cosine
-    within them."""
+    within them.
+
+    With ``centroids=None`` the default seeding runs ONE distributed Lloyd
+    refinement pass (a full assign + per-list mean over ``emb``) — fine for
+    the ad-hoc/exploratory tier this function is, but a per-query corpus
+    pass: serving workloads should pass precomputed ``centroids``/
+    ``assigned`` or use the persisted index (operators/ann_index.py), which
+    refines once at build time and partition-prunes at query time."""
     if centroids is None:
         centroids = ivf_centroids(emb, nlist, id_col, vec_col)
     if assigned is None:

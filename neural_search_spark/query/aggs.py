@@ -62,6 +62,11 @@ PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
 })
 
+# multi-agg shared-scan materialization: agg results at or under this many
+# rows collect to the driver (one matched-set scan feeds every agg);
+# anything larger stays a lazy frame (see aggregate())
+EAGER_AGG_ROW_CAP = 100_000
+
 
 def matched_docs(index: Index, query, where=None) -> DataFrame:
     """DataFrame(docID) of every live document matching the disjunctive
@@ -404,10 +409,18 @@ def aggregate(
     try:
         res = _run_level(base, [], aggs, all_docs=live)
         spark = base.sparkSession
-        return {
-            name: spark.createDataFrame(df.collect(), df.schema)
-            for name, df in res.items()
-        }
+        out: dict[str, DataFrame] = {}
+        for name, df in res.items():
+            rows = df.limit(EAGER_AGG_ROW_CAP + 1).collect()
+            if len(rows) > EAGER_AGG_ROW_CAP:
+                # a terms/histogram agg on a near-unique field can produce
+                # corpus-cardinality buckets — never drag those through the
+                # driver; hand back the lazy frame (it recomputes its scan
+                # after unpersist, trading the shared-scan win for safety)
+                out[name] = df
+            else:
+                out[name] = spark.createDataFrame(rows, df.schema)
+        return out
     finally:
         base.unpersist()
 

@@ -170,8 +170,12 @@ def msearch(
         ).collect()
         dfs = {r["term"]: int(r["df"]) for r in stat}
         total_postings = sum(dfs.values())
+        # same per-bucket gate as wand.search: below exact_threshold
+        # postings per bucket every bucket brute-decodes regardless of θ,
+        # so the shared pre-pass would be pure overhead for the batch too
         if seed_theta is True or \
-                total_postings > max(4 * k * n_buckets, 2 * exact_threshold):
+                total_postings > max(4 * k * n_buckets,
+                                     exact_threshold * n_buckets):
             b0 = min(int(r["minb"]) for r in stat)
             spdf = sub.where(F.col("bucket") == b0).toPandas()
             if len(spdf):

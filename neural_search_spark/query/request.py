@@ -37,12 +37,15 @@ operators:
   scored and per-group candidates are kept within the depth window of
   GROUPS (HybridCollapsingTopDocsCollector collects per-group candidates;
   it "does NOT" dedup — its own docstring), then the dedup runs on the
-  FULL combined depth window BEFORE the from/size trim (CollapseExecutor
+  FULL combined fetch window BEFORE the from/size trim (CollapseExecutor
   at the coordinator, NormalizationProcessorWorkflow.java:247-257 —
-  updateOriginalQueryResults collapses, THEN pagination applies). A group
-  whose docs sit below the plain top-depth cutoff therefore still
-  surfaces, and the response never shrinks below ``size`` while distinct
-  groups remain in the window. On a plain (non-hybrid) query, collapse is
+  updateOriginalQueryResults collapses, THEN pagination applies). The
+  fetch window is ``pagination_depth`` when provided; without one the
+  reference retrieves exactly ``size`` per sub-query
+  (HybridCollectorManager.getSubqueryResultsRetrievalSize:240-256), so —
+  faithfully — two same-group docs inside that size-window can still
+  shrink the response; set pagination_depth to widen the window and
+  surface the next distinct group. On a plain (non-hybrid) query, collapse is
   collected by Lucene's CollapsingTopDocsCollector, which touches every
   match — the full match set is scored and the top ``size`` DISTINCT
   groups return. Frame sub-queries (knn/seismic) keep the plain depth
@@ -412,13 +415,15 @@ def search_request(
             base_index, run_subqueries,
             # mmr: fetch the widened candidate window; pagination applies
             # to the MMR-reordered list, not the relevance list.
-            # collapse: the dedup runs over the FULL combined depth window
-            # BEFORE the from/size trim (CollapseExecutor inside
+            # collapse: the dedup runs over the FULL combined fetch
+            # window BEFORE the from/size trim (CollapseExecutor inside
             # NormalizationProcessorWorkflow.updateOriginalQueryResults,
             # main/processor/NormalizationProcessorWorkflow.java:247-257),
-            # so fetch k=depth here and trim after collapse_op below —
-            # otherwise two same-group docs in the combined top-size would
-            # shrink the response below `size` and drop the next group.
+            # so fetch k=depth here and trim after collapse_op below.
+            # Without pagination_depth the window is size — matching the
+            # reference (HybridCollectorManager:240-256 retrieves size),
+            # where same-group docs inside the size-window can shrink the
+            # response; clients widen via pagination_depth.
             k=(mmr_candidates if mmr is not None
                else (depth or size) if has_collapse else size),
             pagination_depth=depth,
