@@ -208,23 +208,42 @@ def cmd_hybrid_extras(args, kwargs: dict) -> dict:
 
 
 def cmd_rerank(spark: SparkSession, args) -> None:
-    """Search, then rerank by a numeric document field (by_field analog)."""
+    """Search, then rerank: by a numeric document field (by_field analog)
+    or by query~document text similarity (the ML-rerank analog; the
+    deterministic token-Jaccard double stands in for the cross-encoder)."""
     from neural_search_spark.index.build import load_index
-    from neural_search_spark.operators.rerank import rerank_by_field
+    from neural_search_spark.operators.rerank import (
+        rerank_by_field, rerank_by_similarity,
+    )
     from neural_search_spark.query import wand
 
+    if bool(args.target_field) == bool(args.similarity_field):
+        raise SystemExit("pass exactly one of --target-field / --similarity-field")
     idx = load_index(spark, args.index_dir)
     # wand.search returns the column "docID"; align it with docmap's id col
     hits = wand.search(idx, args.query, k=args.k).select(
         F.col("docID").alias(idx.id_col), "score"
     )
-    rows = rerank_by_field(
-        hits, idx.docmap, args.target_field, id_col=idx.id_col,
-        keep_previous_score=args.keep_previous_score,
-        remove_target_field=args.remove_target_field,
-    ).collect()
+    if args.target_field:
+        res = rerank_by_field(
+            hits, idx.docmap, args.target_field, id_col=idx.id_col,
+            keep_previous_score=args.keep_previous_score,
+            remove_target_field=args.remove_target_field,
+        )
+        tag = {"target_field": args.target_field}
+    else:
+        if not args.docs:
+            raise SystemExit("--similarity-field requires --docs (payload parquet)")
+        docs = spark.read.parquet(args.docs)
+        res = rerank_by_similarity(
+            hits, docs, args.query, text_field=args.similarity_field,
+            id_col=idx.id_col,
+            keep_previous_score=args.keep_previous_score,
+        )
+        tag = {"similarity_field": args.similarity_field}
+    rows = res.collect()
     print(json.dumps({
-        "query": args.query, "target_field": args.target_field,
+        "query": args.query, **tag,
         "hits": [{k: (round(v, 6) if isinstance(v, float) else v)
                   for k, v in r.asDict().items()} for r in rows],
     }))
@@ -397,7 +416,11 @@ def main(argv: list[str] | None = None) -> None:
     r = sub.add_parser("rerank", help="search then rerank by a document field")
     r.add_argument("--index-dir", required=True)
     r.add_argument("--query", required=True)
-    r.add_argument("--target-field", required=True)
+    r.add_argument("--target-field")
+    r.add_argument("--similarity-field",
+                   help="ML-rerank analog: rescore hits by query~field "
+                        "text similarity (token-Jaccard double)")
+    r.add_argument("--docs", help="doc payload parquet for --similarity-field")
     r.add_argument("-k", type=int, default=10)
     r.add_argument("--keep-previous-score", action="store_true")
     r.add_argument("--remove-target-field", action="store_true")

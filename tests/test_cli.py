@@ -48,12 +48,29 @@ def test_cli_msearch(spark, idx_dir, capsys):
 def test_cli_rerank(spark, idx_dir, capsys):
     cli.cmd_rerank(spark, Namespace(
         index_dir=idx_dir, query="def", target_field="doclen", k=5,
+        similarity_field=None, docs=None,
         keep_previous_score=True, remove_target_field=False,
     ))
     out = _json_out(capsys)
     scores = [h["score"] for h in out["hits"]]
     assert scores == sorted(scores, reverse=True)  # re-sorted by field
     assert all("previous_score" in h for h in out["hits"])
+
+
+def test_cli_rerank_similarity(spark, idx_dir, tmp_path, capsys):
+    docs = with_doc_id(generate_corpus(spark, 60, seed=9))
+    path = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(path)
+    cli.cmd_rerank(spark, Namespace(
+        index_dir=idx_dir, query="def return", target_field=None,
+        similarity_field="content", docs=path, k=5,
+        keep_previous_score=True, remove_target_field=False,
+    ))
+    out = _json_out(capsys)
+    assert out["similarity_field"] == "content"
+    scores = [h["score"] for h in out["hits"]]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)  # jaccard range
 
 
 def test_cli_hybrid_with_extras(spark, idx_dir, capsys):
