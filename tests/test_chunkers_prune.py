@@ -160,6 +160,26 @@ def test_fixed_token_catalyst_matches_reference_loop(spark):
         assert got == want, (limit, rate)
 
 
+def test_fixed_token_catalyst_random_sweep(spark):
+    """Randomized equivalence: 200 adversarial strings (seeded) from an
+    alphabet mixing token chars, separators, unicode and repeats — the
+    Catalyst reconstruction must equal the reference loop on every one,
+    for several (limit, overlap) shapes."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = list("ab_9 \t\n;.!-") + ["é", "日", "  ", "zz", "_0_"]
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+             for _ in range(200)]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    for limit, rate in [(1, 0.0), (2, 0.5), (5, 0.2), (16, 0.25)]:
+        f = chunkers.make_fixed_token_chunker(limit, rate)
+        got = [r["c"] for r in df.select(f(F.col("t")).alias("c")).collect()]
+        want = [_chunk_token_oracle(t, limit, rate) for t in texts]
+        for t, g, w in zip(texts, got, want):
+            assert g == w, (repr(t), limit, rate)
+
+
 def test_fixed_token_chunker_is_jvm_side(spark):
     df = spark.createDataFrame([("a b c d e",)], "t string")
     f = chunkers.make_fixed_token_chunker(2, 0.0)
