@@ -89,23 +89,121 @@ def fake_decode(buf: bytes) -> dict:
     }
 
 
+def _decode_ppm(buf: bytes) -> np.ndarray:
+    """Netpbm P5 (grayscale) / P6 (RGB) binary decode, pure numpy."""
+    if buf[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments starting with '#' allowed), then ONE whitespace byte, then
+    # raw samples
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if buf[:2] == b"P6" else 1
+    a = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return a.reshape(h, w, ch)
+
+
+def _decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB Windows BMP decode, pure numpy."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
+                         f"compression={compression})")
+    ch = bpp // 8
+    flip = h > 0          # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * ch + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    img = rows[:, : w * ch].reshape(h, w, ch)
+    if flip:
+        img = img[::-1]
+    return img[..., [2, 1, 0] + ([3] if ch == 4 else [])]  # BGR(A) → RGB(A)
+
+
 def decode_image(buf: bytes, media_format: str) -> np.ndarray:
-    """STUB — real image decode (PIL.Image.open → np.asarray) goes here.
-    The container has no imaging libraries."""
+    """Real decode for the dependency-free formats; (h, w, channels) uint8.
+
+    ppm/pgm (netpbm binary) and uncompressed 24/32-bit BMP decode in pure
+    numpy — no imaging library needed. Compressed formats (jpeg/png/webp)
+    require codecs absent from this container and stay behind
+    NotImplementedError; inject a PIL-backed decoder via
+    ``media_features(decoder=...)`` in an environment that has one.
+    """
+    fmt = (media_format or "").lower()
+    if fmt in ("ppm", "pgm", "pnm"):
+        return _decode_ppm(buf)
+    if fmt == "bmp":
+        return _decode_bmp(buf)
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
+        f"image format {media_format!r} needs an external codec; "
         "inject a decoder via media_features(decoder=...) or use fake_decode"
     )
 
 
 def decode_audio(buf: bytes, media_format: str) -> np.ndarray:
-    """STUB — real audio decode (soundfile/librosa) goes here."""
-    raise NotImplementedError("audio codecs are not available in this environment")
+    """Real decode for PCM WAV via the stdlib ``wave`` module →
+    (n_samples, n_channels) int16/uint8. Compressed audio (mp3/ogg/flac)
+    needs external codecs and stays behind NotImplementedError."""
+    if (media_format or "").lower() != "wav":
+        raise NotImplementedError(
+            f"audio format {media_format!r} needs an external codec")
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        n, ch, width = w.getnframes(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        a = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        a = np.frombuffer(raw, dtype=np.uint8)
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    return a.reshape(-1, ch)
 
 
 def sample_frames(buf: bytes, media_format: str, every_n: int = 30) -> list[np.ndarray]:
     """STUB — real video frame sampling (PyAV) goes here."""
     raise NotImplementedError("video codecs are not available in this environment")
+
+
+def image_decoder(media_format: str) -> Callable[[bytes], dict]:
+    """FEATURE_SCHEMA-shaped wrapper over the real ``decode_image`` — pass
+    as ``media_features(decoder=image_decoder("ppm"))`` to run the actual
+    pixel decode inside the Arrow batches."""
+
+    def dec(buf: bytes) -> dict:
+        img = decode_image(buf, media_format)
+        return {
+            "n_bytes": len(buf),
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "mean_byte": float(img.sum(dtype=np.int64)) / img.size if img.size else 0.0,
+        }
+
+    return dec
 
 
 def media_features(

@@ -54,10 +54,15 @@ def test_custom_decoder(media):
 
 
 def test_stubs_raise():
+    # compressed formats stay gated behind NotImplementedError; the
+    # dependency-free codecs (ppm/pgm/bmp/wav) decode for real and raise
+    # ordinary decode errors on malformed payloads
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"x", "png")
     with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"x", "wav")
+        mm.decode_audio(b"x", "mp3")
+    with pytest.raises(Exception):
+        mm.decode_audio(b"x", "wav")  # malformed RIFF
     with pytest.raises(NotImplementedError):
         mm.sample_frames(b"x", "mp4")
 
@@ -71,3 +76,80 @@ def test_resize_plan(spark):
     # 448x112 -> scale 0.5 -> 224x56
     assert plan[1]["out_w"] == 224 and plan[1]["out_h"] == 56
     assert plan[2]["scale"] == 1.0
+
+
+def _ppm_bytes(w, h, value=7):
+    import numpy as _np
+    px = _np.full((h, w, 3), value, dtype=_np.uint8)
+    px[0, 0] = [255, 0, 0]
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _bmp_bytes(w, h, value=9):
+    import struct
+    import numpy as _np
+    stride = (w * 3 + 3) & ~3
+    px = _np.full((h, w, 3), value, dtype=_np.uint8)  # RGB
+    px[0, 0] = [255, 0, 0]
+    rows = _np.zeros((h, stride), dtype=_np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # store BGR
+    data = rows[::-1].tobytes()  # bottom-up
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(data), 2835, 2835, 0, 0))
+    return header + data
+
+
+def test_decode_ppm_and_bmp_real_pixels():
+    from neural_search_spark.operators.multimodal import decode_image
+
+    img = decode_image(_ppm_bytes(5, 3), "ppm")
+    assert img.shape == (3, 5, 3)
+    assert list(img[0, 0]) == [255, 0, 0] and img[1, 1, 0] == 7
+    img2 = decode_image(_bmp_bytes(5, 3), "bmp")
+    assert img2.shape == (3, 5, 3)
+    assert list(img2[0, 0]) == [255, 0, 0] and img2[2, 4, 1] == 9
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "png")  # compressed formats stay gated
+
+
+def test_decode_wav_roundtrip():
+    import io
+    import wave as _wave
+
+    import numpy as _np
+
+    from neural_search_spark.operators.multimodal import decode_audio
+
+    samples = (_np.sin(_np.linspace(0, 6.28, 400)) * 3000).astype("<i2")
+    stereo = _np.stack([samples, -samples], axis=1)
+    bio = io.BytesIO()
+    with _wave.open(bio, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(stereo.tobytes())
+    got = decode_audio(bio.getvalue(), "wav")
+    assert got.shape == (400, 2)
+    assert _np.array_equal(got, stereo)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3", "mp3")
+
+
+def test_media_features_with_real_ppm_decoder(spark):
+    from neural_search_spark.operators.multimodal import (
+        image_decoder, media_features,
+    )
+
+    rows = [(1, "image", _ppm_bytes(4, 2), "ppm"),
+            (2, "image", _ppm_bytes(8, 8, value=100), "ppm")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, modality string, media binary, media_format string")
+    got = {r["doc_id"]: r for r in
+           media_features(df, decoder=image_decoder("ppm")).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (4, 2)
+    assert (got[2]["width"], got[2]["height"]) == (8, 8)
+    # mean over real pixels: doc 2 is constant 100 except one red corner
+    px = 8 * 8 * 3
+    want = (100.0 * (px - 3) + 255.0) / px
+    assert abs(got[2]["mean_byte"] - want) < 1e-9
