@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Suggest the next round's queries() front window.
+
+The external driver oracles a 50-entry prefix of queries(), so each round
+the registry order should rotate: entries that have never had a green
+driver row first (oracled before rows-only), then entries whose last green
+row is oldest, then the most recently verified. This script reads every
+CORRECTNESS_r*.json plus the current registry and prints a ready-to-paste
+_R0N_FRONT list (first 50 shown with markers).
+
+    python scripts/rotate_window.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from neural_search_spark.contract import ORACLE_SQL, SPARK_QUERIES
+
+    last_green: dict[str, int] = {}
+    checked_round: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        rows = json.load(open(path))
+        for name, rec in rows.items():
+            checked_round[name] = max(checked_round.get(name, 0), rnd)
+            green = rec.get("hash_match") is True or (
+                # rows-only entries: a recorded spark row count counts as
+                # their (weaker) driver evidence
+                name not in ORACLE_SQL and rec.get("spark_rows") is not None
+            )
+            if green:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    def key(name: str):
+        # never-green first (oracled before rows-only), then oldest-green
+        never = name not in last_green
+        return (
+            0 if never else 1,
+            0 if name in ORACLE_SQL else 1,
+            last_green.get(name, 0),
+            name,
+        )
+
+    ordered = sorted(SPARK_QUERIES, key=key)
+    print(f"# {len(ordered)} entries; suggested front window "
+          f"(● oracled ○ rows-only | last green round or NEVER):")
+    for i, name in enumerate(ordered, 1):
+        mark = "●" if name in ORACLE_SQL else "○"
+        green = f"r{last_green[name]:02d}" if name in last_green else "NEVER"
+        cut = "  <-- window edge" if i == 50 else ""
+        print(f"{i:3d} {mark} {green}  {name}{cut}")
+    print("\n_FRONT = [")
+    for name in ordered[:50]:
+        print(f'    "{name}",')
+    print("]")
+
+
+if __name__ == "__main__":
+    main()
