@@ -153,3 +153,21 @@ def test_media_features_with_real_ppm_decoder(spark):
     px = 8 * 8 * 3
     want = (100.0 * (px - 3) + 255.0) / px
     assert abs(got[2]["mean_byte"] - want) < 1e-9
+
+
+def test_decode_bmp_32bit_topdown():
+    import struct
+
+    import numpy as _np
+
+    from neural_search_spark.operators.multimodal import decode_image
+
+    w, h = 3, 2
+    px = _np.arange(w * h * 4, dtype=_np.uint8).reshape(h, w, 4)  # RGBA
+    data = px[:, :, [2, 1, 0, 3]].tobytes()  # stored BGRA, top-down
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0,
+                            len(data), 2835, 2835, 0, 0))
+    got = decode_image(header + data, "bmp")
+    assert got.shape == (2, 3, 4)
+    assert _np.array_equal(got, px)
