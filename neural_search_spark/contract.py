@@ -172,6 +172,8 @@ _R03_FRONT = [
     "ingest_semantic",
     # new this round: model-scored rescoring rerank (similarity seam)
     "rerank_ml_similarity",
+    # new this round: corpus-prep operators (boilerplate removal, sampling)
+    "boilerplate_removed", "sample_stratified_lang",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

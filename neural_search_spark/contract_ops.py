@@ -2271,6 +2271,83 @@ def _search_req_collapse_sql(terms: list[str], k: int) -> str:
     """
 
 
+# --------------------------------------------------- corpus preparation
+
+BOILER_HEADER = "// GENERATED FILE - DO NOT EDIT"
+BOILER_FOOTER = "// END OF GENERATED FILE"
+BOILER_MIN_DF = 50
+SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.25, "de": 0.1}  # es/zh drop (default 0)
+
+
+def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-line removal (CCNet/RefinedWeb-style cleanup):
+    a generated-file header is injected into every doc_id % 3 == 0 doc and
+    a footer into every % 5 == 0 doc; both cross min_df and must vanish
+    from every document while unique lines survive in order."""
+    from neural_search_spark.operators import prep
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = d.withColumn(
+        "text",
+        F.concat_ws(  # concat_ws skips the NULL branches of the whens
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(BOILER_HEADER)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(BOILER_FOOTER)),
+        ),
+    )
+    return prep.remove_boilerplate_lines(
+        aug, "text", "doc_id", min_df=BOILER_MIN_DF)
+
+
+BOILERPLATE_SQL = f"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               CASE WHEN doc_id % 3 = 0 THEN '{BOILER_HEADER}' END,
+               text,
+               CASE WHEN doc_id % 5 = 0 THEN '{BOILER_FOOTER}' END) AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, parts[i] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts,
+                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+            FROM aug)),
+    frequent AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM frequent))
+    SELECT a.doc_id AS doc_id,
+           coalesce(k.text, '') AS text
+    FROM aug a LEFT JOIN (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+"""
+
+
+def q_sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (language-balancing step of a
+    training mix): per-lang keep fractions via the portable md5-prefix
+    hash of the id — reproducible across runs/partitionings/cluster
+    sizes, and exactly recomputable by the SQL oracle (unlike rand())."""
+    from neural_search_spark.operators import prep
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return prep.hash_sample_by(
+        d, "lang", SAMPLE_FRACTIONS, id_col="doc_id", seed=42)
+
+
+def _sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{cls}' THEN {int(frac * 1_000_000)}"
+        for cls, frac in sorted(SAMPLE_FRACTIONS.items()))
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          % 1000000 < CASE {cases} ELSE 0 END
+    """
+
+
 # ------------------------------------------------- index mutation paths
 #
 # End-to-end oracle rows for the segment-merge axis: append / delete /
@@ -2468,6 +2545,8 @@ SPARK_QUERIES_EXT = {
     "hybrid_collapse": q_hybrid_collapse,
     "rerank_by_field": q_rerank_by_field,
     "rerank_ml_similarity": q_rerank_ml_similarity,
+    "boilerplate_removed": q_boilerplate_removed,
+    "sample_stratified_lang": q_sample_stratified_lang,
     "multifield_hybrid": q_multifield_hybrid,
     "multifield_match_lang": q_multifield_match_lang,
     "collapse_top2_lang": q_collapse_top2_lang,
@@ -2547,6 +2626,8 @@ ORACLE_SQL_EXT = {
     "hybrid_collapse": _hybrid_collapse_sql(HYBRID_SUBS, HYC_DEPTH, HYC_SIZE),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "rerank_ml_similarity": _rerank_ml_sql(WAND_TERMS_MULTI, 10),
+    "boilerplate_removed": BOILERPLATE_SQL,
+    "sample_stratified_lang": _sample_sql(),
     "multifield_hybrid": _multifield_hybrid_sql(
         sorted(MF_TEXT_QUERY.split()), MF_LANG_TERM),
     "multifield_match_lang": _multifield_lang_sql(MF_LANG_TERM),

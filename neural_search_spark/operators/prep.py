@@ -1,0 +1,125 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Two families, both pure JVM expressions and fully DuckDB-oracled:
+
+  remove_boilerplate_lines   corpus-wide frequent-line removal — the
+                             CCNet/RefinedWeb-style cleanup where a line
+                             appearing in many documents (headers, nav
+                             bars, license banners, generated-code
+                             preambles) is dropped from every document.
+  hash_sample / hash_sample_by
+                             deterministic sampling by a portable hash of
+                             the id — unlike rand()/sampleBy, the sample
+                             is reproducible across runs, partitionings
+                             and cluster sizes (the property the engine's
+                             docID scheme itself relies on), and a SQL
+                             oracle can recompute it exactly.
+
+Scale notes: boilerplate removal is two keyed shuffles (line-df, doc
+reassembly) regardless of corpus size; the frequent-line table it
+anti-joins against is tiny by construction (only lines with df ≥ min_df).
+Sampling is a narrow filter — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.operators.dedup import md5_prefix_hash
+
+__all__ = ["remove_boilerplate_lines", "hash_sample", "hash_sample_by"]
+
+_HASH_MOD = 1_000_000  # sampling resolution: 1e-6 fraction granularity
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    min_df: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop every line that occurs in ≥ ``min_df`` distinct documents.
+
+    Returns (id_col, text_col) with the surviving lines re-joined by
+    ``sep`` in their original order; a document whose every line is
+    boilerplate survives as an empty string (callers filter those with a
+    length predicate — dropping rows silently would break id joins).
+
+    Plan: posexplode lines (order kept via pos) → line groupBy for the
+    distinct-doc df → left_anti against the frequent-line set → groupBy
+    doc with sort_array(collect_list(struct(pos, line))) reassembly. Both
+    shuffles are keyed and map-side combined; no Python anywhere.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("ldf"))
+        .where(F.col("ldf") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(frequent, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    # keep docs whose every line was boilerplate (empty result string)
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )
+
+
+def _bucket(id_col: str, seed: int):
+    """Deterministic [0, _HASH_MOD) bucket from the portable md5-prefix
+    hash of (seed, id) — identical in DuckDB:
+    ('0x' || substr(md5(seed || ':' || id), 1, 15))::BIGINT % mod."""
+    return F.pmod(
+        md5_prefix_hash(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        F.lit(_HASH_MOD),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "docID",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep rows whose hash bucket falls under ``fraction`` — a
+    deterministic, engine-portable Bernoulli sample keyed on the id
+    (same rows on every run, partitioning, and cluster size)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_bucket(id_col, seed) < int(fraction * _HASH_MOD))
+
+
+def hash_sample_by(
+    df: DataFrame,
+    strat_col: str,
+    fractions: dict[str, float],
+    id_col: str = "docID",
+    seed: int = 42,
+    default: float = 0.0,
+) -> DataFrame:
+    """Stratified deterministic sample: per-class keep fractions (the
+    language-balancing / source-mixing step of a training-data pipeline).
+    Classes missing from ``fractions`` keep ``default`` (0 = drop)."""
+    for cls, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {cls!r} must be in [0, 1]")
+    thr = F.lit(int(default * _HASH_MOD))
+    for cls, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strat_col) == cls, F.lit(int(frac * _HASH_MOD))
+        ).otherwise(thr)
+    return df.where(_bucket(id_col, seed) < thr)

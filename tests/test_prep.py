@@ -1,0 +1,84 @@
+"""Corpus-prep operators (operators/prep.py) vs python oracles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators import prep
+
+DOCS = [
+    (1, "HEADER\nalpha beta\nFOOTER"),
+    (2, "HEADER\ngamma\nFOOTER"),
+    (3, "HEADER\ndelta epsilon\nFOOTER"),
+    (4, "unique one\nunique two"),
+    (5, "HEADER\nFOOTER"),          # all lines boilerplate → empty string
+    (6, "HEADER\nHEADER\nzeta"),    # duplicate line within one doc
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "docID long, content string")
+
+
+def test_remove_boilerplate_lines(docs_df):
+    got = {r["docID"]: r["content"] for r in
+           prep.remove_boilerplate_lines(docs_df, min_df=4).collect()}
+    # HEADER df=5, FOOTER df=4 → both dropped everywhere (incl. both copies
+    # in doc 6 — removal is by line value, like the reference pipelines)
+    assert got == {
+        1: "alpha beta",
+        2: "gamma",
+        3: "delta epsilon",
+        4: "unique one\nunique two",
+        5: "",               # row survives as empty, never silently dropped
+        6: "zeta",
+    }
+    # min_df above every df → identity
+    same = {r["docID"]: r["content"] for r in
+            prep.remove_boilerplate_lines(docs_df, min_df=10).collect()}
+    assert same == dict(DOCS)
+
+
+def _bucket(seed, doc_id, mod=1_000_000):
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15]
+    return int(h, 16) % mod
+
+
+def test_hash_sample_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "docID long")
+    got = sorted(r["docID"] for r in prep.hash_sample(df, 0.25).collect())
+    want = sorted(i for i in range(2000) if _bucket(42, i) < 250_000)
+    assert got == want
+    assert 0.2 < len(got) / 2000 < 0.3          # close to the fraction
+    # same seed → same rows; different seed → different sample
+    again = sorted(r["docID"] for r in prep.hash_sample(df, 0.25).collect())
+    assert again == got
+    other = sorted(r["docID"] for r in prep.hash_sample(df, 0.25, seed=7).collect())
+    assert other != got
+
+
+def test_hash_sample_by_stratified(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "docID long, lang string")
+    got = prep.hash_sample_by(df, "lang", {"en": 0.5, "fr": 0.1}).collect()
+    en = [r for r in got if r["lang"] == "en"]
+    fr = [r for r in got if r["lang"] == "fr"]
+    assert 0.42 < len(en) / 1000 < 0.58
+    assert 0.05 < len(fr) / 1000 < 0.16
+    for r in got:  # exact per-row contract, not just proportions
+        frac = 500_000 if r["lang"] == "en" else 100_000
+        assert _bucket(42, r["docID"]) < frac
+    # classes outside `fractions` drop by default
+    df2 = df.withColumn("lang", F.lit("de"))
+    assert prep.hash_sample_by(df2, "lang", {"en": 0.5}).count() == 0
+
+
+def test_validation():
+    import pyspark.sql  # noqa: F401
+
+    with pytest.raises(ValueError):
+        prep.hash_sample(None, 1.5)
+    with pytest.raises(ValueError):
+        prep.hash_sample_by(None, "lang", {"en": -0.1})
