@@ -120,3 +120,44 @@ def fingerprint(col: str | Column) -> Column:
         lambda acc, t: (acc * FP_BASE + F.ascii(F.substring(t, 1, 1)) * 31 + F.length(t))
         % FP_MOD,
     )
+
+
+def unigram_surprisal(
+    df, text_col: str = "content", id_col: str = "docID",
+):
+    """Per-document mean unigram surprisal — the LM-perplexity style
+    quality signal of CCNet-class pipelines (docs whose tokens are
+    improbable under the corpus distribution score HIGH → candidates for
+    filtering), with the corpus unigram distribution standing in for the
+    LM (a real LM plugs in as a pandas-UDF scorer upstream).
+
+    score(d) = −(1/|d|) Σ_t∈d ln( tf_corpus(t) / total_tokens )
+
+    Spark shape: one tokenize+explode pass → corpus term frequencies (one
+    keyed shuffle, map-side combined) → broadcast-joinable frequency table
+    → per-doc aggregation. Returns (id_col, n_tokens, surprisal); empty
+    docs carry surprisal 0.0 (no tokens → nothing improbable).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = freq.agg(F.sum("ctf").alias("total"))
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.avg(F.log(F.col("ctf") / F.col("total")))).alias("surprisal"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("surprisal", F.lit(0.0)).alias("surprisal"),
+        )
+    )

@@ -174,6 +174,7 @@ _R03_FRONT = [
     "rerank_ml_similarity",
     # new this round: corpus-prep operators (boilerplate removal, sampling)
     "boilerplate_removed", "sample_stratified_lang",
+    "unigram_surprisal",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

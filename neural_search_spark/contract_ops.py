@@ -2279,6 +2279,32 @@ BOILER_MIN_DF = 50
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.25, "de": 0.1}  # es/zh drop (default 0)
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per doc (the LM-perplexity-style quality
+    filter signal, corpus unigram distribution as the model)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = ts.unigram_surprisal(d, "text", "doc_id")
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("surprisal", 6).alias("surprisal"))
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+    total AS (SELECT sum(ctf) AS total FROM freq),
+    sc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             -avg(ln(CAST(ctf AS DOUBLE) / total)) AS s
+      FROM toks JOIN freq USING (term) CROSS JOIN total
+      GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+           round(coalesce(sc.s, 0.0), 6) AS surprisal
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide frequent-line removal (CCNet/RefinedWeb-style cleanup):
     a generated-file header is injected into every doc_id % 3 == 0 doc and
@@ -2545,6 +2571,7 @@ SPARK_QUERIES_EXT = {
     "hybrid_collapse": q_hybrid_collapse,
     "rerank_by_field": q_rerank_by_field,
     "rerank_ml_similarity": q_rerank_ml_similarity,
+    "unigram_surprisal": q_unigram_surprisal,
     "boilerplate_removed": q_boilerplate_removed,
     "sample_stratified_lang": q_sample_stratified_lang,
     "multifield_hybrid": q_multifield_hybrid,
@@ -2626,6 +2653,7 @@ ORACLE_SQL_EXT = {
     "hybrid_collapse": _hybrid_collapse_sql(HYBRID_SUBS, HYC_DEPTH, HYC_SIZE),
     "rerank_by_field": _rerank_by_field_sql(WAND_TERMS_MULTI, 10),
     "rerank_ml_similarity": _rerank_ml_sql(WAND_TERMS_MULTI, 10),
+    "unigram_surprisal": UNIGRAM_SURPRISAL_SQL,
     "boilerplate_removed": BOILERPLATE_SQL,
     "sample_stratified_lang": _sample_sql(),
     "multifield_hybrid": _multifield_hybrid_sql(

@@ -82,3 +82,21 @@ def test_validation():
         prep.hash_sample(None, 1.5)
     with pytest.raises(ValueError):
         prep.hash_sample_by(None, "lang", {"en": -0.1})
+
+
+def test_unigram_surprisal(spark):
+    """Rare-token docs score higher; corpus distribution is the model."""
+    import math
+
+    from neural_search_spark.analysis import textstats as ts
+
+    rows = [(1, "common common common"), (2, "common rareword"), (3, "")]
+    df = spark.createDataFrame(rows, "docID long, content string")
+    got = {r["docID"]: r for r in ts.unigram_surprisal(df).collect()}
+    total = 5  # common x4, rareword x1
+    want1 = -math.log(4 / total)
+    want2 = -(math.log(4 / total) + math.log(1 / total)) / 2
+    assert got[1]["surprisal"] == pytest.approx(want1)
+    assert got[2]["surprisal"] == pytest.approx(want2)
+    assert got[2]["surprisal"] > got[1]["surprisal"]  # rare tokens → higher
+    assert got[3]["n_tokens"] == 0 and got[3]["surprisal"] == 0.0
