@@ -1,0 +1,161 @@
+"""Repetition statistics — Gopher-style quality-filter signals.
+
+Rae et al., "Scaling Language Models: Methods, Analysis & Insights from
+Training Gopher" (2021), §A1.1 filters documents by within-document
+repetition: duplicate-line fractions, the character mass of the most
+frequent word 2-gram, and the character mass covered by duplicated word
+n-grams. These are the standard pre-training corpus filters that a
+100 TB pipeline runs right after boilerplate removal (operators/prep.py)
+and before dedup (operators/dedup.py).
+
+Shapes, all per document:
+
+  n_lines             total lines
+  dup_line_frac       lines whose exact text occurs >1× in the doc / lines
+  dup_line_char_frac  characters in such duplicated lines / line characters
+  top_2gram_char_frac characters of the most frequent word 2-gram
+                      (occurrences × token chars) / total token characters
+  dup_ngram_char_frac token characters covered by ≥1 word 5-gram that
+                      occurs >1× in the doc / total token characters
+                      (overlapping covers counted once, per the paper)
+
+Scale notes: every stage is explode → groupBy keyed by doc_id or
+(doc_id, gram) — keyed shuffles with map-side partial aggregation, never a
+per-doc O(L²) loop and no Python. Skew: group keys carry doc_id, so a
+pathological document only ever loads one task with its own lines/grams.
+
+Ties for "most frequent 2-gram" are broken deterministically by
+(count, token chars, gram text) descending, so the output is reproducible
+across partitionings — and in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokens_col
+
+__all__ = ["repetition_stats"]
+
+
+def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.col("cnt") > 1
+    return per_line.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round(
+            F.sum(F.when(dup, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(dup, F.col("cnt") * F.length("line")).otherwise(0))
+            / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def _gram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gpos, gram, gchars): word n-grams with start position and the
+    summed token chars of the gram (separators excluded)."""
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.struct(
+            i.alias("gpos"),
+            F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+            F.aggregate(
+                F.slice(toks, i + 1, n), F.lit(0),
+                lambda acc, t: acc + F.length(t),
+            ).alias("gchars"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(toks) >= n, grams).otherwise(F.array())).alias("g"),
+    ).select(id_col, "g.gpos", "g.gram", "g.gchars")
+
+
+def _token_chars(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("tchars"),
+        F.size(toks).alias("ntoks"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition signals (see module docstring for columns).
+
+    Documents with no tokens report 0.0 for the gram fractions; documents
+    shorter than ``ngram_n`` tokens report 0.0 for the n-gram coverage.
+    """
+    base = _token_chars(df, text_col, id_col)
+    line = _line_stats(df, text_col, id_col)
+
+    # most frequent 2-gram, deterministic tie-break (cnt, gchars, gram)
+    g2 = (
+        _gram_frame(df, text_col, id_col, 2)
+        .groupBy(id_col, "gram", "gchars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct("cnt", "gchars", "gram")).alias("top"))
+        .select(id_col, (F.col("top.cnt") * F.col("top.gchars")).alias("top2_mass"))
+    )
+
+    # token positions covered by duplicated n-grams, overlap counted once
+    gn = _gram_frame(df, text_col, id_col, ngram_n)
+    dup_grams = (
+        gn.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select(id_col, "gram")
+    )
+    covered = (
+        gn.join(dup_grams, [id_col, "gram"], "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + ngram_n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "tok"),
+    )
+    dup_cov = (
+        covered.join(tok_pos, [id_col, "pos"])
+        .groupBy(id_col)
+        .agg(F.sum(F.length("tok")).alias("cov_chars"))
+    )
+
+    return (
+        base.join(line, id_col, "left")
+        .join(g2, id_col, "left")
+        .join(dup_cov, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines"),
+            F.col("dup_line_frac"),
+            F.col("dup_line_char_frac"),
+            F.round(
+                F.coalesce(F.col("top2_mass"), F.lit(0))
+                / F.greatest(F.col("tchars"), F.lit(1)), 6
+            ).alias("top_2gram_char_frac"),
+            F.round(
+                F.coalesce(F.col("cov_chars"), F.lit(0))
+                / F.greatest(F.col("tchars"), F.lit(1)), 6
+            ).alias("dup_ngram_char_frac"),
+        )
+    )

@@ -175,6 +175,10 @@ _R03_FRONT = [
     # new this round: corpus-prep operators (boilerplate removal, sampling)
     "boilerplate_removed", "sample_stratified_lang",
     "unigram_surprisal",
+    # new this round: near-dup clustering (connected components), Gopher
+    # repetition stats, secret redaction, phrase/prefix retrieval
+    "neardup_components", "neardup_survivors", "repetition_stats",
+    "redact_secrets", "phrase_topk", "prefix_topk",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

@@ -1,0 +1,168 @@
+"""Connected-components clustering over near-duplicate pair edges.
+
+Pair generators (``dedup.ngram_jaccard_pairs``, ``minhash_lsh_pairs``,
+``simhash_pairs``, ``similarity.embedding_near_dup_pairs``) emit EDGES;
+an actual dedup pass needs CLUSTERS — "doc A ~ B and B ~ C" must collapse
+A, B, C into one group even though (A, C) never scored above threshold.
+That closure is a connected-components computation over the pair graph.
+
+Implementation: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame joins:
+
+  large-star(u): attach every neighbor v > u to m = min(N(u) ∪ {u})
+  small-star(u): attach every neighbor v ≤ u (and u itself) to that min
+
+Each half-round is one keyed shuffle (groupBy node for the min) plus one
+keyed join; the edge set only shrinks toward a star forest, and the
+algorithm converges in O(log² n) rounds on ANY graph shape — unlike plain
+min-label propagation, whose round count is the graph diameter (a 100 TB
+crawl with chained near-dups can have long paths). Skewed high-degree
+nodes are safe: large-star attaches heavy neighbor lists directly to the
+component minimum, never materializing per-node neighbor arrays.
+
+Iterative Spark caveats handled here:
+
+  * lineage truncation — each round ``localCheckpoint``s the edge frame,
+    otherwise the plan doubles per iteration and the driver OOMs on plan
+    explosion long before data is the bottleneck;
+  * convergence test — (count, xor-of-hash) checksum of the edge set, one
+    cheap aggregate action per round, no collect of edges.
+
+The result labels every node with the MINIMUM id in its component —
+deterministic across runs, partitionings, and cluster sizes, which is the
+same survivor rule the exact-dedup path uses (dedup.py `dedup_exact`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "neardup_components", "dedup_by_components"]
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected edges as (u, v) with u < v; self-loops dropped."""
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    )
+    return e.where(F.col("u") < F.col("v")).distinct()
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # symmetric neighbor view; m(u) = min(N(u) ∪ {u})
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    out = (
+        sym.where(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canon(out, "u", "v")
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # directed toward larger node: for each u, link its ≤-neighbors (and u)
+    # to m = min of that set
+    to_larger = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mins = to_larger.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    linked = to_larger.join(mins, "u")
+    out = linked.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        linked.select("u", "m").distinct().select(
+            F.col("u"), F.col("m").alias("v")
+        )
+    )
+    return _canon(out, "u", "v")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node that appears in ``edges``;
+    component = minimum node id in its connected component.
+
+    Raises RuntimeError if the star rounds have not converged after
+    ``max_iter`` full rounds (O(log² n) suffices in theory; 25 covers any
+    practically reachable n).
+    """
+    cur = _canon(edges, src, dst).localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        sig = _checksum(nxt)
+        cur = nxt
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged edge set is a star forest: v → u = component min
+    labels = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return labels.union(roots)
+
+
+def neardup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "docID",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(id_col, component, cluster_size) for every document of ``df``.
+
+    Documents absent from ``pairs`` are singleton components of themselves,
+    so the output is a total labeling usable as a dedup partition key.
+    """
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(id_col, "component", "cluster_size")
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "docID",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Rows of ``df`` surviving near-dup dedup: the min-id doc per
+    connected component (singletons survive trivially) — transitive-closure
+    semantics, where pairwise filtering would keep chain members."""
+    comp = neardup_components(df, pairs, id_col, src, dst)
+    keepers = comp.where(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keepers, id_col, "left_semi")

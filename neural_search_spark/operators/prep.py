@@ -123,3 +123,58 @@ def hash_sample_by(
             F.col(strat_col) == cls, F.lit(int(frac * _HASH_MOD))
         ).otherwise(thr)
     return df.where(_bucket(id_col, seed) < thr)
+
+
+# ---------------------------------------------------------------- redaction
+
+# (kind, pattern, replacement) — applied in order. Patterns restrict
+# themselves to the regex subset Java (Spark) and RE2 (DuckDB oracle)
+# interpret identically: no lookaround, no backreferences in the MATCH,
+# word boundaries and inline (?i) only. Replacement group syntax differs
+# per engine ($1 vs \1); redact_secrets handles the Spark side, the
+# contract oracle carries the RE2 spelling.
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", r"\b(AKIA|ASIA)[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("hex", r"\b[0-9a-fA-F]{32,}\b", "<HEX>"),
+    ("ip", r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b", "<IP>"),
+    ("secret", r"(?i)\b(api[_-]?key|secret|token|passwd|password)(\s*[:=]\s*)[^\s\"']+", "$1$2<SECRET>"),
+]
+
+
+def redact_secrets(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "docID",
+) -> DataFrame:
+    """Redact credential-looking spans from a source-code corpus before it
+    becomes training data: emails, AWS-style access-key ids, long hex blobs
+    (tokens, digests), IPv4 literals, and `key=value` secret assignments.
+
+    Returns (id_col, text_col redacted, n_<kind> per pattern, n_redactions
+    total). Counts are measured on the ORIGINAL text per pattern — the
+    sequential replacements cannot create new matches for later patterns
+    (every placeholder is alphabetic and bracketed) — so the counts are
+    order-independent facts a SQL oracle can recompute.
+
+    Pure Catalyst projection (regexp_replace / regexp_count): one narrow
+    stage, no shuffle, whole-stage-codegen'd — at 100 TB this runs at scan
+    speed alongside any other per-doc rewrite.
+    """
+    out = F.col(text_col)
+    counts = []
+    for kind, pat, repl in REDACTION_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{kind}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    total = sum(
+        (F.regexp_count(F.col(text_col), F.lit(p)) for _, p, _ in REDACTION_PATTERNS),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        out.alias(text_col),
+        *counts,
+        total.alias("n_redactions"),
+    )

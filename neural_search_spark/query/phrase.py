@@ -1,0 +1,187 @@
+"""Phrase and prefix queries over the inverted index.
+
+The reference's hybrid request wraps arbitrary Lucene sub-queries; the two
+most common lexical ones beyond plain term/match are ``match_phrase`` and
+``prefix`` (reference: hybrid sub-query trees accept any QueryBuilder,
+main/query/HybridQueryBuilder.java doWriteTo/visit walks generic clauses).
+This module re-expresses both Spark-first against the existing index
+layout — postings carry (term, docID, tf) but NOT positions, exactly like
+the reference's sparse field formats, so phrase verification uses the
+forward index (docmap text), the way Lucene's two-phase iterators confirm
+approximate matches (reference: main/query/SparseVectorQuery.java two-phase
+shape; two_phase.py is the scored analog).
+
+Phrase execution shape (scale story):
+
+  1. pick the RAREST phrase term from posting-block metadata (df = Σ
+     block n per term — an aggregate over block headers, no decode);
+  2. decode only that term's postings → candidate docIDs (bounded by the
+     smallest df, the same driver Lucene's conjunction uses);
+  3. join candidates to the forward index and count exact phrase
+     occurrences in the token array — a JVM higher-order-function scan
+     (F.filter over element_at), no Python;
+  4. score like Lucene's PhraseQuery/BM25: tf = phrase frequency,
+     idf = Σ idf(term_i), same saturation/normalization as term queries.
+
+Prefix execution is Lucene's ``rewrite: scoring_boolean``: expand the
+prefix against the term dictionary (df-descending, capped at
+``max_expansions`` — MultiTermQuery.TopTermsScoringBooleanQueryRewrite),
+then run the ordinary BM25 disjunction through wand.search, pruning and
+all. The dictionary scan collects only the expanded terms (≤ cap) to the
+driver — the same tiny TermEnum materialization Lucene does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query, tokens_col
+from neural_search_spark.index.build import Index
+from neural_search_spark.index.merge import decode_postings
+from neural_search_spark.query import wand
+
+__all__ = ["phrase_search", "prefix_search", "expand_prefix"]
+
+
+def _term_dfs(index: Index, terms: list[str]) -> dict[str, int]:
+    """df per term from posting-block headers (no decode)."""
+    rows = (
+        index.postings.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
+            ).alias("df")
+        )
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _phrase_count(toks, terms: list[str]):
+    """Occurrences of the exact adjacent token sequence in array ``toks``."""
+    m = len(terms)
+
+    # lambda i -> AND_j element_at(toks, i+j+1) == terms[j]
+    def _match(i):
+        out = F.lit(True)
+        for j, t in enumerate(terms):
+            out = out & (F.element_at(toks, i + j + 1) == F.lit(t))
+        return out
+
+    starts = F.sequence(F.lit(0), F.size(toks) - m)
+    return F.when(
+        F.size(toks) >= m, F.size(F.filter(starts, _match))
+    ).otherwise(F.lit(0))
+
+
+def phrase_search(
+    index: Index,
+    corpus: DataFrame,
+    phrase: str | list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """match_phrase top-k: DataFrame(docID, score), score =
+    Σ idf(term) · tfp / (tfp + k1·(1−b+b·dl/avgdl)), tfp = exact adjacent
+    phrase frequency — Lucene PhraseQuery semantics under the index's BM25
+    parameters. Ties break on docID ascending.
+
+    ``corpus`` is the source table the index was built from (the docmap
+    intentionally stores no text — the forward text IS the source table,
+    which per-row sha256 in doclens pins to the index). The candidate set
+    (bounded by the rarest term's df) broadcast-semi-joins into the corpus
+    scan, so only candidate rows are ever tokenized.
+    """
+    terms = tokenize_query(phrase) if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    dfs = _term_dfs(index, sorted(set(terms)))
+    if len(dfs) < len(set(terms)):  # some term absent from the dictionary
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+
+    # rarest term drives candidate generation (deterministic tie on term)
+    rarest = min(sorted(dfs), key=lambda t: dfs[t])
+    cand = (
+        decode_postings(index.postings.where(F.col("term") == rarest))
+        .select("docID")
+    )
+    if index.tombstones is not None:
+        cand = cand.join(index.tombstones, "docID", "left_anti")
+
+    toks = tokens_col(F.col(text_col))
+    fwd = corpus.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        F.col(text_col),
+        F.size(toks).alias("doclen"),
+    ).join(F.broadcast(cand), "docID", "left_semi")
+
+    tfp = _phrase_count(toks, terms)
+    idf_sum = float(
+        sum(
+            _idf(dfs[t], index.n_docs)
+            for t in terms  # repeated terms count repeatedly, like Lucene
+        )
+    )
+    norm = index.k1 * (1.0 - index.b + index.b * F.col("doclen") / index.avgdl)
+    scored = fwd.select(
+        "docID",
+        (F.lit(idf_sum) * tfp / (tfp + norm)).alias("_s"),
+        tfp.alias("_tfp"),
+    ).where(F.col("_tfp") > 0)
+    return (
+        scored.select("docID", F.round("_s", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
+def _idf(df: int, n_docs: int) -> float:
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def expand_prefix(
+    index: Index, prefix: str, max_expansions: int = 50
+) -> list[str]:
+    """Terms of the dictionary starting with ``prefix``, highest-df first
+    (term-ascending tie-break), capped at ``max_expansions`` — the
+    TopTermsScoringBooleanQueryRewrite expansion set."""
+    if not prefix:
+        raise ValueError("empty prefix")
+    rows = (
+        index.postings.where(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
+            ).alias("df")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def prefix_search(
+    index: Index,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """prefix top-k under ``rewrite: scoring_boolean``: expand against the
+    dictionary, then ordinary BM25 disjunction via wand.search (block-max
+    pruning included). Returns DataFrame(docID, score)."""
+    terms = expand_prefix(index, prefix, max_expansions)
+    if not terms:
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    return wand.search(index, terms, k=k, **search_kwargs)
