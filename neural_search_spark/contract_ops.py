@@ -2784,6 +2784,84 @@ PHRASE_SQL = f"""
 """
 
 
+PHRASE_PREFIX_TERMS = ["slow", "s"]  # full term + final prefix slot
+FUZZY_TERM = "vale"  # lev-1 of 'value', lev-2 of 'table' → two boosts
+FUZZY_MAX_EDITS = 2
+
+
+def q_phrase_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase_prefix (search-as-you-type): full terms drive
+    candidates, the final slot prefix-matches during forward verify."""
+    from neural_search_spark.query import phrase as ph
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    res = ph.phrase_prefix_search(
+        idx, corpus, PHRASE_PREFIX_TERMS, k=10, text_col="text")
+    return res.select(F.col("docID").alias("doc_id"), "score")
+
+
+PHRASE_PREFIX_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+    dfs AS (
+      SELECT sum(CASE WHEN list_contains(toks, '{PHRASE_PREFIX_TERMS[0]}') THEN 1 ELSE 0 END) AS df_full,
+             sum(CASE WHEN len(list_filter(toks, t -> starts_with(t, '{PHRASE_PREFIX_TERMS[1]}'))) > 0
+                      THEN 1 ELSE 0 END) AS df_pref
+      FROM tok),
+    idf AS (SELECT ln(1 + (s.n_docs - d.df_full + 0.5) / (d.df_full + 0.5))
+                 + ln(1 + (s.n_docs - d.df_pref + 0.5) / (d.df_pref + 0.5)) AS v,
+                 s.avgdl AS avgdl FROM stats s, dfs d),
+    tfp AS (
+      SELECT t.doc_id, dl.doclen,
+             len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                 i -> toks[i] = '{PHRASE_PREFIX_TERMS[0]}'
+                      AND starts_with(toks[i+1], '{PHRASE_PREFIX_TERMS[1]}'))) AS tfp
+      FROM tok t JOIN dl ON t.doc_id = dl.doc_id)
+    SELECT doc_id,
+           round(i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * doclen / i.avgdl)), 4) AS score
+    FROM tfp, idf i WHERE tfp > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy query: Levenshtein dictionary expansion with FuzzyQuery
+    boosts (1 − d / min lengths), scored as a boost-weighted BM25
+    disjunction through the WAND kernel's per-term weights."""
+    from neural_search_spark.query import phrase as ph
+
+    idx = _get_index(spark, sf_dir)
+    res = ph.fuzzy_search(idx, FUZZY_TERM, k=10, fuzziness=FUZZY_MAX_EDITS)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+FUZZY_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         exp AS (SELECT term, df,
+                        1.0 - CAST(levenshtein(term, '{FUZZY_TERM}') AS DOUBLE)
+                              / least({len(FUZZY_TERM)}, length(term)) AS boost
+                 FROM alldf
+                 WHERE levenshtein(term, '{FUZZY_TERM}') <= {FUZZY_MAX_EDITS}
+                 ORDER BY boost DESC, df DESC, term ASC LIMIT 50)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ( ln(1 + (st.n_docs - e.df + 0.5) / (e.df + 0.5))
+                    * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) )
+                  * e.boost ) AS s
+      FROM tf JOIN exp e USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 def q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """prefix query under rewrite: scoring_boolean — dictionary expansion
     (df-desc, capped) then the ordinary WAND BM25 disjunction."""
@@ -2899,6 +2977,8 @@ SPARK_QUERIES_EXT = {
     "redact_secrets": q_redact_secrets,
     "phrase_topk": q_phrase_topk,
     "prefix_topk": q_prefix_topk,
+    "phrase_prefix_topk": q_phrase_prefix_topk,
+    "fuzzy_topk": q_fuzzy_topk,
 }
 
 ORACLE_SQL_EXT = {
@@ -2996,4 +3076,6 @@ ORACLE_SQL_EXT = {
     "redact_secrets": REDACT_SQL,
     "phrase_topk": PHRASE_SQL,
     "prefix_topk": PREFIX_SQL,
+    "phrase_prefix_topk": PHRASE_PREFIX_SQL,
+    "fuzzy_topk": FUZZY_SQL,
 }

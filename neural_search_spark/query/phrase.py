@@ -40,7 +40,14 @@ from neural_search_spark.index.build import Index
 from neural_search_spark.index.merge import decode_postings
 from neural_search_spark.query import wand
 
-__all__ = ["phrase_search", "prefix_search", "expand_prefix"]
+__all__ = [
+    "phrase_search",
+    "phrase_prefix_search",
+    "prefix_search",
+    "expand_prefix",
+    "fuzzy_search",
+    "expand_fuzzy",
+]
 
 
 def _term_dfs(index: Index, terms: list[str]) -> dict[str, int]:
@@ -166,6 +173,144 @@ def expand_prefix(
         .collect()
     )
     return [r["term"] for r in rows]
+
+
+def phrase_prefix_search(
+    index: Index,
+    corpus: DataFrame,
+    phrase: str | list[str],
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """match_phrase_prefix top-k: like phrase_search, but the LAST phrase
+    position matches any dictionary term with that prefix (the
+    search-as-you-type query). Candidates come from the rarest FULL term;
+    verification checks prefix at the final slot. Scoring keeps the full
+    terms' idfs and adds the prefix slot with the summed df of its
+    expansions — equivalent to Lucene's expansion OR without the
+    max_expansions cap (divergence: we verify instead of expanding, so no
+    cap is needed; documented here).
+    """
+    terms = tokenize_query(phrase) if isinstance(phrase, str) else list(phrase)
+    if len(terms) < 2:
+        raise ValueError("match_phrase_prefix needs ≥1 full term + a prefix")
+    full, prefix = terms[:-1], terms[-1]
+    dfs = _term_dfs(index, sorted(set(full)))
+    if len(dfs) < len(set(full)):
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    # df of the prefix slot = docs matched by ANY expansion; cheap exact
+    # count from the dictionary-pruned postings (distinct docs)
+    pref_df = (
+        decode_postings(index.postings.where(F.col("term").startswith(prefix)))
+        .select("docID").distinct().count()
+    )
+    if pref_df == 0:
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+
+    rarest = min(sorted(dfs), key=lambda t: dfs[t])
+    cand = (
+        decode_postings(index.postings.where(F.col("term") == rarest))
+        .select("docID")
+    )
+    if index.tombstones is not None:
+        cand = cand.join(index.tombstones, "docID", "left_anti")
+
+    toks = tokens_col(F.col(text_col))
+    fwd = corpus.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        F.col(text_col),
+        F.size(toks).alias("doclen"),
+    ).join(F.broadcast(cand), "docID", "left_semi")
+
+    m = len(terms)
+
+    def _match(i):
+        out = F.lit(True)
+        for j, t in enumerate(full):
+            out = out & (F.element_at(toks, i + j + 1) == F.lit(t))
+        return out & F.element_at(toks, i + m).startswith(prefix)
+
+    starts = F.sequence(F.lit(0), F.size(toks) - m)
+    tfp = F.when(
+        F.size(toks) >= m, F.size(F.filter(starts, _match))
+    ).otherwise(F.lit(0))
+    idf_sum = float(
+        sum(_idf(dfs[t], index.n_docs) for t in full)
+        + _idf(pref_df, index.n_docs)
+    )
+    norm = index.k1 * (1.0 - index.b + index.b * F.col("doclen") / index.avgdl)
+    scored = fwd.select(
+        "docID",
+        (F.lit(idf_sum) * tfp / (tfp + norm)).alias("_s"),
+        tfp.alias("_tfp"),
+    ).where(F.col("_tfp") > 0)
+    return (
+        scored.select("docID", F.round("_s", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
+def expand_fuzzy(
+    index: Index,
+    term: str,
+    fuzziness: int = 2,
+    max_expansions: int = 50,
+) -> dict[str, float]:
+    """{dictionary term: boost} for terms within ``fuzziness`` edits —
+    Lucene FuzzyQuery expansion with boost = 1 − d / min(|query|, |term|)
+    (FuzzyTermsEnum's scale factor; exact match boosts 1.0). Selection
+    order: boost desc, df desc, term asc, capped at ``max_expansions``.
+    The Levenshtein scan runs JVM-side over the (tiny) term dictionary.
+    """
+    if not term:
+        raise ValueError("empty fuzzy term")
+    rows = (
+        index.postings.groupBy("term")
+        .agg(
+            F.sum(
+                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
+            ).alias("df")
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+        .where(F.col("dist") <= fuzziness)
+        .withColumn(
+            "boost",
+            1.0 - F.col("dist") / F.least(F.lit(len(term)), F.length("term")),
+        )
+        .orderBy(F.desc("boost"), F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return {r["term"]: float(r["boost"]) for r in rows}
+
+
+def fuzzy_search(
+    index: Index,
+    term: str,
+    k: int = 10,
+    fuzziness: int = 2,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """fuzzy top-k: expansion set scored as a boost-weighted BM25
+    disjunction through wand.search's per-term weights (the FeatureField
+    linear combination — same kernel, no new machinery)."""
+    weights = expand_fuzzy(index, term, fuzziness, max_expansions)
+    if not weights:
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    return wand.search(
+        index, sorted(weights), k=k, weights=weights, **search_kwargs
+    )
 
 
 def prefix_search(

@@ -214,3 +214,60 @@ class TestPhrasePrefix:
             for r in wand.search(index, ["shuffle", "spark", "start"], k=5).collect()
         ]
         assert got == want
+
+    def test_phrase_prefix_matches_expanded_final_slot(self, spark, idx):
+        from neural_search_spark.query.phrase import (
+            phrase_prefix_search,
+            phrase_search,
+        )
+
+        index, docs = idx
+        # "spark sh" must match exactly where the full phrase does, with
+        # idf(prefix slot) = idf over docs holding ANY sh- term — here the
+        # only sh- term is "shuffle", so scores equal phrase_search's
+        got = [
+            (r.docID, r.score)
+            for r in phrase_prefix_search(index, docs, ["spark", "sh"], k=10).collect()
+        ]
+        want = [
+            (r.docID, r.score)
+            for r in phrase_search(index, docs, "spark shuffle", k=10).collect()
+        ]
+        assert got == want
+
+    def test_phrase_prefix_unmatched_prefix_empty(self, spark, idx):
+        from neural_search_spark.query.phrase import phrase_prefix_search
+
+        index, docs = idx
+        assert phrase_prefix_search(index, docs, ["spark", "zz"], k=10).count() == 0
+
+    def test_fuzzy_expansion_boosts(self, spark, idx):
+        from neural_search_spark.query.phrase import expand_fuzzy
+
+        index, _ = idx
+        # query "spork": spark d=1 → 1 − 1/5 = 0.8; start d=3 excluded
+        exp = expand_fuzzy(index, "spork", fuzziness=2)
+        assert exp == {"spark": 0.8}
+
+    def test_fuzzy_search_equals_weighted_wand(self, spark, idx):
+        from neural_search_spark.query import wand
+        from neural_search_spark.query.phrase import fuzzy_search
+
+        index, _ = idx
+        got = [
+            (r.docID, round(r.score, 4))
+            for r in fuzzy_search(index, "spork", k=5, fuzziness=2).collect()
+        ]
+        want = [
+            (r.docID, round(r.score, 4))
+            for r in wand.search(
+                index, ["spark"], k=5, weights={"spark": 0.8}
+            ).collect()
+        ]
+        assert got == want
+
+    def test_fuzzy_no_match_empty(self, spark, idx):
+        from neural_search_spark.query.phrase import fuzzy_search
+
+        index, _ = idx
+        assert fuzzy_search(index, "qqqqqqqq", k=5, fuzziness=2).count() == 0
