@@ -85,14 +85,91 @@ def cmd_search(spark: SparkSession, args) -> None:
     idx = load_index(spark, args.index_dir)
     if args.warmup:
         idx.warmup()
-    out = {"query": args.query, "k": args.k}
-    if args.profile:
+    mode = getattr(args, "mode", "terms")
+    out = {"query": args.query, "k": args.k, "mode": mode}
+    if mode in ("phrase", "phrase_prefix"):
+        from neural_search_spark.query import phrase as ph
+
+        if not args.input:
+            raise SystemExit(f"search --mode {mode} requires --input (source corpus)")
+        corpus = spark.read.parquet(args.input)
+        fn = ph.phrase_search if mode == "phrase" else ph.phrase_prefix_search
+        rows = fn(idx, corpus, args.query, k=args.k,
+                  text_col=args.text_col).collect()
+    elif mode == "prefix":
+        from neural_search_spark.query import phrase as ph
+
+        out["expanded"] = ph.expand_prefix(idx, args.query, args.max_expansions)
+        rows = ph.prefix_search(
+            idx, args.query, k=args.k, max_expansions=args.max_expansions
+        ).collect()
+    elif mode == "fuzzy":
+        from neural_search_spark.query import phrase as ph
+
+        out["expanded"] = ph.expand_fuzzy(
+            idx, args.query, args.fuzziness, args.max_expansions)
+        rows = ph.fuzzy_search(
+            idx, args.query, k=args.k, fuzziness=args.fuzziness,
+            max_expansions=args.max_expansions,
+        ).collect()
+    elif args.profile:
         rows, prof = wand.profile_search(idx, args.query, k=args.k)
         out["profile"] = prof
     else:
         rows = wand.search(idx, args.query, k=args.k).collect()
     out["hits"] = [{"docID": r["docID"], "score": round(r["score"], 6)} for r in rows]
     print(json.dumps(out))
+
+
+def cmd_cluster(spark: SparkSession, args) -> None:
+    from neural_search_spark.operators import cluster, dedup
+
+    docs = spark.read.parquet(args.input)
+    pair_fn = {
+        "ngram": lambda d: dedup.ngram_jaccard_pairs(
+            d, args.text_col, args.id_col, threshold=args.threshold),
+        "minhash": lambda d: dedup.minhash_lsh_pairs(
+            d, args.text_col, args.id_col, threshold=args.threshold),
+        "simhash": lambda d: dedup.simhash_pairs(d, args.text_col, args.id_col),
+    }[args.method]
+    pairs = pair_fn(docs)
+    comp = cluster.neardup_components(docs, pairs, args.id_col)
+    if args.output:
+        comp.write.mode("overwrite").parquet(args.output)
+    n_docs = comp.count()
+    n_comp = comp.select("component").distinct().count()
+    print(json.dumps({
+        "method": args.method, "docs": n_docs, "components": n_comp,
+        "duplicates_removed": n_docs - n_comp,
+        "output": args.output,
+    }))
+
+
+def cmd_prep(spark: SparkSession, args) -> None:
+    from neural_search_spark.analysis.repetition import repetition_stats
+    from neural_search_spark.operators import prep
+
+    docs = spark.read.parquet(args.input)
+    if args.op == "redact":
+        out = prep.redact_secrets(docs, args.text_col, args.id_col)
+        summary = out.agg(
+            F.sum("n_redactions").alias("total"),
+            F.count(F.lit(1)).alias("docs"),
+        ).collect()[0]
+        extra = {"redactions": int(summary["total"]), "docs": int(summary["docs"])}
+    elif args.op == "boilerplate":
+        out = prep.remove_boilerplate_lines(
+            docs, args.text_col, args.id_col, min_df=args.min_df)
+        extra = {"docs": out.count()}
+    elif args.op == "repetition":
+        out = repetition_stats(docs, args.text_col, args.id_col)
+        extra = {"docs": out.count()}
+    else:  # sample
+        out = prep.hash_sample(docs, args.fraction, args.id_col)
+        extra = {"kept": out.count()}
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"op": args.op, "output": args.output, **extra}))
 
 
 def cmd_request(spark: SparkSession, args) -> None:
@@ -366,6 +443,36 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--warmup", action="store_true")
     s.add_argument("--profile", action="store_true",
                    help="also report block-skip pruning counters")
+    s.add_argument("--mode", default="terms",
+                   choices=["terms", "phrase", "phrase_prefix", "prefix", "fuzzy"],
+                   help="query type: match terms (default), match_phrase, "
+                        "match_phrase_prefix, prefix (scoring_boolean), fuzzy")
+    s.add_argument("--input", help="source corpus parquet (phrase modes)")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--max-expansions", type=int, default=50)
+    s.add_argument("--fuzziness", type=int, default=2)
+
+    cl = sub.add_parser("cluster", help="near-dup clustering: pair graph → "
+                                        "connected components → survivors")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output")
+    cl.add_argument("--method", default="ngram",
+                    choices=["ngram", "minhash", "simhash"])
+    cl.add_argument("--threshold", type=float, default=0.8)
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+
+    pp = sub.add_parser("prep", help="corpus preparation: redact secrets, "
+                                     "remove boilerplate, repetition stats, "
+                                     "deterministic sampling")
+    pp.add_argument("--op", required=True,
+                    choices=["redact", "boilerplate", "repetition", "sample"])
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--min-df", type=int, default=10)
+    pp.add_argument("--fraction", type=float, default=0.1)
 
     st = sub.add_parser("stats", help="index-level statistics")
     st.add_argument("--index-dir", required=True)
@@ -489,7 +596,8 @@ def main(argv: list[str] | None = None) -> None:
         {"build": cmd_build, "append": cmd_append, "search": cmd_search,
          "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
          "ann": cmd_ann, "stats": cmd_stats, "request": cmd_request,
-         "compact": cmd_compact, "seismic": cmd_seismic}[args.cmd](spark, args)
+         "compact": cmd_compact, "seismic": cmd_seismic,
+         "cluster": cmd_cluster, "prep": cmd_prep}[args.cmd](spark, args)
     finally:
         spark.stop()
 

@@ -2400,14 +2400,22 @@ def _mutated_index(spark: SparkSession, sf_dir: str, tag: str, builder) -> Index
         h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
         idx_dir = os.path.join(tempfile.gettempdir(), f"nss-contract-{tag}-{h}")
         marker = os.path.join(idx_dir, ".contract-mutation-done")
+        idx = None
         if os.path.exists(marker):
-            _INDEX_CACHE[key] = load_index(spark, idx_dir)
-        else:
+            # a marker can outlive its files (killed process mid-write on
+            # a previous snapshot, tmpfs eviction) — treat ANY load/read
+            # failure as a stale cache and rebuild cold, never error
+            try:
+                idx = load_index(spark, idx_dir)
+                idx.postings.limit(1).count()  # probe the snapshot files
+            except Exception:
+                idx = None
+        if idx is None:
             shutil.rmtree(idx_dir, ignore_errors=True)
             idx = builder(idx_dir)
             with open(marker, "w", encoding="utf-8") as f:
                 f.write("done")
-            _INDEX_CACHE[key] = idx
+        _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 

@@ -93,13 +93,16 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node that appears in ``edges``;
     component = minimum node id in its connected component.
 
     Raises RuntimeError if the star rounds have not converged after
     ``max_iter`` full rounds (O(log² n) suffices in theory; 25 covers any
-    practically reachable n).
+    practically reachable n). ``stats`` (optional dict) receives
+    ``rounds`` — full large+small rounds executed including the final
+    stability check.
     """
     cur = _canon(edges, src, dst).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
@@ -109,15 +112,19 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         sig = _checksum(nxt)
         cur = nxt
+        rounds += 1
         if sig == prev_sig:
             break
         prev_sig = sig
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     # converged edge set is a star forest: v → u = component min
     labels = cur.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = nodes.join(

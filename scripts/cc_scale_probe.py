@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Connected-components scale probe: throughput at two parallelism levels.
+
+Runs the SAME clustering job (synthetic near-dup pair graph, default 2M
+edges / ~1.2M nodes) at local[N] and local[4N] in fresh subprocesses (one
+JVM per leg, like bench.py --scaling) and reports edges/sec per leg plus
+N→4N scaling efficiency. The graph mixes the shapes a real dedup pair set
+produces: dup clusters (cliques via shared modular hubs), boilerplate
+chains (paths), and isolated pairs — plus a deliberately skewed hub node
+touching 0.5% of all edges to exercise the large-star skew path.
+
+Prints one JSON line; numbers feed BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def one_leg(cpus: int, n_edges: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.operators.cluster import connected_components
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("cc-probe", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        def graph(n, tag):
+            # Realistic dedup pair-graph shape: MANY bounded components
+            # (dup clusters live inside 64-slot blocks; ~50 edges/block)
+            # plus ONE hot block receiving 1% of all edges — the
+            # boilerplate mega-cluster that stresses the skew path.
+            # Bounded cluster diameter is the property that makes CC
+            # rounds independent of corpus size.
+            n_blocks = max(n // 50, 1)
+            e = spark.range(n).select(
+                (F.col("id") * 2654435761 % 2_147_483_647).alias("h"),
+                F.col("id"),
+            )
+            block = F.when(F.col("id") % 100 == 0, F.lit(0)).otherwise(
+                F.col("h") % n_blocks
+            )
+            a = block * 64 + F.col("h") % 63
+            b = block * 64 + F.floor(F.col("h") / 63) % 63 + 1
+            return e.select(a.alias("id_a"), b.alias("id_b")).where(
+                F.col("id_a") != F.col("id_b")
+            )
+
+        # JIT warmup on a small disjoint graph
+        connected_components(graph(20_000, "warm"), "id_a", "id_b").count()
+
+        edges = graph(n_edges, "main")
+        st: dict = {}
+        t0 = time.perf_counter()
+        comp = connected_components(edges, "id_a", "id_b", stats=st)
+        n_nodes = comp.count()
+        wall = time.perf_counter() - t0
+        n_comp = comp.select("component").distinct().count()
+        return {
+            "cpus": cpus,
+            "n_edges": n_edges,
+            "n_nodes": n_nodes,
+            "n_components": n_comp,
+            "rounds": st.get("rounds"),
+            "wall_s": round(wall, 2),
+            "edges_per_sec": round(n_edges / wall, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--edges", type=int, default=2_000_000)
+    ap.add_argument("--n", type=int, default=2, help="small leg cores")
+    ap.add_argument("--leg", type=int, default=0,
+                    help="(internal) run one leg with this many cores")
+    args = ap.parse_args()
+
+    if args.leg:
+        print(json.dumps(one_leg(args.leg, args.edges)))
+        return
+
+    legs = {}
+    for cpus in (args.n, args.n * 4):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--leg", str(cpus), "--edges", str(args.edges)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        legs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    small, big = legs[args.n], legs[args.n * 4]
+    eff = (big["edges_per_sec"] / small["edges_per_sec"]) / 4.0
+    print(json.dumps({
+        "probe": "connected_components",
+        "legs": legs,
+        "scaling_efficiency_n_to_4n": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

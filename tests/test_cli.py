@@ -199,3 +199,68 @@ def test_cli_seismic_build_and_search(spark, tmp_path, capsys):
     assert out["action"] == "seismic-search" and len(out["hits"]) >= 1
     scores = [h["score"] for h in out["hits"]]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli-corpus") / "docs")
+    with_doc_id(generate_corpus(spark, 60, seed=9)).write.parquet(d)
+    return d
+
+
+def _search_ns(**kw):
+    base = dict(k=5, warmup=False, profile=False, mode="terms", input=None,
+                text_col="content", max_expansions=50, fuzziness=2)
+    base.update(kw)
+    return Namespace(**base)
+
+
+def test_cli_search_phrase_modes(spark, idx_dir, corpus_parquet, capsys):
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, query="def return", mode="phrase",
+        input=corpus_parquet))
+    out = _json_out(capsys)
+    assert out["mode"] == "phrase"
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, query="def ret", mode="phrase_prefix",
+        input=corpus_parquet))
+    out2 = _json_out(capsys)
+    assert out2["mode"] == "phrase_prefix"
+
+
+def test_cli_search_prefix_fuzzy(spark, idx_dir, capsys):
+    cli.cmd_search(spark, _search_ns(index_dir=idx_dir, query="re",
+                                     mode="prefix"))
+    out = _json_out(capsys)
+    assert out["expanded"] and all(t.startswith("re") for t in out["expanded"])
+    assert out["hits"]
+
+    cli.cmd_search(spark, _search_ns(index_dir=idx_dir, query="retur",
+                                     mode="fuzzy"))
+    out = _json_out(capsys)
+    assert "return" in out["expanded"] and out["hits"]
+
+
+def test_cli_cluster(spark, corpus_parquet, tmp_path, capsys):
+    outdir = str(tmp_path / "comp")
+    cli.cmd_cluster(spark, Namespace(
+        input=corpus_parquet, output=outdir, method="ngram", threshold=0.8,
+        text_col="content", id_col="docID"))
+    out = _json_out(capsys)
+    assert out["docs"] == 60 and out["components"] <= 60
+    assert spark.read.parquet(outdir).count() == 60
+
+
+def test_cli_prep_redact_and_sample(spark, corpus_parquet, capsys):
+    cli.cmd_prep(spark, Namespace(
+        op="redact", input=corpus_parquet, output=None,
+        text_col="content", id_col="docID", min_df=10, fraction=0.1))
+    out = _json_out(capsys)
+    assert out["docs"] == 60
+
+    cli.cmd_prep(spark, Namespace(
+        op="sample", input=corpus_parquet, output=None,
+        text_col="content", id_col="docID", min_df=10, fraction=0.5))
+    out = _json_out(capsys)
+    assert 0 < out["kept"] < 60

@@ -271,3 +271,21 @@ class TestPhrasePrefix:
 
         index, _ = idx
         assert fuzzy_search(index, "qqqqqqqq", k=5, fuzziness=2).count() == 0
+
+    def test_phrase_plan_shape(self, spark, idx):
+        """Zero-shuffle phrase plan: rarest-term pruned posting scan →
+        vectorized decode → BROADCAST semi-join into the corpus scan →
+        TakeOrderedAndProject. A hash Exchange or row-Python stage here
+        would break the 100 TB shape."""
+        from neural_search_spark.query.phrase import phrase_search
+
+        index, docs = idx
+        plan = (
+            phrase_search(index, docs, "spark shuffle", k=10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan  # decode is MapInPandas (Arrow)
