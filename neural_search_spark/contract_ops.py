@@ -2902,6 +2902,94 @@ PREFIX_SQL = f"""
 """
 
 
+BOOL_MUST = "data"
+BOOL_SHOULD = ["join", "query"]
+BOOL_NOT = "dup"
+BOOL_MSM_SHOULD = ["scan", "stream", "vector"]
+BOOL_MSM_FILTER = "slow"
+BOOL_MSM = 2
+
+
+def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool query: must + should + must_not (Lucene BooleanQuery — should
+    is optional-but-scoring when must exists; must_not excludes). Gating is
+    one pruned postings scan + one keyed agg; scoring rides the WAND
+    kernel's candidates mask."""
+    from neural_search_spark.query.boolean import bool_search
+
+    idx = _get_index(spark, sf_dir)
+    res = bool_search(
+        idx, must=[BOOL_MUST], should=BOOL_SHOULD, must_not=[BOOL_NOT], k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+BOOL_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ('{BOOL_MUST}', '{BOOL_SHOULD[0]}', '{BOOL_SHOULD[1]}')
+                   GROUP BY term),
+         cand AS (
+           SELECT doc_id FROM tf WHERE term = '{BOOL_MUST}'
+           EXCEPT
+           SELECT doc_id FROM tf WHERE term = '{BOOL_NOT}')
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN cand ON tf.doc_id = cand.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_bool_filter_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool query: minimum_should_match=2 over three should clauses plus a
+    non-scoring filter clause (matches gate, scores don't include it)."""
+    from neural_search_spark.query.boolean import bool_search
+
+    idx = _get_index(spark, sf_dir)
+    res = bool_search(
+        idx, should=BOOL_MSM_SHOULD, filter=[BOOL_MSM_FILTER],
+        minimum_should_match=BOOL_MSM, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+_MSM_TERMS = ", ".join(f"'{t}'" for t in BOOL_MSM_SHOULD)
+BOOL_MSM_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({_MSM_TERMS}) GROUP BY term),
+         cand AS (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+                    count(DISTINCT CASE WHEN term IN ({_MSM_TERMS})
+                                        THEN term END) AS ns,
+                    max(CASE WHEN term = '{BOOL_MSM_FILTER}' THEN 1 ELSE 0 END) AS f
+             FROM tf WHERE term IN ({_MSM_TERMS}, '{BOOL_MSM_FILTER}')
+             GROUP BY doc_id)
+           WHERE ns >= {BOOL_MSM} AND f = 1)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN cand ON tf.doc_id = cand.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 SPARK_QUERIES_EXT = {
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
@@ -2987,6 +3075,8 @@ SPARK_QUERIES_EXT = {
     "prefix_topk": q_prefix_topk,
     "phrase_prefix_topk": q_phrase_prefix_topk,
     "fuzzy_topk": q_fuzzy_topk,
+    "bool_topk": q_bool_topk,
+    "bool_filter_msm": q_bool_filter_msm,
 }
 
 ORACLE_SQL_EXT = {
@@ -3086,4 +3176,6 @@ ORACLE_SQL_EXT = {
     "prefix_topk": PREFIX_SQL,
     "phrase_prefix_topk": PHRASE_PREFIX_SQL,
     "fuzzy_topk": FUZZY_SQL,
+    "bool_topk": BOOL_SQL,
+    "bool_filter_msm": BOOL_MSM_SQL,
 }

@@ -1,0 +1,186 @@
+"""Boolean query: must / should / must_not / filter + minimum_should_match.
+
+The reference's hybrid request wraps arbitrary Lucene sub-queries, and the
+single most common lexical sub-query in its own tests is a ``bool`` tree
+(reference: hybrid sub-query trees accept any QueryBuilder —
+main/query/HybridQueryBuilder.java visit/doWriteTo walks generic clauses;
+the query-phase tests build `bool` filters around the neural clause,
+src/test/.../query/HybridQueryPhaseSearcherTests.java). This module
+re-expresses Lucene BooleanQuery semantics Spark-first over the existing
+inverted index:
+
+* a clause is a ``match``-style term set (OR inside the clause: the doc
+  matches the clause iff it contains ≥1 of its terms — Lucene ``match``
+  default ``operator: or``), given as a query string, a term list, or
+  ``{"query": ..., "boost": w}``;
+* a doc MATCHES the bool query iff it matches every ``must`` clause, every
+  ``filter`` clause, no ``must_not`` clause, and at least
+  ``minimum_should_match`` ``should`` clauses. ``minimum_should_match``
+  defaults to 1 when there are ``should`` clauses and no ``must``/``filter``
+  clauses, else 0 (Lucene BooleanQuery2ScorerSupplier / ES bool default);
+* the SCORE is the sum of the BM25 term scores of the matching terms of
+  the scoring clauses (``must`` + ``should``), times their clause boosts.
+  ``filter`` and ``must_not`` clauses never contribute score, so a doc that
+  matches only via ``filter`` scores exactly 0.0 (and still matches).
+
+Execution shape (the scale story):
+
+1. **Gating** — when the clause structure actually constrains the match set
+   (conjunction, exclusion, or msm ≥ 2), ONE term-pruned postings scan over
+   the union of all clause terms is decoded (narrow), broadcast-joined to a
+   tiny (term → clause tag) table, and aggregated per docID into clause-hit
+   counts; a single filter on those counts yields the accepted-docs frame.
+   One pruned scan + one keyed shuffle, independent of how many clauses —
+   never a per-clause join chain.
+2. **Scoring** — the accepted frame feeds ``wand.search(candidates=...)``:
+   the same cogrouped per-bucket mask the reference uses for its per-leaf
+   filter BitSets (main/sparse/query/SparseVectorQuery.java:105-150), with
+   per-term weights carrying the summed clause boosts (the FeatureField
+   linear combination — no new kernel).
+3. Degenerate shapes skip the gate entirely: a single ``must`` clause alone
+   or pure-``should`` with msm ≤ 1 is a plain BM25 disjunction, which keeps
+   the hot path on the block-max pruned kernel with zero extra jobs.
+
+Zero-score matches: when scoring clauses exist but fewer than k docs score
+(> 0), Lucene still returns filter-only matches at score 0. The underfull
+case triggers one bounded top-up of candidate docs at score 0.0 (docID
+ascending), so the result set is exactly Lucene's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index.build import Index
+from neural_search_spark.index.merge import decode_postings
+from neural_search_spark.query import wand
+
+__all__ = ["bool_search"]
+
+
+def _clause(c) -> tuple[list[str], float]:
+    """Normalize a clause to (terms, boost)."""
+    boost = 1.0
+    if isinstance(c, dict):
+        boost = float(c.get("boost", 1.0))
+        c = c["query"]
+    terms = tokenize_query(c) if isinstance(c, str) else list(c)
+    if not terms:
+        raise ValueError("empty bool clause")
+    return sorted(set(terms)), boost
+
+
+def _empty(index: Index) -> DataFrame:
+    return index.docmap.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        F.lit(0.0).alias("score"),
+    ).limit(0)
+
+
+def bool_search(
+    index: Index,
+    must=(),
+    should=(),
+    must_not=(),
+    filter=(),  # noqa: A002 - Lucene clause name
+    minimum_should_match: int | None = None,
+    k: int = 10,
+    **search_kwargs,
+) -> DataFrame:
+    """Bool-query top-k: DataFrame(docID, score), score desc / docID asc.
+
+    Each of ``must``/``should``/``must_not``/``filter`` is a sequence of
+    clauses (query string | term list | {"query": ..., "boost": w}).
+    Extra kwargs pass through to :func:`wand.search` (``after``, ``where``,
+    ``seed_theta`` ...).
+    """
+    must = [_clause(c) for c in must]
+    should = [_clause(c) for c in should]
+    must_not = [_clause(c) for c in must_not]
+    filter_ = [_clause(c) for c in filter]
+    if not (must or should or filter_):
+        raise ValueError("bool query needs at least one must/should/filter clause")
+
+    msm = minimum_should_match
+    if msm is None:
+        msm = 1 if (should and not must and not filter_) else 0
+    if msm > len(should):
+        return _empty(index)
+
+    # per-term scoring weight = Σ boosts of the scoring clauses holding it
+    weights: dict[str, float] = {}
+    for terms, boost in must + should:
+        for t in terms:
+            weights[t] = weights.get(t, 0.0) + boost
+    scoring_terms = sorted(weights)
+
+    skip_gate = (
+        not filter_
+        and not must_not
+        and ((len(must) == 1 and not should) or (not must and msm <= 1))
+    )
+    if skip_gate:
+        return wand.search(index, scoring_terms, k=k, weights=weights,
+                           **search_kwargs)
+
+    # ---- gating: one pruned scan over ALL clause terms, one keyed agg ----
+    pairs = []  # (term, group, clause_idx)
+    for grp, clauses in (("m", must), ("f", filter_), ("n", must_not),
+                         ("s", should)):
+        for i, (terms, _b) in enumerate(clauses):
+            pairs.extend((t, grp, i) for t in terms)
+    spark = index.postings.sparkSession
+    tagdf = spark.createDataFrame(pairs, "term string, grp string, cid int")
+
+    gate_terms = sorted({p[0] for p in pairs})
+    decoded = decode_postings(
+        index.postings.where(F.col("term").isin(gate_terms))
+    ).select("docID", "term")
+
+    def _nclauses(grp: str):
+        return F.size(F.array_distinct(F.collect_list(
+            F.when(F.col("grp") == grp, F.col("cid")))))
+
+    hits = (
+        decoded.join(F.broadcast(tagdf), "term")
+        .groupBy("docID")
+        .agg(
+            _nclauses("m").alias("n_m"),
+            _nclauses("f").alias("n_f"),
+            _nclauses("s").alias("n_s"),
+            F.max((F.col("grp") == "n").cast("int")).alias("hit_n"),
+        )
+    )
+    cand = hits.where(
+        (F.col("n_m") == len(must))
+        & (F.col("n_f") == len(filter_))
+        & (F.col("n_s") >= msm)
+        & (F.col("hit_n") == 0)
+    ).select("docID")
+    if index.tombstones is not None:
+        cand = cand.join(index.tombstones.select("docID"), "docID", "left_anti")
+
+    if not scoring_terms:
+        # filter-only bool: every accepted doc matches at constant score 0
+        where = search_kwargs.get("where")
+        if where is not None:
+            allowed = index.docmap.where(where).select(
+                F.col(index.id_col).cast("long").alias("docID"))
+            cand = cand.join(allowed, "docID", "left_semi")
+        return (cand.select("docID", F.lit(0.0).alias("score"))
+                .orderBy(F.asc("docID")).limit(k))
+
+    res = wand.search(index, scoring_terms, k=k, weights=weights,
+                      candidates=cand, **search_kwargs)
+    rows = res.collect()  # ≤ k rows — needed anyway for the top-up check
+    if len(rows) >= k:
+        return res
+    # underfull: top up with accepted docs that match only non-scoring
+    # clauses, at score 0.0 (Lucene returns them; order docID asc)
+    got = [r["docID"] for r in rows]
+    fill = (
+        cand.where(~F.col("docID").isin(got)) if got else cand
+    ).select("docID", F.lit(0.0).alias("score")) \
+     .orderBy(F.asc("docID")).limit(k - len(rows))
+    return res.unionByName(fill).orderBy(F.desc("score"), F.asc("docID"))

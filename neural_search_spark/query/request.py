@@ -112,6 +112,33 @@ def _parse_subquery(q: dict) -> dict:
     if _find_nested_hybrid(body):
         # reference: HybridQueryPhaseSearcher.java:91-129
         raise ValueError("hybrid query must be a top-level query")
+    if kind == "bool":
+        # Lucene bool tree (must/should/must_not/filter +
+        # minimum_should_match); clauses are `match` dicts or raw strings.
+        # Resolved to a pre-scored frame in _resolve_frame (needs the index).
+        if not isinstance(body, dict):
+            raise ValueError("'bool' body must be a clause dict")
+
+        def _cl(c):
+            if isinstance(c, dict) and len(c) == 1 and "match" in c:
+                (_f, spec), = c["match"].items()
+                return str(spec)
+            if isinstance(c, (str, list)):
+                return c
+            raise ValueError(f"unsupported bool clause: {c!r}")
+
+        def _as_list(v):
+            return v if isinstance(v, list) else [v]
+
+        sub = {"bool": {
+            **{g: [_cl(c) for c in _as_list(body.get(g, []))]
+               for g in ("must", "should", "must_not", "filter")},
+            "minimum_should_match": body.get("minimum_should_match"),
+        }}
+        if q.get("filter") is not None:
+            flt = q["filter"]
+            sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
+        return sub
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
@@ -252,7 +279,20 @@ def search_request(
         )
 
     def _resolve_frame(s: dict, fetch_k: int) -> dict:
-        """seismic / knn markers → pre-scored (docID, score) frames."""
+        """seismic / knn / bool markers → pre-scored (docID, score) frames."""
+        if "bool" in s:
+            from neural_search_spark.query.boolean import bool_search
+
+            bq = s["bool"]
+            kw = {}
+            if s.get("where") is not None:
+                kw["where"] = s["where"]
+            fr = bool_search(
+                base_index, must=bq["must"], should=bq["should"],
+                must_not=bq["must_not"], filter=bq["filter"],
+                minimum_should_match=bq["minimum_should_match"],
+                k=fetch_k, **kw)
+            return {"frame": fr}
         if "seismic" in s:
             if seismic_index is None:
                 raise ValueError(

@@ -1,0 +1,139 @@
+import math
+
+import pytest
+
+from neural_search_spark.query.boolean import bool_search
+from neural_search_spark.query import wand
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join filter"),
+            (2, "spark shuffle join"),
+            (3, "spark join"),
+            (4, "shuffle filter broadcast"),
+            (5, "broadcast only words"),
+            (6, "spark shuffle filter broadcast join"),
+            (7, "filter filter filter"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("bool-idx"))
+    return build_index(spark, docs, d, text_col="text", id_col="doc_id")
+
+
+def rows(df):
+    return [(r["docID"], r["score"]) for r in df.collect()]
+
+
+class TestBoolSearch:
+    def test_single_must_equals_plain_disjunction(self, idx):
+        assert rows(bool_search(idx, must=["spark shuffle"])) == rows(
+            wand.search(idx, ["shuffle", "spark"], k=10)
+        )
+
+    def test_pure_should_msm1_equals_plain_disjunction(self, idx):
+        assert rows(bool_search(idx, should=["spark", "shuffle"])) == rows(
+            wand.search(idx, ["shuffle", "spark"], k=10)
+        )
+
+    def test_must_conjunction_intersects(self, idx):
+        # docs with ('spark' OR 'join') AND 'shuffle': 1, 2, 6 (not 3, 4)
+        got = rows(bool_search(idx, must=["spark join", "shuffle"]))
+        assert {d for d, _ in got} == {1, 2, 6}
+        # scores = plain disjunction scores over the union of must terms
+        ref = {d: s for d, s in rows(
+            wand.search(idx, ["join", "shuffle", "spark"], k=10))}
+        assert all(abs(s - ref[d]) < 1e-9 for d, s in got)
+
+    def test_must_not_excludes(self, idx):
+        got = rows(bool_search(idx, must=["spark"], must_not=["broadcast"]))
+        assert {d for d, _ in got} == {1, 2, 3}
+
+    def test_filter_gates_without_scoring(self, idx):
+        # must 'spark' restricted to docs containing 'broadcast'
+        got = rows(bool_search(idx, must=["spark"], filter=["broadcast"]))
+        assert {d for d, _ in got} == {6}
+        ref = {d: s for d, s in rows(wand.search(idx, ["spark"], k=10))}
+        assert got[0][1] == ref[6]  # filter clause adds no score
+
+    def test_minimum_should_match_2(self, idx):
+        # ≥2 of {spark, filter, broadcast}: docs 1, 4, 6
+        got = rows(bool_search(
+            idx, should=["spark", "filter", "broadcast"],
+            minimum_should_match=2))
+        assert {d for d, _ in got} == {1, 4, 6}
+
+    def test_should_with_must_is_optional_but_scores(self, idx):
+        base = {d: s for d, s in rows(bool_search(idx, must=["spark"]))}
+        got = {d: s for d, s in rows(
+            bool_search(idx, must=["spark"], should=["broadcast"]))}
+        assert set(got) == set(base)  # should never gates when must exists
+        assert got[6] > base[6]       # but it does add score where it hits
+        assert got[2] == base[2]
+
+    def test_filter_only_scores_zero(self, idx):
+        got = rows(bool_search(idx, filter=["broadcast"]))
+        assert got == [(4, 0.0), (5, 0.0), (6, 0.0)]
+
+    def test_zero_score_topup_fills_k(self, idx):
+        # scoring clause 'join' hits only doc 6 inside filter 'broadcast';
+        # docs 4, 5 match the filter alone and top up at score 0
+        got = rows(bool_search(idx, should=["join"], filter=["broadcast"]))
+        assert got[0][0] == 6 and got[0][1] > 0
+        assert got[1:] == [(4, 0.0), (5, 0.0)]
+
+    def test_boost_scales_clause_score(self, idx):
+        plain = {d: s for d, s in rows(bool_search(idx, must=["spark"]))}
+        boosted = {d: s for d, s in rows(
+            bool_search(idx, must=[{"query": "spark", "boost": 2.0}]))}
+        for d in plain:
+            assert abs(boosted[d] - 2.0 * plain[d]) < 1e-6
+
+    def test_msm_above_nclauses_empty(self, idx):
+        assert bool_search(
+            idx, should=["spark"], minimum_should_match=2).count() == 0
+
+    def test_no_positive_clause_raises(self, idx):
+        with pytest.raises(ValueError):
+            bool_search(idx, must_not=["spark"])
+
+    def test_search_request_plain_bool(self, idx):
+        from neural_search_spark.query.request import search_request
+
+        out = search_request(idx, {
+            "query": {"bool": {
+                "must": [{"match": {"text": "spark"}}],
+                "must_not": [{"match": {"text": "broadcast"}}],
+            }},
+            "size": 10,
+        })
+        ids = [h["docID"] for h in out["hits"].collect()]
+        assert set(ids) == {1, 2, 3}
+
+    def test_search_request_hybrid_with_bool_sub(self, idx):
+        from neural_search_spark.query.request import search_request
+
+        out = search_request(idx, {
+            "query": {"hybrid": {"queries": [
+                {"bool": {"must": [{"match": {"text": "spark"}}],
+                          "filter": [{"match": {"text": "broadcast"}}]}},
+                {"match": {"text": "join"}},
+            ]}},
+            "size": 10,
+        })
+        hits = out["hits"].collect()
+        assert len(hits) > 0
+        # the bool sub-query contributes only doc 6 (spark AND broadcast)
+        assert 6 in {h["docID"] for h in hits}
+
+    def test_term_in_must_and_should_scores_twice(self, idx):
+        one = {d: s for d, s in rows(bool_search(idx, must=["spark"]))}
+        two = {d: s for d, s in rows(
+            bool_search(idx, must=["spark"], should=["spark"]))}
+        for d in one:
+            assert abs(two[d] - 2.0 * one[d]) < 1e-6
