@@ -2902,6 +2902,62 @@ PREFIX_SQL = f"""
 """
 
 
+WILDCARD_PATTERN = "s?a*"   # → regex s.a.* : scan, small, spark
+REGEXP_PATTERN = "(b.*|.*ow)"  # batch, big, row, slow, window — cap trims
+REGEXP_MAX_EXPANSIONS = 4
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wildcard query (*/? glob over the term dictionary) under
+    rewrite: scoring_boolean — anchored-regex expansion, WAND disjunction."""
+    from neural_search_spark.query import phrase as ph
+
+    idx = _get_index(spark, sf_dir)
+    res = ph.wildcard_search(idx, WILDCARD_PATTERN, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def q_regexp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp query: anchored full-term regex expansion capped at
+    max_expansions (df-desc), then the ordinary WAND BM25 disjunction."""
+    from neural_search_spark.query import phrase as ph
+
+    idx = _get_index(spark, sf_dir)
+    res = ph.regexp_search(
+        idx, REGEXP_PATTERN, k=10, max_expansions=REGEXP_MAX_EXPANSIONS)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _expansion_sql(match_expr: str, cap: int) -> str:
+    """scoring_boolean oracle: expand dictionary by ``match_expr`` (df-desc,
+    term-asc, capped), then exact BM25 over the expansion set."""
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         expanded AS (SELECT term, df FROM alldf
+                      WHERE {match_expr}
+                      ORDER BY df DESC, term ASC LIMIT {cap})
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - e.df + 0.5) / (e.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN expanded e USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+WILDCARD_SQL = _expansion_sql("regexp_full_match(term, 's.a.*')", 50)
+REGEXP_SQL = _expansion_sql(
+    f"regexp_full_match(term, '{REGEXP_PATTERN}')", REGEXP_MAX_EXPANSIONS)
+
+
 BOOL_MUST = "data"
 BOOL_SHOULD = ["join", "query"]
 BOOL_NOT = "dup"
@@ -3077,6 +3133,8 @@ SPARK_QUERIES_EXT = {
     "fuzzy_topk": q_fuzzy_topk,
     "bool_topk": q_bool_topk,
     "bool_filter_msm": q_bool_filter_msm,
+    "wildcard_topk": q_wildcard_topk,
+    "regexp_topk": q_regexp_topk,
 }
 
 ORACLE_SQL_EXT = {
@@ -3178,4 +3236,6 @@ ORACLE_SQL_EXT = {
     "fuzzy_topk": FUZZY_SQL,
     "bool_topk": BOOL_SQL,
     "bool_filter_msm": BOOL_MSM_SQL,
+    "wildcard_topk": WILDCARD_SQL,
+    "regexp_topk": REGEXP_SQL,
 }

@@ -47,6 +47,10 @@ __all__ = [
     "expand_prefix",
     "fuzzy_search",
     "expand_fuzzy",
+    "regexp_search",
+    "expand_regex",
+    "wildcard_search",
+    "wildcard_to_regex",
 ]
 
 
@@ -330,3 +334,86 @@ def prefix_search(
             F.lit(0.0).alias("score"),
         ).limit(0)
     return wand.search(index, terms, k=k, **search_kwargs)
+
+
+def expand_regex(
+    index: Index, pattern: str, max_expansions: int = 50
+) -> list[str]:
+    """Dictionary terms fully matching ``pattern`` (anchored both ends, the
+    Lucene RegexpQuery contract — patterns match the WHOLE term), highest-df
+    first with term-ascending tie-break, capped at ``max_expansions``
+    (MultiTermQuery.TopTermsScoringBooleanQueryRewrite). The regex scan runs
+    JVM-side over the term dictionary's block headers — no posting decode.
+
+    Stick to the RE2-compatible subset (char classes, alternation, ``.*``);
+    Lucene's regexp syntax is likewise a deliberately small automaton
+    dialect (org.apache.lucene.util.automaton.RegExp)."""
+    if not pattern:
+        raise ValueError("empty regexp pattern")
+    anchored = f"^(?:{pattern})$"
+    rows = (
+        index.postings.where(F.col("term").rlike(anchored))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
+            ).alias("df")
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def regexp_search(
+    index: Index,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """regexp top-k under ``rewrite: scoring_boolean``: anchored dictionary
+    expansion, then the ordinary WAND BM25 disjunction. (Lucene's default
+    rewrite for multi-term queries is constant-score; the scoring rewrite is
+    the contract-checkable one and is what ``rewrite: scoring_boolean``
+    selects — divergence documented.)"""
+    terms = expand_regex(index, pattern, max_expansions)
+    if not terms:
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    return wand.search(index, terms, k=k, **search_kwargs)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery pattern → regex: ``*`` = any run, ``?`` = any
+    single char, everything else literal (regex metachars escaped)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def wildcard_search(
+    index: Index,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """wildcard top-k (``*``/``?`` glob over the term dictionary) —
+    translated to an anchored regex and run through regexp_search."""
+    if not pattern.strip("*?"):
+        raise ValueError("wildcard pattern must contain a literal character")
+    return regexp_search(
+        index, wildcard_to_regex(pattern), k=k,
+        max_expansions=max_expansions, **search_kwargs)

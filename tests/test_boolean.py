@@ -137,3 +137,45 @@ class TestBoolSearch:
             bool_search(idx, must=["spark"], should=["spark"]))}
         for d in one:
             assert abs(two[d] - 2.0 * one[d]) < 1e-6
+
+
+class TestWildcardRegexp:
+    def test_expand_regex_anchored_df_ranked(self, idx):
+        from neural_search_spark.query.phrase import expand_regex
+
+        # 's.*' full-match: shuffle (df 4), spark (df 4) — tie breaks on term
+        assert expand_regex(idx, "s.*") == ["shuffle", "spark"]
+        assert expand_regex(idx, "s.*", max_expansions=1) == ["shuffle"]
+        # unanchored would match 'broadcast' via inner 'oadcas'; anchored not
+        assert expand_regex(idx, "oadcas") == []
+
+    def test_wildcard_translation(self):
+        from neural_search_spark.query.phrase import wildcard_to_regex
+
+        assert wildcard_to_regex("s?a*k") == "s.a.*k"
+        assert wildcard_to_regex("a.b*") == "a\\.b.*"  # dot stays literal
+
+    def test_wildcard_scores_equal_expanded_disjunction(self, idx):
+        from neural_search_spark.query.phrase import wildcard_search
+
+        got = rows(wildcard_search(idx, "s*"))
+        ref = rows(wand.search(idx, ["shuffle", "spark"], k=10))
+        assert got == ref
+
+    def test_wildcard_single_term(self, idx):
+        from neural_search_spark.query.phrase import wildcard_search
+
+        got = rows(wildcard_search(idx, "s*k"))
+        ref = rows(wand.search(idx, ["spark"], k=10))
+        assert got == ref
+
+    def test_regexp_no_match_empty(self, idx):
+        from neural_search_spark.query.phrase import regexp_search
+
+        assert regexp_search(idx, "zz.*").count() == 0
+
+    def test_wildcard_pure_glob_raises(self, idx):
+        from neural_search_spark.query.phrase import wildcard_search
+
+        with pytest.raises(ValueError):
+            wildcard_search(idx, "*?*")
