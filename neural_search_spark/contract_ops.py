@@ -2902,6 +2902,52 @@ PREFIX_SQL = f"""
 """
 
 
+MLT_SEED = 42
+MLT_MAX_TERMS = 10
+MLT_MIN_TF = 2
+MLT_MIN_DF = 5
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """more_like_this: seed doc's top tf·idf terms (min_term_freq /
+    min_doc_freq gated, capped) → WAND BM25 disjunction, seed excluded."""
+    from neural_search_spark.query.mlt import more_like_this
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    res = more_like_this(
+        idx, corpus, MLT_SEED, k=10, max_query_terms=MLT_MAX_TERMS,
+        min_term_freq=MLT_MIN_TF, min_doc_freq=MLT_MIN_DF)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+MLT_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sel AS (SELECT tf.term AS term, alldf.df AS df
+                 FROM tf JOIN alldf USING (term) CROSS JOIN stats st
+                 WHERE tf.doc_id = {MLT_SEED}
+                   AND tf.tf >= {MLT_MIN_TF} AND alldf.df >= {MLT_MIN_DF}
+                 ORDER BY tf.tf * ln(1 + (st.n_docs - alldf.df + 0.5)
+                                         / (alldf.df + 0.5)) DESC,
+                          tf.term ASC
+                 LIMIT {MLT_MAX_TERMS})
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - e.df + 0.5) / (e.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN sel e USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats st
+      WHERE tf.doc_id <> {MLT_SEED}
+      GROUP BY tf.doc_id
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 WILDCARD_PATTERN = "s?a*"   # → regex s.a.* : scan, small, spark
 REGEXP_PATTERN = "(b.*|.*ow)"  # batch, big, row, slow, window — cap trims
 REGEXP_MAX_EXPANSIONS = 4
@@ -3135,6 +3181,7 @@ SPARK_QUERIES_EXT = {
     "bool_filter_msm": q_bool_filter_msm,
     "wildcard_topk": q_wildcard_topk,
     "regexp_topk": q_regexp_topk,
+    "mlt_topk": q_mlt_topk,
 }
 
 ORACLE_SQL_EXT = {
@@ -3238,4 +3285,5 @@ ORACLE_SQL_EXT = {
     "bool_filter_msm": BOOL_MSM_SQL,
     "wildcard_topk": WILDCARD_SQL,
     "regexp_topk": REGEXP_SQL,
+    "mlt_topk": MLT_SQL,
 }

@@ -1,0 +1,103 @@
+"""more_like_this: find documents similar to a seed document.
+
+Lucene's MoreLikeThis (queries/src/.../mlt/MoreLikeThis.java; surfaced as
+the ES/OpenSearch ``more_like_this`` query) selects the seed document's
+most "interesting" terms by tf·idf and runs them as a plain BM25
+disjunction. The reference plugin accepts it like any other lexical
+sub-query inside hybrid trees (main/query/HybridQueryBuilder.java walks
+generic QueryBuilder clauses), so it composes with the engine's hybrid /
+request machinery via the frame form.
+
+Spark-first shape:
+
+1. seed term vector — one filtered corpus row tokenized through the
+   standard analyzer (``tokens_with_tf``); collected to the driver exactly
+   like Lucene materializes the seed's term vector on one node (bounded by
+   the seed's doclen, not the corpus);
+2. df per candidate term from posting-block headers (term-pruned postings
+   scan, no decode — the same TermEnum-style aggregate the other expansion
+   queries use);
+3. interestingness = tf_seed · idf(df) with the engine's BM25 idf
+   ln(1 + (N − df + 0.5)/(df + 0.5)) (divergence from Lucene's classic
+   ``1 + log(N/(df+1))`` — monotone-equivalent in df, so the selected SET
+   can only differ across formulas when tf weighting crosses; documented);
+   gated by ``min_term_freq`` / ``min_doc_freq``, capped at
+   ``max_query_terms`` (Lucene defaults 25 / 2 / 5);
+4. the selected terms run through ``wand.search`` — block-max pruned BM25
+   disjunction; the seed itself is excluded from results unless
+   ``include=True`` (ES semantics), via a k+1 overfetch + post-filter (one
+   doc can displace at most one slot, so no mask machinery is needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokens_with_tf
+from neural_search_spark.index.build import Index
+from neural_search_spark.query import wand
+from neural_search_spark.query.phrase import _idf, _term_dfs
+
+__all__ = ["more_like_this", "select_interesting_terms"]
+
+
+def select_interesting_terms(
+    index: Index,
+    corpus: DataFrame,
+    like_id,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    text_col: str = "text",
+) -> list[str]:
+    """The seed doc's top terms by tf_seed · idf, deterministic
+    (score desc, term asc), gated by min_term_freq / min_doc_freq."""
+    seed = corpus.where(F.col(index.id_col) == like_id)
+    tf_rows = tokens_with_tf(seed, text_col, index.id_col).collect()
+    if not tf_rows:
+        raise ValueError(f"more_like_this seed doc {like_id!r} not found")
+    seed_tf = {r["term"]: int(r["tf"]) for r in tf_rows
+               if int(r["tf"]) >= min_term_freq}
+    if not seed_tf:
+        return []
+    dfs = _term_dfs(index, sorted(seed_tf))
+    scored = [
+        (seed_tf[t] * _idf(dfs[t], index.n_docs), t)
+        for t in seed_tf
+        if dfs.get(t, 0) >= min_doc_freq
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _s, t in scored[:max_query_terms]]
+
+
+def more_like_this(
+    index: Index,
+    corpus: DataFrame,
+    like_id,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    include: bool = False,
+    text_col: str = "text",
+    **search_kwargs,
+) -> DataFrame:
+    """more_like_this top-k: DataFrame(docID, score), seed doc excluded
+    unless ``include``. Extra kwargs pass through to wand.search."""
+    terms = select_interesting_terms(
+        index, corpus, like_id, max_query_terms=max_query_terms,
+        min_term_freq=min_term_freq, min_doc_freq=min_doc_freq,
+        text_col=text_col)
+    if not terms:
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    if include:
+        return wand.search(index, terms, k=k, **search_kwargs)
+    res = wand.search(index, terms, k=k + 1, **search_kwargs)
+    return (
+        res.where(F.col("docID") != F.lit(like_id))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )

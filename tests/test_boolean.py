@@ -179,3 +179,59 @@ class TestWildcardRegexp:
 
         with pytest.raises(ValueError):
             wildcard_search(idx, "*?*")
+
+
+class TestMoreLikeThis:
+    def test_selects_frequent_discriminative_terms(self, idx, spark):
+        from neural_search_spark.query.mlt import select_interesting_terms
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark shuffle join filter"),
+                (2, "spark shuffle join"),
+                (3, "spark join"),
+                (4, "shuffle filter broadcast"),
+                (5, "broadcast only words"),
+                (6, "spark shuffle filter broadcast join"),
+                (7, "filter filter filter"),
+            ],
+            "doc_id long, text string",
+        )
+        # doc 7: only 'filter' has tf>=2 (tf=3)
+        terms = select_interesting_terms(
+            idx, docs, 7, min_term_freq=2, min_doc_freq=1)
+        assert terms == ["filter"]
+        # min_doc_freq above 'filter' df (4) empties the selection
+        assert select_interesting_terms(
+            idx, docs, 7, min_term_freq=2, min_doc_freq=5) == []
+
+    def test_mlt_excludes_seed_and_matches_disjunction(self, idx, spark):
+        from neural_search_spark.query.mlt import more_like_this
+
+        docs = spark.createDataFrame(
+            [(7, "filter filter filter")], "doc_id long, text string",
+        )
+        got = rows(more_like_this(
+            idx, docs, 7, min_term_freq=2, min_doc_freq=1))
+        ref = [(d, s) for d, s in rows(wand.search(idx, ["filter"], k=11))
+               if d != 7]
+        assert got == ref and 7 not in {d for d, _ in got}
+
+    def test_mlt_include_keeps_seed(self, idx, spark):
+        from neural_search_spark.query.mlt import more_like_this
+
+        docs = spark.createDataFrame(
+            [(7, "filter filter filter")], "doc_id long, text string",
+        )
+        got = rows(more_like_this(
+            idx, docs, 7, min_term_freq=2, min_doc_freq=1, include=True))
+        assert 7 in {d for d, _ in got}
+
+    def test_mlt_missing_seed_raises(self, idx, spark):
+        from neural_search_spark.query.mlt import more_like_this
+
+        docs = spark.createDataFrame(
+            [(7, "filter filter filter")], "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="not found"):
+            more_like_this(idx, docs, 99)
