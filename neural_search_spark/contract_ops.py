@@ -2902,6 +2902,70 @@ PREFIX_SQL = f"""
 """
 
 
+SIG_TERMS_QUERY = ["dup"]  # rare term → discriminative foreground
+
+
+def q_agg_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text: terms over-represented in the matched set vs the
+    corpus, JLH-scored (ES default heuristic), doc-distinct counting."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "sig": {"significant_text": {"field": "text", "size": 10,
+                                     "min_doc_count": 3}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["sig"]
+
+
+AGG_SIG_TEXT_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    ft AS (SELECT count(*) AS c FROM m),
+    bt AS (SELECT count(*) AS c FROM documents),
+    fg AS (SELECT term AS key, count(*) AS doc_count
+           FROM tf JOIN m USING (doc_id) GROUP BY term),
+    bg AS (SELECT term AS key, count(*) AS bg_count FROM tf GROUP BY term)
+    SELECT key, doc_count, bg_count, round(score, 6) AS score FROM (
+      SELECT key, doc_count, bg_count,
+             ((doc_count * 1.0 / ft.c) - (bg_count * 1.0 / bt.c))
+             * ((doc_count * 1.0 / ft.c) / (bg_count * 1.0 / bt.c)) AS score
+      FROM fg JOIN bg USING (key), ft, bt
+      WHERE doc_count >= 3
+    ) WHERE score > 0
+    ORDER BY score DESC, key ASC LIMIT 10
+"""
+
+
+def q_agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms over a doc-values field (lang), foreground = docs
+    matching a rare term — the 'what is unusual about these docs' agg."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "sig": {"significant_terms": {"field": "lang", "size": 10,
+                                      "min_doc_count": 2}},
+    }, query=SIG_TERMS_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["sig"]
+
+
+AGG_SIG_TERMS_SQL = f"""
+    WITH tf AS ({_TF_SQL}),
+    m AS (SELECT DISTINCT doc_id FROM tf
+          WHERE term = '{SIG_TERMS_QUERY[0]}'),
+    ft AS (SELECT count(*) AS c FROM m),
+    bt AS (SELECT count(*) AS c FROM documents),
+    fg AS (SELECT lang AS key, count(*) AS doc_count
+           FROM documents JOIN m USING (doc_id) GROUP BY lang),
+    bg AS (SELECT lang AS key, count(*) AS bg_count
+           FROM documents GROUP BY lang)
+    SELECT key, doc_count, bg_count, round(score, 6) AS score FROM (
+      SELECT key, doc_count, bg_count,
+             ((doc_count * 1.0 / ft.c) - (bg_count * 1.0 / bt.c))
+             * ((doc_count * 1.0 / ft.c) / (bg_count * 1.0 / bt.c)) AS score
+      FROM fg JOIN bg USING (key), ft, bt
+      WHERE doc_count >= 2
+    ) WHERE score > 0
+    ORDER BY score DESC, key ASC LIMIT 10
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -3182,6 +3246,8 @@ SPARK_QUERIES_EXT = {
     "wildcard_topk": q_wildcard_topk,
     "regexp_topk": q_regexp_topk,
     "mlt_topk": q_mlt_topk,
+    "agg_significant_text": q_agg_significant_text,
+    "agg_significant_terms": q_agg_significant_terms,
 }
 
 ORACLE_SQL_EXT = {
@@ -3286,4 +3352,6 @@ ORACLE_SQL_EXT = {
     "wildcard_topk": WILDCARD_SQL,
     "regexp_topk": REGEXP_SQL,
     "mlt_topk": MLT_SQL,
+    "agg_significant_text": AGG_SIG_TEXT_SQL,
+    "agg_significant_terms": AGG_SIG_TERMS_SQL,
 }

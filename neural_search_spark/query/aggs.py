@@ -61,6 +61,7 @@ BUCKET_KINDS = frozenset({
 PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
 })
+SIGNIFICANT_KINDS = frozenset({"significant_terms", "significant_text"})
 
 # multi-agg shared-scan materialization: agg results at or under this many
 # rows collect to the driver (one matched-set scan feeds every agg);
@@ -251,6 +252,58 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
     raise ValueError(f"unknown bucket aggregation: {kind}")
 
 
+def _significant(base: DataFrame, all_docs: DataFrame, kind: str,
+                 body: dict) -> DataFrame:
+    """significant_terms / significant_text: values over-represented in the
+    query's matched set (foreground) vs the whole live corpus (background).
+
+    Scored with JLH — ES's default significance heuristic
+    (org.opensearch.search.aggregations.bucket.terms.heuristic.JLHScore):
+    (fg% − bg%) · (fg% / bg%), superset counting (background includes the
+    foreground). Terms below ``min_doc_count`` (default 3) or with
+    fg% ≤ bg% are dropped, top ``size`` by score desc / key asc.
+
+    significant_terms reads a doc-values field; significant_text tokenizes
+    the named text column with the standard analyzer, counting each doc
+    once per distinct term (ES counts docs, not occurrences). Shape: one
+    groupBy over each side, then a broadcast-sized join of two
+    vocabulary-cardinality frames — the background scan is inherent to the
+    semantics (ES pays it via pre-built index stats; a sampler parent agg
+    is the documented mitigation there and a `where` pre-filter here).
+    """
+    from neural_search_spark.analysis.tokenizer import tokens_col
+
+    size = int(body.get("size", 10))
+    mdc = int(body.get("min_doc_count", 3))
+    if kind == "significant_text":
+        def vals(df):
+            toks = F.array_distinct(tokens_col(_field(body)))
+            return df.select(F.explode(toks).alias("key"))
+    else:
+        def vals(df):
+            return df.select(_field(body).alias("key"))
+    fg_total = base.count()
+    bg_total = all_docs.count()
+    fg = vals(base).groupBy("key").agg(F.count(F.lit(1)).alias("doc_count"))
+    bg = vals(all_docs).groupBy("key").agg(
+        F.count(F.lit(1)).alias("bg_count"))
+    if fg_total == 0 or bg_total == 0:
+        return fg.join(bg, "key").select(
+            "key", "doc_count", "bg_count", F.lit(0.0).alias("score")
+        ).limit(0)
+    fg_pct = F.col("doc_count") / F.lit(float(fg_total))
+    bg_pct = F.col("bg_count") / F.lit(float(bg_total))
+    return (
+        fg.join(bg, "key")
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .where((F.col("doc_count") >= mdc) & (F.col("score") > 0))
+        .orderBy(F.desc("score"), F.asc("key"))
+        .limit(size)
+        .select("key", "doc_count", "bg_count",
+                F.round("score", 6).alias("score"))
+    )
+
+
 def _run_level(
     base: DataFrame, group_cols: list[str], spec: dict[str, Any],
     all_docs: DataFrame | None, prefix: str = "",
@@ -274,6 +327,12 @@ def _run_level(
             raise ValueError(
                 "top_hits requires scores — use top_hits_by_bucket()"
             )
+        elif kind in SIGNIFICANT_KINDS:
+            if all_docs is None:
+                raise ValueError(f"{kind} agg needs a background set")
+            if group_cols:
+                raise ValueError(f"{kind} must be a top-level aggregation")
+            out[f"{prefix}{name}"] = _significant(base, all_docs, kind, body)
         elif kind == "global":
             if all_docs is None:
                 raise ValueError("global agg needs aggregate(..., query=...)")
@@ -300,6 +359,10 @@ def _run_level(
                         frame, gcols, {sname: ss}, all_docs,
                         prefix=f"{prefix}{name}>",
                     ))
+                elif skind in SIGNIFICANT_KINDS:
+                    raise ValueError(
+                        f"{skind} must be a top-level aggregation"
+                    )
                 elif skind in PIPELINE_KINDS:
                     raise ValueError(
                         "pipeline aggs are siblings of buckets, not children"

@@ -238,3 +238,52 @@ def test_validation_errors(idx, docvals):
             "b": {"terms": {"field": "lang"},
                   "aggs": {"p": {"avg_bucket": {"buckets_path": "b>doc_count"}}}},
         }, query=None, doc_values=docvals, doc_values_id="doc_id")
+
+
+class TestSignificant:
+    def test_significant_terms_jlh(self, idx, docvals):
+        # foreground = docs matching 'alpha' (1,2,3,6): langs en,en,de,fr
+        out = aggs.aggregate(idx, {
+            "sig": {"significant_terms": {"field": "lang",
+                                          "min_doc_count": 1}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        got = {r["key"]: r for r in _rows(out["sig"])}
+        # en: fg 2/4 > bg 2/6 → over-represented and kept; de/fr sit at
+        # fg 1/4 < bg 2/6 → under-represented, dropped (score ≤ 0)
+        assert set(got) == {"en"}
+        fg_en, bg_en = 2 / 4, 2 / 6
+        assert got["en"]["doc_count"] == 2 and got["en"]["bg_count"] == 2
+        assert abs(got["en"]["score"]
+                   - (fg_en - bg_en) * (fg_en / bg_en)) < 1e-6
+        # highest JLH first
+        assert _rows(out["sig"])[0]["key"] == "en"
+
+    def test_significant_terms_drops_underrepresented(self, idx, docvals):
+        # foreground = docs matching 'zeta' (5): fr only; en/de have fg 0
+        out = aggs.aggregate(idx, {
+            "sig": {"significant_terms": {"field": "lang",
+                                          "min_doc_count": 1}},
+        }, query=["zeta"], doc_values=docvals, doc_values_id="doc_id")
+        got = _rows(out["sig"])
+        assert [r["key"] for r in got] == ["fr"]
+
+    def test_significant_text_doc_distinct(self, idx, docvals):
+        # doc 6 has 'alpha' twice — doc-distinct counting must count it once
+        out = aggs.aggregate(idx, {
+            "sig": {"significant_text": {"field": "text",
+                                         "min_doc_count": 1}},
+        }, query=["delta"], doc_values=docvals, doc_values_id="doc_id")
+        got = {r["key"]: r for r in _rows(out["sig"])}
+        # fg = docs 3,4: delta in both; epsilon only here (bg 1)
+        assert got["delta"]["doc_count"] == 2 and got["delta"]["bg_count"] == 2
+        assert got["epsilon"]["doc_count"] == 1 and got["epsilon"]["bg_count"] == 1
+        # 'beta' appears in 1 of 2 fg docs vs 4 of 6 bg → under-represented
+        assert "beta" not in got
+
+    def test_significant_nested_raises(self, idx, docvals):
+        with pytest.raises(ValueError, match="top-level"):
+            aggs.aggregate(idx, {
+                "langs": {"terms": {"field": "lang"},
+                          "aggs": {"sig": {"significant_terms":
+                                           {"field": "lang"}}}},
+            }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
