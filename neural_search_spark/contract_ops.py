@@ -2902,6 +2902,38 @@ PREFIX_SQL = f"""
 """
 
 
+DECON_N = 8
+DECON_BENCH_MOD = 97  # every 97th doc doubles as a "benchmark" row
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct token 8-gram overlap against a
+    benchmark set (docs whose id % 97 == 0 stand in for the eval corpus) —
+    those docs self-collide and must flag contaminated; everyone else
+    reports their true overlap count."""
+    from neural_search_spark.operators.contamination import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0).select("text")
+    return decontaminate(docs, bench, n=DECON_N)
+
+
+DECON_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - {DECON_N} + 1, 0)),
+                i -> array_to_string(toks[i:i+{DECON_N - 1}], ' ')))) AS gram
+              FROM tok),
+    bench AS (SELECT DISTINCT gram FROM grams
+              WHERE doc_id % {DECON_BENCH_MOD} = 0),
+    olap AS (SELECT g.doc_id AS doc_id, count(*) AS n_overlap
+             FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id)
+    SELECT d.doc_id AS doc_id, coalesce(o.n_overlap, 0) AS n_overlap,
+           coalesce(o.n_overlap, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN olap o USING (doc_id)
+"""
+
+
 SIG_TERMS_QUERY = ["dup"]  # rare term → discriminative foreground
 
 
@@ -3248,6 +3280,7 @@ SPARK_QUERIES_EXT = {
     "mlt_topk": q_mlt_topk,
     "agg_significant_text": q_agg_significant_text,
     "agg_significant_terms": q_agg_significant_terms,
+    "decontaminate": q_decontaminate,
 }
 
 ORACLE_SQL_EXT = {
@@ -3354,4 +3387,5 @@ ORACLE_SQL_EXT = {
     "mlt_topk": MLT_SQL,
     "agg_significant_text": AGG_SIG_TEXT_SQL,
     "agg_significant_terms": AGG_SIG_TERMS_SQL,
+    "decontaminate": DECON_SQL,
 }

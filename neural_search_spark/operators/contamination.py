@@ -1,0 +1,104 @@
+"""Benchmark decontamination: flag training docs that overlap an eval set.
+
+The standard training-data hygiene pass (GPT-3 appendix C / The Pile /
+Gopher §A2 all use token n-gram collision against benchmark text, n≈13):
+a document is contaminated when it shares at least ``min_overlaps``
+distinct token n-grams with any benchmark document. This engine treats it
+as a first-class corpus operator alongside dedup — the reference plugin
+has no analog (it's an index/query engine), but any 100 TB corpus fed
+through this repo needs the pass before training.
+
+Spark shape:
+
+* both sides tokenize with the STANDARD analyzer (the same
+  ``tokens_col`` the index uses, so "overlap" means overlap under the
+  engine's own text normalization) and build per-doc DISTINCT n-grams
+  with JVM ``transform``/``slice`` over the token array — a narrow stage,
+  no Python;
+* the benchmark side reduces to one distinct-gram column. Benchmarks are
+  small next to a training corpus (thousands of eval docs vs billions of
+  training docs), so Spark broadcasts it under AQE and the whole pass is
+  ONE semi-join-shaped hash join + one keyed count — no shuffle of the
+  corpus text itself ever happens (grams carry only (docID, gram));
+* output keeps every input doc (zero-overlap docs report 0/false), so the
+  result joins back to the pipeline as a doc-values column.
+
+For benchmark sets too big to broadcast, join on ``xxhash64(gram)``
+instead of the gram string (cuts shuffle width ~10×; false positives at
+64 bits are ~n²/2⁶⁴ — negligible against a decontamination threshold).
+That variant is a one-line change at the join; the string join is the
+oracle-checkable default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokens_col
+
+__all__ = ["doc_ngrams", "decontaminate"]
+
+
+def doc_ngrams(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, gram) rows: the DISTINCT space-joined token ``n``-grams of each
+    doc. Docs shorter than ``n`` tokens produce no rows."""
+    if n < 1:
+        raise ValueError("n-gram size must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, stop) DESCENDS when stop < 1 — short docs must yield the
+    # empty gram set, not slice(toks, 0, n)
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    min_overlaps: int = 1,
+) -> DataFrame:
+    """Per-doc benchmark-overlap report:
+    DataFrame(id_col, n_overlap, contaminated).
+
+    ``n_overlap`` counts the doc's distinct n-grams that appear anywhere
+    in ``benchmark``; ``contaminated`` is ``n_overlap >= min_overlaps``.
+    ``benchmark`` needs only a text column (default: same name as
+    ``text_col``).
+    """
+    if min_overlaps < 1:
+        raise ValueError("min_overlaps must be >= 1")
+    bcol = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.monotonically_increasing_id().alias("_bid"),
+                         F.col(bcol).alias(text_col))
+        .transform(lambda d: doc_ngrams(d, n, text_col, "_bid"))
+        .select("gram").distinct()
+    )
+    overlaps = (
+        doc_ngrams(docs, n, text_col, id_col)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlaps
+             ).alias("contaminated"),
+        )
+    )

@@ -100,3 +100,60 @@ def test_unigram_surprisal(spark):
     assert got[2]["surprisal"] == pytest.approx(want2)
     assert got[2]["surprisal"] > got[1]["surprisal"]  # rare tokens → higher
     assert got[3]["n_tokens"] == 0 and got[3]["surprisal"] == 0.0
+
+
+class TestDecontaminate:
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "quick brown fox jumps over something else entirely"),
+                (3, "completely unrelated training text goes here now"),
+                (4, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [("benchmark says the quick brown fox jumps over questions",)],
+            "text string",
+        )
+        return docs, bench
+
+    def test_overlap_counts_and_flags(self, spark):
+        from neural_search_spark.operators.contamination import decontaminate
+
+        docs, bench = self._frames(spark)
+        got = {r["doc_id"]: r for r in
+               decontaminate(docs, bench, n=5).collect()}
+        # doc 1 shares 'the quick brown fox jumps' + 'quick brown fox jumps
+        # over'; doc 2 only the latter; docs 3, 4 share nothing
+        assert got[1]["n_overlap"] == 2 and got[1]["contaminated"]
+        assert got[2]["n_overlap"] == 1 and got[2]["contaminated"]
+        assert got[3]["n_overlap"] == 0 and not got[3]["contaminated"]
+        assert got[4]["n_overlap"] == 0 and not got[4]["contaminated"]
+        assert len(got) == 4  # every input doc reported
+
+    def test_min_overlaps_threshold(self, spark):
+        from neural_search_spark.operators.contamination import decontaminate
+
+        docs, bench = self._frames(spark)
+        got = {r["doc_id"]: r for r in
+               decontaminate(docs, bench, n=5, min_overlaps=2).collect()}
+        assert got[1]["contaminated"] and not got[2]["contaminated"]
+
+    def test_ngrams_distinct_per_doc(self, spark):
+        from neural_search_spark.operators.contamination import doc_ngrams
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string")
+        grams = [r["gram"] for r in
+                 doc_ngrams(df, 2, "text", "doc_id").collect()]
+        assert sorted(grams) == ["a b", "b a"]  # repeats collapse
+
+    def test_no_python_in_plan(self, spark):
+        from neural_search_spark.operators.contamination import decontaminate
+
+        docs, bench = self._frames(spark)
+        plan = (decontaminate(docs, bench, n=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
