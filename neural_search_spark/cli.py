@@ -112,6 +112,33 @@ def cmd_search(spark: SparkSession, args) -> None:
             idx, args.query, k=args.k, fuzziness=args.fuzziness,
             max_expansions=args.max_expansions,
         ).collect()
+    elif mode in ("wildcard", "regexp"):
+        from neural_search_spark.query import phrase as ph
+
+        pat = (ph.wildcard_to_regex(args.query) if mode == "wildcard"
+               else args.query)
+        out["expanded"] = ph.expand_regex(idx, pat, args.max_expansions)
+        fn = ph.wildcard_search if mode == "wildcard" else ph.regexp_search
+        rows = fn(idx, args.query, k=args.k,
+                  max_expansions=args.max_expansions).collect()
+    elif mode == "mlt":
+        from neural_search_spark.query.mlt import more_like_this
+
+        if not args.input:
+            raise SystemExit("search --mode mlt requires --input (source corpus)")
+        corpus = spark.read.parquet(args.input)
+        rows = more_like_this(
+            idx, corpus, int(args.query), k=args.k,
+            text_col=args.text_col).collect()
+    elif mode == "bool":
+        from neural_search_spark.query.boolean import bool_search
+
+        body = json.loads(args.query)
+        rows = bool_search(
+            idx, must=body.get("must", []), should=body.get("should", []),
+            must_not=body.get("must_not", []), filter=body.get("filter", []),
+            minimum_should_match=body.get("minimum_should_match"),
+            k=args.k).collect()
     elif args.profile:
         rows, prof = wand.profile_search(idx, args.query, k=args.k)
         out["profile"] = prof
@@ -444,10 +471,14 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--profile", action="store_true",
                    help="also report block-skip pruning counters")
     s.add_argument("--mode", default="terms",
-                   choices=["terms", "phrase", "phrase_prefix", "prefix", "fuzzy"],
+                   choices=["terms", "phrase", "phrase_prefix", "prefix",
+                            "fuzzy", "wildcard", "regexp", "mlt", "bool"],
                    help="query type: match terms (default), match_phrase, "
-                        "match_phrase_prefix, prefix (scoring_boolean), fuzzy")
-    s.add_argument("--input", help="source corpus parquet (phrase modes)")
+                        "match_phrase_prefix, prefix (scoring_boolean), "
+                        "fuzzy, wildcard (*/? glob), regexp (anchored), "
+                        "mlt (more_like_this; QUERY = seed doc id), "
+                        "bool (QUERY = JSON clause dict)")
+    s.add_argument("--input", help="source corpus parquet (phrase/mlt modes)")
     s.add_argument("--text-col", default="text")
     s.add_argument("--max-expansions", type=int, default=50)
     s.add_argument("--fuzziness", type=int, default=2)

@@ -264,3 +264,31 @@ def test_cli_prep_redact_and_sample(spark, corpus_parquet, capsys):
         text_col="content", id_col="docID", min_df=10, fraction=0.5))
     out = _json_out(capsys)
     assert 0 < out["kept"] < 60
+
+
+def test_cli_search_wildcard_regexp_bool_mlt(spark, idx_dir, corpus_parquet,
+                                             capsys):
+    cli.cmd_search(spark, _search_ns(index_dir=idx_dir, query="re*",
+                                     mode="wildcard"))
+    out = _json_out(capsys)
+    assert out["expanded"] and all(t.startswith("re") for t in out["expanded"])
+    assert out["hits"]
+
+    cli.cmd_search(spark, _search_ns(index_dir=idx_dir, query="re.*n",
+                                     mode="regexp"))
+    out = _json_out(capsys)
+    assert "return" in out["expanded"] and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="bool",
+        query=json.dumps({"must": ["return"], "must_not": ["import"]})))
+    out = _json_out(capsys)
+    assert out["mode"] == "bool" and isinstance(out["hits"], list)
+
+    seed = str(spark.read.parquet(corpus_parquet).select("docID")
+               .orderBy("docID").first()["docID"])
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="mlt", query=seed, input=corpus_parquet))
+    out = _json_out(capsys)
+    assert out["mode"] == "mlt" and int(seed) not in [
+        h["docID"] for h in out["hits"]]
