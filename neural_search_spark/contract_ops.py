@@ -2902,6 +2902,42 @@ PREFIX_SQL = f"""
 """
 
 
+def q_wand_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-explain analog for the exact index: per-(doc, term) BM25
+    contributions of the top-k hits, summing to the hit score."""
+    from neural_search_spark.query.wand import explain_search
+
+    idx = _get_index(spark, sf_dir)
+    r = explain_search(idx, WAND_TERMS_MULTI, k=10)
+    return r.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"),
+        "term", F.round("contribution", 4).alias("contribution"))
+
+
+def _wand_explain_sql(terms: list[str], k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         dfreq AS (SELECT term, count(*) AS df FROM tf
+                   WHERE term IN ({tlist}) GROUP BY term),
+         scored AS (
+           SELECT tf.doc_id AS doc_id, tf.term AS term,
+                  ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl))
+                    AS contribution
+           FROM tf JOIN dfreq USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id
+           CROSS JOIN stats st),
+         top AS (SELECT doc_id, sum(contribution) AS s FROM scored
+                 GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {k})
+    SELECT s.doc_id AS doc_id, round(t.s, 4) AS score, s.term AS term,
+           round(s.contribution, 4) AS contribution
+    FROM scored s JOIN top t USING (doc_id)
+    ORDER BY score DESC, doc_id ASC, term ASC
+"""
+
+
 DECON_N = 8
 DECON_BENCH_MOD = 97  # every 97th doc doubles as a "benchmark" row
 
@@ -3281,6 +3317,7 @@ SPARK_QUERIES_EXT = {
     "agg_significant_text": q_agg_significant_text,
     "agg_significant_terms": q_agg_significant_terms,
     "decontaminate": q_decontaminate,
+    "wand_explain": q_wand_explain,
 }
 
 ORACLE_SQL_EXT = {
@@ -3388,4 +3425,5 @@ ORACLE_SQL_EXT = {
     "agg_significant_text": AGG_SIG_TEXT_SQL,
     "agg_significant_terms": AGG_SIG_TERMS_SQL,
     "decontaminate": DECON_SQL,
+    "wand_explain": _wand_explain_sql(WAND_TERMS_MULTI, 10),
 }

@@ -447,6 +447,48 @@ def profile_search(
     return rows, prof
 
 
+def explain_search(
+    index: Index,
+    query: str | list[str],
+    k: int = 10,
+    weights: dict[str, float] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Per-term scoring breakdown of the top-k hits:
+    DataFrame(docID, score, term, contribution), contributions summing to
+    the hit's BM25 score — the Lucene ``explain`` analog for the exact
+    index (the engine's third explain surface, next to hybrid_explain's
+    normalized sub-query scores and seismic_explain's token dots).
+
+    The kernel finds the top-k as usual; the breakdown then re-derives each
+    (doc, term) partial from a decoded semi-join of the term-pruned
+    postings against the k winner docIDs — bounded by k·|terms| rows, a
+    debugging surface, never a hot path.
+    """
+    from neural_search_spark.index.merge import decode_postings
+    from neural_search_spark.query.bm25 import bm25_score_col
+
+    top = search(index, query, k=k, weights=weights, **kwargs) \
+        .select("docID", "score")
+    terms = sorted(set(tokenize_query(query) if isinstance(query, str)
+                       else query))
+    decoded = decode_postings(
+        index.postings.where(F.col("term").isin(terms)))
+    dfs = decoded.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    part = bm25_score_col(
+        F.col("tf"), F.col("doclen"), F.col("df"),
+        F.lit(index.n_docs), F.lit(index.avgdl), k1=index.k1, b=index.b)
+    if weights:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        part = part * F.coalesce(wmap[F.col("term")], F.lit(1.0))
+    return (
+        decoded.join(F.broadcast(top), "docID")
+        .join(F.broadcast(dfs), "term")
+        .select("docID", "score", "term", part.alias("contribution"))
+        .orderBy(F.desc("score"), F.asc("docID"), F.asc("term"))
+    )
+
+
 def _run_buckets(sub: DataFrame, scorer, mask: DataFrame | None, mode: str | None,
                  bucket_bits: int, schema: StructType = RESULT_SCHEMA) -> DataFrame:
     """Execute the scoring kernel bucket-parallel, cogrouping the live-docs /

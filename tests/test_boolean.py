@@ -235,3 +235,39 @@ class TestMoreLikeThis:
         )
         with pytest.raises(ValueError, match="not found"):
             more_like_this(idx, docs, 99)
+
+
+def test_bool_plan_pruned_no_python(idx):
+    df = bool_search(idx, must=["spark join"], should=["filter"],
+                     must_not=["broadcast"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # both the gate scan and the scoring scan prune on the sorted term
+    # column at the parquet reader
+    assert "In(term" in plan
+
+
+class TestExplainSearch:
+    def test_contributions_sum_to_score(self, idx):
+        from neural_search_spark.query.wand import explain_search
+
+        rows_ = explain_search(idx, ["spark", "shuffle"], k=10).collect()
+        by_doc = {}
+        for r in rows_:
+            by_doc.setdefault(r["docID"], []).append(r)
+        ref = {d: s for d, s in rows(wand.search(idx, ["shuffle", "spark"]))}
+        assert set(by_doc) == set(ref)
+        for d, parts in by_doc.items():
+            assert abs(sum(p["contribution"] for p in parts) - ref[d]) < 1e-9
+            assert all(p["score"] == ref[d] for p in parts)
+
+    def test_weights_scale_contributions(self, idx):
+        from neural_search_spark.query.wand import explain_search
+
+        plain = explain_search(idx, ["spark"], k=10).collect()
+        weighted = explain_search(
+            idx, ["spark"], k=10, weights={"spark": 3.0}).collect()
+        p = {r["docID"]: r["contribution"] for r in plain}
+        w = {r["docID"]: r["contribution"] for r in weighted}
+        for d in p:
+            assert abs(w[d] - 3.0 * p[d]) < 1e-9
