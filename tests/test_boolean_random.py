@@ -1,0 +1,113 @@
+"""Randomized equivalence sweep: bool_search vs a pure-Python reference.
+
+Same pattern as the chunker sweep (test_chunkers_prune randomized cases):
+one fixed synthetic corpus + index, many random clause structures, each
+checked against an independent brute-force implementation of Lucene
+BooleanQuery semantics (set algebra + additive BM25 in plain Python).
+"""
+
+import math
+import random
+
+import pytest
+
+from neural_search_spark.query.boolean import bool_search
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+N_DOCS = 40
+K1, B = 1.2, 0.75
+
+
+def _corpus(rng):
+    docs = []
+    for i in range(1, N_DOCS + 1):
+        n = rng.randint(3, 12)
+        docs.append((i, " ".join(rng.choice(VOCAB) for _ in range(n))))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+
+    rng = random.Random(1234)
+    docs = _corpus(rng)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    idx = build_index(
+        spark, df, str(tmp_path_factory.mktemp("bool-rand-idx")),
+        text_col="text", id_col="doc_id", bucket_bits=2)
+    return idx, docs
+
+
+def _brute(docs, must, should, must_not, filter_, msm):
+    toks = {d: t.split() for d, t in docs}
+    tf = {d: {} for d, _ in docs}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    df_ = {v: sum(1 for d in tf if v in tf[d]) for v in VOCAB}
+
+    def idf(t):
+        return math.log(1 + (n - df_[t] + 0.5) / (df_[t] + 0.5))
+
+    def matches(d, clause):
+        return any(t in tf[d] for t in clause)
+
+    eff_msm = msm if msm is not None else (
+        1 if should and not must and not filter_ else 0)
+    out = []
+    weights = {}
+    for cl in must + should:
+        for t in cl:
+            weights[t] = weights.get(t, 0.0) + 1.0
+    for d, _ in docs:
+        if any(not matches(d, c) for c in must):
+            continue
+        if any(not matches(d, c) for c in filter_):
+            continue
+        if any(matches(d, c) for c in must_not):
+            continue
+        if sum(1 for c in should if matches(d, c)) < eff_msm:
+            continue
+        dl = len(toks[d])
+        s = sum(
+            w * idf(t) * tf[d][t]
+            / (tf[d][t] + K1 * (1 - B + B * dl / avgdl))
+            for t, w in weights.items() if t in tf[d]
+        )
+        out.append((d, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:10]
+
+
+def test_random_clause_structures(setup):
+    idx, docs = setup
+    rng = random.Random(99)
+    for trial in range(12):
+        def clauses(lo, hi):
+            return [sorted(rng.sample(VOCAB, rng.randint(1, 2)))
+                    for _ in range(rng.randint(lo, hi))]
+
+        must = clauses(0, 2)
+        should = clauses(0, 2)
+        must_not = clauses(0, 1)
+        filter_ = clauses(0, 1)
+        if not (must or should or filter_):
+            must = clauses(1, 1)
+        msm = rng.choice([None, 1, 2]) if should else None
+        if msm is not None and msm > len(should):
+            msm = len(should)
+
+        exp = _brute(docs, must, should, must_not, filter_, msm)
+        got = [
+            (r["docID"], r["score"])
+            for r in bool_search(
+                idx, must=must, should=should, must_not=must_not,
+                filter=filter_, minimum_should_match=msm, k=10).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in exp], (
+            f"trial {trial}: {must=} {should=} {must_not=} {filter_=} {msm=}")
+        for (d1, s1), (d2, s2) in zip(got, exp):
+            assert abs(s1 - s2) < 1e-6, f"trial {trial} doc {d1}"
