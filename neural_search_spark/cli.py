@@ -93,9 +93,12 @@ def cmd_search(spark: SparkSession, args) -> None:
         if not args.input:
             raise SystemExit(f"search --mode {mode} requires --input (source corpus)")
         corpus = spark.read.parquet(args.input)
+        kw = {}
+        if mode == "phrase" and getattr(args, "slop", 0):
+            kw["slop"] = args.slop
         fn = ph.phrase_search if mode == "phrase" else ph.phrase_prefix_search
         rows = fn(idx, corpus, args.query, k=args.k,
-                  text_col=args.text_col).collect()
+                  text_col=args.text_col, **kw).collect()
     elif mode == "prefix":
         from neural_search_spark.query import phrase as ph
 
@@ -482,6 +485,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--text-col", default="text")
     s.add_argument("--max-expansions", type=int, default=50)
     s.add_argument("--fuzziness", type=int, default=2)
+    s.add_argument("--slop", type=int, default=0,
+                   help="phrase mode: sloppy-match displacement budget")
 
     cl = sub.add_parser("cluster", help="near-dup clustering: pair graph → "
                                         "connected components → survivors")

@@ -2792,6 +2792,53 @@ PHRASE_SQL = f"""
 """
 
 
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase with slop: greedy minimal ordered completion per
+    anchor, Lucene sloppyFreq weight 1/(1+d) — tfp is fractional."""
+    from neural_search_spark.query import phrase as ph
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    res = ph.phrase_search(
+        idx, corpus, PHRASE_TERMS, k=10, text_col="text", slop=PHRASE_SLOP)
+    return res.select(F.col("docID").alias("doc_id"), "score")
+
+
+# m=2 greedy completion in SQL: for an anchor i (toks[i] = t1), the first
+# t2 in the suffix is at offset p = list_position(toks[i+1:], t2); the
+# displacement is d = p − 1, so the sloppyFreq weight 1/(1+d) = 1/p and
+# the slop gate is p ≤ slop + 1.
+PHRASE_SLOP_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+    dfs AS (
+      SELECT sum(CASE WHEN list_contains(toks, '{PHRASE_TERMS[0]}') THEN 1 ELSE 0 END) AS df_a,
+             sum(CASE WHEN list_contains(toks, '{PHRASE_TERMS[1]}') THEN 1 ELSE 0 END) AS df_b
+      FROM tok),
+    idf AS (SELECT ln(1 + (s.n_docs - d.df_a + 0.5) / (d.df_a + 0.5))
+                 + ln(1 + (s.n_docs - d.df_b + 0.5) / (d.df_b + 0.5)) AS v,
+                 s.avgdl AS avgdl FROM stats s, dfs d),
+    tfp AS (
+      SELECT t.doc_id, dl.doclen,
+             coalesce(list_sum(list_transform(
+               list_filter(generate_series(1, len(toks)),
+                 i -> toks[i] = '{PHRASE_TERMS[0]}'
+                      AND list_position(toks[i+1:], '{PHRASE_TERMS[1]}')
+                          BETWEEN 1 AND {PHRASE_SLOP + 1}),
+               i -> 1.0 / CAST(list_position(toks[i+1:], '{PHRASE_TERMS[1]}')
+                               AS DOUBLE))), 0.0) AS tfp
+      FROM tok t JOIN dl ON t.doc_id = dl.doc_id)
+    SELECT doc_id,
+           round(i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * doclen / i.avgdl)), 4) AS score
+    FROM tfp, idf i WHERE tfp > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 PHRASE_PREFIX_TERMS = ["slow", "s"]  # full term + final prefix slot
 FUZZY_TERM = "vale"  # lev-1 of 'value', lev-2 of 'table' → two boosts
 FUZZY_MAX_EDITS = 2
@@ -3318,6 +3365,7 @@ SPARK_QUERIES_EXT = {
     "agg_significant_terms": q_agg_significant_terms,
     "decontaminate": q_decontaminate,
     "wand_explain": q_wand_explain,
+    "phrase_slop_topk": q_phrase_slop_topk,
 }
 
 ORACLE_SQL_EXT = {
@@ -3426,4 +3474,5 @@ ORACLE_SQL_EXT = {
     "agg_significant_terms": AGG_SIG_TERMS_SQL,
     "decontaminate": DECON_SQL,
     "wand_explain": _wand_explain_sql(WAND_TERMS_MULTI, 10),
+    "phrase_slop_topk": PHRASE_SLOP_SQL,
 }

@@ -86,17 +86,80 @@ def _phrase_count(toks, terms: list[str]):
     ).otherwise(F.lit(0))
 
 
+def _sloppy_freq(toks, terms: list[str], slop: int):
+    """Weighted sloppy phrase frequency (double column).
+
+    Semantics (documented divergence from Lucene's SloppyPhraseMatcher,
+    which also permits REORDERING at extra slop cost via a repeating-term
+    alignment algorithm): an anchor is every position i with
+    ``toks[i] == terms[0]``; the match is the GREEDY minimal ordered
+    completion — each subsequent term binds to its first occurrence after
+    the previous binding. A completed match with total displacement
+    d = (j_m − i) − (m−1) ≤ slop contributes Lucene's sloppyFreq weight
+    1/(1+d); tfp = Σ weights. slop=0 reduces exactly to the adjacent
+    phrase count (every weight 1).
+
+    All-JVM: anchors via F.filter, completion via F.aggregate chaining
+    array_position over suffix slices — no Python, no explode.
+    """
+    m = len(terms)
+    rest = F.array(*[F.lit(t) for t in terms[1:]])
+
+    def _end_pos(i):
+        # i is the 1-based anchor position; returns the 1-based position of
+        # the last bound term, or 0 if the chain breaks
+        return F.aggregate(
+            rest,
+            i.cast("int"),
+            lambda acc, t: F.when(acc == 0, F.lit(0)).otherwise(
+                F.when(
+                    F.array_position(
+                        F.slice(toks, acc + 1, F.greatest(
+                            F.size(toks) - acc, F.lit(0))), t) == 0,
+                    F.lit(0),
+                ).otherwise(
+                    (acc + F.array_position(
+                        F.slice(toks, acc + 1, F.greatest(
+                            F.size(toks) - acc, F.lit(0))), t)).cast("int")
+                )
+            ),
+        )
+
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.element_at(toks, i) == F.lit(terms[0]),
+    )
+    dists = F.transform(
+        anchors,
+        lambda i: _end_pos(i) - i - (m - 1),  # <0 ⇒ chain broke (end 0)
+    )
+    weights = F.transform(
+        F.filter(dists, lambda d: (d >= 0) & (d <= slop)),
+        lambda d: F.lit(1.0) / (F.lit(1.0) + d),
+    )
+    return F.when(
+        F.size(toks) >= m,
+        F.coalesce(F.aggregate(weights, F.lit(0.0), lambda a, w: a + w),
+                   F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+
+
 def phrase_search(
     index: Index,
     corpus: DataFrame,
     phrase: str | list[str],
     k: int = 10,
     text_col: str = "text",
+    slop: int = 0,
 ) -> DataFrame:
     """match_phrase top-k: DataFrame(docID, score), score =
     Σ idf(term) · tfp / (tfp + k1·(1−b+b·dl/avgdl)), tfp = exact adjacent
     phrase frequency — Lucene PhraseQuery semantics under the index's BM25
     parameters. Ties break on docID ascending.
+
+    ``slop > 0`` switches tfp to the weighted sloppy frequency
+    (see :func:`_sloppy_freq` for the exact semantics and the documented
+    divergence from Lucene's reordering-capable SloppyPhraseMatcher).
 
     ``corpus`` is the source table the index was built from (the docmap
     intentionally stores no text — the forward text IS the source table,
@@ -130,7 +193,8 @@ def phrase_search(
         F.size(toks).alias("doclen"),
     ).join(F.broadcast(cand), "docID", "left_semi")
 
-    tfp = _phrase_count(toks, terms)
+    tfp = (_phrase_count(toks, terms) if slop == 0
+           else _sloppy_freq(toks, terms, slop))
     idf_sum = float(
         sum(
             _idf(dfs[t], index.n_docs)

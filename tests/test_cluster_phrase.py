@@ -289,3 +289,77 @@ class TestPhrasePrefix:
         assert "Exchange hashpartitioning" not in plan
         assert "SortMergeJoin" not in plan
         assert "BatchEvalPython" not in plan  # decode is MapInPandas (Arrow)
+
+
+class TestSloppyPhrase:
+    @pytest.fixture(scope="class")
+    def sidx(self, spark, tmp_path_factory):
+        from neural_search_spark.index.build import build_index
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark shuffle join"),
+                (2, "spark join shuffle"),
+                (3, "spark a b shuffle"),
+                (4, "shuffle spark"),
+                (5, "spark shuffle"),
+            ],
+            "doc_id long, text string",
+        )
+        d = str(tmp_path_factory.mktemp("slop-idx"))
+        return build_index(spark, docs, d, text_col="text",
+                           id_col="doc_id"), docs
+
+    def _scores(self, idx, docs, slop):
+        from neural_search_spark.query.phrase import phrase_search
+
+        return {r.docID: r.score for r in phrase_search(
+            idx, docs, "spark shuffle", k=10, slop=slop).collect()}
+
+    def test_slop_widens_matches_with_decaying_weight(self, sidx):
+        index, docs = sidx
+        s0 = self._scores(index, docs, 0)
+        s1 = self._scores(index, docs, 1)
+        s2 = self._scores(index, docs, 2)
+        assert set(s0) == {1, 5}          # adjacent only
+        assert set(s1) == {1, 2, 5}       # +1-gap doc at half weight
+        assert set(s2) == {1, 2, 3, 5}    # +2-gap doc at third weight
+        # 4 is 'shuffle spark' — ordered semantics never match it
+        # adjacent docs score identically across slops (weight 1 regardless)
+        assert s1[1] == s0[1] and s2[5] == s0[5]
+        # wider gap ⇒ smaller tfp ⇒ smaller score at equal doclen
+        n, avgdl = index.n_docs, index.avgdl
+        idf = 2 * math.log(1 + (n - 5 + 0.5) / (5 + 0.5))  # both terms df=5
+
+        def score(tfp, dl):
+            return round(idf * tfp / (tfp + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+
+        assert s1[2] == score(0.5, 3)
+        assert s2[3] == score(1.0 / 3.0, 4)
+
+    def test_slop0_equals_adjacent_path(self, sidx):
+        from neural_search_spark.query.phrase import phrase_search
+
+        index, docs = sidx
+        a = {(r.docID, r.score) for r in phrase_search(
+            index, docs, "spark shuffle", k=10).collect()}
+        b = {(r.docID, r.score) for r in phrase_search(
+            index, docs, "spark shuffle", k=10, slop=0).collect()}
+        assert a == b
+
+    def test_greedy_three_term_chain(self, sidx, spark, tmp_path_factory):
+        from neural_search_spark.index.build import build_index
+        from neural_search_spark.query.phrase import phrase_search
+
+        docs = spark.createDataFrame(
+            [(1, "a x b y c"), (2, "a b c"), (3, "c b a")],
+            "doc_id long, text string")
+        d = str(tmp_path_factory.mktemp("slop3-idx"))
+        idx = build_index(spark, docs, d, text_col="text", id_col="doc_id")
+        got = {r.docID for r in phrase_search(
+            idx, docs, "a b c", k=10, slop=2).collect()}
+        # doc1: d = (5-1) - 2 = 2 ≤ 2 → matches; doc3 is reversed
+        assert got == {1, 2}
+        got0 = {r.docID for r in phrase_search(
+            idx, docs, "a b c", k=10, slop=1).collect()}
+        assert got0 == {2}
