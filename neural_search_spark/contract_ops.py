@@ -3049,6 +3049,18 @@ AGG_SIG_TEXT_SQL = f"""
 """
 
 
+def q_agg_significant_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text computed entirely from the inverted index (block-
+    header dfs as background, one decode pass as foreground — no text
+    tokenized). Shares agg_significant_text's oracle: equality of header
+    dfs and corpus term-dfs is the encode invariant."""
+    from neural_search_spark.query.aggs import significant_text_from_index
+
+    idx = _get_index(spark, sf_dir)
+    return significant_text_from_index(
+        idx, AGG_QUERY, size=10, min_doc_count=3)
+
+
 def q_agg_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms over a doc-values field (lang), foreground = docs
     matching a rare term — the 'what is unusual about these docs' agg."""
@@ -3366,6 +3378,7 @@ SPARK_QUERIES_EXT = {
     "decontaminate": q_decontaminate,
     "wand_explain": q_wand_explain,
     "phrase_slop_topk": q_phrase_slop_topk,
+    "agg_significant_index": q_agg_significant_index,
 }
 
 ORACLE_SQL_EXT = {
@@ -3475,4 +3488,5 @@ ORACLE_SQL_EXT = {
     "decontaminate": DECON_SQL,
     "wand_explain": _wand_explain_sql(WAND_TERMS_MULTI, 10),
     "phrase_slop_topk": PHRASE_SLOP_SQL,
+    "agg_significant_index": AGG_SIG_TEXT_SQL,
 }

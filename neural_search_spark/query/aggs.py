@@ -304,6 +304,69 @@ def _significant(base: DataFrame, all_docs: DataFrame, kind: str,
     )
 
 
+def significant_text_from_index(
+    index: Index,
+    query,
+    size: int = 10,
+    min_doc_count: int = 3,
+    where=None,
+) -> DataFrame:
+    """significant_text computed ENTIRELY from the inverted index — the
+    100 TB execution shape. Identical semantics and output to the
+    ``significant_text`` agg kind (JLH, doc-distinct counting, same
+    filters), but NO text is ever tokenized:
+
+    * background: per-term df straight from posting-block HEADERS
+      (``F.aggregate`` over block metadata — no posting decode), bg_total
+      = the index's n_docs;
+    * foreground: ONE postings decode semi-joined to the matched docIDs,
+      grouped by term (decode is the same vectorized block reader the
+      query path uses). The decode can't term-prune (the foreground needs
+      every term its docs contain), so this variant wins when the matched
+      set is a sizable fraction of the corpus; for a tiny foreground the
+      corpus-side agg kind (which tokenizes only matched rows but pays a
+      full-corpus background tokenize) trades the other way.
+
+    This is the same trade ES makes — its significant_text reads
+    pre-built index statistics rather than re-analyzing _source. The
+    corpus-side `_significant` stays as the index-free variant for
+    un-indexed text columns; their equality on an indexed column is an
+    encode invariant (pytest + shared contract oracle).
+
+    Tombstone caveat: like the reference (Lucene), header dfs keep
+    deleted docs until merge, so on a tombstoned index the background is
+    slightly stale; compact_index refreshes it.
+    """
+    from neural_search_spark.index.merge import decode_postings
+
+    ids = matched_docs(index, query, where=where)
+    fg_total = ids.count()
+    bg_total = index.n_docs
+    bg = index.postings.groupBy("term").agg(
+        F.sum(F.aggregate("blocks", F.lit(0).cast("long"),
+                          lambda a, b: a + b["n"])).alias("bg_count"))
+    fg = (
+        decode_postings(index.postings)
+        .join(ids, "docID", "left_semi")
+        .groupBy("term").agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+    if fg_total == 0 or bg_total == 0:
+        return fg.join(bg, "term").select(
+            F.col("term").alias("key"), "doc_count", "bg_count",
+            F.lit(0.0).alias("score")).limit(0)
+    fg_pct = F.col("doc_count") / F.lit(float(fg_total))
+    bg_pct = F.col("bg_count") / F.lit(float(bg_total))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+        .where((F.col("doc_count") >= min_doc_count) & (F.col("score") > 0))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(size)
+        .select(F.col("term").alias("key"), "doc_count", "bg_count",
+                F.round("score", 6).alias("score"))
+    )
+
+
 def _run_level(
     base: DataFrame, group_cols: list[str], spec: dict[str, Any],
     all_docs: DataFrame | None, prefix: str = "",

@@ -287,3 +287,16 @@ class TestSignificant:
                           "aggs": {"sig": {"significant_terms":
                                            {"field": "lang"}}}},
             }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+
+
+def test_significant_text_index_variant_equal(idx, docvals):
+    """Index-backed significant_text ≡ the corpus-side agg kind — the
+    encode invariant (header dfs = corpus term dfs) end-to-end."""
+    corpus_side = aggs.aggregate(idx, {
+        "sig": {"significant_text": {"field": "text", "min_doc_count": 1}},
+    }, query=["delta"], doc_values=docvals, doc_values_id="doc_id")["sig"]
+    index_side = aggs.significant_text_from_index(
+        idx, ["delta"], size=10, min_doc_count=1)
+    a = sorted(tuple(r) for r in corpus_side.collect())
+    b = sorted(tuple(r) for r in index_side.collect())
+    assert a == b and a
