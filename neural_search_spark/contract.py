@@ -182,7 +182,7 @@ _R03_FRONT = [
     "phrase_prefix_topk", "fuzzy_topk", "bool_topk", "bool_filter_msm",
     "wildcard_topk", "regexp_topk", "mlt_topk",
     "agg_significant_text", "agg_significant_terms", "decontaminate",
-    "wand_explain",
+    "wand_explain", "phrase_slop_topk", "agg_significant_index",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",
