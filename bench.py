@@ -156,6 +156,36 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
             df.collect()
         request_s = time.perf_counter() - t0
 
+        # round-3 query-type family: one representative query per type,
+        # timed end-to-end (expansion/selection jobs included). Kept in
+        # extras — the headline "queries" keys stay cross-round comparable.
+        from neural_search_spark.query import phrase as ph
+        from neural_search_spark.query.boolean import bool_search
+        from neural_search_spark.query.mlt import more_like_this
+
+        seed_id = int(corpus.select("docID").orderBy("docID").first()["docID"])
+        qt_runs = {
+            "phrase": lambda: ph.phrase_search(
+                index, corpus, ["def", "return"], k=10,
+                text_col="content"),
+            "phrase_slop2": lambda: ph.phrase_search(
+                index, corpus, ["def", "return"], k=10,
+                text_col="content", slop=2),
+            "prefix": lambda: ph.prefix_search(index, "re", k=10),
+            "fuzzy": lambda: ph.fuzzy_search(index, "retur", k=10),
+            "wildcard": lambda: ph.wildcard_search(index, "re*n", k=10),
+            "bool": lambda: bool_search(
+                index, must=["def"], should=["return", "parse"],
+                must_not=["uniq_17"], k=10),
+            "mlt": lambda: more_like_this(
+                index, corpus, seed_id, k=10, text_col="content"),
+        }
+        qt_lat = {}
+        for qname, fn in qt_runs.items():
+            t0 = time.perf_counter()
+            fn().collect()
+            qt_lat[qname] = round(time.perf_counter() - t0, 4)
+
         result = {
             "cpus": cpus,
             "n_files": n_files,
@@ -167,6 +197,7 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
             "heavy_query_profile": heavy_profile,
             "msearch": msearch_stats,
             "request_hybrid_aggs_s": round(request_s, 3),
+            "query_type_latencies": qt_lat,
         }
 
         # SEISMIC approximate sparse index: build throughput over the same
