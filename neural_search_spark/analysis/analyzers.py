@@ -1,0 +1,93 @@
+"""Pluggable analyzers — the index-level analysis-chain extension surface.
+
+The reference delegates analysis to the Lucene analyzer configured on the
+index mapping (main/query/NeuralSparseQueryBuilder.java:517-557 resolves the
+field's search analyzer; test corpora use the standard analyzer). This
+engine's analog: an analyzer NAME stored in the index manifest at build time
+(`build_index(analyzer=...)`) and applied identically at index, append and
+query time (`Index.analyzer` routes every query-string tokenization).
+
+Two built-ins:
+
+``standard``
+    The engine's default code-aware regex tokenizer (lowercase runs of
+    ``[a-z0-9_]``) — see analysis/tokenizer.py for the rationale and the
+    measured regexp_extract_all fast path.
+
+``code``
+    Identifier sub-token splitting in the style of Lucene's
+    WordDelimiterGraphFilter (the analyzer a source-code search deployment
+    actually wants): camelCase humps (``getValue`` → get, value), acronym
+    boundaries (``HTTPServer`` → http, server), letter/digit transitions
+    (``sha256`` → sha, 256) and ``_``/non-alphanumeric separators all split.
+    Entirely JVM-side: three ``regexp_replace`` boundary passes + one
+    ``regexp_extract_all``, so analysis stays inside WholeStageCodegen with
+    no Python in the ingest hot path, exactly like ``standard``.
+
+Every analyzer is a (Column fn, driver fn) pair proven equivalent by
+property tests (tests/test_tokenizer.py); the driver fn re-analyzes query
+strings so index- and query-time token spaces always agree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, functions as F
+
+from neural_search_spark.analysis.tokenizer import TOKEN_MATCH_RE
+
+# boundary-insertion passes for the `code` analyzer, applied in order.
+# Plain alternation-free patterns: identical semantics in Java regex
+# (Spark), RE2 (DuckDB oracles) and Python re (driver mirror).
+CODE_BOUNDARY_RES: list[tuple[str, str, str]] = [
+    # (pattern, java/spark replacement, python/duckdb replacement)
+    (r"([a-z0-9])([A-Z])", "$1 $2", r"\1 \2"),          # camel hump / 2Xx
+    (r"([A-Z]+)([A-Z][a-z])", "$1 $2", r"\1 \2"),       # HTTPServer → HTTP Server
+    (r"([A-Za-z])([0-9])", "$1 $2", r"\1 \2"),          # sha256 → sha 256
+]
+CODE_TOKEN_RE = "[a-z0-9]+"  # `_` is a separator here, unlike `standard`
+
+
+def _code_tokens_col(col: Column) -> Column:
+    for pat, java_rep, _ in CODE_BOUNDARY_RES:
+        col = F.regexp_replace(col, pat, java_rep)
+    return F.regexp_extract_all(F.lower(col), F.lit(CODE_TOKEN_RE), 0)
+
+
+def _code_tokenize(text: str) -> list[str]:
+    for pat, _, py_rep in CODE_BOUNDARY_RES:
+        text = re.sub(pat, py_rep, text)
+    return re.findall(CODE_TOKEN_RE, text.lower())
+
+
+def _standard_tokens_col(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_MATCH_RE), 0)
+
+
+def _standard_tokenize(text: str) -> list[str]:
+    return re.findall(TOKEN_MATCH_RE, text.lower())
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    name: str
+    tokens_col: Callable[[Column], Column] = field(repr=False)
+    tokenize: Callable[[str], list[str]] = field(repr=False)
+
+
+ANALYZERS: dict[str, Analyzer] = {
+    "standard": Analyzer("standard", _standard_tokens_col, _standard_tokenize),
+    "code": Analyzer("code", _code_tokens_col, _code_tokenize),
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; registered: {sorted(ANALYZERS)}"
+        ) from None

@@ -25,14 +25,21 @@ TOKEN_SPLIT_RE = "[^a-z0-9_]+"   # the oracle (DuckDB string_split_regex) form
 TOKEN_MATCH_RE = "[a-z0-9_]+"    # the engine (regexp_extract_all) form
 
 
-def tokenize_query(text: str) -> list[str]:
-    """Driver-side analysis of a query string — MUST mirror `tokenize`."""
+def tokenize_query(text: str, analyzer: str = "standard") -> list[str]:
+    """Driver-side analysis of a query string — MUST mirror `tokenize`.
+    ``analyzer`` routes through the registry (analysis/analyzers.py) so a
+    query against a ``code``-analyzed index splits identifiers the same way
+    the index did."""
     import re
 
+    if analyzer != "standard":
+        from neural_search_spark.analysis.analyzers import get_analyzer
+
+        return get_analyzer(analyzer).tokenize(text)
     return re.findall(TOKEN_MATCH_RE, text.lower())
 
 
-def tokens_col(text_col: str | Column) -> Column:
+def tokens_col(text_col: str | Column, analyzer: str = "standard") -> Column:
     """array<string> of tokens: lowercase runs of [a-z0-9_].
 
     Uses regexp_extract_all, NOT split-on-regex: Spark's StringSplit (and
@@ -43,6 +50,10 @@ def tokens_col(text_col: str | Column) -> Column:
     verified identical to filter(split(lower(s), TOKEN_SPLIT_RE), != '').
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
+    if analyzer != "standard":
+        from neural_search_spark.analysis.analyzers import get_analyzer
+
+        return get_analyzer(analyzer).tokens_col(col)
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_MATCH_RE), 0)
 
 
@@ -50,17 +61,19 @@ def tokens_col(text_col: str | Column) -> Column:
 _terms_col = tokens_col
 
 
-def tokenize(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+def tokenize(df: DataFrame, text_col: str = "content", id_col: str = "docID",
+             analyzer: str = "standard") -> DataFrame:
     """Explode a corpus into one row per token occurrence: (id, term, pos),
     pos = dense 0-based token index.
 
     Narrow transformation — no shuffle; Catalyst prunes every column except
     (id, text) out of the scan.
     """
-    return df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "term"))
+    return df.select(id_col, F.posexplode(tokens_col(text_col, analyzer)).alias("pos", "term"))
 
 
-def tokens_with_tf(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+def tokens_with_tf(df: DataFrame, text_col: str = "content", id_col: str = "docID",
+                   analyzer: str = "standard") -> DataFrame:
     """(id, term, tf) — term frequency per document.
 
     groupBy(id, term) shuffles on a compound key that is near-unique, so AQE
@@ -68,13 +81,14 @@ def tokens_with_tf(df: DataFrame, text_col: str = "content", id_col: str = "docI
     the work before the exchange.
     """
     return (
-        tokenize(df, text_col, id_col)
+        tokenize(df, text_col, id_col, analyzer)
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
     )
 
 
-def doc_lengths(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+def doc_lengths(df: DataFrame, text_col: str = "content", id_col: str = "docID",
+                analyzer: str = "standard") -> DataFrame:
     """(id, doclen, sha256) — token count + content identity per doc.
 
     doclen via size(filter(split(...))) stays whole-stage-codegen'd; sha256 is
@@ -83,12 +97,13 @@ def doc_lengths(df: DataFrame, text_col: str = "content", id_col: str = "docID")
     col = F.col(text_col)
     return df.select(
         id_col,
-        F.size(tokens_col(text_col)).alias("doclen"),
+        F.size(tokens_col(text_col, analyzer)).alias("doclen"),
         F.sha2(col, 256).alias("sha256"),
     )
 
 
-def token_runs(df: DataFrame, text_col: str = "content", id_col: str = "docID") -> DataFrame:
+def token_runs(df: DataFrame, text_col: str = "content", id_col: str = "docID",
+               analyzer: str = "standard") -> DataFrame:
     """(id, term, tf, doclen) in ONE corpus pass — the index build's stage-3
     input shape.
 
@@ -97,7 +112,7 @@ def token_runs(df: DataFrame, text_col: str = "content", id_col: str = "docID") 
     join is a full shuffle of every posting row, i.e. the single most
     expensive avoidable exchange in the build.
     """
-    toks = tokens_col(text_col)
+    toks = tokens_col(text_col, analyzer)
     return (
         df.select(id_col, F.size(toks).alias("doclen"), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")

@@ -183,6 +183,9 @@ _R03_FRONT = [
     "wildcard_topk", "regexp_topk", "mlt_topk",
     "agg_significant_text", "agg_significant_terms", "decontaminate",
     "wand_explain", "phrase_slop_topk", "agg_significant_index",
+    # new in the round-3 second session: radial kNN (threshold, no cut),
+    # pluggable analyzers (code identifier splitting, index+query e2e)
+    "knn_radial", "analyzer_code_tokens", "wand_topk_code",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

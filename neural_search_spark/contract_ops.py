@@ -1328,6 +1328,108 @@ COSINE_TOPK_SQL = """
     ORDER BY s DESC, vec_id ASC LIMIT 10
 """
 
+# ---------------------------------------------------------------------------
+# analyzer registry entries: the `code` identifier-splitting chain
+# (analysis/analyzers.py; the Lucene index-analyzer analog the reference
+# resolves in main/query/NeuralSparseQueryBuilder.java:517-557)
+# ---------------------------------------------------------------------------
+
+def _camel_glue_col(text_col: str = "text"):
+    """'w1 w2 w3 w4 …' → 'w1W2 w3W4 …': deterministic camel-pair gluing that
+    turns the pure-lowercase testdata into camelCase identifiers. Every glued
+    boundary is [a-z][A-Z], which the `code` analyzer splits back, so
+    code-tokens(glued) ≡ standard-tokens(original) for ANY [a-z ]+ text —
+    the identity the DuckDB oracle checks from the other side (it never sees
+    the glued text)."""
+    t = f"split({text_col}, ' ')"
+    return F.expr(f"""
+      array_join(
+        transform(sequence(0, CAST((size({t}) + 1) / 2 AS INT) - 1), i ->
+          concat(
+            element_at({t}, 2*i+1),
+            CASE WHEN 2*i+2 <= size({t})
+                 THEN concat(upper(substring(element_at({t}, 2*i+2), 1, 1)),
+                             substring(element_at({t}, 2*i+2), 2))
+                 ELSE '' END)),
+        ' ')
+    """)
+
+
+def _camel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", _camel_glue_col("text").alias("text"))
+
+
+def q_analyzer_code_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Camel-glue the corpus, then (doc_id, term, tf) through the `code`
+    analyzer. The oracle is the STANDARD tokenization of the original text —
+    an independent identity, not a re-run of the engine's chain."""
+    return tokens_with_tf(
+        _camel_docs(spark, sf_dir), "text", "doc_id", analyzer="code")
+
+
+def _get_code_index(spark: SparkSession, sf_dir: str) -> Index:
+    key = (id(spark), sf_dir, "code")
+    if key not in _INDEX_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}:code".encode()).hexdigest()[:10]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"nss-contract-idx-{tag}")
+        _INDEX_CACHE[key] = build_index(
+            spark, _camel_docs(spark, sf_dir), idx_dir,
+            text_col="text", id_col="doc_id", analyzer="code", resume=True)
+    return _INDEX_CACHE[key]
+
+
+CODE_QUERY = "dataQuery"  # code-analyzed to [data, query] at query time
+
+
+def q_wand_topk_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end analyzer proof: a `code`-analyzer index over the
+    camel-glued corpus, queried with a camelCase STRING. Build-side and
+    query-side analysis must both split identifiers for this to equal the
+    standard BM25 top-k over the original corpus (the oracle)."""
+    idx = _get_code_index(spark, sf_dir)
+    res = wand.search(idx, CODE_QUERY, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+RADIAL_MIN_SCORE = 0.25
+
+
+def q_knn_radial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radial kNN search (reference main/query/NeuralQueryBuilder.java:156-157
+    / NeuralKNNQueryBuilder.java radial mode): EVERY vector whose cosine
+    similarity to the query is >= min_score — a threshold filter, not a
+    top-k cut. One narrow scan, zero exchanges (plan-asserted in
+    tests/test_dedup_similarity.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = similarity.cosine_radial(
+        emb, _query_vec(spark, sf_dir), min_score=RADIAL_MIN_SCORE
+    )
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
+KNN_RADIAL_SQL = f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, len(v)), i -> v[i] * q.qv[i])), (a, b) -> a + b)
+        / ( sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(q.qv, x -> x * x)), (a, b) -> a + b)) ) AS s
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings) CROSS JOIN q
+    )
+    SELECT vec_id, round(s, 4) AS score FROM scored
+    WHERE s >= {RADIAL_MIN_SCORE}
+    ORDER BY s DESC, vec_id ASC
+"""
+
 NEAR_DUP_THRESHOLD = 0.95
 
 
@@ -3343,6 +3445,9 @@ SPARK_QUERIES_EXT = {
     "simhash_pairs": q_simhash_pairs,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_batch": q_cosine_topk_batch,
+    "knn_radial": q_knn_radial,
+    "analyzer_code_tokens": q_analyzer_code_tokens,
+    "wand_topk_code": q_wand_topk_code,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
@@ -3445,6 +3550,11 @@ ORACLE_SQL_EXT = {
     "simhash_pairs": _simhash_sql(),
     "cosine_topk": COSINE_TOPK_SQL,
     "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),
+    "knn_radial": KNN_RADIAL_SQL,
+    # identity oracle: code-analyzing the camel-glued corpus reproduces the
+    # standard token stream of the ORIGINAL text (see _camel_glue_col)
+    "analyzer_code_tokens": _TF_SQL,
+    "wand_topk_code": _bm25_exact_sql(["data", "query"], 10),
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)

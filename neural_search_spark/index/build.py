@@ -336,8 +336,14 @@ def build_index(
     resume: bool = True,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    analyzer: str = "standard",
 ) -> "Index":
     """Build (or resume) the index at index_dir. Returns a queryable Index.
+
+    ``analyzer``: index-level analysis chain (analysis/analyzers.py
+    registry — "standard" or "code"), stored in the manifest and reapplied
+    by every append and query-string tokenization (the Lucene index-analyzer
+    analog the reference resolves in NeuralSparseQueryBuilder.java:517-557).
 
     ``k1``/``b``: per-index BM25 similarity parameters (the reference's
     index-level BM25Similarity settings; Lucene defaults 1.2/0.75). Block-max
@@ -369,8 +375,10 @@ def build_index(
         "text_col": text_col, "id_col": id_col, "block_size": block_size,
         "blocks_per_row": blocks_per_row, "bucket_bits": bucket_bits,
         "n_docs": n_docs, "ids_fp": ids_fp, "format": 2,  # 2 = dlq block layout
-        "k1": float(k1), "b": float(b),
+        "k1": float(k1), "b": float(b), "analyzer": str(analyzer),
     }
+    from neural_search_spark.analysis.analyzers import get_analyzer
+    get_analyzer(analyzer)  # fail fast on unknown names, before any stage
     fp = hashlib.sha256(json.dumps(cfg, sort_keys=True).encode()).hexdigest()[:16]
     meta_cols = [c for c in corpus.columns if c != text_col]
 
@@ -392,7 +400,7 @@ def build_index(
         man.commit()
 
     # stage 1 — docmap (single corpus pass; doclens is a cheap projection)
-    dl_all = doc_lengths(corpus, text_col, id_col)
+    dl_all = doc_lengths(corpus, text_col, id_col, analyzer)
     docmap = corpus.select(*meta_cols).join(dl_all, id_col) if meta_cols != [id_col] else dl_all
     run_stage("docmap", {"docmap": docmap})
     docmap_df = snapshot_read(spark, index_dir, "docmap")
@@ -406,7 +414,7 @@ def build_index(
 
     # stage 3 — postings (token_runs folds doclen in: no join against doclens)
     if not (resume and man.stage_done("postings", fp)):
-        runs = token_runs(corpus, text_col, id_col).withColumnRenamed(id_col, "docID")
+        runs = token_runs(corpus, text_col, id_col, analyzer).withColumnRenamed(id_col, "docID")
         postings = runs_to_postings(
             runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row, k1, b
         )
@@ -439,6 +447,7 @@ class Index:
     id_col: str = "docID"                # docmap's id column name
     k1: float = BM25_K1                  # per-index BM25 params (baked into
     b: float = BM25_B                    # block-max scores at encode time)
+    analyzer: str = "standard"           # index-level analysis chain name
 
     def warmup(self) -> "Index":
         """Pin postings in executor memory — the analog of the reference's
@@ -550,4 +559,5 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         id_col=str(cfg.get("id_col", "docID")),
         k1=float(cfg.get("k1", BM25_K1)),
         b=float(cfg.get("b", BM25_B)),
+        analyzer=str(cfg.get("analyzer", "standard")),
     )

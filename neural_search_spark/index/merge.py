@@ -225,11 +225,13 @@ def append_to_index(
 
     k1 = float(cfg_old.get("k1", BM25_K1))  # similarity params are per-index:
     b = float(cfg_old.get("b", BM25_B))     # the append re-encodes with them
+    analyzer = str(cfg_old.get("analyzer", "standard"))  # delta analysis
+    # must match the committed index's token space
     cfg = {
         **{k: cfg_old[k] for k in ("text_col", "id_col", "block_size", "blocks_per_row")},
         # the merge always re-encodes through the current encoder, so the
         # merged index is format 2 regardless of the source format
-        "format": 2, "k1": k1, "b": b,
+        "format": 2, "k1": k1, "b": b, "analyzer": analyzer,
         "bucket_bits": bucket_bits, "n_docs": n_total,
         "delta_ids_fp": delta_ids_fp,
         "appended_from": man.stages.get("_config", {}).get("fingerprint"),
@@ -258,7 +260,7 @@ def append_to_index(
 
     # stage 1 — merged docmap / doclens (old snapshots stay on disk)
     if new_corpus is not None:
-        dl_new = doc_lengths(new_corpus, text_col, id_col)
+        dl_new = doc_lengths(new_corpus, text_col, id_col, analyzer)
         docmap_new = (
             new_corpus.select(*meta_cols).join(dl_new, id_col)
             if meta_cols != [id_col] else dl_new
@@ -288,7 +290,7 @@ def append_to_index(
             )
         if new_corpus is not None:
             runs_new = (
-                token_runs(new_corpus, text_col, id_col)
+                token_runs(new_corpus, text_col, id_col, analyzer)
                 .withColumnRenamed(id_col, "docID")
                 .select("term", "docID", "tf", "doclen")
             )

@@ -73,6 +73,12 @@ class MultiFieldIndex:
     def n_docs(self) -> int:
         return self.fields[self.default_field].n_docs
 
+    @property
+    def analyzer(self) -> str:
+        # per-field analyzers ride each sub-index's manifest; the default
+        # field's analyzer answers un-fielded query-string tokenization
+        return self.fields[self.default_field].analyzer
+
     def warmup(self) -> "MultiFieldIndex":
         for ix in self.fields.values():
             ix.warmup()

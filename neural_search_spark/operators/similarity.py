@@ -25,15 +25,23 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import IntegerType, LongType
 
 __all__ = [
-    "cosine_topk", "cosine_topk_batch", "lsh_topk", "ivf_topk",
-    "embedding_near_dup_pairs",
+    "cosine_topk", "cosine_topk_batch", "cosine_radial", "lsh_topk",
+    "ivf_topk", "embedding_near_dup_pairs",
 ]
+
+
+def _vec64(vec_col: str):
+    # float32-stored embeddings: without this cast, x*x inside the aggregate
+    # lambda is float*float = FLOAT, and the ~1e-7 per-square rounding makes
+    # cosine scores ~1e-8 off the float64 oracle — enough to flip a radial
+    # threshold. All score math runs in double regardless of storage type.
+    return F.col(vec_col).cast("array<double>")
 
 
 def _dot_lit(vec_col: str, q: list[float]):
     ql = F.array(*[F.lit(float(x)) for x in q])
     return F.aggregate(
-        F.zip_with(F.col(vec_col), ql, lambda a, b: a * b),
+        F.zip_with(_vec64(vec_col), ql, lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -41,7 +49,7 @@ def _dot_lit(vec_col: str, q: list[float]):
 
 def _norm(vec_col: str):
     return F.sqrt(
-        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(_vec64(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
 
@@ -63,6 +71,46 @@ def cosine_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_radial(
+    emb: DataFrame,
+    query_vec: list[float],
+    min_score: float | None = None,
+    max_distance: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Radial search: ALL vectors within a score/distance threshold of the
+    query, no top-k cut (reference main/query/NeuralQueryBuilder.java:156-157
+    / NeuralKNNQueryBuilder.java — radial mode takes min_score XOR
+    max_distance XOR k).
+
+    Consistent with this engine's documented kNN scope (raw cosine; the
+    k-NN plugin's space-type score transforms are out of scope):
+    ``min_score`` filters on cosine similarity >= min_score and
+    ``max_distance`` on cosine distance (1 - cos) <= max_distance.
+
+    Plan shape: one narrow scan — the dot product and norm are JVM
+    ``zip_with``/``aggregate`` expressions inside WholeStageCodegen, the
+    threshold is an ordinary Filter, and there is NO exchange at all (unlike
+    top-k there is no global ordering requirement); at 100 TB this runs at
+    scan speed with the filter applied before any shuffle could exist.
+    """
+    if (min_score is None) == (max_distance is None):
+        raise ValueError("radial search takes exactly one of "
+                         "min_score / max_distance")
+    qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
+    score = _dot_lit(vec_col, query_vec) / (_norm(vec_col) * F.lit(qn))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out = emb.select(F.col(id_col), score.alias("score"))
+    if min_score is not None:
+        out = out.where(F.col("score") >= float(min_score))
+    else:
+        out = out.where(F.lit(1.0) - F.col("score") <= float(max_distance))
+    return out.orderBy(F.desc("score"), F.asc(id_col))
 
 
 def cosine_topk_batch(

@@ -79,7 +79,8 @@ def matched_docs(index: Index, query, where=None) -> DataFrame:
     """
     from neural_search_spark.index.merge import decode_postings
 
-    terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
+    terms = sorted(set(tokenize_query(query, index.analyzer)
+                       if isinstance(query, str) else query))
     ids = (
         decode_postings(index.postings.where(F.col("term").isin(terms)))
         .select("docID").distinct()
@@ -107,7 +108,8 @@ def scored_matches(
     """
     from neural_search_spark.index.merge import decode_postings
 
-    terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
+    terms = sorted(set(tokenize_query(query, index.analyzer)
+                       if isinstance(query, str) else query))
     sub = index.postings.where(F.col("term").isin(terms))
     dfreq = sub.groupBy("term").agg(F.first("df").alias("df"))
     runs = decode_postings(sub)

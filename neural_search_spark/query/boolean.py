@@ -59,13 +59,13 @@ from neural_search_spark.query import wand
 __all__ = ["bool_search"]
 
 
-def _clause(c) -> tuple[list[str], float]:
+def _clause(c, analyzer: str = "standard") -> tuple[list[str], float]:
     """Normalize a clause to (terms, boost)."""
     boost = 1.0
     if isinstance(c, dict):
         boost = float(c.get("boost", 1.0))
         c = c["query"]
-    terms = tokenize_query(c) if isinstance(c, str) else list(c)
+    terms = tokenize_query(c, analyzer) if isinstance(c, str) else list(c)
     if not terms:
         raise ValueError("empty bool clause")
     return sorted(set(terms)), boost
@@ -95,10 +95,10 @@ def bool_search(
     Extra kwargs pass through to :func:`wand.search` (``after``, ``where``,
     ``seed_theta`` ...).
     """
-    must = [_clause(c) for c in must]
-    should = [_clause(c) for c in should]
-    must_not = [_clause(c) for c in must_not]
-    filter_ = [_clause(c) for c in filter]
+    must = [_clause(c, index.analyzer) for c in must]
+    should = [_clause(c, index.analyzer) for c in should]
+    must_not = [_clause(c, index.analyzer) for c in must_not]
+    filter_ = [_clause(c, index.analyzer) for c in filter]
     if not (must or should or filter_):
         raise ValueError("bool query needs at least one must/should/filter clause")
 

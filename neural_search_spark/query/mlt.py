@@ -53,7 +53,8 @@ def select_interesting_terms(
     """The seed doc's top terms by tf_seed · idf, deterministic
     (score desc, term asc), gated by min_term_freq / min_doc_freq."""
     seed = corpus.where(F.col(index.id_col) == like_id)
-    tf_rows = tokens_with_tf(seed, text_col, index.id_col).collect()
+    tf_rows = tokens_with_tf(seed, text_col, index.id_col,
+                             index.analyzer).collect()
     if not tf_rows:
         raise ValueError(f"more_like_this seed doc {like_id!r} not found")
     seed_tf = {r["term"]: int(r["tf"]) for r in tf_rows

@@ -139,7 +139,7 @@ def msearch(
         queries = {f"q{i}": q for i, q in enumerate(queries)}
     qspecs = {
         str(qid): sorted(set(
-            tokenize_query(q) if isinstance(q, str) else q
+            tokenize_query(q, index.analyzer) if isinstance(q, str) else q
         ))
         for qid, q in queries.items()
     }

@@ -167,7 +167,8 @@ def phrase_search(
     (bounded by the rarest term's df) broadcast-semi-joins into the corpus
     scan, so only candidate rows are ever tokenized.
     """
-    terms = tokenize_query(phrase) if isinstance(phrase, str) else list(phrase)
+    terms = (tokenize_query(phrase, index.analyzer)
+             if isinstance(phrase, str) else list(phrase))
     if not terms:
         raise ValueError("empty phrase")
     dfs = _term_dfs(index, sorted(set(terms)))
@@ -186,7 +187,7 @@ def phrase_search(
     if index.tombstones is not None:
         cand = cand.join(index.tombstones, "docID", "left_anti")
 
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col(text_col), index.analyzer)
     fwd = corpus.select(
         F.col(index.id_col).cast("long").alias("docID"),
         F.col(text_col),
@@ -259,7 +260,8 @@ def phrase_prefix_search(
     max_expansions cap (divergence: we verify instead of expanding, so no
     cap is needed; documented here).
     """
-    terms = tokenize_query(phrase) if isinstance(phrase, str) else list(phrase)
+    terms = (tokenize_query(phrase, index.analyzer)
+             if isinstance(phrase, str) else list(phrase))
     if len(terms) < 2:
         raise ValueError("match_phrase_prefix needs ≥1 full term + a prefix")
     full, prefix = terms[:-1], terms[-1]
@@ -289,7 +291,7 @@ def phrase_prefix_search(
     if index.tombstones is not None:
         cand = cand.join(index.tombstones, "docID", "left_anti")
 
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(F.col(text_col), index.analyzer)
     fwd = corpus.select(
         F.col(index.id_col).cast("long").alias("docID"),
         F.col(text_col),

@@ -171,8 +171,18 @@ def _parse_subquery(q: dict) -> dict:
         # (space-type score transforms belong to the k-NN plugin).
         if not isinstance(spec, dict) or spec.get("query_vector") is None:
             raise ValueError(f"{kind} requires a query_vector")
+        # radial mode (main/query/NeuralQueryBuilder.java:156-157): at most
+        # one of k / max_distance / min_score; radial returns EVERY vector
+        # inside the threshold, no top-k cut.
+        modes = [m for m in ("k", "max_distance", "min_score")
+                 if spec.get(m) is not None]
+        if len(modes) > 1:
+            raise ValueError(f"{kind} takes at most one of "
+                             "k / max_distance / min_score")
         sub = {"knn": {"query_vector": list(spec["query_vector"]),
-                       "k": spec.get("k")}, "field": _field}
+                       "k": spec.get("k"),
+                       "max_distance": spec.get("max_distance"),
+                       "min_score": spec.get("min_score")}, "field": _field}
     else:
         raise ValueError(f"unsupported sub-query type: {kind}")
     if q.get("filter") is not None:
@@ -321,10 +331,19 @@ def search_request(
             if accepted is not None:
                 vecs = vecs.join(accepted, "docID", "left_semi")
             kn = s["knn"]
-            fr = cosine_topk(
-                vecs, kn["query_vector"],
-                k=int(kn["k"]) if kn.get("k") else fetch_k,
-                id_col="docID", vec_col=vectors_col)
+            if kn.get("max_distance") is not None or kn.get("min_score") is not None:
+                from neural_search_spark.operators.similarity import cosine_radial
+
+                fr = cosine_radial(
+                    vecs, kn["query_vector"],
+                    min_score=kn.get("min_score"),
+                    max_distance=kn.get("max_distance"),
+                    id_col="docID", vec_col=vectors_col)
+            else:
+                fr = cosine_topk(
+                    vecs, kn["query_vector"],
+                    k=int(kn["k"]) if kn.get("k") else fetch_k,
+                    id_col="docID", vec_col=vectors_col)
             return {"frame": fr}
         return s
 
@@ -338,7 +357,11 @@ def search_request(
         t = s.get("terms")
         if t is None:
             return []
-        return tokenize_query(t) if isinstance(t, str) else list(t)
+        if not isinstance(t, str):
+            return list(t)
+        # per-field analyzers: tokenize with the sub-query's field's chain
+        ana = index.field(s.get("field")).analyzer if multi else index.analyzer
+        return tokenize_query(t, ana)
 
     query_terms = sorted({
         t for s in subqueries for t in _sub_terms(s)

@@ -470,8 +470,8 @@ def explain_search(
 
     top = search(index, query, k=k, weights=weights, **kwargs) \
         .select("docID", "score")
-    terms = sorted(set(tokenize_query(query) if isinstance(query, str)
-                       else query))
+    terms = sorted(set(tokenize_query(query, index.analyzer)
+                       if isinstance(query, str) else query))
     decoded = decode_postings(
         index.postings.where(F.col("term").isin(terms)))
     dfs = decoded.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -577,7 +577,8 @@ def search(
     - ``True``: always attempt the rare-term pre-pass (legacy behavior).
     - ``False``: never seed.
     """
-    terms = sorted(set(tokenize_query(query) if isinstance(query, str) else query))
+    terms = sorted(set(tokenize_query(query, index.analyzer)
+                       if isinstance(query, str) else query))
     sub = index.postings.where(F.col("term").isin(terms))
     n_buckets = 1 << max(index.bucket_bits, 0)
 

@@ -1,0 +1,112 @@
+"""Pluggable analyzers: the `code` identifier-splitting chain, engine ≡
+driver equivalence, and end-to-end analyzer-aware index + query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.analysis.analyzers import ANALYZERS, get_analyzer
+from neural_search_spark.analysis.tokenizer import tokens_col, tokenize_query
+from neural_search_spark.index.build import build_index, load_index
+from neural_search_spark.query import wand
+
+IDENTIFIERS = [
+    "getHTTPResponse2Code_fast",
+    "wandBM25 TopK",
+    "snake_case_name camelCaseName MixedHTTPCase",
+    "x y z UPPER lower 123 a1b2",
+    "parseJSON toXMLString sha256sum utf8_decode",
+    "",
+    "___",
+    "ALLCAPS",
+]
+
+
+def test_code_analyzer_engine_equals_driver(spark):
+    """Column fn and driver fn produce identical token streams."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(IDENTIFIERS)],
+                               "id long, content string")
+    got = {r["id"]: list(r["toks"]) for r in df.select(
+        "id", tokens_col("content", "code").alias("toks")).collect()}
+    code = get_analyzer("code")
+    for i, s in enumerate(IDENTIFIERS):
+        assert got[i] == code.tokenize(s), s
+    # spot semantics
+    assert code.tokenize("getHTTPResponse2Code_fast") == [
+        "get", "http", "response", "2", "code", "fast"]
+    assert code.tokenize("MixedHTTPCase") == ["mixed", "http", "case"]
+    assert tokenize_query("wandBM25", "code") == ["wand", "bm", "25"]
+
+
+def test_standard_analyzer_unchanged():
+    std = get_analyzer("standard")
+    assert std.tokenize("snake_case Word2") == ["snake_case", "word2"]
+    assert tokenize_query("snake_case Word2") == ["snake_case", "word2"]
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        get_analyzer("nope")
+    assert set(ANALYZERS) >= {"standard", "code"}
+
+
+def test_code_splits_camelified_back_to_words(spark):
+    """The contract oracle's identity: camel-pair-gluing a pure-alpha text
+    ('w1 w2 w3 w4' → 'w1W2 w3W4'), then code-analyzing it, reproduces the
+    standard token stream of the original text — including single-letter
+    words, because every glued boundary is [a-z][A-Z]."""
+    from neural_search_spark.contract_ops import _camel_glue_col
+
+    texts = ["the fast key order sort", "spark group query row data",
+             "a b c", "a a a a", "merge", "x merge y"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, content string")
+    glued = df.select("id", _camel_glue_col("content").alias("content"))
+    assert glued.where(F.col("id") == 0).first()["content"] == \
+        "theFast keyOrder sort"
+    got = {r["id"]: list(r["toks"]) for r in glued.select(
+        "id", tokens_col("content", "code").alias("toks")).collect()}
+    want = {r["id"]: list(r["toks"]) for r in df.select(
+        "id", tokens_col("content").alias("toks")).collect()}
+    assert got == want
+
+
+def test_code_index_end_to_end(spark, tmp_path):
+    """analyzer='code' index: camel identifiers searchable by sub-token,
+    camel query strings analyzed with the index's analyzer, manifest
+    round-trip, and append reuses the analyzer."""
+    docs = [
+        (1, "getUserName returnValue"),
+        (2, "getUserName getUserName parseJSON"),
+        (3, "unrelated_tokens here"),
+    ]
+    df = spark.createDataFrame(docs, "docID long, content string")
+    idx = build_index(spark, df, str(tmp_path / "code-idx"), analyzer="code",
+                      resume=False)
+    assert idx.analyzer == "code"
+    # sub-token hit: "user" only exists because the analyzer split getUserName
+    hits = wand.search(idx, ["user"], k=10).collect()
+    assert sorted(r["docID"] for r in hits) == [1, 2]
+    # camel query string analyzed through the index analyzer: doc 2 has
+    # higher tf for (get, user, name)
+    hits = wand.search(idx, "getUserName", k=2).collect()
+    assert hits[0]["docID"] == 2
+    # standard-analyzer index would NOT match "user"
+    std = build_index(spark, df, str(tmp_path / "std-idx"), resume=False)
+    assert wand.search(std, ["user"], k=10).collect() == []
+    # manifest round-trip
+    assert load_index(spark, str(tmp_path / "code-idx")).analyzer == "code"
+    # append analyzes the delta with the stored analyzer
+    from neural_search_spark.index.merge import append_to_index
+
+    delta = spark.createDataFrame([(4, "setUserName")],
+                                  "docID long, content string")
+    idx2 = append_to_index(spark, str(tmp_path / "code-idx"), delta)
+    assert idx2.analyzer == "code"
+    hits = wand.search(idx2, ["user"], k=10).collect()
+    assert sorted(r["docID"] for r in hits) == [1, 2, 4]
+
+
+def test_code_analyzer_plan_stays_jvm(spark):
+    """The code chain is regexp_replace + regexp_extract_all only — no
+    Python evaluation nodes in the analysis plan."""
+    df = spark.createDataFrame([(1, "aB cD")], "id long, content string")
+    plan = df.select(tokens_col("content", "code").alias("t")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

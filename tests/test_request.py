@@ -289,6 +289,33 @@ def test_knn_single_query(idx, docvecs):
                                    for r in want.collect()]
 
 
+def test_knn_radial_modes(idx, docvecs):
+    """Radial mode (NeuralQueryBuilder.java:156-157): min_score /
+    max_distance replace k; at most one of the three is allowed."""
+    from neural_search_spark.operators.similarity import cosine_radial
+
+    got = request.search_request(idx, {
+        "query": {"knn": {"vec": {"query_vector": [1.0, 0.0, 0.0],
+                                  "min_score": 0.5}}},
+        "size": 100,
+    }, vectors=docvecs)
+    want = cosine_radial(docvecs, [1.0, 0.0, 0.0], min_score=0.5,
+                         id_col="docID")
+    assert _pairs(got["hits"]) == [(r["docID"], r["score"])
+                                   for r in want.collect()]
+    got_d = request.search_request(idx, {
+        "query": {"knn": {"vec": {"query_vector": [1.0, 0.0, 0.0],
+                                  "max_distance": 0.5}}},
+        "size": 100,
+    }, vectors=docvecs)
+    assert _pairs(got_d["hits"]) == _pairs(got["hits"])
+    with pytest.raises(ValueError, match="at most one"):
+        request.search_request(idx, {
+            "query": {"knn": {"vec": {"query_vector": [1.0, 0.0, 0.0],
+                                      "k": 3, "min_score": 0.5}}},
+        }, vectors=docvecs)
+
+
 def test_hybrid_match_plus_knn(idx, docvecs):
     from neural_search_spark.operators.similarity import cosine_topk
 
