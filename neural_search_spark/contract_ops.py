@@ -1430,6 +1430,146 @@ KNN_RADIAL_SQL = f"""
     ORDER BY s DESC, vec_id ASC
 """
 
+# ---------------------------------------------------------------------------
+# Lucene compound queries: dis_max / boosting / constant_score / multi_match
+# (query/dismax.py; reference hybrid sub-queries accept any QueryBuilder —
+# main/query/HybridQueryBuilder.java walks generic clause trees)
+# ---------------------------------------------------------------------------
+
+DM_CLAUSE_A = ["join", "query"]
+DM_CLAUSE_B = ["filter", "merge"]
+DM_TIE = 0.3
+BOOSTING_NEG = ["hash"]
+BOOSTING_NB = 0.4
+CS_TERM = "merge"
+CS_BOOST = 1.5
+MM_QUERY = "data en"
+MM_TIE = 0.3
+
+
+def _clause_cte(i: int, terms: list[str]) -> str:
+    """Full-match-set exact BM25 sum for one clause's terms (unrounded)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    c{i} AS (
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (st.n_docs - d{i}.df + 0.5) / (d{i}.df + 0.5))
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+      FROM tf JOIN (SELECT term, count(*) AS df FROM tf
+                    WHERE term IN ({tlist}) GROUP BY term) d{i} USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+      GROUP BY tf.doc_id)"""
+
+
+def q_dis_max_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisjunctionMaxQuery: max over clause scores + tie_breaker · rest,
+    one term-pruned scan for ALL clauses (query/dismax.py)."""
+    from neural_search_spark.query.dismax import dis_max_search
+
+    idx = _get_index(spark, sf_dir)
+    res = dis_max_search(idx, [DM_CLAUSE_A, DM_CLAUSE_B], k=10,
+                         tie_breaker=DM_TIE)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+DIS_MAX_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, DM_CLAUSE_A)}, {_clause_cte(1, DM_CLAUSE_B)},
+         u AS (SELECT coalesce(c0.doc_id, c1.doc_id) AS doc_id,
+                      coalesce(c0.s, 0.0) AS s0, coalesce(c1.s, 0.0) AS s1
+               FROM c0 FULL OUTER JOIN c1 ON c0.doc_id = c1.doc_id)
+    SELECT doc_id, round(sc, 4) AS score FROM (
+      SELECT doc_id,
+             greatest(s0, s1) + {DM_TIE!r} * (s0 + s1 - greatest(s0, s1)) AS sc
+      FROM u ORDER BY sc DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_boosting_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoostingQuery: positive matches demoted (never excluded) by
+    negative_boost when they also match the negative clause."""
+    from neural_search_spark.query.dismax import boosting_search
+
+    idx = _get_index(spark, sf_dir)
+    res = boosting_search(idx, DM_CLAUSE_A, BOOSTING_NEG,
+                          negative_boost=BOOSTING_NB, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+BOOSTING_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, DM_CLAUSE_A)},
+         neg AS (SELECT DISTINCT doc_id FROM tf
+                 WHERE term IN ({", ".join(f"'{t}'" for t in BOOSTING_NEG)}))
+    SELECT doc_id, round(sc, 4) AS score FROM (
+      SELECT c0.doc_id AS doc_id,
+             CASE WHEN neg.doc_id IS NOT NULL
+                  THEN c0.s * {BOOSTING_NB!r} ELSE c0.s END AS sc
+      FROM c0 LEFT JOIN neg ON c0.doc_id = neg.doc_id
+      ORDER BY sc DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConstantScoreQuery: every doc matching the filter scores exactly
+    ``boost``; deterministic docID-ascending order within the tie."""
+    from neural_search_spark.query.dismax import constant_score_search
+
+    idx = _get_index(spark, sf_dir)
+    res = constant_score_search(idx, CS_TERM, boost=CS_BOOST, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+CONSTANT_SCORE_SQL = f"""
+    SELECT DISTINCT doc_id, {CS_BOOST!r} AS score FROM ({_TF_SQL})
+    WHERE term = '{CS_TERM}' ORDER BY doc_id ASC LIMIT 10
+"""
+
+
+def q_multi_match_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match type=best_fields over two FIELDS (text + lang^2), each
+    scored in its own term space with field-local stats, combined dis_max
+    style with a tie_breaker (Lucene MultiMatchQuery TYPE.BEST_FIELDS)."""
+    from neural_search_spark.query.dismax import multi_match_search
+
+    idx = _get_index_mf(spark, sf_dir)
+    res = multi_match_search(idx, MM_QUERY, ["text", "lang^2"], k=10,
+                             tie_breaker=MM_TIE)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+# the lang term space holds one single-token doc value per row: tf=1,
+# doclen=avgdl=1 → the BM25 tf factor is 1/(1+k1) = 1/2.2; of the query's
+# analyzed tokens only 'en' exists in that space ('data' matches nothing)
+MULTI_MATCH_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, sorted(MM_QUERY.split()))},
+         ls AS (SELECT count(*) AS n FROM documents WHERE lang IS NOT NULL),
+         ld AS (SELECT count(*) AS df FROM documents WHERE lang = 'en'),
+         c1 AS (SELECT doc_id,
+                       2.0 * ln(1 + (ls.n - ld.df + 0.5) / (ld.df + 0.5)) / 2.2 AS s
+                FROM documents CROSS JOIN ls CROSS JOIN ld
+                WHERE lang = 'en'),
+         u AS (SELECT coalesce(c0.doc_id, c1.doc_id) AS doc_id,
+                      coalesce(c0.s, 0.0) AS s0, coalesce(c1.s, 0.0) AS s1
+               FROM c0 FULL OUTER JOIN c1 ON c0.doc_id = c1.doc_id)
+    SELECT doc_id, round(sc, 4) AS score FROM (
+      SELECT doc_id,
+             greatest(s0, s1) + {MM_TIE!r} * (s0 + s1 - greatest(s0, s1)) AS sc
+      FROM u ORDER BY sc DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.95
 
 
@@ -3448,6 +3588,10 @@ SPARK_QUERIES_EXT = {
     "knn_radial": q_knn_radial,
     "analyzer_code_tokens": q_analyzer_code_tokens,
     "wand_topk_code": q_wand_topk_code,
+    "dis_max_topk": q_dis_max_topk,
+    "boosting_topk": q_boosting_topk,
+    "constant_score_topk": q_constant_score_topk,
+    "multi_match_best_fields": q_multi_match_best_fields,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
@@ -3555,6 +3699,10 @@ ORACLE_SQL_EXT = {
     # standard token stream of the ORIGINAL text (see _camel_glue_col)
     "analyzer_code_tokens": _TF_SQL,
     "wand_topk_code": _bm25_exact_sql(["data", "query"], 10),
+    "dis_max_topk": DIS_MAX_SQL,
+    "boosting_topk": BOOSTING_SQL,
+    "constant_score_topk": CONSTANT_SCORE_SQL,
+    "multi_match_best_fields": MULTI_MATCH_SQL,
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)

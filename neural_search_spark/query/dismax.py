@@ -1,0 +1,275 @@
+"""dis_max / multi_match / boosting / constant_score queries.
+
+The reference's hybrid request wraps arbitrary Lucene sub-queries
+(main/query/HybridQueryBuilder.java walks generic QueryBuilder clauses), and
+these four are the core Lucene compound queries a search user reaches for
+right after ``bool``:
+
+* ``dis_max`` — DisjunctionMaxQuery: score(doc) = max over sub-queries +
+  tie_breaker · Σ(others); a doc matches iff any sub-query matches.
+* ``multi_match`` — one analyzed query string against several FIELDS of a
+  multi-field index (per-field term space, field-local BM25 stats —
+  index/multifield.py). ``best_fields`` is a dis_max over the per-field
+  match queries (Lucene MultiMatchQuery TYPE.BEST_FIELDS); ``most_fields``
+  is their bool-should sum (TYPE.MOST_FIELDS). Per-field boosts use the
+  ``"field^boost"`` syntax.
+* ``boosting`` — BoostingQuery: docs must match the positive query; those
+  that ALSO match the negative query have their score multiplied by
+  ``negative_boost`` (demotion, not exclusion).
+* ``constant_score`` — every doc matching the filter clause scores exactly
+  ``boost`` (no BM25 — Lucene ConstantScoreQuery).
+
+Execution shape (the scale story):
+
+``dis_max`` over clauses of ONE term space compiles to a single term-pruned
+postings scan over the union of all clause terms: decode (narrow) →
+broadcast-join the tiny (term → clause) tag table → ONE groupBy(docID,
+clause) partial-aggregated shuffle for per-clause BM25 sums → ONE
+groupBy(docID) (AQE-coalesced, keys already co-partitioned by docID hash)
+for the max/tie combine → TakeOrderedAndProject. Cost is independent of the
+clause count — never a per-clause join chain.
+
+``multi_match`` spans several term SPACES (one postings table per field),
+so the per-field scans are separate — each pruned to its own query terms —
+but their outputs union (narrow) into the same single groupBy(docID)
+combine. A doc with a NULL field simply has no rows from that field's scan
+(Lucene per-field semantics for free).
+
+``boosting`` cannot use top-k pruning on the positive side: demotion can
+reorder docs beyond any positive-only top-k cut, so the positive side is
+the full-match-set exact scorer (query/aggs.scored_matches — same shape the
+score-dependent aggs use) and the negative side is a matched-docs anti/semi
+join, both term-pruned scans.
+
+All scores are exact f64 BM25 under the index's (k1, b); ties break on
+docID ascending everywhere (the reference's TopDocsMerger order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index.build import Index
+from neural_search_spark.index.merge import decode_postings
+from neural_search_spark.query.bm25 import bm25_score_col
+
+__all__ = [
+    "dis_max_search", "multi_match_search", "boosting_search",
+    "constant_score_search", "clause_scores",
+]
+
+
+def _norm_clause(c, analyzer: str) -> tuple[list[str], float]:
+    """Clause spec (str | list | {"query": ..., "boost": w}) → (terms, boost)."""
+    boost = 1.0
+    if isinstance(c, dict):
+        boost = float(c.get("boost", 1.0))
+        c = c["query"]
+    terms = tokenize_query(c, analyzer) if isinstance(c, str) else list(c)
+    if not terms:
+        raise ValueError("empty dis_max clause")
+    return sorted(set(terms)), boost
+
+
+def clause_scores(index: Index, clauses: list[tuple[list[str], float]],
+                  where=None) -> DataFrame:
+    """DataFrame(docID, cid, score): exact BM25 of every (doc, clause) pair
+    with ≥1 matching term, over ONE term-pruned scan of the union
+    vocabulary. ``score`` already carries the clause boost."""
+    pairs = [(t, i, boost) for i, (terms, boost) in enumerate(clauses)
+             for t in terms]
+    spark = index.postings.sparkSession
+    tagdf = spark.createDataFrame(pairs, "term string, cid int, boost double")
+
+    all_terms = sorted({p[0] for p in pairs})
+    sub = index.postings.where(F.col("term").isin(all_terms))
+    dfreq = sub.groupBy("term").agg(F.first("df").alias("df"))
+    runs = decode_postings(sub)
+    partial = bm25_score_col(
+        F.col("tf"), F.col("doclen"), F.col("df"),
+        F.lit(float(index.n_docs)), F.lit(float(index.avgdl)),
+        float(index.k1), float(index.b),
+    )
+    scored = (
+        runs.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(tagdf), "term")
+        .groupBy("docID", "cid")
+        .agg(F.sum(partial * F.col("boost")).alias("score"))
+    )
+    if index.tombstones is not None:
+        scored = scored.join(index.tombstones.select("docID"),
+                             "docID", "left_anti")
+    if where is not None:
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID"))
+        scored = scored.join(accepted, "docID", "left_semi")
+    return scored
+
+
+def _dismax_combine(per_clause: DataFrame, tie_breaker: float) -> DataFrame:
+    """(docID, cid, score) → (docID, score) under DisjunctionMaxQuery:
+    max + tie_breaker · (sum − max)."""
+    agg = per_clause.groupBy("docID").agg(
+        F.max("score").alias("_mx"), F.sum("score").alias("_sm"))
+    return agg.select(
+        "docID",
+        (F.col("_mx")
+         + F.lit(float(tie_breaker)) * (F.col("_sm") - F.col("_mx"))
+         ).alias("score"),
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    return scored.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+
+def dis_max_search(
+    index: Index,
+    queries: list,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    where=None,
+) -> DataFrame:
+    """DisjunctionMaxQuery over match-style clauses of one term space
+    (Lucene DisjunctionMaxQuery; ES ``{"dis_max": {"queries": [...],
+    "tie_breaker": t}}``). Returns DataFrame(docID, score) top-k."""
+    if not queries:
+        raise ValueError("dis_max needs at least one sub-query")
+    if not (0.0 <= float(tie_breaker) <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+    clauses = [_norm_clause(c, index.analyzer) for c in queries]
+    per_clause = clause_scores(index, clauses, where=where)
+    return _topk(_dismax_combine(per_clause, tie_breaker), k)
+
+
+def _parse_field_boost(f: str) -> tuple[str, float]:
+    """'title^2' → ('title', 2.0); bare name → boost 1.0."""
+    if "^" in f:
+        name, _, b = f.partition("^")
+        return name, float(b)
+    return f, 1.0
+
+
+def multi_match_search(
+    index,
+    query: str | list[str],
+    fields: list[str],
+    k: int = 10,
+    type: str = "best_fields",
+    tie_breaker: float = 0.0,
+    where=None,
+) -> DataFrame:
+    """MultiMatchQuery over the fields of a MultiFieldIndex
+    (index/multifield.py). ``fields`` entries may carry per-field boosts
+    (``"text^2"``). ``type``:
+
+    * ``best_fields`` — dis_max over per-field matches (+ tie_breaker);
+    * ``most_fields`` — sum of per-field scores (bool should).
+
+    Each field scores in ITS OWN term space (field-local df/avgdl/n_docs,
+    per-field analyzer) exactly like a routed ``match`` — Lucene
+    per-field BM25 semantics.
+    """
+    from neural_search_spark.query.aggs import scored_matches
+
+    if type not in ("best_fields", "most_fields"):
+        raise ValueError(f"unsupported multi_match type {type!r}")
+    if not fields:
+        raise ValueError("multi_match needs at least one field")
+    if not (0.0 <= float(tie_breaker) <= 1.0):
+        raise ValueError("tie_breaker must be in [0, 1]")
+
+    frames = []
+    for i, f in enumerate(fields):
+        name, boost = _parse_field_boost(f)
+        sub = index.field(name)  # raises on unknown field
+        terms = (tokenize_query(query, sub.analyzer)
+                 if isinstance(query, str) else list(query))
+        fr = scored_matches(sub, terms).select(
+            "docID",
+            F.lit(i).alias("cid"),
+            (F.col("score") * F.lit(float(boost))).alias("score"),
+        )
+        frames.append(fr)
+    per_field = frames[0]
+    for fr in frames[1:]:
+        per_field = per_field.unionByName(fr)
+    if type == "most_fields":
+        combined = per_field.groupBy("docID").agg(F.sum("score").alias("score"))
+    else:
+        combined = _dismax_combine(per_field, tie_breaker)
+    if where is not None:
+        # predicates resolve against the SHARED doc-values table (per-field
+        # sub-index docmaps only hold doclens); pre-cut filter, so demoted
+        # docs never block accepted ones from the top-k
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID"))
+        combined = combined.join(accepted, "docID", "left_semi")
+    return _topk(combined, k)
+
+
+def boosting_search(
+    index: Index,
+    positive,
+    negative,
+    negative_boost: float,
+    k: int = 10,
+    where=None,
+) -> DataFrame:
+    """BoostingQuery (ES ``{"boosting": {"positive": ..., "negative": ...,
+    "negative_boost": b}}``): docs must match ``positive`` (match-style
+    term set, OR semantics); docs that also match ``negative`` keep their
+    positive BM25 score multiplied by ``negative_boost``. Demotion can
+    reorder past any positive-only top-k cut, so the positive side scores
+    the FULL match set (aggs.scored_matches) before the cut."""
+    from neural_search_spark.query.aggs import matched_docs, scored_matches
+
+    if not (0.0 <= float(negative_boost)):
+        raise ValueError("negative_boost must be >= 0")
+    pos_terms, pos_boost = _norm_clause(positive, index.analyzer)
+    neg_terms, _ = _norm_clause(negative, index.analyzer)
+
+    pos = scored_matches(index, pos_terms, where=where)
+    if pos_boost != 1.0:
+        pos = pos.select("docID", (F.col("score") * pos_boost).alias("score"))
+    neg = matched_docs(index, neg_terms).select(
+        "docID", F.lit(True).alias("_neg"))
+    scored = (
+        pos.join(neg, "docID", "left")
+        .select(
+            "docID",
+            F.when(F.col("_neg"), F.col("score") * float(negative_boost))
+            .otherwise(F.col("score")).alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def constant_score_search(
+    index: Index,
+    filter,
+    boost: float = 1.0,
+    k: int = 10,
+    where=None,
+) -> DataFrame:
+    """ConstantScoreQuery: every doc matching the filter clause scores
+    exactly ``boost``. The filter is a match-style term set (OR semantics)
+    or None with ``where`` as a forward-index predicate. Ordering is
+    docID ascending within the constant score (deterministic)."""
+    from neural_search_spark.query.aggs import matched_docs
+
+    if filter is None and where is None:
+        raise ValueError("constant_score needs a filter clause or a where "
+                         "predicate")
+    if filter is not None:
+        terms, _ = _norm_clause(filter, index.analyzer)
+        docs = matched_docs(index, terms, where=where)
+    else:
+        docs = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID"))
+        if index.tombstones is not None:
+            docs = docs.join(index.tombstones.select("docID"),
+                             "docID", "left_anti")
+    return (docs.select("docID", F.lit(float(boost)).alias("score"))
+            .orderBy(F.asc("docID")).limit(k))

@@ -139,6 +139,18 @@ def _parse_subquery(q: dict) -> dict:
             flt = q["filter"]
             sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
         return sub
+    if kind in ("dis_max", "multi_match", "boosting", "constant_score"):
+        # Lucene compound queries (query/dismax.py): the body is the spec
+        # itself, not {field: spec}. Resolved to pre-scored frames in
+        # _resolve_frame (they need the index), so each works both as the
+        # top-level query and as a hybrid sub-query.
+        if not isinstance(body, dict):
+            raise ValueError(f"'{kind}' body must be a spec dict")
+        sub = {kind: dict(body)}
+        if q.get("filter") is not None:
+            flt = q["filter"]
+            sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
+        return sub
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
@@ -302,6 +314,53 @@ def search_request(
                 must_not=bq["must_not"], filter=bq["filter"],
                 minimum_should_match=bq["minimum_should_match"],
                 k=fetch_k, **kw)
+            return {"frame": fr}
+        if "dis_max" in s or "boosting" in s or "constant_score" in s:
+            from neural_search_spark.query import dismax as dm
+
+            def _cl(c):
+                # clause forms: raw string/list, {"query","boost"}, or a
+                # {"match": {field: text}} dict (field names other than the
+                # default are not routed here — dis_max/boosting clauses
+                # share one term space; use multi_match for cross-field)
+                if isinstance(c, dict) and len(c) == 1 and "match" in c:
+                    (_f, spec), = c["match"].items()
+                    return str(spec)
+                return c
+
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            if "dis_max" in s:
+                b = s["dis_max"]
+                fr = dm.dis_max_search(
+                    base_index, [_cl(c) for c in b.get("queries", [])],
+                    k=fetch_k, tie_breaker=float(b.get("tie_breaker", 0.0)),
+                    **kw)
+            elif "boosting" in s:
+                b = s["boosting"]
+                if "positive" not in b or "negative" not in b:
+                    raise ValueError("boosting needs positive and negative")
+                fr = dm.boosting_search(
+                    base_index, _cl(b["positive"]), _cl(b["negative"]),
+                    negative_boost=float(b.get("negative_boost", 0.5)),
+                    k=fetch_k, **kw)
+            else:
+                b = s["constant_score"]
+                fr = dm.constant_score_search(
+                    base_index, _cl(b["filter"]) if b.get("filter") is not None
+                    else None,
+                    boost=float(b.get("boost", 1.0)), k=fetch_k, **kw)
+            return {"frame": fr}
+        if "multi_match" in s:
+            from neural_search_spark.query import dismax as dm
+
+            b = s["multi_match"]
+            if not multi:
+                raise ValueError("multi_match requires a multi-field index")
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = dm.multi_match_search(
+                index, b["query"], list(b.get("fields", [])), k=fetch_k,
+                type=b.get("type", "best_fields"),
+                tie_breaker=float(b.get("tie_breaker", 0.0)), **kw)
             return {"frame": fr}
         if "seismic" in s:
             if seismic_index is None:

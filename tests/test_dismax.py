@@ -1,0 +1,206 @@
+"""dis_max / multi_match / boosting / constant_score (query/dismax.py)."""
+
+import math
+
+import pytest
+
+from neural_search_spark.query import wand
+from neural_search_spark.query.dismax import (
+    boosting_search, constant_score_search, dis_max_search,
+    multi_match_search,
+)
+
+DOCS = [
+    (1, "spark shuffle join filter", "en"),
+    (2, "spark shuffle join", "en"),
+    (3, "spark join", "de"),
+    (4, "shuffle filter broadcast", "de"),
+    (5, "broadcast only words", "fr"),
+    (6, "spark shuffle filter broadcast join", "en"),
+    (7, "filter filter filter", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    d = str(tmp_path_factory.mktemp("dm-idx"))
+    return build_index(spark, docs, d, text_col="text", id_col="doc_id")
+
+
+@pytest.fixture(scope="module")
+def mf_idx(spark, tmp_path_factory):
+    from neural_search_spark.index.multifield import build_multi_field_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    d = str(tmp_path_factory.mktemp("dm-mf-idx"))
+    return build_multi_field_index(
+        spark, docs, d, text_cols=["text", "lang"], id_col="doc_id")
+
+
+def rows(df):
+    return [(r["docID"], r["score"]) for r in df.collect()]
+
+
+def scores(index, terms):
+    """Full-match-set exact BM25 reference (per-doc dict)."""
+    from neural_search_spark.query.aggs import scored_matches
+
+    return {r["docID"]: r["score"]
+            for r in scored_matches(index, terms).collect()}
+
+
+class TestDisMax:
+    def test_tie_breaker_zero_is_pure_max(self, idx):
+        a, b = scores(idx, ["spark"]), scores(idx, ["filter"])
+        got = dict(rows(dis_max_search(idx, ["spark", "filter"], k=10)))
+        want = {d: max(a.get(d, 0.0), b.get(d, 0.0))
+                for d in set(a) | set(b)}
+        assert set(got) == set(want)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+    def test_tie_breaker_blends_others(self, idx):
+        a, b = scores(idx, ["spark"]), scores(idx, ["filter"])
+        got = dict(rows(dis_max_search(idx, ["spark", "filter"], k=10,
+                                       tie_breaker=0.3)))
+        for d in got:
+            sa, sb = a.get(d, 0.0), b.get(d, 0.0)
+            want = max(sa, sb) + 0.3 * (sa + sb - max(sa, sb))
+            assert got[d] == pytest.approx(want, rel=1e-9)
+
+    def test_tie_breaker_one_is_sum(self, idx):
+        got = rows(dis_max_search(idx, ["spark", "filter"], k=10,
+                                  tie_breaker=1.0))
+        want = rows(wand.search(idx, ["filter", "spark"], k=10))
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (d, s), (_, w) in zip(got, want):
+            assert s == pytest.approx(w, rel=1e-9)
+
+    def test_single_clause_equals_match(self, idx):
+        got = rows(dis_max_search(idx, ["spark shuffle"], k=10))
+        want = rows(wand.search(idx, ["shuffle", "spark"], k=10))
+        assert got == pytest.approx(want)
+
+    def test_clause_boost(self, idx):
+        a = scores(idx, ["spark"])
+        got = dict(rows(dis_max_search(
+            idx, [{"query": "spark", "boost": 2.0}, "filter"], k=10)))
+        b = scores(idx, ["filter"])
+        for d in got:
+            want = max(2.0 * a.get(d, 0.0), b.get(d, 0.0))
+            assert got[d] == pytest.approx(want, rel=1e-9)
+
+    def test_validation(self, idx):
+        with pytest.raises(ValueError):
+            dis_max_search(idx, [])
+        with pytest.raises(ValueError):
+            dis_max_search(idx, ["spark"], tie_breaker=1.5)
+
+    def test_where_filters(self, idx):
+        from pyspark.sql import functions as F
+
+        got = rows(dis_max_search(idx, ["spark", "filter"], k=10,
+                                  where=F.col("lang") == "en"))
+        assert {d for d, _ in got} <= {1, 2, 6}
+
+    def test_one_scan_plan(self, idx):
+        """Clause scoring is ONE pruned scan + keyed aggs — no per-clause
+        join chain, no row-at-a-time Python."""
+        df = dis_max_search(idx, ["spark join", "filter broadcast"], k=10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert plan.count("FileScan parquet") <= 2  # postings + (df agg reuse)
+
+
+class TestMultiMatch:
+    def test_best_fields_is_dismax_over_fields(self, mf_idx):
+        t = scores(mf_idx.field("text"), ["spark"])
+        l = scores(mf_idx.field("lang"), ["en"])
+        got = dict(rows(multi_match_search(
+            mf_idx, "spark en", ["text", "lang"], k=10)))
+        # per-field analysis: both tokens go to both fields; absent terms
+        # simply score nothing in that field's term space
+        t2 = scores(mf_idx.field("text"), ["spark", "en"])
+        l2 = scores(mf_idx.field("lang"), ["spark", "en"])
+        want = {d: max(t2.get(d, 0.0), l2.get(d, 0.0))
+                for d in set(t2) | set(l2)}
+        assert set(got) == set(want)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-9)
+        assert t and l  # sanity: both fields actually match something
+
+    def test_most_fields_sums(self, mf_idx):
+        t2 = scores(mf_idx.field("text"), ["spark", "en"])
+        l2 = scores(mf_idx.field("lang"), ["spark", "en"])
+        got = dict(rows(multi_match_search(
+            mf_idx, "spark en", ["text", "lang"], k=10, type="most_fields")))
+        for d in got:
+            assert got[d] == pytest.approx(
+                t2.get(d, 0.0) + l2.get(d, 0.0), rel=1e-9)
+
+    def test_field_boost_syntax(self, mf_idx):
+        l2 = scores(mf_idx.field("lang"), ["en"])
+        t2 = scores(mf_idx.field("text"), ["en"])
+        got = dict(rows(multi_match_search(
+            mf_idx, "en", ["text", "lang^3"], k=10)))
+        for d in got:
+            want = max(t2.get(d, 0.0), 3.0 * l2.get(d, 0.0))
+            assert got[d] == pytest.approx(want, rel=1e-9)
+
+    def test_tie_breaker(self, mf_idx):
+        t2 = scores(mf_idx.field("text"), ["spark", "en"])
+        l2 = scores(mf_idx.field("lang"), ["spark", "en"])
+        got = dict(rows(multi_match_search(
+            mf_idx, "spark en", ["text", "lang"], k=10, tie_breaker=0.5)))
+        for d in got:
+            a, b = t2.get(d, 0.0), l2.get(d, 0.0)
+            assert got[d] == pytest.approx(
+                max(a, b) + 0.5 * min(a, b), rel=1e-9)
+
+    def test_validation(self, mf_idx):
+        with pytest.raises(ValueError):
+            multi_match_search(mf_idx, "spark", [])
+        with pytest.raises(ValueError):
+            multi_match_search(mf_idx, "spark", ["text"], type="phrase")
+        with pytest.raises(ValueError):
+            multi_match_search(mf_idx, "spark", ["nope"])
+
+
+class TestBoosting:
+    def test_demotes_negative_matches(self, idx):
+        pos = scores(idx, ["spark"])
+        got = dict(rows(boosting_search(idx, "spark", "broadcast", 0.5, k=10)))
+        assert set(got) == set(pos)  # negative demotes, never excludes
+        assert got[6] == pytest.approx(0.5 * pos[6], rel=1e-9)  # has broadcast
+        assert got[2] == pytest.approx(pos[2], rel=1e-9)        # doesn't
+        # demotion reorders: 6 matches 'spark' well but sinks below 2/3
+        order = [d for d, _ in sorted(got.items(), key=lambda t: (-t[1], t[0]))]
+        assert order.index(6) > order.index(2)
+
+    def test_negative_boost_zero(self, idx):
+        got = dict(rows(boosting_search(idx, "spark", "broadcast", 0.0, k=10)))
+        assert got[6] == 0.0
+
+    def test_validation(self, idx):
+        with pytest.raises(ValueError):
+            boosting_search(idx, "spark", "broadcast", -0.1)
+
+
+class TestConstantScore:
+    def test_constant_score_terms(self, idx):
+        got = rows(constant_score_search(idx, "broadcast", boost=1.2, k=10))
+        assert got == [(4, 1.2), (5, 1.2), (6, 1.2)]
+
+    def test_constant_score_where(self, idx):
+        from pyspark.sql import functions as F
+
+        got = rows(constant_score_search(
+            idx, None, boost=2.0, k=10, where=F.col("lang") == "fr"))
+        assert got == [(5, 2.0), (7, 2.0)]
+
+    def test_validation(self, idx):
+        with pytest.raises(ValueError):
+            constant_score_search(idx, None)

@@ -549,3 +549,90 @@ def test_single_query_collapse_full_match_set(spark, tmp_path):
     # plain top-2 docs are 1,2 (both en); collapse must return en + fr
     assert [r["lang"] for r in got] == ["en", "fr"]
     assert got[0]["docID"] == 1 and got[1]["docID"] == 4
+
+
+# --------------------------------------- compound queries (query/dismax.py)
+
+
+def test_dis_max_query(idx):
+    from neural_search_spark.query.dismax import dis_max_search
+
+    got = request.search_request(idx, {
+        "query": {"dis_max": {
+            "queries": [{"match": {"text": "alpha beta"}}, "delta"],
+            "tie_breaker": 0.3,
+        }},
+        "size": 10,
+    })
+    want = dis_max_search(idx, ["alpha beta", "delta"], k=10,
+                          tie_breaker=0.3)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_boosting_query(idx):
+    from neural_search_spark.query.dismax import boosting_search
+
+    got = request.search_request(idx, {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "alpha"}},
+            "negative": "delta",
+            "negative_boost": 0.4,
+        }},
+        "size": 10,
+    })
+    want = boosting_search(idx, "alpha", "delta", 0.4, k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+    with pytest.raises(ValueError, match="positive and negative"):
+        request.search_request(idx, {
+            "query": {"boosting": {"positive": "alpha"}}})
+
+
+def test_constant_score_query(idx):
+    got = request.search_request(idx, {
+        "query": {"constant_score": {"filter": "delta", "boost": 1.5}},
+        "size": 10,
+    })
+    assert _pairs(got["hits"]) == [(3, 1.5), (4, 1.5)]
+
+
+def test_dis_max_in_hybrid(idx):
+    """Compound queries work as hybrid sub-queries (pre-scored frames)."""
+    from neural_search_spark.query.dismax import dis_max_search
+
+    got = request.search_request(idx, {
+        "query": {"hybrid": {"queries": [
+            {"match": {"text": "beta"}},
+            {"dis_max": {"queries": ["alpha", "delta"]}},
+        ], "pagination_depth": 10}},
+        "size": 10,
+    })
+    dm = dis_max_search(idx, ["alpha", "delta"], k=10)
+    want = hybrid.hybrid_search(
+        idx, [["beta"], {"frame": dm}], k=10, pagination_depth=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_multi_match_request(spark, tmp_path_factory):
+    from neural_search_spark.index.multifield import build_multi_field_index
+    from neural_search_spark.query.dismax import multi_match_search
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+    mf = build_multi_field_index(
+        spark, df, str(tmp_path_factory.mktemp("reqmf") / "idx"),
+        text_cols=["text", "lang"], id_col="doc_id")
+    got = request.search_request(mf, {
+        "query": {"multi_match": {
+            "query": "alpha en", "fields": ["text", "lang^2"],
+            "type": "best_fields", "tie_breaker": 0.5,
+        }},
+        "size": 10,
+    })
+    want = multi_match_search(mf, "alpha en", ["text", "lang^2"], k=10,
+                              tie_breaker=0.5)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_multi_match_requires_multifield(idx):
+    with pytest.raises(ValueError, match="multi-field"):
+        request.search_request(idx, {
+            "query": {"multi_match": {"query": "alpha", "fields": ["text"]}}})
