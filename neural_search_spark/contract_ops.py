@@ -1570,6 +1570,67 @@ MULTI_MATCH_SQL = f"""
 """
 
 
+QS_QUERY = '+data "table hash" -merge quer*'
+QS_MAX_EXPANSIONS = 50
+
+
+def q_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string mini-language (query/qstring.py): must term + must
+    quoted phrase + negated term + should prefix, one combined boolean
+    gate + score sum — Lucene QueryParser classic-syntax core."""
+    from neural_search_spark.query.qstring import query_string_search
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    res = query_string_search(idx, corpus, QS_QUERY, k=10,
+                              max_expansions=QS_MAX_EXPANSIONS)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+QUERY_STRING_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, ["data"])},
+         tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         pdfs AS (
+           SELECT sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df_a,
+                  sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_b
+           FROM tok),
+         pidf AS (SELECT ln(1 + (s.n_docs - d.df_a + 0.5) / (d.df_a + 0.5))
+                       + ln(1 + (s.n_docs - d.df_b + 0.5) / (d.df_b + 0.5)) AS v,
+                       s.avgdl AS avgdl FROM stats s, pdfs d),
+         ph AS (
+           SELECT t.doc_id AS doc_id,
+                  i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * dl.doclen / i.avgdl)) AS s
+           FROM (SELECT doc_id,
+                        len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] = 'table' AND toks[i+1] = 'hash')) AS tfp
+                 FROM tok) t
+           JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN pidf i
+           WHERE tfp > 0),
+         alldf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         expanded AS (SELECT term, df FROM alldf WHERE term LIKE 'quer%'
+                      ORDER BY df DESC, term ASC LIMIT {QS_MAX_EXPANSIONS}),
+         cpre AS (
+           SELECT tf.doc_id AS doc_id,
+                  sum( ln(1 + (st.n_docs - e.df + 0.5) / (e.df + 0.5))
+                       * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+           FROM tf JOIN expanded e USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+           GROUP BY tf.doc_id),
+         neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge')
+    SELECT doc_id, round(sc, 4) AS score FROM (
+      SELECT c0.doc_id AS doc_id,
+             c0.s + ph.s + coalesce(cp.s, 0.0) AS sc
+      FROM c0 JOIN ph ON c0.doc_id = ph.doc_id
+      LEFT JOIN cpre cp ON c0.doc_id = cp.doc_id
+      WHERE c0.doc_id NOT IN (SELECT doc_id FROM neg)
+      ORDER BY sc DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 NEAR_DUP_THRESHOLD = 0.95
 
 
@@ -3592,6 +3653,7 @@ SPARK_QUERIES_EXT = {
     "boosting_topk": q_boosting_topk,
     "constant_score_topk": q_constant_score_topk,
     "multi_match_best_fields": q_multi_match_best_fields,
+    "query_string_topk": q_query_string_topk,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
@@ -3703,6 +3765,7 @@ ORACLE_SQL_EXT = {
     "boosting_topk": BOOSTING_SQL,
     "constant_score_topk": CONSTANT_SCORE_SQL,
     "multi_match_best_fields": MULTI_MATCH_SQL,
+    "query_string_topk": QUERY_STRING_SQL,
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)

@@ -42,6 +42,7 @@ from neural_search_spark.query import wand
 
 __all__ = [
     "phrase_search",
+    "phrase_scores",
     "phrase_prefix_search",
     "prefix_search",
     "expand_prefix",
@@ -167,6 +168,27 @@ def phrase_search(
     (bounded by the rarest term's df) broadcast-semi-joins into the corpus
     scan, so only candidate rows are ever tokenized.
     """
+    scored = phrase_scores(index, corpus, phrase, text_col=text_col,
+                           slop=slop)
+    return (
+        scored.select("docID", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
+def phrase_scores(
+    index: Index,
+    corpus: DataFrame,
+    phrase: str | list[str],
+    text_col: str = "text",
+    slop: int = 0,
+) -> DataFrame:
+    """FULL-match-set unrounded phrase scores — (docID, score) for every
+    doc whose (sloppy) phrase frequency is > 0, no top-k cut. Feeds
+    :func:`phrase_search` (which rounds and cuts) and the scoring side of a
+    ``query_string`` phrase clause (query/qstring.py), where the clause
+    combines with other clauses BEFORE any cut."""
     terms = (tokenize_query(phrase, index.analyzer)
              if isinstance(phrase, str) else list(phrase))
     if not terms:
@@ -208,11 +230,7 @@ def phrase_search(
         (F.lit(idf_sum) * tfp / (tfp + norm)).alias("_s"),
         tfp.alias("_tfp"),
     ).where(F.col("_tfp") > 0)
-    return (
-        scored.select("docID", F.round("_s", 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("docID"))
-        .limit(k)
-    )
+    return scored.select("docID", F.col("_s").alias("score"))
 
 
 def _idf(df: int, n_docs: int) -> float:

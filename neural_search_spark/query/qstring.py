@@ -1,0 +1,190 @@
+"""query_string: the Lucene query-string mini-language over one index.
+
+The reference's own test tooling drives OpenSearch with query-string
+syntax constantly; this module implements the core of Lucene's
+QueryParser (classic syntax) over the engine's inverted index:
+
+* whitespace-separated clauses; ``default_operator`` "or" (bare clauses
+  are optional-but-scoring ``should``) or "and" (bare clauses are
+  ``must``);
+* ``+clause`` → must, ``-clause`` → must_not;
+* clause forms: ``term`` (analyzed — a multi-token analysis is OR inside
+  the clause, like ``match``), ``"quoted phrase"`` (PhraseQuery BM25,
+  query/phrase.py), ``prefix*`` (``rewrite: scoring_boolean`` dictionary
+  expansion, df-desc capped at ``max_expansions``);
+* ``^boost`` on any clause form (``term^2``, ``"a b"^1.5``).
+
+Documented subset: no parentheses/grouping, no ``field:`` prefixes (route
+fields via ``multi_match``/per-field ``match``), no fuzzy ``~`` (use the
+``fuzzy`` query), no range syntax. Pure-negative queries raise (Lucene
+requires ≥1 positive clause).
+
+Match/score semantics are Lucene BooleanQuery over the parsed clauses: a
+doc matches iff it matches every must clause, no must_not clause, and —
+when there are no must clauses — at least one should clause; the score is
+the sum of the matching scoring clauses' scores × boosts.
+
+Execution shape (the scale story): every TERM-SPACE clause (terms +
+prefix expansions) rides ONE term-pruned postings scan through
+query/dismax.clause_scores — broadcast clause-tag join + one keyed
+aggregate, clause count never adds scans. Each PHRASE clause adds its own
+bounded pipeline (rarest-term candidates → forward-text adjacency —
+query/phrase.phrase_scores, cost bounded by the rarest term's df). The
+per-clause frames union (narrow) into one groupBy(docID) that computes
+clause-hit counters and the score sum together, then one filter applies
+the boolean gate — the same one-keyed-agg-regardless-of-clause-count
+shape as query/boolean.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index.build import Index
+
+__all__ = ["query_string_search", "parse_query_string"]
+
+# [+-]? then a quoted phrase or a bare token, then optional ^boost
+_CLAUSE_RE = re.compile(
+    r'([+-]?)(?:"([^"]*)"|([^\s"^]+))(?:\^(\d+(?:\.\d+)?))?')
+
+
+@dataclass(frozen=True)
+class Clause:
+    group: str          # "must" | "should" | "not"
+    kind: str           # "terms" | "phrase" | "prefix"
+    text: str
+    boost: float = 1.0
+
+
+def parse_query_string(
+    qs: str, default_operator: str = "or"
+) -> list[Clause]:
+    """Parse the mini-language into clauses. Raises on empty or
+    pure-negative queries and on unknown default_operator."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    bare = "must" if default_operator == "and" else "should"
+    out: list[Clause] = []
+    for sign, phrase, token, boost in _CLAUSE_RE.findall(qs):
+        group = {"+": "must", "-": "not"}.get(sign, bare)
+        b = float(boost) if boost else 1.0
+        if phrase:
+            out.append(Clause(group, "phrase", phrase, b))
+        elif token.endswith("*") and len(token) > 1:
+            out.append(Clause(group, "prefix", token[:-1], b))
+        elif token:
+            out.append(Clause(group, "terms", token, b))
+    if not out:
+        raise ValueError("empty query_string")
+    if all(c.group == "not" for c in out):
+        raise ValueError("query_string needs at least one positive clause")
+    return out
+
+
+def query_string_search(
+    index: Index,
+    corpus: DataFrame,
+    qs: str,
+    k: int = 10,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    text_col: str = "text",
+    where=None,
+) -> DataFrame:
+    """Top-k DataFrame(docID, score) for a query-string query.
+
+    ``corpus`` is the source table the index was built from — needed only
+    when the query contains quoted phrases (phrase verification reads the
+    forward text, exactly like query/phrase.py); pass None otherwise.
+    """
+    from neural_search_spark.query.dismax import clause_scores
+    from neural_search_spark.query.phrase import expand_prefix, phrase_scores
+
+    clauses = parse_query_string(qs, default_operator)
+
+    # resolve term-space clauses: analyzed terms / prefix expansions.
+    # A clause whose analysis/expansion yields nothing matches NOTHING —
+    # dropped when optional, empty result when required (Lucene's behavior
+    # for a must clause over an absent term: zero hits).
+    termish: list[tuple[int, list[str], float]] = []   # (cid, terms, boost)
+    phrases: list[tuple[int, str, float]] = []
+    resolved: list[Clause] = []
+    for c in clauses:
+        if c.kind == "phrase":
+            phrases.append((len(resolved), c.text, c.boost))
+            resolved.append(c)
+            continue
+        if c.kind == "prefix":
+            terms = expand_prefix(index, c.text.lower(),
+                                  max_expansions=max_expansions)
+        else:
+            terms = sorted(set(tokenize_query(c.text, index.analyzer)))
+        if not terms:
+            if c.group == "must":
+                return _empty(index)
+            continue  # vanished optional / negative clause
+        termish.append((len(resolved), terms, c.boost))
+        resolved.append(c)
+    if not resolved or all(c.group == "not" for c in resolved):
+        return _empty(index)
+
+    n_must = sum(1 for c in resolved if c.group == "must")
+    groups = {i: c.group for i, c in enumerate(resolved)}
+
+    parts: list[DataFrame] = []
+    if termish:
+        per_clause = clause_scores(
+            index, [(terms, boost) for _, terms, boost in termish])
+        # clause_scores numbers clauses by list position; remap to cid
+        cid_map = F.create_map(*[
+            F.lit(x) for i, (cid, _, _) in enumerate(termish)
+            for x in (i, cid)])
+        parts.append(per_clause.select(
+            "docID", cid_map[F.col("cid")].alias("cid"), "score"))
+    for cid, text, boost in phrases:
+        if corpus is None:
+            raise ValueError("query_string with a quoted phrase needs the "
+                             "corpus (forward text) for verification")
+        fr = phrase_scores(index, corpus, text, text_col=text_col)
+        parts.append(fr.select(
+            "docID", F.lit(cid).alias("cid"),
+            (F.col("score") * float(boost)).alias("score")))
+
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+
+    grp_map = F.create_map(*[F.lit(x) for cid, g in groups.items()
+                             for x in (cid, g)])
+    tagged = hits.withColumn("grp", grp_map[F.col("cid")])
+    agg = tagged.groupBy("docID").agg(
+        F.size(F.array_distinct(F.collect_list(
+            F.when(F.col("grp") == "must", F.col("cid"))))).alias("n_m"),
+        F.max((F.col("grp") == "not").cast("int")).alias("hit_n"),
+        F.max((F.col("grp") == "should").cast("int")).alias("hit_s"),
+        F.sum(F.when(F.col("grp") != "not", F.col("score"))
+              .otherwise(F.lit(0.0))).alias("score"),
+    )
+    cond = (F.col("n_m") == n_must) & (F.col("hit_n") == 0)
+    if n_must == 0:
+        cond = cond & (F.col("hit_s") == 1)
+    out = agg.where(cond).select("docID", "score")
+    if index.tombstones is not None:
+        out = out.join(index.tombstones.select("docID"), "docID", "left_anti")
+    if where is not None:
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID"))
+        out = out.join(accepted, "docID", "left_semi")
+    return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)
+
+
+def _empty(index: Index) -> DataFrame:
+    return index.docmap.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        F.lit(0.0).alias("score"),
+    ).limit(0)

@@ -139,7 +139,8 @@ def _parse_subquery(q: dict) -> dict:
             flt = q["filter"]
             sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
         return sub
-    if kind in ("dis_max", "multi_match", "boosting", "constant_score"):
+    if kind in ("dis_max", "multi_match", "boosting", "constant_score",
+                "query_string"):
         # Lucene compound queries (query/dismax.py): the body is the spec
         # itself, not {field: spec}. Resolved to pre-scored frames in
         # _resolve_frame (they need the index), so each works both as the
@@ -349,6 +350,23 @@ def search_request(
                     base_index, _cl(b["filter"]) if b.get("filter") is not None
                     else None,
                     boost=float(b.get("boost", 1.0)), k=fetch_k, **kw)
+            return {"frame": fr}
+        if "query_string" in s:
+            from neural_search_spark.query.qstring import query_string_search
+
+            b = s["query_string"]
+            corpus = None
+            if doc_values is not None:
+                idc = doc_values_id or base_index.id_col
+                corpus = (doc_values if idc == base_index.id_col
+                          else doc_values.withColumnRenamed(
+                              idc, base_index.id_col))
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = query_string_search(
+                base_index, corpus, b["query"], k=fetch_k,
+                default_operator=b.get("default_operator", "or"),
+                max_expansions=int(b.get("max_expansions", 50)),
+                text_col=b.get("text_col", "text"), **kw)
             return {"frame": fr}
         if "multi_match" in s:
             from neural_search_spark.query import dismax as dm

@@ -1,0 +1,143 @@
+"""query_string mini-language (query/qstring.py)."""
+
+import pytest
+
+from neural_search_spark.query import wand
+from neural_search_spark.query.qstring import (
+    parse_query_string, query_string_search,
+)
+
+DOCS = [
+    (1, "spark shuffle join filter"),
+    (2, "spark shuffle join"),
+    (3, "spark join"),
+    (4, "shuffle filter broadcast"),
+    (5, "broadcast only words"),
+    (6, "spark shuffle filter broadcast join"),
+    (7, "filter filter filter"),
+    (8, "shuffle join everywhere"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+
+    d = str(tmp_path_factory.mktemp("qs-idx"))
+    return build_index(spark, corpus, d, text_col="text", id_col="doc_id")
+
+
+def rows(df):
+    return [(r["docID"], r["score"]) for r in df.collect()]
+
+
+def full_scores(index, terms):
+    from neural_search_spark.query.aggs import scored_matches
+
+    return {r["docID"]: r["score"]
+            for r in scored_matches(index, terms).collect()}
+
+
+class TestParse:
+    def test_groups_and_kinds(self):
+        cl = parse_query_string('+spark -join "shuffle filter" broad* x^2')
+        assert [(c.group, c.kind, c.text, c.boost) for c in cl] == [
+            ("must", "terms", "spark", 1.0),
+            ("not", "terms", "join", 1.0),
+            ("should", "phrase", "shuffle filter", 1.0),
+            ("should", "prefix", "broad", 1.0),
+            ("should", "terms", "x", 2.0),
+        ]
+
+    def test_default_operator_and(self):
+        cl = parse_query_string("spark join", default_operator="and")
+        assert all(c.group == "must" for c in cl)
+
+    def test_phrase_boost(self):
+        (c,) = parse_query_string('"a b"^1.5')
+        assert c.kind == "phrase" and c.boost == 1.5
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            parse_query_string("")
+        with pytest.raises(ValueError):
+            parse_query_string("-only -negative")
+        with pytest.raises(ValueError):
+            parse_query_string("x", default_operator="xor")
+
+
+class TestSearch:
+    def test_bare_or_equals_disjunction(self, idx, corpus):
+        got = rows(query_string_search(idx, corpus, "spark filter", k=10))
+        want = rows(wand.search(idx, ["filter", "spark"], k=10))
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (d, s), (_, w) in zip(got, want):
+            assert s == pytest.approx(w, rel=1e-9)
+
+    def test_must_and_not(self, idx, corpus):
+        got = rows(query_string_search(idx, corpus, "+spark -broadcast", k=10))
+        assert {d for d, _ in got} == {1, 2, 3}
+        ref = full_scores(idx, ["spark"])
+        for d, s in got:
+            assert s == pytest.approx(ref[d], rel=1e-9)
+
+    def test_and_operator_conjunction(self, idx, corpus):
+        got = rows(query_string_search(
+            idx, corpus, "spark shuffle", k=10, default_operator="and"))
+        assert {d for d, _ in got} == {1, 2, 6}
+        ref = full_scores(idx, ["shuffle", "spark"])
+        for d, s in got:
+            assert s == pytest.approx(ref[d], rel=1e-9)
+
+    def test_phrase_clause_scores_and_gates(self, idx, corpus):
+        from neural_search_spark.query.phrase import phrase_scores
+
+        got = rows(query_string_search(
+            idx, corpus, '+"shuffle join" spark', k=10))
+        # phrase 'shuffle join' adjacent: docs 1, 2, 8 — NOT 6
+        assert {d for d, _ in got} == {1, 2, 8}
+        ph = {r["docID"]: r["score"]
+              for r in phrase_scores(idx, corpus, "shuffle join").collect()}
+        sp = full_scores(idx, ["spark"])
+        for d, s in got:
+            assert s == pytest.approx(ph[d] + sp.get(d, 0.0), rel=1e-9)
+
+    def test_prefix_clause(self, idx, corpus):
+        got = rows(query_string_search(idx, corpus, "+broad*", k=10))
+        ref = full_scores(idx, ["broadcast"])
+        assert {d for d, _ in got} == set(ref)
+        for d, s in got:
+            assert s == pytest.approx(ref[d], rel=1e-9)
+
+    def test_boost(self, idx, corpus):
+        base = dict(rows(query_string_search(idx, corpus, "+spark", k=10)))
+        boosted = dict(rows(query_string_search(idx, corpus, "+spark^3", k=10)))
+        for d in base:
+            assert boosted[d] == pytest.approx(3.0 * base[d], rel=1e-9)
+
+    def test_vanished_clauses(self, idx, corpus):
+        # absent must term → empty; absent should term → ignored
+        assert rows(query_string_search(idx, corpus, "+zzzmissing", k=10)) == []
+        got = rows(query_string_search(idx, corpus, "spark zzzmissing", k=10))
+        want = rows(wand.search(idx, ["spark"], k=10))
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+    def test_phrase_needs_corpus(self, idx):
+        with pytest.raises(ValueError, match="corpus"):
+            query_string_search(idx, None, '"shuffle join"', k=10)
+
+    def test_request_integration(self, idx, corpus, spark):
+        from neural_search_spark.query import request
+
+        got = request.search_request(idx, {
+            "query": {"query_string": {
+                "query": '+"shuffle join" spark', "default_operator": "or"}},
+            "size": 10,
+        }, doc_values=corpus, doc_values_id="doc_id")
+        want = query_string_search(idx, corpus, '+"shuffle join" spark', k=10)
+        assert rows(got["hits"]) == rows(want)
