@@ -188,7 +188,7 @@ _R03_FRONT = [
     "knn_radial", "analyzer_code_tokens", "wand_topk_code",
     # new in the round-3 third session: Lucene compound queries
     "dis_max_topk", "boosting_topk", "constant_score_topk",
-    "multi_match_best_fields", "query_string_topk",
+    "multi_match_best_fields", "query_string_topk", "agg_composite_page2",
     # never driver-verified: rows-only ANN approximations, plus the
     # dedup pair entries newly promoted to md5-portable-hash oracles
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

@@ -2038,6 +2038,36 @@ AGG_TERMS_SQL = f"""
 """
 
 
+def q_agg_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """composite agg, SECOND page: keyset pagination over the full
+    (lang, source) bucket space with an after-key that crosses the first
+    source's boundary — the scroll-through-all-buckets primitive whose
+    paging cost does not grow with depth (unlike terms size/from)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "c": {"composite": {
+            "size": 12,
+            "sources": [{"lang": {"terms": {"field": "lang"}}},
+                        {"source": {"terms": {"field": "source"}}}],
+            "after": {"lang": "de", "source": "src5"},
+        }, "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["c"].select(
+        "lang", "source", "doc_count",
+        F.round("avg_chars", 4).alias("avg_chars"))
+
+
+AGG_COMPOSITE_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang, source, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang, source
+    HAVING (lang > 'de') OR (lang = 'de' AND source > 'src5')
+    ORDER BY lang ASC, source ASC LIMIT 12
+"""
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram over match-all (no query clause → every live doc)."""
     aggs, idx, docs = _agg_docs(spark, sf_dir)
@@ -3607,6 +3637,7 @@ SPARK_QUERIES_EXT = {
     "hybrid_explain": q_hybrid_explain,
     "hybrid_min_score": q_hybrid_min_score,
     "agg_terms_metrics": q_agg_terms_metrics,
+    "agg_composite_page2": q_agg_composite_page2,
     "agg_histogram": q_agg_histogram,
     "agg_range_overlap": q_agg_range_overlap,
     "agg_filters": q_agg_filters,
@@ -3715,6 +3746,7 @@ ORACLE_SQL_EXT = {
     "hybrid_min_score": _hybrid_bounded_sql(
         HYBRID_SUBS, None, None, min_score=HYBRID_MIN_SCORE),
     "agg_terms_metrics": AGG_TERMS_SQL,
+    "agg_composite_page2": AGG_COMPOSITE_SQL,
     "agg_histogram": AGG_HIST_SQL,
     "agg_range_overlap": AGG_RANGE_SQL,
     "agg_filters": AGG_FILTERS_SQL,

@@ -369,6 +369,88 @@ def significant_text_from_index(
     )
 
 
+def _composite(base: DataFrame, body: dict,
+               sub: dict | None = None) -> DataFrame:
+    """``composite`` aggregation: keyset-paged iteration over the FULL
+    bucket space (the ES scroll-through-all-buckets primitive; a ``terms``
+    agg tops out at its size cut, composite pages through everything).
+
+    ``sources``: ordered list of ``{name: {"terms": {"field": expr,
+    "order": "asc"|"desc"}}}`` or ``{"histogram": {"field": expr,
+    "interval": i}}`` key sources; bucket key = the source-value tuple,
+    docs with a NULL key value are skipped (ES terms-source default).
+    ``size``: buckets per page. ``after``: the previous page's last key
+    (``{name: value}``) — strictly-after filtering by the composite key
+    order, i.e. keyset pagination.
+
+    Scale shape: one groupBy over the source keys (map-side partial agg),
+    the after-filter is a Filter BEFORE the ordered limit, and the ordered
+    page cut is a TakeOrderedAndProject — no global sort materializes, and
+    paging cost does not grow with page depth (unlike from/size). All
+    metric sub-aggs ride the same single ``.agg()`` pass.
+    """
+    sources = body.get("sources")
+    if not sources:
+        raise ValueError("composite needs a non-empty sources list")
+    size = int(body.get("size", 10))
+    keys: list[tuple[str, Column, bool]] = []   # (name, expr, asc)
+    for src in sources:
+        (sname, sspec), = src.items()
+        skind, sbody = _one_of(sspec)
+        asc = sbody.get("order", "asc") == "asc"
+        if skind == "terms":
+            expr = _field(sbody)
+        elif skind == "histogram":
+            interval = float(sbody["interval"])
+            if interval <= 0:
+                raise ValueError("histogram interval must be > 0")
+            expr = F.floor(_field(sbody) / interval) * interval
+        else:
+            raise ValueError(f"unsupported composite source: {skind}")
+        keys.append((sname, expr, asc))
+
+    # internal key aliases so a source may share its name with (or derive
+    # from) a metric input column without capturing it
+    kcols = [f"_ck_{i}" for i in range(len(keys))]
+    frame = base.select(
+        "*", *[expr.alias(kc) for kc, (_, expr, _) in zip(kcols, keys)])
+    for kc in kcols:
+        frame = frame.where(F.col(kc).isNotNull())
+
+    metric_cols: list[Column] = []
+    for sname, ss in (sub or {}).items():
+        skind, sbody = _one_of(ss)
+        if skind not in METRIC_KINDS:
+            raise ValueError(
+                "composite sub-aggregations must be metrics")
+        metric_cols.extend(
+            c.alias(a) for a, c in _metric_cols(sname, skind, sbody))
+
+    grouped = frame.groupBy(*kcols).agg(
+        F.count(F.lit(1)).alias("doc_count"), *metric_cols)
+    for kc, (n, _, _) in zip(kcols, keys):
+        grouped = grouped.withColumnRenamed(kc, n)
+
+    after = body.get("after")
+    if after is not None:
+        missing = [n for n, _, _ in keys if n not in after]
+        if missing:
+            raise ValueError(f"after key missing sources: {missing}")
+        # strictly-after in composite key order: OR over prefix-equal,
+        # current-source-strictly-past terms
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for n, _, asc in keys:
+            a = F.lit(after[n])
+            past = F.col(n) > a if asc else F.col(n) < a
+            cond = cond | (eq & past)
+            eq = eq & (F.col(n) == a)
+        grouped = grouped.where(cond)
+
+    order = [F.asc(n) if asc else F.desc(n) for n, _, asc in keys]
+    return grouped.orderBy(*order).limit(size)
+
+
 def _run_level(
     base: DataFrame, group_cols: list[str], spec: dict[str, Any],
     all_docs: DataFrame | None, prefix: str = "",
@@ -407,6 +489,11 @@ def _run_level(
             out[f"{prefix}{name}"] = all_docs.agg(
                 F.count(F.lit(1)).alias("doc_count")
             )
+        elif kind == "composite":
+            if group_cols:
+                raise ValueError(
+                    "composite cannot be used with a parent aggregation")
+            out[f"{prefix}{name}"] = _composite(base, body, s.get("aggs"))
         elif kind in BUCKET_KINDS:
             key_alias = body.get("key_alias", "key")
             frame, keys = _bucket_frame(base, kind, body, key_alias)

@@ -300,3 +300,98 @@ def test_significant_text_index_variant_equal(idx, docvals):
     a = sorted(tuple(r) for r in corpus_side.collect())
     b = sorted(tuple(r) for r in index_side.collect())
     assert a == b and a
+
+
+# ------------------------------------------------------------- composite
+
+
+class TestComposite:
+    def test_first_page_and_metrics(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 2,
+                "sources": [{"lang": {"terms": {"field": "lang"}}}],
+            }, "aggs": {"avg_n": {"avg": {"field": "n"}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        rows = _rows(out["c"])
+        # matched = {1,2,3,6}: de(1 doc: 3), en(2: 1,2), fr(1: 6) — key asc
+        assert [(r["lang"], r["doc_count"]) for r in rows] == [
+            ("de", 1), ("en", 2)]
+        assert rows[0]["avg_n"] == pytest.approx(30.0)
+        assert rows[1]["avg_n"] == pytest.approx(15.0)
+
+    def test_after_pages_through(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 2,
+                "sources": [{"lang": {"terms": {"field": "lang"}}}],
+                "after": {"lang": "en"},
+            }},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        assert [(r["lang"], r["doc_count"]) for r in _rows(out["c"])] == [
+            ("fr", 1)]
+
+    def test_multi_source_tuple_order(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 10,
+                "sources": [
+                    {"lang": {"terms": {"field": "lang"}}},
+                    {"nb": {"histogram": {"field": "n", "interval": 25}}},
+                ],
+            }},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        rows = [(r["lang"], r["nb"], r["doc_count"]) for r in _rows(out["c"])]
+        # docs: 1(en,10→0), 2(en,20→0), 3(de,30→25), 6(fr,60→50)
+        assert rows == [("de", 25.0, 1), ("en", 0.0, 2), ("fr", 50.0, 1)]
+        # strictly-after on a tuple key: prefix-equal, next source past
+        out2 = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 10,
+                "sources": [
+                    {"lang": {"terms": {"field": "lang"}}},
+                    {"nb": {"histogram": {"field": "n", "interval": 25}}},
+                ],
+                "after": {"lang": "de", "nb": 25.0},
+            }},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        assert [(r["lang"], r["nb"]) for r in _rows(out2["c"])] == [
+            ("en", 0.0), ("fr", 50.0)]
+
+    def test_desc_source_order(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 2,
+                "sources": [{"lang": {"terms": {"field": "lang",
+                                                "order": "desc"}}}],
+            }},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        assert [r["lang"] for r in _rows(out["c"])] == ["fr", "en"]
+        out2 = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 2,
+                "sources": [{"lang": {"terms": {"field": "lang",
+                                                "order": "desc"}}}],
+                "after": {"lang": "en"},
+            }},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        assert [r["lang"] for r in _rows(out2["c"])] == ["de"]
+
+    def test_validation(self, idx, docvals):
+        with pytest.raises(ValueError, match="sources"):
+            aggs.aggregate(idx, {"c": {"composite": {"size": 2}}},
+                           query=["alpha"], doc_values=docvals,
+                           doc_values_id="doc_id")
+        with pytest.raises(ValueError, match="metrics"):
+            aggs.aggregate(idx, {
+                "c": {"composite": {
+                    "sources": [{"lang": {"terms": {"field": "lang"}}}],
+                }, "aggs": {"t": {"terms": {"field": "lang"}}}},
+            }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        with pytest.raises(ValueError, match="after key"):
+            aggs.aggregate(idx, {
+                "c": {"composite": {
+                    "sources": [{"lang": {"terms": {"field": "lang"}}}],
+                    "after": {"wrong": 1},
+                }},
+            }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
