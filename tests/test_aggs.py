@@ -395,3 +395,21 @@ class TestComposite:
                     "after": {"wrong": 1},
                 }},
             }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+
+
+def test_composite_plan_shape(idx, docvals):
+    """Composite = one keyed groupBy (map-side partial agg) + after-Filter
+    + TakeOrderedAndProject; page depth never adds work."""
+    import re
+
+    out = aggs.aggregate(idx, {
+        "c": {"composite": {
+            "size": 2,
+            "sources": [{"lang": {"terms": {"field": "lang"}}}],
+            "after": {"lang": "de"},
+        }, "aggs": {"avg_n": {"avg": {"field": "n"}}}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    plan = out["c"]._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert "TakeOrderedAndProject" in plan

@@ -141,3 +141,17 @@ class TestSearch:
         }, doc_values=corpus, doc_values_id="doc_id")
         want = query_string_search(idx, corpus, '+"shuffle join" spark', k=10)
         assert rows(got["hits"]) == rows(want)
+
+
+def test_plan_shape(idx, corpus):
+    """Constant shuffle count regardless of clause count: clause_scores agg
+    + df agg + final combine; phrase clauses add BROADCASTS (bounded
+    candidate sets), never hash exchanges. No row-at-a-time Python."""
+    import re
+
+    qs = query_string_search(idx, corpus, '+spark "shuffle join" -words broad*',
+                             k=10)
+    plan = qs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4
+    assert "TakeOrderedAndProject" in plan
