@@ -1570,6 +1570,47 @@ MULTI_MATCH_SQL = f"""
 """
 
 
+FS_FACTOR = 0.01
+FS_WEIGHT = 1.5
+
+
+def q_function_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score: BM25 over the full match set, shaped by a
+    field_value_factor (ln1p of n_chars) plus a term-filtered constant
+    weight, score_mode=sum / boost_mode=multiply (Lucene
+    FunctionScoreQuery — the boost-by-document-value pattern)."""
+    from neural_search_spark.query.function_score import function_score_search
+
+    idx = _get_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    res = function_score_search(
+        idx, WAND_TERMS_MULTI,
+        [{"field_value_factor": {"field": "n_chars", "factor": FS_FACTOR,
+                                 "modifier": "ln1p"}},
+         {"weight": FS_WEIGHT, "filter": {"term": "hash"}}],
+        k=10, score_mode="sum", boost_mode="multiply",
+        doc_values=docs, doc_values_id="doc_id")
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+FUNCTION_SCORE_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, WAND_TERMS_MULTI)},
+         hs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'hash')
+    SELECT doc_id, round(sc, 4) AS score FROM (
+      SELECT c0.doc_id AS doc_id,
+             c0.s * ( ln(1 + {FS_FACTOR!r} * d.n_chars)
+                      + CASE WHEN hs.doc_id IS NOT NULL
+                             THEN {FS_WEIGHT!r} ELSE 0.0 END ) AS sc
+      FROM c0 JOIN documents d ON c0.doc_id = d.doc_id
+      LEFT JOIN hs ON c0.doc_id = hs.doc_id
+      ORDER BY sc DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 QS_QUERY = '+data "table hash" -merge quer*'
 QS_MAX_EXPANSIONS = 50
 
@@ -3685,6 +3726,7 @@ SPARK_QUERIES_EXT = {
     "constant_score_topk": q_constant_score_topk,
     "multi_match_best_fields": q_multi_match_best_fields,
     "query_string_topk": q_query_string_topk,
+    "function_score_topk": q_function_score_topk,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
@@ -3798,6 +3840,7 @@ ORACLE_SQL_EXT = {
     "constant_score_topk": CONSTANT_SCORE_SQL,
     "multi_match_best_fields": MULTI_MATCH_SQL,
     "query_string_topk": QUERY_STRING_SQL,
+    "function_score_topk": FUNCTION_SCORE_SQL,
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)

@@ -1,0 +1,155 @@
+"""function_score query: document-value score shaping over a match query.
+
+Lucene's FunctionScoreQuery (ES ``{"function_score": {...}}``) rescales a
+query's relevance score with per-document functions — the classic
+"boost by popularity / recency / length" pattern every search deployment
+ends up needing. The reference's rerank processors rescore AFTER
+retrieval (by_field / ML similarity, operators/rerank.py); function_score
+is the in-query counterpart where the shaped score IS the ranking (and
+feeds min_score, pagination, aggs).
+
+Supported surface:
+
+* ``query`` — a match-style clause (analyzed string or term list) scored
+  BM25 over its FULL match set (score shaping can promote any matched doc
+  into the top-k, so a pruned top-k pre-cut would be unsound — same
+  argument as boosting_search).
+* ``functions`` — a list of:
+  - ``{"field_value_factor": {"field": f, "factor": a, "modifier": m,
+    "missing": d}, "weight": w, "filter": pred}``: value =
+    w · modifier(a · field). Modifiers: ``none``, ``log1p`` (log10(1+x),
+    ES semantics), ``ln1p``, ``sqrt``, ``square``, ``reciprocal``.
+  - ``{"weight": w, "filter": pred}``: constant w where the filter hits.
+  ``filter`` is a SQL predicate (string/Column) over the doc-values frame
+  or ``{"term": "word"}`` for an index-backed term filter; a function
+  without a filter matches every doc.
+* ``score_mode`` combines the MATCHING functions' values: ``sum`` /
+  ``multiply`` / ``max`` / ``min``. No function matching → function score
+  1.0 (ES behavior). ``max_boost`` caps the combined function score.
+* ``boost_mode`` combines query score q with function score f:
+  ``multiply`` (default) / ``sum`` / ``replace`` / ``max`` / ``min`` /
+  ``avg``.
+* ``min_score`` filters on the FINAL shaped score.
+
+Scale shape: full-match-set BM25 (one term-pruned scan + one keyed agg,
+query/aggs.scored_matches) joined once to the doc-values frame; every
+function is a pure Catalyst column over that join (WholeStageCodegen —
+no Python), term filters add one broadcast-ish left join each;
+TakeOrderedAndProject cuts the page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.index.build import Index
+
+__all__ = ["function_score_search"]
+
+_MODIFIERS = {
+    "none": lambda c: c,
+    "log1p": lambda c: F.log10(F.lit(1.0) + c),
+    "ln1p": lambda c: F.log(F.lit(1.0) + c),
+    "sqrt": lambda c: F.sqrt(c),
+    "square": lambda c: c * c,
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+_BOOST_MODES = {
+    "multiply": lambda q, f: q * f,
+    "sum": lambda q, f: q + f,
+    "replace": lambda q, f: f,
+    "max": lambda q, f: F.greatest(q, f),
+    "min": lambda q, f: F.least(q, f),
+    "avg": lambda q, f: (q + f) / F.lit(2.0),
+}
+
+
+def _combine(vals: Column, score_mode: str) -> Column:
+    """Combine the array of MATCHED function values (nulls filtered);
+    empty → 1.0 (ES: no matching function leaves the score unscaled)."""
+    hit = F.filter(vals, lambda v: v.isNotNull())
+    if score_mode == "sum":
+        red = F.aggregate(hit, F.lit(0.0), lambda a, v: a + v)
+    elif score_mode == "multiply":
+        red = F.aggregate(hit, F.lit(1.0), lambda a, v: a * v)
+    elif score_mode == "max":
+        red = F.array_max(hit)
+    elif score_mode == "min":
+        red = F.array_min(hit)
+    else:
+        raise ValueError(f"unsupported score_mode {score_mode!r}")
+    return F.when(F.size(hit) == 0, F.lit(1.0)).otherwise(red)
+
+
+def function_score_search(
+    index: Index,
+    query,
+    functions: list[dict],
+    k: int = 10,
+    score_mode: str = "sum",
+    boost_mode: str = "multiply",
+    max_boost: float | None = None,
+    min_score: float | None = None,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+    where=None,
+) -> DataFrame:
+    """Top-k DataFrame(docID, score) under function-shaped scoring.
+
+    ``doc_values`` defaults to ``index.docmap`` (which always carries
+    ``doclen``); pass a wider table for other fields.
+    """
+    from neural_search_spark.analysis.tokenizer import tokenize_query
+    from neural_search_spark.query.aggs import matched_docs, scored_matches
+
+    if boost_mode not in _BOOST_MODES:
+        raise ValueError(f"unsupported boost_mode {boost_mode!r}")
+    terms = sorted(set(tokenize_query(query, index.analyzer)
+                       if isinstance(query, str) else query))
+    base = scored_matches(index, terms, where=where) \
+        .withColumnRenamed("score", "_q")
+
+    dv = doc_values if doc_values is not None else index.docmap
+    idc = doc_values_id or index.id_col
+    dv = dv.withColumn("docID", F.col(idc).cast("long"))
+    joined = base.join(dv, "docID", "left")
+
+    vals: list[Column] = []
+    for i, fn in enumerate(functions):
+        weight = F.lit(float(fn.get("weight", 1.0)))
+        fvf = fn.get("field_value_factor")
+        if fvf is not None:
+            mod = fvf.get("modifier", "none")
+            if mod not in _MODIFIERS:
+                raise ValueError(f"unsupported modifier {mod!r}")
+            raw = F.coalesce(
+                F.expr(str(fvf["field"])).cast("double"),
+                F.lit(float(fvf.get("missing", 1.0))))
+            v = weight * _MODIFIERS[mod](
+                F.lit(float(fvf.get("factor", 1.0))) * raw)
+        else:
+            v = weight
+        flt = fn.get("filter")
+        if flt is not None:
+            if isinstance(flt, dict) and "term" in flt:
+                hits = matched_docs(index, [str(flt["term"])]).select(
+                    "docID", F.lit(True).alias(f"_hit{i}"))
+                joined = joined.join(hits, "docID", "left")
+                cond = F.col(f"_hit{i}")
+            else:
+                cond = F.expr(flt) if isinstance(flt, str) else flt
+            v = F.when(cond, v).otherwise(F.lit(None).cast("double"))
+        vals.append(v.cast("double"))
+
+    if vals:
+        fscore = _combine(F.array(*vals), score_mode)
+    else:
+        fscore = F.lit(1.0)
+    if max_boost is not None:
+        fscore = F.least(fscore, F.lit(float(max_boost)))
+    final = _BOOST_MODES[boost_mode](F.col("_q"), fscore)
+    out = joined.select("docID", final.alias("score"))
+    if min_score is not None:
+        out = out.where(F.col("score") >= float(min_score))
+    return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -140,7 +140,7 @@ def _parse_subquery(q: dict) -> dict:
             sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
         return sub
     if kind in ("dis_max", "multi_match", "boosting", "constant_score",
-                "query_string"):
+                "query_string", "function_score"):
         # Lucene compound queries (query/dismax.py): the body is the spec
         # itself, not {field: spec}. Resolved to pre-scored frames in
         # _resolve_frame (they need the index), so each works both as the
@@ -350,6 +350,28 @@ def search_request(
                     base_index, _cl(b["filter"]) if b.get("filter") is not None
                     else None,
                     boost=float(b.get("boost", 1.0)), k=fetch_k, **kw)
+            return {"frame": fr}
+        if "function_score" in s:
+            from neural_search_spark.query.function_score import (
+                function_score_search,
+            )
+
+            b = s["function_score"]
+            inner = b.get("query")
+            if isinstance(inner, dict) and len(inner) == 1 and "match" in inner:
+                (_f, inner), = inner["match"].items()
+            if not isinstance(inner, (str, list)):
+                raise ValueError("function_score needs a match-style query")
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            if doc_values is not None:
+                kw["doc_values"] = doc_values
+                kw["doc_values_id"] = doc_values_id
+            fr = function_score_search(
+                base_index, inner, list(b.get("functions", [])), k=fetch_k,
+                score_mode=b.get("score_mode", "sum"),
+                boost_mode=b.get("boost_mode", "multiply"),
+                max_boost=b.get("max_boost"),
+                min_score=b.get("min_score"), **kw)
             return {"frame": fr}
         if "query_string" in s:
             from neural_search_spark.query.qstring import query_string_search

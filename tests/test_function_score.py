@@ -1,0 +1,200 @@
+"""function_score query (query/function_score.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.query.function_score import function_score_search
+
+DOCS = [
+    (1, "spark shuffle join filter", 10),
+    (2, "spark shuffle join", 25),
+    (3, "spark join", 50),
+    (4, "shuffle filter broadcast", 80),
+    (5, "broadcast only words", 5),
+    (6, "spark shuffle filter broadcast join", 100),
+    (7, "filter filter filter", 40),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, pop int")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+
+    d = str(tmp_path_factory.mktemp("fs-idx"))
+    return build_index(spark, corpus.select("doc_id", "text"), d,
+                       text_col="text", id_col="doc_id")
+
+
+def rows(df):
+    return [(r["docID"], r["score"]) for r in df.collect()]
+
+
+def base_scores(index, terms):
+    from neural_search_spark.query.aggs import scored_matches
+
+    return {r["docID"]: r["score"]
+            for r in scored_matches(index, terms).collect()}
+
+
+POP = {d[0]: d[2] for d in DOCS}
+
+
+class TestFunctionScore:
+    def test_field_value_factor_multiply(self, idx, corpus):
+        got = dict(rows(function_score_search(
+            idx, "spark", [{"field_value_factor": {
+                "field": "pop", "factor": 0.5, "modifier": "ln1p"}}],
+            k=10, doc_values=corpus, doc_values_id="doc_id")))
+        q = base_scores(idx, ["spark"])
+        assert set(got) == set(q)
+        for d in got:
+            want = q[d] * math.log(1.0 + 0.5 * POP[d])
+            assert got[d] == pytest.approx(want, rel=1e-9)
+
+    def test_modifiers(self, idx, corpus):
+        q = base_scores(idx, ["spark"])
+        for mod, f in [("none", lambda x: x), ("sqrt", math.sqrt),
+                       ("square", lambda x: x * x),
+                       ("log1p", lambda x: math.log10(1 + x)),
+                       ("reciprocal", lambda x: 1.0 / x)]:
+            got = dict(rows(function_score_search(
+                idx, "spark", [{"field_value_factor": {
+                    "field": "pop", "modifier": mod}}],
+                k=10, doc_values=corpus, doc_values_id="doc_id")))
+            for d in got:
+                assert got[d] == pytest.approx(q[d] * f(POP[d]), rel=1e-9), mod
+
+    def test_weight_only_with_predicate_filter(self, idx, corpus):
+        got = dict(rows(function_score_search(
+            idx, "spark", [{"weight": 3.0, "filter": "pop >= 50"}],
+            k=10, boost_mode="multiply",
+            doc_values=corpus, doc_values_id="doc_id")))
+        q = base_scores(idx, ["spark"])
+        for d in got:
+            want = q[d] * (3.0 if POP[d] >= 50 else 1.0)  # no match → 1.0
+            assert got[d] == pytest.approx(want, rel=1e-9)
+
+    def test_term_filter_function(self, idx, corpus):
+        got = dict(rows(function_score_search(
+            idx, "spark", [{"weight": 2.0, "filter": {"term": "broadcast"}}],
+            k=10, doc_values=corpus, doc_values_id="doc_id")))
+        q = base_scores(idx, ["spark"])
+        for d in got:
+            want = q[d] * (2.0 if d == 6 else 1.0)
+            assert got[d] == pytest.approx(want, rel=1e-9)
+
+    def test_score_modes(self, idx, corpus):
+        fns = [{"weight": 2.0, "filter": "pop >= 25"},
+               {"weight": 5.0, "filter": "pop >= 80"}]
+        q = base_scores(idx, ["spark"])
+
+        def fvals(d):
+            out = []
+            if POP[d] >= 25:
+                out.append(2.0)
+            if POP[d] >= 80:
+                out.append(5.0)
+            return out
+
+        for mode, comb in [("sum", sum), ("multiply", math.prod),
+                           ("max", max), ("min", min)]:
+            got = dict(rows(function_score_search(
+                idx, "spark", fns, k=10, score_mode=mode,
+                doc_values=corpus, doc_values_id="doc_id")))
+            for d in got:
+                fs = comb(fvals(d)) if fvals(d) else 1.0
+                assert got[d] == pytest.approx(q[d] * fs, rel=1e-9), mode
+
+    def test_boost_modes_and_max_boost(self, idx, corpus):
+        q = base_scores(idx, ["spark"])
+        fns = [{"weight": 4.0}]
+        for mode, comb in [("sum", lambda a, b: a + b),
+                           ("replace", lambda a, b: b),
+                           ("max", max), ("min", min),
+                           ("avg", lambda a, b: (a + b) / 2)]:
+            got = dict(rows(function_score_search(
+                idx, "spark", fns, k=10, boost_mode=mode,
+                doc_values=corpus, doc_values_id="doc_id")))
+            for d in got:
+                assert got[d] == pytest.approx(comb(q[d], 4.0), rel=1e-9), mode
+        capped = dict(rows(function_score_search(
+            idx, "spark", fns, k=10, boost_mode="replace", max_boost=2.5,
+            doc_values=corpus, doc_values_id="doc_id")))
+        assert all(v == 2.5 for v in capped.values())
+
+    def test_min_score_on_final(self, idx, corpus):
+        full = rows(function_score_search(
+            idx, "spark", [{"field_value_factor": {"field": "pop"}}],
+            k=10, doc_values=corpus, doc_values_id="doc_id"))
+        cut = full[1][1]  # keep the top 2 (score desc)
+        got = rows(function_score_search(
+            idx, "spark", [{"field_value_factor": {"field": "pop"}}],
+            k=10, min_score=cut, doc_values=corpus, doc_values_id="doc_id"))
+        assert got == full[:2] and all(s >= cut for _, s in got)
+
+    def test_missing_value_default(self, idx, corpus, spark):
+        dv = corpus.withColumn(
+            "pop", F.when(F.col("doc_id") == 2, None).otherwise(F.col("pop")))
+        got = dict(rows(function_score_search(
+            idx, "spark", [{"field_value_factor": {
+                "field": "pop", "missing": 7.0}}],
+            k=10, doc_values=dv, doc_values_id="doc_id")))
+        q = base_scores(idx, ["spark"])
+        assert got[2] == pytest.approx(q[2] * 7.0, rel=1e-9)
+
+    def test_no_functions_is_plain_query(self, idx, corpus):
+        got = dict(rows(function_score_search(
+            idx, "spark", [], k=10, doc_values=corpus,
+            doc_values_id="doc_id")))
+        q = base_scores(idx, ["spark"])
+        for d in got:
+            assert got[d] == pytest.approx(q[d], rel=1e-9)
+
+    def test_validation(self, idx, corpus):
+        with pytest.raises(ValueError, match="boost_mode"):
+            function_score_search(idx, "spark", [], boost_mode="xor")
+        with pytest.raises(ValueError, match="modifier"):
+            function_score_search(
+                idx, "spark",
+                [{"field_value_factor": {"field": "pop", "modifier": "exp"}}],
+                doc_values=corpus, doc_values_id="doc_id").collect()
+        with pytest.raises(ValueError, match="score_mode"):
+            function_score_search(
+                idx, "spark", [{"weight": 2.0}], score_mode="first",
+                doc_values=corpus, doc_values_id="doc_id").collect()
+
+    def test_no_python_in_plan(self, idx, corpus):
+        df = function_score_search(
+            idx, "spark", [{"field_value_factor": {
+                "field": "pop", "modifier": "ln1p"}},
+                {"weight": 2.0, "filter": "pop >= 50"}],
+            k=10, doc_values=corpus, doc_values_id="doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+def test_request_integration(idx, corpus):
+    from neural_search_spark.query import request
+
+    got = request.search_request(idx, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark"}},
+            "functions": [{"field_value_factor": {
+                "field": "pop", "modifier": "ln1p"}}],
+            "boost_mode": "multiply",
+        }},
+        "size": 10,
+    }, doc_values=corpus, doc_values_id="doc_id")
+    want = function_score_search(
+        idx, "spark", [{"field_value_factor": {
+            "field": "pop", "modifier": "ln1p"}}],
+        k=10, boost_mode="multiply", doc_values=corpus, doc_values_id="doc_id")
+    assert rows(got["hits"]) == rows(want)
