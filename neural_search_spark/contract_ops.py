@@ -1611,6 +1611,46 @@ FUNCTION_SCORE_SQL = f"""
 """
 
 
+SUGGEST_INPUT = ["merge", "quary", "tabel"]  # 'merge' exists → no rows
+SUGGEST_SIZE = 5
+
+
+def q_term_suggest_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term suggester (Lucene DirectSpellChecker analog): dictionary terms
+    within 2 edits sharing the first char, suggest_mode=missing — only
+    the misspelled inputs get suggestions; ranking distance asc, df desc.
+    One block-header dictionary agg + a prefix equi-join, no decode."""
+    from neural_search_spark.query.suggest import term_suggest
+
+    idx = _get_index(spark, sf_dir)
+    return term_suggest(idx, SUGGEST_INPUT, size=SUGGEST_SIZE)
+
+
+TERM_SUGGEST_SQL = f"""
+    WITH tf AS ({_TF_SQL}),
+         dic AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         toks(input_term) AS (VALUES {", ".join(f"('{t}')" for t in SUGGEST_INPUT)}),
+         own AS (SELECT t.input_term, d.df AS own_df
+                 FROM toks t LEFT JOIN dic d ON d.term = t.input_term),
+         cand AS (
+           SELECT t.input_term, d.term AS suggestion,
+                  CAST(levenshtein(d.term, t.input_term) AS INT) AS distance,
+                  d.df
+           FROM dic d JOIN toks t
+             ON substr(d.term, 1, 1) = substr(t.input_term, 1, 1)
+           WHERE d.term <> t.input_term
+             AND levenshtein(d.term, t.input_term) <= 2)
+    SELECT input_term, suggestion, distance, df FROM (
+      SELECT c.*, row_number() OVER (
+        PARTITION BY c.input_term
+        ORDER BY c.distance ASC, c.df DESC, c.suggestion ASC) AS rn
+      FROM cand c JOIN own o ON c.input_term = o.input_term
+      WHERE o.own_df IS NULL
+    ) WHERE rn <= {SUGGEST_SIZE}
+    ORDER BY input_term ASC, distance ASC, df DESC, suggestion ASC
+"""
+
+
 QS_QUERY = '+data "table hash" -merge quer*'
 QS_MAX_EXPANSIONS = 50
 
@@ -3727,6 +3767,7 @@ SPARK_QUERIES_EXT = {
     "multi_match_best_fields": q_multi_match_best_fields,
     "query_string_topk": q_query_string_topk,
     "function_score_topk": q_function_score_topk,
+    "term_suggest_missing": q_term_suggest_missing,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
@@ -3841,6 +3882,7 @@ ORACLE_SQL_EXT = {
     "multi_match_best_fields": MULTI_MATCH_SQL,
     "query_string_topk": QUERY_STRING_SQL,
     "function_score_topk": FUNCTION_SCORE_SQL,
+    "term_suggest_missing": TERM_SUGGEST_SQL,
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)

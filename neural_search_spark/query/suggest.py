@@ -1,0 +1,117 @@
+"""Term suggester — "did you mean" over the index dictionary.
+
+The ES/OpenSearch ``suggest`` body's ``term`` suggester (Lucene
+DirectSpellChecker) proposes dictionary terms within an edit-distance
+budget of each input token, ranked by closeness then corpus frequency.
+This engine's analog runs the WHOLE lookup as one Spark plan over the
+posting-block HEADERS — postings are never decoded, exactly like the
+prefix/fuzzy expansion machinery (query/phrase.py).
+
+Semantics (per analyzed input token):
+
+* candidates: dictionary terms with ``levenshtein(term, token) <=
+  max_edits``, sharing the first ``prefix_length`` characters (Lucene's
+  DirectSpellChecker prefix requirement — and this engine's pruning key),
+  term != token, ``df >= min_doc_freq``;
+* ``suggest_mode``: ``missing`` (suggest only for tokens absent from the
+  dictionary — ES default), ``popular`` (only candidates with HIGHER df
+  than the input token), ``always``;
+* ranking: edit distance ascending, then df descending, then term
+  ascending (deterministic; Lucene ranks by a normalized similarity that
+  is monotone in distance for same-length pairs — documented variant),
+  capped at ``size`` per input token.
+
+Scale shape: ONE dictionary aggregation (term → df from block headers —
+a two-column Parquet scan, no posting decode) joined to the broadcast
+input-token table ON THE PREFIX as an equi-join key, so the Levenshtein
+filter runs only inside matching prefix groups; per-token ranking is a
+WindowGroupLimit (partial top-size per partition before the final
+shuffle). No Python anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokenize_query
+from neural_search_spark.index.build import Index
+
+__all__ = ["term_suggest"]
+
+
+def term_suggest(
+    index: Index,
+    text: str | list[str],
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    min_doc_freq: int = 0,
+    suggest_mode: str = "missing",
+) -> DataFrame:
+    """DataFrame(input_term, suggestion, distance, df), ordered by
+    (input_term asc, distance asc, df desc, suggestion asc), ≤ ``size``
+    suggestions per input token."""
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"unsupported suggest_mode {suggest_mode!r}")
+    if not (1 <= int(max_edits) <= 2):
+        raise ValueError("max_edits must be 1 or 2 (Lucene's bound)")
+    if prefix_length < 1:
+        raise ValueError("prefix_length must be >= 1 (the pruning key)")
+    tokens = sorted(set(
+        tokenize_query(text, index.analyzer) if isinstance(text, str)
+        else [str(t) for t in text]))
+    if not tokens:
+        raise ValueError("empty suggest input")
+
+    spark = index.postings.sparkSession
+    tokdf = spark.createDataFrame(
+        [(t, t[:prefix_length]) for t in tokens],
+        "input_term string, _pfx string")
+
+    # dictionary (term → df) from block headers: no posting decode, and
+    # Parquet column pruning keeps the scan to (term, blocks.n)
+    dic = (
+        index.postings
+        .groupBy("term")
+        .agg(F.sum(F.aggregate(
+            "blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"]
+        )).alias("df"))
+        .withColumn("_pfx", F.substring("term", 1, prefix_length))
+    )
+
+    cand = (
+        dic.join(F.broadcast(tokdf), "_pfx")
+        .where(F.col("term") != F.col("input_term"))
+        .withColumn("distance",
+                    F.levenshtein(F.col("term"), F.col("input_term")))
+        .where(F.col("distance") <= int(max_edits))
+    )
+    if min_doc_freq > 0:
+        cand = cand.where(F.col("df") >= int(min_doc_freq))
+
+    if suggest_mode in ("missing", "popular"):
+        # the input tokens' own dictionary rows (absent → df null)
+        own = (
+            dic.drop("_pfx")
+            .join(F.broadcast(tokdf.select(
+                F.col("input_term").alias("term"))), "term", "right")
+            .select(F.col("term").alias("input_term"),
+                    F.col("df").alias("_own_df"))
+        )
+        cand = cand.join(own, "input_term", "left")
+        if suggest_mode == "missing":
+            cand = cand.where(F.col("_own_df").isNull())
+        else:
+            cand = cand.where(
+                F.col("df") > F.coalesce(F.col("_own_df"), F.lit(0)))
+
+    w = Window.partitionBy("input_term").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(size))
+        .select("input_term", F.col("term").alias("suggestion"),
+                "distance", "df")
+        .orderBy(F.asc("input_term"), F.asc("distance"),
+                 F.desc("df"), F.asc("suggestion"))
+    )

@@ -1,0 +1,86 @@
+"""Term suggester (query/suggest.py)."""
+
+import pytest
+
+from neural_search_spark.query.suggest import term_suggest
+
+DOCS = [
+    (1, "spark shuffle join filter"),
+    (2, "spark shuffle join"),
+    (3, "spark join joins"),
+    (4, "shuffle filter broadcast"),
+    (5, "broadcast only words"),
+    (6, "spark shuffle filter broadcast join"),
+    (7, "filter filter filter spork"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("sug-idx"))
+    return build_index(spark, docs, d, text_col="text", id_col="doc_id")
+
+
+def rows(df):
+    return [(r["input_term"], r["suggestion"], r["distance"], r["df"])
+            for r in df.collect()]
+
+
+class TestTermSuggest:
+    def test_missing_mode_suggests_only_absent(self, idx):
+        got = rows(term_suggest(idx, "jion spark", size=3))
+        # 'spark' exists → no suggestions; 'jion' → join (d=2, df=4),
+        # joins (d=3 > max_edits? levenshtein(jion, joins)=2? j-i-o-n vs
+        # j-o-i-n-s: transposition costs 2 + insert 1 = 3) — check join only
+        assert all(t == "jion" for t, *_ in got)
+        assert ("jion", "join", 2, 4) in got
+        assert not any(s == "spark" for _, s, *_ in got)
+
+    def test_ranking_distance_then_df(self, idx):
+        # 'spork': spark (d=1, df=4) before spork-absent others
+        got = rows(term_suggest(idx, ["sporc"], size=5, suggest_mode="always"))
+        assert got[0][1] == "spork"  # d=1 beats spark d=2
+        assert ("sporc", "spark", 2, 4) in got
+
+    def test_popular_mode_requires_higher_df(self, idx):
+        # 'spork' EXISTS (df=1); popular suggests only higher-df candidates
+        got = rows(term_suggest(idx, ["spork"], size=5,
+                                suggest_mode="popular"))
+        assert ("spork", "spark", 1, 4) in got
+        assert all(df > 1 for *_, df in got)
+        # missing mode: spork exists → nothing
+        assert rows(term_suggest(idx, ["spork"], size=5)) == []
+
+    def test_size_cap_and_prefix_gate(self, idx):
+        got = rows(term_suggest(idx, ["jion"], size=1,
+                                suggest_mode="always"))
+        assert len(got) == 1
+        # prefix_length=2: candidates must share 'ji' → join is excluded
+        got2 = rows(term_suggest(idx, ["jion"], size=5, prefix_length=2,
+                                 suggest_mode="always"))
+        assert not any(s == "join" for _, s, *_ in got2)
+
+    def test_min_doc_freq(self, idx):
+        got = rows(term_suggest(idx, ["sporc"], size=5, min_doc_freq=2,
+                                suggest_mode="always"))
+        assert all(df >= 2 for *_, df in got)
+        assert not any(s == "spork" for _, s, *_ in got)  # df=1 filtered
+
+    def test_validation(self, idx):
+        with pytest.raises(ValueError):
+            term_suggest(idx, "x", suggest_mode="weird")
+        with pytest.raises(ValueError):
+            term_suggest(idx, "x", max_edits=3)
+        with pytest.raises(ValueError):
+            term_suggest(idx, "x", prefix_length=0)
+        with pytest.raises(ValueError):
+            term_suggest(idx, "   ")
+
+    def test_no_python_and_window_limit(self, idx):
+        df = term_suggest(idx, "jion sporc", size=3, suggest_mode="always")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "WindowGroupLimit" in plan  # partial per-partition top-size
