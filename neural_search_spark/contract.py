@@ -189,7 +189,8 @@ _R03_FRONT = [
     # new in the round-3 third session: Lucene compound queries
     "dis_max_topk", "boosting_topk", "constant_score_topk",
     "multi_match_best_fields", "query_string_topk", "agg_composite_page2",
-    "function_score_topk", "term_suggest_missing",
+    "function_score_topk", "term_suggest_missing", "match_operator_and",
+    "agg_adjacency_matrix",
     # dedup pair entries newly promoted to md5-portable-hash oracles —
     # never driver-verified, so they outrank the rows-only block below
     "minhash_lsh_pairs", "simhash_pairs",

@@ -1611,6 +1611,41 @@ FUNCTION_SCORE_SQL = f"""
 """
 
 
+MATCH_AND_TERMS = ["data", "merge", "query"]
+
+
+def q_match_operator_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match with operator=and (Lucene MatchQuery → per-term MUST
+    BooleanQuery): only docs containing EVERY analyzed term, scored as
+    the plain BM25 sum over all of them."""
+    from neural_search_spark.query import request
+
+    idx = _get_index(spark, sf_dir)
+    out = request.search_request(idx, {
+        "query": {"match": {"text": {"query": " ".join(MATCH_AND_TERMS),
+                                     "operator": "and"}}},
+        "size": 10,
+    })
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+MATCH_AND_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, MATCH_AND_TERMS)},
+         allm AS (SELECT doc_id FROM tf
+                  WHERE term IN ({", ".join(f"'{t}'" for t in MATCH_AND_TERMS)})
+                  GROUP BY doc_id
+                  HAVING count(DISTINCT term) = {len(MATCH_AND_TERMS)})
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT c0.doc_id AS doc_id, c0.s AS s
+      FROM c0 JOIN allm USING (doc_id)
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 SUGGEST_INPUT = ["merge", "quary", "tabel"]  # 'merge' exists → no rows
 SUGGEST_SIZE = 5
 
@@ -2146,6 +2181,37 @@ AGG_COMPOSITE_SQL = f"""
     GROUP BY lang, source
     HAVING (lang > 'de') OR (lang = 'de' AND source > 'src5')
     ORDER BY lang ASC, source ASC LIMIT 12
+"""
+
+
+def q_agg_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adjacency_matrix agg: one bucket per filter plus one per pairwise
+    intersection ('a&b', label-sorted), built in a single scan from the
+    per-row matched-label array."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "adj": {"adjacency_matrix": {"filters": {
+            "big": "n_chars >= 400",
+            "en": "lang = 'en'",
+            "s0": "source = 'src0'",
+        }}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["adj"]
+
+
+AGG_ADJACENCY_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    d AS (SELECT d.*, (n_chars >= 400) AS f_big, (lang = 'en') AS f_en,
+                 (source = 'src0') AS f_s0
+          FROM documents d JOIN m USING (doc_id)),
+    counts(key, doc_count) AS (
+      SELECT 'big', count(*) FILTER (f_big) FROM d UNION ALL
+      SELECT 'en', count(*) FILTER (f_en) FROM d UNION ALL
+      SELECT 's0', count(*) FILTER (f_s0) FROM d UNION ALL
+      SELECT 'big&en', count(*) FILTER (f_big AND f_en) FROM d UNION ALL
+      SELECT 'big&s0', count(*) FILTER (f_big AND f_s0) FROM d UNION ALL
+      SELECT 'en&s0', count(*) FILTER (f_en AND f_s0) FROM d)
+    SELECT key, doc_count FROM counts WHERE doc_count >= 1 ORDER BY key ASC
 """
 
 
@@ -3768,6 +3834,8 @@ SPARK_QUERIES_EXT = {
     "query_string_topk": q_query_string_topk,
     "function_score_topk": q_function_score_topk,
     "term_suggest_missing": q_term_suggest_missing,
+    "match_operator_and": q_match_operator_and,
+    "agg_adjacency_matrix": q_agg_adjacency_matrix,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
@@ -3883,6 +3951,8 @@ ORACLE_SQL_EXT = {
     "query_string_topk": QUERY_STRING_SQL,
     "function_score_topk": FUNCTION_SCORE_SQL,
     "term_suggest_missing": TERM_SUGGEST_SQL,
+    "match_operator_and": MATCH_AND_SQL,
+    "agg_adjacency_matrix": AGG_ADJACENCY_SQL,
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     # lsh_topk / ivf_topk: rows-only (approximate)

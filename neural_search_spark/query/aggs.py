@@ -57,6 +57,7 @@ METRIC_KINDS = frozenset({
 })
 BUCKET_KINDS = frozenset({
     "terms", "histogram", "range", "filter", "filters", "global",
+    "adjacency_matrix",
 })
 PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
@@ -248,6 +249,27 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
             for label, pred in sorted(body["filters"].items())
         ]
         keys = F.array_compact(F.array(*arms))
+        return base.withColumn(key_alias, F.explode(keys)), [key_alias]
+    if kind == "adjacency_matrix":
+        # ES AdjacencyMatrixAggregator: one bucket per filter AND one per
+        # pairwise intersection ("a&b", label-sorted). Single pass: the
+        # matched-label array is built per row, pairs derive from it with
+        # array transforms — F filters cost one scan, not F² predicate
+        # evaluations per pair.
+        sep = str(body.get("separator", "&"))
+        arms = [
+            F.when(_predicate(pred), F.lit(str(label)))
+            for label, pred in sorted(body["filters"].items())
+        ]
+        hit = F.array_compact(F.array(*arms))  # label-sorted by construction
+        pairs = F.flatten(F.transform(
+            hit,
+            lambda x, i: F.transform(
+                F.slice(hit, i + 2, F.greatest(F.size(hit) - i - 1, F.lit(0))),
+                lambda y: F.concat_ws(sep, x, y),
+            ),
+        ))
+        keys = F.concat(hit, pairs)
         return base.withColumn(key_alias, F.explode(keys)), [key_alias]
     if kind == "filter":
         return base.where(_predicate(body["predicate"])), []

@@ -156,7 +156,27 @@ def _parse_subquery(q: dict) -> dict:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
     if kind == "match":
-        sub: dict = {"terms": str(spec), "field": _field}
+        if isinstance(spec, dict):
+            # full form: {"query": text, "operator": "or"|"and",
+            # "minimum_should_match": n} (Lucene MatchQuery: operator=and
+            # makes every analyzed term a MUST clause; msm applies to the
+            # or-form's per-term SHOULD clauses). operator=or without msm
+            # stays on the plain WAND disjunction hot path.
+            text = spec.get("query")
+            if text is None:
+                raise ValueError("match dict form requires 'query'")
+            op = spec.get("operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError("match operator must be 'or' or 'and'")
+            msm = spec.get("minimum_should_match")
+            if op == "or" and msm is None:
+                sub = {"terms": str(text), "field": _field}
+            else:
+                sub = {"match_full": {"query": str(text), "operator": op,
+                                      "minimum_should_match": msm},
+                       "field": _field}
+        else:
+            sub = {"terms": str(spec), "field": _field}
     elif kind == "neural_sparse":
         tokens = spec.get("query_tokens") if isinstance(spec, dict) else None
         if not tokens:
@@ -350,6 +370,30 @@ def search_request(
                     base_index, _cl(b["filter"]) if b.get("filter") is not None
                     else None,
                     boost=float(b.get("boost", 1.0)), k=fetch_k, **kw)
+            return {"frame": fr}
+        if "match_full" in s:
+            # match with operator=and / minimum_should_match: every
+            # analyzed term is its own bool clause (Lucene MatchQuery →
+            # BooleanQuery per-term translation), riding the one-scan gate
+            from neural_search_spark.query.boolean import bool_search
+
+            b = s["match_full"]
+            sub_idx = (index.field(s.get("field")) if multi else base_index)
+            # term SET, matching the engine's plain-match convention
+            terms = sorted(set(tokenize_query(b["query"], sub_idx.analyzer)))
+            if not terms:
+                raise ValueError("empty match query")
+            kw = {}
+            if s.get("where") is not None:
+                kw["where"] = s["where"]
+            if b["operator"] == "and":
+                fr = bool_search(sub_idx, must=[[t] for t in terms],
+                                 k=fetch_k, **kw)
+            else:
+                fr = bool_search(
+                    sub_idx, should=[[t] for t in terms],
+                    minimum_should_match=int(b["minimum_should_match"]),
+                    k=fetch_k, **kw)
             return {"frame": fr}
         if "function_score" in s:
             from neural_search_spark.query.function_score import (

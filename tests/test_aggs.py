@@ -413,3 +413,16 @@ def test_composite_plan_shape(idx, docvals):
     assert "BatchEvalPython" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_adjacency_matrix(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "adj": {"adjacency_matrix": {"filters": {
+            "en": "lang = 'en'",
+            "big": "n >= 30",
+            "al": "text LIKE '%gamma%'",
+        }}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r["doc_count"] for r in _rows(out["adj"])}
+    # matched docs: 1(en,10,gamma), 2(en,20), 3(de,30), 6(fr,60)
+    assert rows == {"en": 2, "big": 2, "al": 1, "al&en": 1}

@@ -636,3 +636,33 @@ def test_multi_match_requires_multifield(idx):
     with pytest.raises(ValueError, match="multi-field"):
         request.search_request(idx, {
             "query": {"multi_match": {"query": "alpha", "fields": ["text"]}}})
+
+
+def test_match_operator_and_msm(idx):
+    from neural_search_spark.query.boolean import bool_search
+
+    got = request.search_request(idx, {
+        "query": {"match": {"text": {"query": "alpha beta delta",
+                                     "operator": "and"}}},
+        "size": 10,
+    })
+    want = bool_search(idx, must=[["alpha"], ["beta"], ["delta"]], k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+    # msm=2 of 3 should terms
+    got2 = request.search_request(idx, {
+        "query": {"match": {"text": {"query": "alpha beta delta",
+                                     "minimum_should_match": 2}}},
+        "size": 10,
+    })
+    want2 = bool_search(idx, should=[["alpha"], ["beta"], ["delta"]],
+                        minimum_should_match=2, k=10)
+    assert _pairs(got2["hits"]) == _pairs(want2)
+    # dict form without operator/msm stays the plain disjunction
+    got3 = request.search_request(idx, {
+        "query": {"match": {"text": {"query": "alpha beta"}}}, "size": 10})
+    want3 = wand.search(idx, ["alpha", "beta"], k=10)
+    assert _pairs(got3["hits"]) == _pairs(want3)
+    with pytest.raises(ValueError, match="operator"):
+        request.search_request(idx, {
+            "query": {"match": {"text": {"query": "alpha",
+                                         "operator": "xor"}}}})
