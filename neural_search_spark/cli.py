@@ -142,6 +142,58 @@ def cmd_search(spark: SparkSession, args) -> None:
             must_not=body.get("must_not", []), filter=body.get("filter", []),
             minimum_should_match=body.get("minimum_should_match"),
             k=args.k).collect()
+    elif mode == "dis_max":
+        from neural_search_spark.query.dismax import dis_max_search
+
+        body = json.loads(args.query)
+        rows = dis_max_search(
+            idx, body["queries"],
+            tie_breaker=float(body.get("tie_breaker", 0.0)),
+            k=args.k).collect()
+    elif mode == "boosting":
+        from neural_search_spark.query.dismax import boosting_search
+
+        body = json.loads(args.query)
+        rows = boosting_search(
+            idx, body["positive"], body["negative"],
+            negative_boost=float(body.get("negative_boost", 0.5)),
+            k=args.k).collect()
+    elif mode == "query_string":
+        from neural_search_spark.query.qstring import query_string_search
+
+        corpus = spark.read.parquet(args.input) if args.input else None
+        rows = query_string_search(
+            idx, corpus, args.query, k=args.k,
+            default_operator=getattr(args, "default_operator", "or"),
+            max_expansions=args.max_expansions,
+            text_col=args.text_col).collect()
+    elif mode == "function_score":
+        from neural_search_spark.query.function_score import (
+            function_score_search,
+        )
+
+        body = json.loads(args.query)
+        dv = spark.read.parquet(args.input) if args.input else None
+        rows = function_score_search(
+            idx, body["query"], body.get("functions", []), k=args.k,
+            score_mode=body.get("score_mode", "sum"),
+            boost_mode=body.get("boost_mode", "multiply"),
+            max_boost=body.get("max_boost"),
+            min_score=body.get("min_score"),
+            doc_values=dv,
+            doc_values_id=args.id_col if dv is not None else None).collect()
+    elif mode == "suggest":
+        from neural_search_spark.query.suggest import term_suggest
+
+        srows = term_suggest(
+            idx, args.query, size=args.k,
+            max_edits=args.fuzziness,
+            suggest_mode=getattr(args, "suggest_mode", "missing")).collect()
+        out["suggestions"] = [
+            {"input": r["input_term"], "suggestion": r["suggestion"],
+             "distance": r["distance"], "df": r["df"]} for r in srows]
+        print(json.dumps(out))
+        return
     elif args.profile:
         rows, prof = wand.profile_search(idx, args.query, k=args.k)
         out["profile"] = prof
@@ -475,18 +527,32 @@ def main(argv: list[str] | None = None) -> None:
                    help="also report block-skip pruning counters")
     s.add_argument("--mode", default="terms",
                    choices=["terms", "phrase", "phrase_prefix", "prefix",
-                            "fuzzy", "wildcard", "regexp", "mlt", "bool"],
+                            "fuzzy", "wildcard", "regexp", "mlt", "bool",
+                            "dis_max", "boosting", "query_string",
+                            "function_score", "suggest"],
                    help="query type: match terms (default), match_phrase, "
                         "match_phrase_prefix, prefix (scoring_boolean), "
                         "fuzzy, wildcard (*/? glob), regexp (anchored), "
                         "mlt (more_like_this; QUERY = seed doc id), "
-                        "bool (QUERY = JSON clause dict)")
-    s.add_argument("--input", help="source corpus parquet (phrase/mlt modes)")
+                        "bool/dis_max/boosting/function_score (QUERY = "
+                        "JSON spec dict), query_string (Lucene classic "
+                        "syntax), suggest (did-you-mean; -k = size)")
+    s.add_argument("--input", help="source corpus parquet (phrase/mlt/"
+                                   "query_string/function_score modes)")
     s.add_argument("--text-col", default="text")
+    s.add_argument("--id-col", default="doc_id",
+                   help="doc-values id column (function_score --input)")
     s.add_argument("--max-expansions", type=int, default=50)
-    s.add_argument("--fuzziness", type=int, default=2)
+    s.add_argument("--fuzziness", type=int, default=2,
+                   help="fuzzy edit budget; suggest mode: max_edits")
     s.add_argument("--slop", type=int, default=0,
                    help="phrase mode: sloppy-match displacement budget")
+    s.add_argument("--default-operator", default="or", choices=["or", "and"],
+                   dest="default_operator", help="query_string bare-clause "
+                                                 "group")
+    s.add_argument("--suggest-mode", default="missing",
+                   choices=["missing", "popular", "always"],
+                   dest="suggest_mode")
 
     cl = sub.add_parser("cluster", help="near-dup clustering: pair graph → "
                                         "connected components → survivors")

@@ -210,7 +210,9 @@ def corpus_parquet(spark, tmp_path_factory):
 
 def _search_ns(**kw):
     base = dict(k=5, warmup=False, profile=False, mode="terms", input=None,
-                text_col="content", max_expansions=50, fuzziness=2)
+                text_col="content", max_expansions=50, fuzziness=2,
+                id_col="docID", default_operator="or",
+                suggest_mode="missing")
     base.update(kw)
     return Namespace(**base)
 
@@ -292,3 +294,40 @@ def test_cli_search_wildcard_regexp_bool_mlt(spark, idx_dir, corpus_parquet,
     out = _json_out(capsys)
     assert out["mode"] == "mlt" and int(seed) not in [
         h["docID"] for h in out["hits"]]
+
+
+def test_cli_search_compound_modes(spark, idx_dir, corpus_parquet, capsys):
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="dis_max",
+        query=json.dumps({"queries": ["def return", "import"],
+                          "tie_breaker": 0.3})))
+    out = _json_out(capsys)
+    assert out["mode"] == "dis_max" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="boosting",
+        query=json.dumps({"positive": "def return", "negative": "import",
+                          "negative_boost": 0.4})))
+    out = _json_out(capsys)
+    assert out["mode"] == "boosting" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="query_string", query="+def re*",
+        input=corpus_parquet))
+    out = _json_out(capsys)
+    assert out["mode"] == "query_string" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="function_score",
+        query=json.dumps({"query": "def return", "functions": [
+            {"field_value_factor": {"field": "doclen",
+                                    "modifier": "ln1p"}}]})))
+    out = _json_out(capsys)
+    assert out["mode"] == "function_score" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="suggest", query="retunr",
+        suggest_mode="always"))
+    out = _json_out(capsys)
+    assert out["mode"] == "suggest"
+    assert any(s["suggestion"] == "return" for s in out["suggestions"])
