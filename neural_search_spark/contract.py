@@ -185,15 +185,21 @@ _R03_FRONT = [
     "wand_explain", "phrase_slop_topk", "agg_significant_index",
     # new in the round-3 second session: radial kNN (threshold, no cut),
     # pluggable analyzers (code identifier splitting, index+query e2e)
-    "knn_radial", "analyzer_code_tokens", "wand_topk_code",
+    "knn_radial", "wand_topk_code",
     # new in the round-3 third session: Lucene compound queries
-    "dis_max_topk", "boosting_topk", "constant_score_topk",
+    "dis_max_topk", "boosting_topk",
     "multi_match_best_fields", "query_string_topk", "agg_composite_page2",
-    "function_score_topk", "term_suggest_missing", "match_operator_and",
-    "agg_adjacency_matrix",
+    "function_score_topk", "term_suggest_missing",
+    "agg_adjacency_matrix", "rescore_phrase",
     # dedup pair entries newly promoted to md5-portable-hash oracles —
     # never driver-verified, so they outrank the rows-only block below
     "minhash_lsh_pairs", "simhash_pairs",
+    # 53 never-verified oracled entries compete for the 50-slot window;
+    # these three are the most redundant (constant scores are trivial;
+    # match-and shares the bool gate machinery verified via
+    # bool_filter_msm; analyzer_code_tokens' token identity is implied by
+    # the wand_topk_code end-to-end entry) — first in line for r04
+    "constant_score_topk", "match_operator_and", "analyzer_code_tokens",
     # never driver-verified rows-only ANN approximations (weak check only;
     # each has a pytest oracle — the window tail is the right place)
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

@@ -1611,6 +1611,71 @@ FUNCTION_SCORE_SQL = f"""
 """
 
 
+RESCORE_WINDOW = 30
+RESCORE_RW = 2.0
+
+
+def q_rescore_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query rescorer: the top window_size BM25 hits re-ranked by a
+    phrase query (score_mode=total, rescore weight 2); the expensive
+    phrase verification touches only the window's docIDs."""
+    from neural_search_spark.query import request
+
+    idx = _get_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = request.search_request(idx, {
+        "query": {"match": {"text": "data"}},
+        "rescore": {"window_size": RESCORE_WINDOW, "query": {
+            "rescore_query": {"match_phrase": {"text": "table hash"}},
+            "query_weight": 1.0, "rescore_query_weight": RESCORE_RW,
+            "score_mode": "total"}},
+        "size": 10,
+    }, doc_values=docs, doc_values_id="doc_id")
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+RESCORE_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, ["data"])},
+         ranked AS (SELECT doc_id, s,
+                           row_number() OVER (ORDER BY s DESC, doc_id ASC)
+                           AS rnk FROM c0),
+         tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+         pdfs AS (
+           SELECT sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS df_a,
+                  sum(CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS df_b
+           FROM tok),
+         pidf AS (SELECT ln(1 + (s.n_docs - d.df_a + 0.5) / (d.df_a + 0.5))
+                       + ln(1 + (s.n_docs - d.df_b + 0.5) / (d.df_b + 0.5)) AS v,
+                       s.avgdl AS avgdl FROM stats s, pdfs d),
+         ph AS (
+           SELECT t.doc_id AS doc_id,
+                  i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * dl.doclen / i.avgdl)) AS s
+           FROM (SELECT doc_id,
+                        len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                            i -> toks[i] = 'table' AND toks[i+1] = 'hash')) AS tfp
+                 FROM tok) t
+           JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN pidf i
+           WHERE tfp > 0),
+         resc AS (
+           SELECT r.doc_id,
+                  CASE WHEN r.rnk <= {RESCORE_WINDOW}
+                       THEN r.s + CASE WHEN p.doc_id IS NOT NULL
+                                       THEN {RESCORE_RW!r} * p.s ELSE 0.0 END
+                       ELSE r.s END AS sc,
+                  CASE WHEN r.rnk <= {RESCORE_WINDOW} THEN 1 ELSE 0 END AS w,
+                  r.rnk
+           FROM ranked r LEFT JOIN ph p USING (doc_id))
+    SELECT doc_id, round(sc, 4) AS score FROM resc
+    ORDER BY w DESC,
+             CASE WHEN w = 1 THEN -sc ELSE CAST(rnk AS DOUBLE) END ASC,
+             doc_id ASC
+    LIMIT 10
+"""
+
+
 MATCH_AND_TERMS = ["data", "merge", "query"]
 
 
@@ -3835,6 +3900,7 @@ SPARK_QUERIES_EXT = {
     "function_score_topk": q_function_score_topk,
     "term_suggest_missing": q_term_suggest_missing,
     "match_operator_and": q_match_operator_and,
+    "rescore_phrase": q_rescore_phrase,
     "agg_adjacency_matrix": q_agg_adjacency_matrix,
     "mmr_rerank": q_mmr_rerank,
     "embedding_near_dup_pairs": q_embedding_near_dup,
@@ -3952,6 +4018,7 @@ ORACLE_SQL_EXT = {
     "function_score_topk": FUNCTION_SCORE_SQL,
     "term_suggest_missing": TERM_SUGGEST_SQL,
     "match_operator_and": MATCH_AND_SQL,
+    "rescore_phrase": RESCORE_SQL,
     "agg_adjacency_matrix": AGG_ADJACENCY_SQL,
     "mmr_rerank": _mmr_sql(10, MMR_DIVERSITY, MMR_WINDOW),
     "embedding_near_dup_pairs": NEAR_DUP_SQL,

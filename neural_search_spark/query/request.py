@@ -256,6 +256,91 @@ def _parse_pipeline(cfg: dict | None) -> dict:
     return out
 
 
+_RESCORE_MODES = {
+    "total": lambda q, r: q + r,
+    "multiply": lambda q, r: q * r,
+    "avg": lambda q, r: (q + r) / F.lit(2.0),
+    "max": lambda q, r: F.greatest(q, r),
+    "min": lambda q, r: F.least(q, r),
+}
+
+
+def _apply_rescore(index, hits, rescore: dict, fetch_k: int,
+                   doc_values, doc_values_id) -> "DataFrame":
+    """ES query rescorer: re-rank the top ``window_size`` hits with a
+    second (usually costlier) query, leaving docs below the window in
+    their original relative order after it.
+
+    ``rescore``: {"window_size": n, "query": {"rescore_query":
+    {"match": ...} | {"match_phrase": ...}, "query_weight": qw,
+    "rescore_query_weight": rw, "score_mode": "total|multiply|avg|max|
+    min"}}. A window doc the rescore query does not match keeps
+    qw·q alone (ES behavior). The rescore query evaluates ONLY against
+    the window's docIDs — a semi-join, so the expensive matcher (e.g.
+    phrase verification) touches ``window_size`` docs regardless of
+    corpus size. The window ranking itself runs over ≤ fetch_k rows
+    (already top-k-cut), so the row_number window here is bounded.
+    """
+    from pyspark.sql import Window as W
+
+    spec = rescore.get("query") or {}
+    rq = spec.get("rescore_query")
+    if not isinstance(rq, dict) or len(rq) != 1:
+        raise ValueError("rescore needs a rescore_query with one type")
+    (kind, body_), = rq.items()
+    if kind not in ("match", "match_phrase"):
+        raise ValueError(f"unsupported rescore_query type: {kind}")
+    (_f, text), = body_.items()
+    window_size = int(rescore.get("window_size", 10))
+    qw = float(spec.get("query_weight", 1.0))
+    rw = float(spec.get("rescore_query_weight", 1.0))
+    mode = spec.get("score_mode", "total")
+    if mode not in _RESCORE_MODES:
+        raise ValueError(f"unsupported rescore score_mode: {mode}")
+
+    ranked = hits.withColumn(
+        "_rank", F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("docID"))))
+    if kind == "match":
+        from neural_search_spark.query.aggs import scored_matches
+
+        rs = scored_matches(index, str(text))
+    else:
+        from neural_search_spark.query.phrase import phrase_scores
+
+        if doc_values is None:
+            raise ValueError("match_phrase rescore needs doc_values "
+                             "(the forward text)")
+        idc = doc_values_id or index.id_col
+        corpus = (doc_values if idc == index.id_col
+                  else doc_values.withColumnRenamed(idc, index.id_col))
+        rs = phrase_scores(index, corpus, str(text))
+    rs = rs.select("docID", F.col("score").alias("_r"))
+
+    joined = ranked.join(rs, "docID", "left")
+    in_win = F.col("_rank") <= window_size
+    q = F.col("score") * qw
+    combined = F.when(
+        F.col("_r").isNotNull(),
+        _RESCORE_MODES[mode](q, F.col("_r") * rw)).otherwise(q)
+    new_score = F.when(in_win, combined).otherwise(F.col("score"))
+    # window docs re-sort among themselves by the combined score; docs
+    # below the window follow in their original order
+    return (
+        joined.select(
+            "docID", new_score.alias("score"),
+            in_win.cast("int").alias("_w"), "_rank")
+        .orderBy(
+            F.desc("_w"),
+            # second key only ever compares within one _w group: window
+            # rows by combined score desc, rest rows by original rank
+            F.asc(F.when(F.col("_w") == 1, -F.col("score"))
+                  .otherwise(F.col("_rank").cast("double"))),
+            F.asc("docID"))
+        .select("docID", "score")
+    )
+
+
 def search_request(
     index,
     body: dict,
@@ -661,6 +746,13 @@ def search_request(
         s0 = subqueries[0]
         single_k = mmr_candidates if mmr is not None else from_ + size
         has_collapse = bool(body.get("collapse"))
+        rescore = body.get("rescore")
+        if rescore is not None:
+            if has_collapse or mmr is not None or body.get("sort"):
+                raise ValueError(
+                    "rescore is incompatible with sort/collapse/ext.mmr")
+            # the base query must fetch the whole rescore window
+            single_k = max(single_k, int(rescore.get("window_size", 10)))
         if "frame" in s0:
             hits = (
                 s0["frame"]
@@ -687,6 +779,10 @@ def search_request(
                 k=single_k,
                 weights=s0.get("weights"), where=s0.get("where"),
             )
+        if rescore is not None:
+            hits = _apply_rescore(
+                base_index, hits, rescore, single_k,
+                doc_values, doc_values_id)
         if body.get("min_score") is not None:
             hits = hits.where(F.col("score") >= float(body["min_score"]))
         if has_collapse:
@@ -707,6 +803,10 @@ def search_request(
             hits = hits.limit(size)
         elif from_ > 0 and mmr is None:
             hits = hits.offset(from_)
+        if rescore is not None:
+            # the widened rescore window over-fetched; apply the page cut
+            # (rescore ordering is already baked into the frame's sort)
+            hits = hits.limit(size)
         out["hits"] = hits
 
     if mmr is not None and out["hits"] is not None:
@@ -766,4 +866,26 @@ def search_request(
             matched=_matched() if use_matched else None,
             doc_values=agg_dv, doc_values_id=agg_dv_id,
         )
+
+    if body.get("suggest"):
+        # the suggest section rides any request (with or without a query),
+        # exactly like the reference's _search body:
+        # {"suggest": {name: {"text": ..., "term": {size, suggest_mode,
+        # max_edits, prefix_length, min_doc_freq}}}}
+        from neural_search_spark.query.suggest import term_suggest
+
+        out["suggest"] = {}
+        for sname, sspec in body["suggest"].items():
+            if "term" not in sspec:
+                raise ValueError(
+                    f"suggest entry {sname!r}: only the 'term' suggester "
+                    "is supported")
+            t = sspec["term"]
+            out["suggest"][sname] = term_suggest(
+                base_index, sspec["text"],
+                size=int(t.get("size", 5)),
+                max_edits=int(t.get("max_edits", 2)),
+                prefix_length=int(t.get("prefix_length", 1)),
+                min_doc_freq=int(t.get("min_doc_freq", 0)),
+                suggest_mode=t.get("suggest_mode", "missing"))
     return out

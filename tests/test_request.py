@@ -666,3 +666,86 @@ def test_match_operator_and_msm(idx):
         request.search_request(idx, {
             "query": {"match": {"text": {"query": "alpha",
                                          "operator": "xor"}}}})
+
+
+# ------------------------------------------------------------- rescore
+
+
+def test_rescore_phrase_window(idx, docvals):
+    from neural_search_spark.query.aggs import scored_matches
+    from neural_search_spark.query.phrase import phrase_scores
+
+    base = {r["docID"]: r["score"] for r in
+            scored_matches(idx, ["alpha", "beta"]).collect()}
+    ph = {r["docID"]: r["score"] for r in
+          phrase_scores(idx, docvals.withColumnRenamed("doc_id", "doc_id"),
+                        "alpha beta").collect()}
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}},
+        "rescore": {"window_size": 3, "query": {
+            "rescore_query": {"match_phrase": {"text": "alpha beta"}},
+            "query_weight": 0.7, "rescore_query_weight": 1.2,
+            "score_mode": "total"}},
+        "size": 10,
+    }, doc_values=docvals, doc_values_id="doc_id")
+    rows = [(r["docID"], r["score"]) for r in got["hits"].collect()]
+    # window = top-3 by base score; their new score = 0.7q (+1.2r if the
+    # phrase matches), re-sorted; the rest follow in original order
+    order = sorted(base.items(), key=lambda t: (-t[1], t[0]))
+    win_ids = [d for d, _ in order[:3]]
+    rest = [(d, base[d]) for d, _ in order[3:]]
+    new = {d: 0.7 * base[d] + (1.2 * ph[d] if d in ph else 0.0)
+           for d in win_ids}
+    want = sorted(new.items(), key=lambda t: (-t[1], t[0])) + rest
+    assert [d for d, _ in rows] == [d for d, _ in want]
+    for (d, s), (_, w) in zip(rows, want):
+        assert s == pytest.approx(w, rel=1e-9)
+
+
+def test_rescore_match_mode_multiply(idx):
+    from neural_search_spark.query.aggs import scored_matches
+
+    base = {r["docID"]: r["score"] for r in
+            scored_matches(idx, ["alpha"]).collect()}
+    resc = {r["docID"]: r["score"] for r in
+            scored_matches(idx, ["delta"]).collect()}
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha"}},
+        "rescore": {"window_size": 10, "query": {
+            "rescore_query": {"match": {"text": "delta"}},
+            "score_mode": "multiply"}},
+        "size": 10,
+    })
+    rows = {r["docID"]: r["score"] for r in got["hits"].collect()}
+    for d in rows:
+        want = base[d] * resc[d] if d in resc else base[d]
+        assert rows[d] == pytest.approx(want, rel=1e-9)
+
+
+def test_rescore_validation(idx, docvals):
+    with pytest.raises(ValueError, match="incompatible"):
+        request.search_request(idx, {
+            "query": {"match": {"text": "alpha"}},
+            "rescore": {"query": {"rescore_query": {"match": {"text": "x"}}}},
+            "collapse": {"field": "lang"},
+        }, doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="rescore_query"):
+        request.search_request(idx, {
+            "query": {"match": {"text": "alpha"}}, "rescore": {"query": {}}})
+    with pytest.raises(ValueError, match="score_mode"):
+        request.search_request(idx, {
+            "query": {"match": {"text": "alpha"}},
+            "rescore": {"query": {
+                "rescore_query": {"match": {"text": "x"}},
+                "score_mode": "xor"}}})
+
+
+def test_suggest_section(idx):
+    out = request.search_request(idx, {
+        "suggest": {"fix": {"text": "alpho zeta",
+                            "term": {"suggest_mode": "missing", "size": 2}}},
+    })
+    rows = [(r["input_term"], r["suggestion"]) for r in
+            out["suggest"]["fix"].collect()]
+    assert ("alpho", "alpha") in rows
+    assert not any(t == "zeta" for t, _ in rows)  # exists → missing mode
