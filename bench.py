@@ -180,6 +180,33 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
             "mlt": lambda: more_like_this(
                 index, corpus, seed_id, k=10, text_col="content"),
         }
+
+        # round-3 third-session compound-query family
+        from neural_search_spark.query.dismax import (
+            boosting_search, dis_max_search,
+        )
+        from neural_search_spark.query.function_score import (
+            function_score_search,
+        )
+        from neural_search_spark.query.qstring import query_string_search
+        from neural_search_spark.query.suggest import term_suggest
+
+        qt_runs.update({
+            "dis_max": lambda: dis_max_search(
+                index, ["query token score", "merge block"], k=10,
+                tie_breaker=0.3),
+            "boosting": lambda: boosting_search(
+                index, "query token score", "uniq_17", 0.5, k=10),
+            "query_string": lambda: query_string_search(
+                index, corpus, '+def "def return" -uniq_17 re*', k=10,
+                text_col="content"),
+            "function_score": lambda: function_score_search(
+                index, "query token score",
+                [{"field_value_factor": {"field": "doclen",
+                                         "modifier": "ln1p"}}], k=10),
+            "suggest": lambda: term_suggest(
+                index, "retunr qurey", size=5, suggest_mode="always"),
+        })
         qt_lat = {}
         for qname, fn in qt_runs.items():
             t0 = time.perf_counter()
@@ -338,6 +365,7 @@ def main() -> None:
             "heavy_query_profile": res["heavy_query_profile"],
             "msearch": res["msearch"],
             "request_hybrid_aggs_s": res["request_hybrid_aggs_s"],
+            "query_type_latencies": res["query_type_latencies"],
             **({"seismic": res["seismic"]} if "seismic" in res else {}),
             **extra,
         },

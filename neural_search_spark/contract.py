@@ -178,9 +178,9 @@ _R03_FRONT = [
     # new this round: near-dup clustering (connected components), Gopher
     # repetition stats, secret redaction, phrase/prefix retrieval
     "neardup_components", "neardup_survivors", "repetition_stats",
-    "redact_secrets", "phrase_topk", "prefix_topk",
+    "redact_secrets", "phrase_topk",
     "phrase_prefix_topk", "fuzzy_topk", "bool_topk", "bool_filter_msm",
-    "wildcard_topk", "regexp_topk", "mlt_topk",
+    "wildcard_topk", "regexp_topk", "mlt_topk", "agg_sampler_langs",
     "agg_significant_text", "agg_significant_terms", "decontaminate",
     "wand_explain", "phrase_slop_topk", "agg_significant_index",
     # new in the round-3 second session: radial kNN (threshold, no cut),
@@ -194,12 +194,14 @@ _R03_FRONT = [
     # dedup pair entries newly promoted to md5-portable-hash oracles —
     # never driver-verified, so they outrank the rows-only block below
     "minhash_lsh_pairs", "simhash_pairs",
-    # 53 never-verified oracled entries compete for the 50-slot window;
-    # these three are the most redundant (constant scores are trivial;
+    # 54 never-verified oracled entries compete for the 50-slot window;
+    # these four are the most redundant (constant scores are trivial;
     # match-and shares the bool gate machinery verified via
     # bool_filter_msm; analyzer_code_tokens' token identity is implied by
-    # the wand_topk_code end-to-end entry) — first in line for r04
+    # the wand_topk_code e2e entry; prefix_topk's header-expansion + WAND
+    # shape is covered by wildcard/regexp/fuzzy) — first in line for r04
     "constant_score_topk", "match_operator_and", "analyzer_code_tokens",
+    "prefix_topk",
     # never driver-verified rows-only ANN approximations (weak check only;
     # each has a pytest oracle — the window tail is the right place)
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",

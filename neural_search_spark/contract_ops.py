@@ -2280,6 +2280,38 @@ AGG_ADJACENCY_SQL = f"""
 """
 
 
+SAMPLER_SHARD_SIZE = 50
+
+
+def q_agg_sampler_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampler agg: sub-aggs see only the top shard_size docs BY SCORE
+    (ES SamplerAggregator; deterministic global cut here) — the
+    quality-over-quantity agg for expensive sub-computations."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "samp": {"sampler": {"shard_size": SAMPLER_SHARD_SIZE},
+                 "aggs": {"langs": {
+                     "terms": {"field": "lang", "size": 10},
+                     "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["samp>langs"].select(
+        "key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"))
+
+
+def _sampler_sql() -> str:
+    return f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, AGG_QUERY)},
+         top AS (SELECT doc_id FROM c0
+                 ORDER BY s DESC, doc_id ASC LIMIT {SAMPLER_SHARD_SIZE})
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN top USING (doc_id)
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+    """
+
+
 def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram over match-all (no query clause → every live doc)."""
     aggs, idx, docs = _agg_docs(spark, sf_dir)
@@ -3850,6 +3882,7 @@ SPARK_QUERIES_EXT = {
     "hybrid_min_score": q_hybrid_min_score,
     "agg_terms_metrics": q_agg_terms_metrics,
     "agg_composite_page2": q_agg_composite_page2,
+    "agg_sampler_langs": q_agg_sampler_langs,
     "agg_histogram": q_agg_histogram,
     "agg_range_overlap": q_agg_range_overlap,
     "agg_filters": q_agg_filters,
@@ -3964,6 +3997,7 @@ ORACLE_SQL_EXT = {
         HYBRID_SUBS, None, None, min_score=HYBRID_MIN_SCORE),
     "agg_terms_metrics": AGG_TERMS_SQL,
     "agg_composite_page2": AGG_COMPOSITE_SQL,
+    "agg_sampler_langs": _sampler_sql(),
     "agg_histogram": AGG_HIST_SQL,
     "agg_range_overlap": AGG_RANGE_SQL,
     "agg_filters": AGG_FILTERS_SQL,

@@ -640,11 +640,37 @@ def aggregate(
     else:
         ids = matched_docs(index, query, where=where)
         base = dv.join(ids, "docID", "left_semi")
+    # `sampler` aggs resolve here, not in _run_level: the sample is the top
+    # shard_size docs BY SCORE (ES SamplerAggregator limits sub-agg input
+    # to the best-scoring docs; single logical shard here, so the cut is
+    # global and deterministic (score desc, docID asc)). Sub-aggs then run
+    # over the sampled base like a normal level.
+    sampler_specs = {n: s for n, s in aggs.items()
+                     if isinstance(s, dict) and _one_of(s)[0] == "sampler"}
+    level_specs = {n: s for n, s in aggs.items() if n not in sampler_specs}
+
+    def _run_all(b: DataFrame) -> dict[str, DataFrame]:
+        out_ = _run_level(b, [], level_specs, all_docs=live)
+        for name, s in sampler_specs.items():
+            _, body = _one_of(s)
+            if query is None:
+                raise ValueError(
+                    "sampler needs a scoring query (score-ranked sample)")
+            shard_size = int(body.get("shard_size", 100))
+            top = (scored_matches(index, query, where=where)
+                   .orderBy(F.desc("score"), F.asc("docID"))
+                   .limit(shard_size).select("docID"))
+            sbase = dv.join(top, "docID", "left_semi")
+            out_[name] = sbase.agg(F.count(F.lit(1)).alias("doc_count"))
+            out_.update(_run_level(sbase, [], s.get("aggs") or {},
+                                   all_docs=live, prefix=f"{name}>"))
+        return out_
+
     if len(aggs) <= 1:
-        return _run_level(base, [], aggs, all_docs=live)
+        return _run_all(base)
     base = base.persist()
     try:
-        res = _run_level(base, [], aggs, all_docs=live)
+        res = _run_all(base)
         spark = base.sparkSession
         out: dict[str, DataFrame] = {}
         for name, df in res.items():

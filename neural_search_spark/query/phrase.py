@@ -55,6 +55,15 @@ __all__ = [
 ]
 
 
+def _let(col, fn):
+    """Single-evaluation binding: ``col`` becomes a lambda variable inside
+    ``fn`` via ``transform`` over a one-element array. Catalyst re-evaluates
+    attribute/alias references at every use site (and does no CSE across
+    higher-order functions), but a lambda variable is evaluated exactly
+    once per row — this is the expression-level `let`."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _term_dfs(index: Index, terms: list[str]) -> dict[str, int]:
     """df per term from posting-block headers (no decode)."""
     rows = (
@@ -209,28 +218,40 @@ def phrase_scores(
     if index.tombstones is not None:
         cand = cand.join(index.tombstones, "docID", "left_anti")
 
+    # The whole per-doc score is ONE expression built from let-bindings
+    # (`_let`): Catalyst re-evaluates alias/attribute references on every
+    # use and performs no common-subexpression elimination across
+    # higher-order functions, so the naive "toks → size, tfp → filter,
+    # score" projection chain re-ran the tokenizer regexp 5× and the
+    # adjacency lambda 3× per row (measured: 3-5× phrase latency on
+    # common-term phrases). Lambda VARIABLES, by contrast, are evaluated
+    # exactly once — binding toks and tfp through `transform` gives each
+    # expensive sub-expression a single evaluation per row.
     toks = tokens_col(F.col(text_col), index.analyzer)
-    fwd = corpus.select(
-        F.col(index.id_col).cast("long").alias("docID"),
-        F.col(text_col),
-        F.size(toks).alias("doclen"),
-    ).join(F.broadcast(cand), "docID", "left_semi")
-
-    tfp = (_phrase_count(toks, terms) if slop == 0
-           else _sloppy_freq(toks, terms, slop))
     idf_sum = float(
         sum(
             _idf(dfs[t], index.n_docs)
             for t in terms  # repeated terms count repeatedly, like Lucene
         )
     )
-    norm = index.k1 * (1.0 - index.b + index.b * F.col("doclen") / index.avgdl)
-    scored = fwd.select(
-        "docID",
-        (F.lit(idf_sum) * tfp / (tfp + norm)).alias("_s"),
-        tfp.alias("_tfp"),
-    ).where(F.col("_tfp") > 0)
-    return scored.select("docID", F.col("_s").alias("score"))
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+
+    def _score_of(t):
+        tfp = (_phrase_count(t, terms) if slop == 0
+               else _sloppy_freq(t, terms, slop))
+        return _let(tfp, lambda x: F.when(
+            x > 0,
+            F.lit(idf_sum) * x
+            / (x + k1 * (1.0 - b + b * F.size(t) / avgdl))))
+
+    fwd = corpus.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        F.col(text_col),
+    ).join(F.broadcast(cand), "docID", "left_semi")
+    return (
+        fwd.select("docID", _let(toks, _score_of).alias("score"))
+        .where(F.col("score").isNotNull())
+    )
 
 
 def _idf(df: int, n_docs: int) -> float:
@@ -310,36 +331,39 @@ def phrase_prefix_search(
         cand = cand.join(index.tombstones, "docID", "left_anti")
 
     toks = tokens_col(F.col(text_col), index.analyzer)
-    fwd = corpus.select(
-        F.col(index.id_col).cast("long").alias("docID"),
-        F.col(text_col),
-        F.size(toks).alias("doclen"),
-    ).join(F.broadcast(cand), "docID", "left_semi")
-
     m = len(terms)
-
-    def _match(i):
-        out = F.lit(True)
-        for j, t in enumerate(full):
-            out = out & (F.element_at(toks, i + j + 1) == F.lit(t))
-        return out & F.element_at(toks, i + m).startswith(prefix)
-
-    starts = F.sequence(F.lit(0), F.size(toks) - m)
-    tfp = F.when(
-        F.size(toks) >= m, F.size(F.filter(starts, _match))
-    ).otherwise(F.lit(0))
     idf_sum = float(
         sum(_idf(dfs[t], index.n_docs) for t in full)
         + _idf(pref_df, index.n_docs)
     )
-    norm = index.k1 * (1.0 - index.b + index.b * F.col("doclen") / index.avgdl)
-    scored = fwd.select(
-        "docID",
-        (F.lit(idf_sum) * tfp / (tfp + norm)).alias("_s"),
-        tfp.alias("_tfp"),
-    ).where(F.col("_tfp") > 0)
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+
+    # one let-bound expression per row (see phrase_scores: Catalyst has no
+    # CSE across HOFs — lambda variables evaluate once)
+    def _score_of(t):
+        def _match(i):
+            out = F.lit(True)
+            for j, ft in enumerate(full):
+                out = out & (F.element_at(t, i + j + 1) == F.lit(ft))
+            return out & F.element_at(t, i + m).startswith(prefix)
+
+        tfp = F.when(
+            F.size(t) >= m,
+            F.size(F.filter(F.sequence(F.lit(0), F.size(t) - m), _match)),
+        ).otherwise(F.lit(0))
+        return _let(tfp, lambda x: F.when(
+            x > 0,
+            F.lit(idf_sum) * x
+            / (x + k1 * (1.0 - b + b * F.size(t) / avgdl))))
+
+    fwd = corpus.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        F.col(text_col),
+    ).join(F.broadcast(cand), "docID", "left_semi")
     return (
-        scored.select("docID", F.round("_s", 4).alias("score"))
+        fwd.select("docID", _let(toks, _score_of).alias("_s"))
+        .where(F.col("_s").isNotNull())
+        .select("docID", F.round("_s", 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("docID"))
         .limit(k)
     )

@@ -827,12 +827,50 @@ def search_request(
         dv = doc_values.withColumn(
             "docID", F.col(doc_values_id or "docID").cast("long"))
         hits = out["hits"]
-        for field in hl["fields"]:
+        for field, fopts in hl["fields"].items():
             if terms:
                 pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
                 tagged = F.regexp_replace(F.col(field), pat, f"{pre}$1{post}")
             else:
                 tagged = F.col(field)  # no lexical terms (pure kNN/ANN query)
+            n_frags = int((fopts or {}).get("number_of_fragments", 0))
+            if n_frags > 0 and terms:
+                # static fragmenter (the heuristics of ES's span-based
+                # fragmenter are not contract surface — this is the simple
+                # deterministic spec): cut the TAGGED text into fixed
+                # fragment_size char windows, keep the number_of_fragments
+                # windows with the most matches (count desc, position asc),
+                # return them in document order. Pure Catalyst array ops.
+                fsize = int((fopts or {}).get("fragment_size", 100))
+                if fsize <= 0:
+                    raise ValueError("fragment_size must be > 0")
+                nwin = F.greatest(
+                    F.ceil(F.length(tagged) / F.lit(fsize)).cast("int"),
+                    F.lit(1))
+                frags = F.transform(
+                    F.sequence(F.lit(0), nwin - 1),
+                    lambda i: F.struct(
+                        i.alias("idx"),
+                        F.substring(tagged, i * fsize + 1, fsize)
+                        .alias("frag")))
+                scored_f = F.transform(
+                    frags,
+                    lambda s: F.struct(
+                        (-(F.length(s["frag"])
+                           - F.length(F.replace(s["frag"], F.lit(pre),
+                                                F.lit(""))))
+                         / F.lit(len(pre))).cast("int").alias("neg_hits"),
+                        s["idx"].alias("idx"),
+                        s["frag"].alias("frag")))
+                best = F.slice(
+                    F.array_sort(F.filter(scored_f,
+                                          lambda s: s["neg_hits"] < 0)),
+                    1, n_frags)
+                tagged = F.transform(
+                    F.array_sort(F.transform(
+                        best, lambda s: F.struct(s["idx"].alias("idx"),
+                                                 s["frag"].alias("frag")))),
+                    lambda s: s["frag"])
             hits = hits.join(
                 dv.select("docID", tagged.alias(f"highlight_{field}")),
                 "docID", "left")

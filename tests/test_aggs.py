@@ -426,3 +426,34 @@ def test_adjacency_matrix(idx, docvals):
     rows = {r["key"]: r["doc_count"] for r in _rows(out["adj"])}
     # matched docs: 1(en,10,gamma), 2(en,20), 3(de,30), 6(fr,60)
     assert rows == {"en": 2, "big": 2, "al": 1, "al&en": 1}
+
+
+class TestSampler:
+    def test_sampler_limits_subagg_input(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "samp": {"sampler": {"shard_size": 2},
+                     "aggs": {"langs": {"terms": {"field": "lang"}},
+                              "avg_n": {"avg": {"field": "n"}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        # top-2 of ["alpha"] by BM25: doc 6 (alpha x2 short) and doc 3 or 2
+        from neural_search_spark.query.aggs import scored_matches
+
+        top2 = [r["docID"] for r in scored_matches(idx, ["alpha"])
+                .orderBy("score", ascending=False).collect()[:2]]
+        assert _rows(out["samp"])[0]["doc_count"] == 2
+        langs = {d[0]: d[2] for d in DOCS}
+        want = {}
+        for d in top2:
+            want[langs[d]] = want.get(langs[d], 0) + 1
+        got = {r["key"]: r["doc_count"] for r in _rows(out["samp>langs"])}
+        assert got == want
+        ns = {d[0]: d[3] for d in DOCS}
+        assert _rows(out["samp>avg_n"])[0]["avg_n"] == pytest.approx(
+            sum(ns[d] for d in top2) / 2)
+
+    def test_sampler_requires_query(self, idx, docvals):
+        with pytest.raises(ValueError, match="scoring query"):
+            aggs.aggregate(idx, {
+                "samp": {"sampler": {"shard_size": 2},
+                         "aggs": {"langs": {"terms": {"field": "lang"}}}},
+            }, query=None, doc_values=docvals, doc_values_id="doc_id")

@@ -749,3 +749,32 @@ def test_suggest_section(idx):
             out["suggest"]["fix"].collect()]
     assert ("alpho", "alpha") in rows
     assert not any(t == "zeta" for t, _ in rows)  # exists → missing mode
+
+
+def test_highlight_fragments(idx, docvals, spark):
+    # long doc: matches in windows 0 and 2 of fragment_size=20
+    dv = spark.createDataFrame(
+        [(1, "alpha beta " + "x" * 80 + " alpha " + "y" * 80)],
+        "doc_id long, text string")
+    out = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}},
+        "highlight": {"fields": {"text": {
+            "fragment_size": 40, "number_of_fragments": 2}}},
+        "size": 10,
+    }, doc_values=dv, doc_values_id="doc_id")
+    row = [r for r in out["hits"].collect() if r["docID"] == 1][0]
+    frags = row["highlight_text"]
+    assert isinstance(frags, list) and len(frags) == 2
+    # windows are cut from the TAGGED text; both matches of window 0 land
+    # together ("<em>alpha</em> <em>beta</em>" = 33 chars < 40); every
+    # returned fragment holds ≥1 match; best-first selection, document order
+    assert frags[0].count("<em>") == 2
+    assert frags[1].count("<em>") == 1  # the later lone match, doc order
+    # number_of_fragments=0 (default) keeps the whole-field behavior
+    out2 = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}},
+        "highlight": {"fields": {"text": {}}},
+        "size": 10,
+    }, doc_values=dv, doc_values_id="doc_id")
+    row2 = [r for r in out2["hits"].collect() if r["docID"] == 1][0]
+    assert isinstance(row2["highlight_text"], str)
