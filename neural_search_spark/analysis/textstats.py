@@ -33,6 +33,9 @@ FP_BASE = 1000003
 FP_MOD = 2147483647  # 2^31 − 1; keeps acc*base < 2^62 (no BIGINT overflow)
 
 
+from neural_search_spark.expr import let
+
+
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
@@ -54,20 +57,22 @@ def punct_ratio(col: str | Column) -> Column:
 
 
 def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
-    toks = tokens_array(col)
     sw = F.array(*[F.lit(w) for w in (stopwords or _STOPWORDS_EN)])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        hits.cast("double") / F.size(toks)
-    )
+    return let(tokens_array(col), lambda toks: F.when(
+        F.size(toks) == 0, F.lit(0.0)
+    ).otherwise(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("double") / F.size(toks)
+    ))
 
 
 def mean_token_len(col: str | Column) -> Column:
-    toks = tokens_array(col)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        total.cast("double") / F.size(toks)
-    )
+    return let(tokens_array(col), lambda toks: F.when(
+        F.size(toks) == 0, F.lit(0.0)
+    ).otherwise(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        .cast("double") / F.size(toks)
+    ))
 
 
 def uppercase_ratio(col: str | Column) -> Column:
@@ -79,32 +84,60 @@ def uppercase_ratio(col: str | Column) -> Column:
 
 def quality_score(col: str | Column) -> Column:
     """Composite [0,1] quality heuristic: long-enough, low punctuation noise,
-    sane token lengths. Deterministic; weights are engine-defined."""
-    tc = token_count(col)
-    length_ok = F.least(tc.cast("double") / 50.0, F.lit(1.0))
+    sane token lengths. Deterministic; weights are engine-defined.
+
+    One tokenizer evaluation per row: every token-derived component reads
+    the SAME let-bound array (expr.let — Catalyst has no CSE across HOFs,
+    see PLANS.md)."""
     punct_ok = F.greatest(F.lit(1.0) - punct_ratio(col) * 4.0, F.lit(0.0))
-    mtl = mean_token_len(col)
-    wordlen_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
-    return F.round((length_ok * 0.4 + punct_ok * 0.3 + wordlen_ok * 0.3), 6)
+
+    def _body(toks):
+        length_ok = F.least(F.size(toks).cast("double") / 50.0, F.lit(1.0))
+        mtl_expr = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            .cast("double") / F.size(toks))
+        wordlen_ok = let(mtl_expr, lambda mtl: F.when(
+            (mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3)))
+        return length_ok * 0.4 + punct_ok * 0.3 + wordlen_ok * 0.3
+
+    return F.round(let(tokens_array(col), _body), 6)
 
 
 def lang_id(col: str | Column) -> Column:
     """Heuristic language ID: the profile with the highest stopword-hit
     count wins; ties resolve to the earliest profile in LANG_PROFILES order
-    (en first); zero hits → 'unknown'."""
-    toks = tokens_array(col)
+    (en first); zero hits → 'unknown'.
 
-    def _hits(words: list[str]) -> Column:
+    Tokenize once, count each profile's hits once, compute the max once —
+    the naive form re-ran the tokenizer per profile and the N-way greatest
+    per tie-check (N² filter scans per row); every shared sub-expression
+    here is let-bound (expr.let)."""
+    profiles = list(LANG_PROFILES.items())
+
+    def _hit_counter(words: list[str]):
         sw = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return lambda t: F.array_contains(sw, t)
 
-    scores = [(lang, _hits(words)) for lang, words in LANG_PROFILES.items()]
-    best = F.greatest(*[s for _, s in scores])
-    expr = F.lit("unknown")
-    # build reversed so earlier profiles win ties deterministically
-    for lang, s in reversed(scores):
-        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    def _body(toks):
+        hits_arr = F.array(*[
+            F.size(F.filter(toks, _hit_counter(words)))
+            for _, words in profiles])
+
+        def _pick(h):
+            def _with_best(best):
+                expr = F.lit("unknown")
+                # build reversed so earlier profiles win ties
+                for i in range(len(profiles) - 1, -1, -1):
+                    expr = F.when(
+                        (F.element_at(h, i + 1) == best) & (best > 0),
+                        F.lit(profiles[i][0])).otherwise(expr)
+                return expr
+
+            return let(F.array_max(h), _with_best)
+
+        return let(hits_arr, _pick)
+
+    return let(tokens_array(col), _body)
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -1,0 +1,27 @@
+"""Catalyst expression utilities shared across modules.
+
+``let(col, fn)`` — single-evaluation binding. Catalyst re-evaluates
+attribute/alias references at EVERY use site and performs no common-
+subexpression elimination across higher-order functions, so an expensive
+sub-expression (a tokenizer regexp, an array-lambda scan) referenced N
+times in one expression tree runs N times per row. Binding it as a lambda
+variable via ``transform`` over a one-element array evaluates it exactly
+once — the expression-level `let`. Measured on the phrase scorer: 5.0 s →
+0.76 s at sf0.1 (PLANS.md "HOF let-binding").
+
+The binding only dedups WITHIN one expression tree; two separate output
+columns still evaluate independently (Catalyst offers no cross-column
+sharing short of a materialization barrier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["let"]
+
+
+def let(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and pass it to ``fn`` as a lambda
+    variable; returns ``fn(col)``'s value."""
+    return F.element_at(F.transform(F.array(col), fn), 1)

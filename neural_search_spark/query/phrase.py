@@ -55,13 +55,7 @@ __all__ = [
 ]
 
 
-def _let(col, fn):
-    """Single-evaluation binding: ``col`` becomes a lambda variable inside
-    ``fn`` via ``transform`` over a one-element array. Catalyst re-evaluates
-    attribute/alias references at every use site (and does no CSE across
-    higher-order functions), but a lambda variable is evaluated exactly
-    once per row — this is the expression-level `let`."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
+from neural_search_spark.expr import let as _let  # single-eval binding
 
 
 def _term_dfs(index: Index, terms: list[str]) -> dict[str, int]:
