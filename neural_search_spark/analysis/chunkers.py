@@ -28,6 +28,8 @@ import re
 
 from pyspark.sql import Column, functions as F
 
+from neural_search_spark.expr import let
+
 DEFAULT_DELIMITER = "\n\n"      # reference: DelimiterChunker.java:30
 DEFAULT_CHAR_LIMIT = 2048       # reference: FixedCharLengthChunker.java:29-40
 DEFAULT_TOKEN_LIMIT = 384       # reference: FixedTokenLengthChunker.java:49-51
@@ -104,30 +106,43 @@ def make_fixed_token_chunker(
 
     def apply(col: str | Column) -> Column:
         c = F.col(col) if isinstance(col, str) else col
-        toks = F.regexp_extract_all(c, F.lit(f"({TOKEN_PATTERN.pattern})"), 1)
-        gaps = F.split(c, TOKEN_PATTERN.pattern, -1)
-        n = F.size(toks)
-        # parts[j] = tok[j] + the gap that follows it (0-based j)
-        parts = F.zip_with(
-            toks, F.slice(gaps, 2, n), lambda t, g: F.concat(t, g))
-        # chunk count: 1 window if everything fits, else the reference
-        # loop emits ceil((n-L)/step) full windows + the tail window
-        m = F.when(n <= lim, F.lit(1)).otherwise(
-            F.ceil((n - lim) / F.lit(step)).cast("int") + F.lit(1))
-        chunks = F.transform(
-            F.sequence(F.lit(0), m - 1),
-            lambda j: F.concat(
-                F.when(j == 0, F.element_at(gaps, 1)).otherwise(F.lit("")),
-                F.array_join(
-                    F.slice(
-                        parts, j * step + 1,
-                        F.when(j == m - 1, n - j * step).otherwise(lim)),
-                    ""),
-            ),
-        )
-        no_tokens = F.when(F.length(c) > 0, F.array(c)).otherwise(
-            F.array().cast("array<string>"))
-        return F.when(n == 0, no_tokens).otherwise(chunks)
+
+        # toks / gaps / parts are let-bound: the regexp and split were
+        # referenced from several sites each (Catalyst re-evaluates every
+        # reference — expr.let, PLANS.md "HOF let-binding")
+        def _with_parts(gaps):
+            def _chunks(parts):
+                n = F.size(parts)
+                # chunk count: 1 window if everything fits, else the
+                # reference loop emits ceil((n-L)/step) full windows + tail
+                m = F.when(n <= lim, F.lit(1)).otherwise(
+                    F.ceil((n - lim) / F.lit(step)).cast("int") + F.lit(1))
+                chunks = F.transform(
+                    F.sequence(F.lit(0), m - 1),
+                    lambda j: F.concat(
+                        F.when(j == 0, F.element_at(gaps, 1))
+                        .otherwise(F.lit("")),
+                        F.array_join(
+                            F.slice(
+                                parts, j * step + 1,
+                                F.when(j == m - 1, n - j * step)
+                                .otherwise(lim)),
+                            ""),
+                    ),
+                )
+                no_tokens = F.when(F.length(c) > 0, F.array(c)).otherwise(
+                    F.array().cast("array<string>"))
+                return F.when(n == 0, no_tokens).otherwise(chunks)
+
+            toks = F.regexp_extract_all(
+                c, F.lit(f"({TOKEN_PATTERN.pattern})"), 1)
+            # parts[j] = tok[j] + the gap that follows it (0-based j)
+            return let(
+                F.zip_with(toks, F.slice(gaps, 2, F.size(toks)),
+                           lambda t, g: F.concat(t, g)),
+                _chunks)
+
+        return let(F.split(c, TOKEN_PATTERN.pattern, -1), _with_parts)
 
     return apply
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from neural_search_spark.analysis.tokenizer import tokens_col
+from neural_search_spark.expr import let
 
 __all__ = ["repetition_stats"]
 
@@ -61,31 +62,40 @@ def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _gram_frame(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gpos, gram, gchars): word n-grams with start position and the
     summed token chars of the gram (separators excluded)."""
-    toks = tokens_col(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.struct(
-            i.alias("gpos"),
-            F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
-            F.aggregate(
-                F.slice(toks, i + 1, n), F.lit(0),
-                lambda acc, t: acc + F.length(t),
-            ).alias("gchars"),
-        ),
-    )
+    # tokenizer let-bound: the naive form re-ran the regexp from every
+    # reference site (expr.let, PLANS.md "HOF let-binding")
+    def _grams(toks):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.alias("gpos"),
+                F.concat_ws(" ", F.slice(toks, i + 1, n)).alias("gram"),
+                F.aggregate(
+                    F.slice(toks, i + 1, n), F.lit(0),
+                    lambda acc, t: acc + F.length(t),
+                ).alias("gchars"),
+            ),
+        )
+        return F.when(F.size(toks) >= n, g).otherwise(F.array())
+
     return df.select(
         F.col(id_col),
-        F.explode(F.when(F.size(toks) >= n, grams).otherwise(F.array())).alias("g"),
+        F.explode(let(tokens_col(F.col(text_col)), _grams)).alias("g"),
     ).select(id_col, "g.gpos", "g.gram", "g.gchars")
 
 
 def _token_chars(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    toks = tokens_col(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias("tchars"),
+    # both counters from ONE tokenizer evaluation: let-bind the array into
+    # a struct, then unpack (the struct is opaque to SimplifyExtractValueOps
+    # because it sits behind the transform, so fields don't re-inline)
+    stats = let(tokens_col(F.col(text_col)), lambda toks: F.struct(
+        F.aggregate(toks, F.lit(0),
+                    lambda acc, t: acc + F.length(t)).alias("tchars"),
         F.size(toks).alias("ntoks"),
-    )
+    ))
+    return df.select(F.col(id_col), stats.alias("_st")).select(
+        id_col, F.col("_st.tchars").alias("tchars"),
+        F.col("_st.ntoks").alias("ntoks"))
 
 
 def repetition_stats(
