@@ -57,13 +57,18 @@ def shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). JVM-side:
     tokenize → sliding windows via transform over index sequence."""
-    toks = tokens_col(F.col(text_col))
-    sh = F.when(F.size(toks) < n, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    from neural_search_spark.expr import let
+
+    # tokenizer let-bound (4 reference sites → 1 evaluation; expr.let)
+    def _windows(toks):
+        return F.when(F.size(toks) < n, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
         )
-    )
+
+    sh = let(tokens_col(F.col(text_col)), _windows)
     return (
         df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
