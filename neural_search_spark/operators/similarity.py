@@ -38,19 +38,22 @@ def _vec64(vec_col: str):
     return F.col(vec_col).cast("array<double>")
 
 
-def _dot_lit(vec_col: str, q: list[float]):
+def _cos_lit(vec_col: str, q: list[float], qn: float):
+    """cosine(v, q) with the vector cast + read ONCE per row: the naive
+    dot/(norm·qn) form referenced (and re-cast) the array column twice —
+    Catalyst re-evaluates each reference (expr.let, PLANS.md)."""
+    from neural_search_spark.expr import let
+
     ql = F.array(*[F.lit(float(x)) for x in q])
-    return F.aggregate(
-        F.zip_with(_vec64(vec_col), ql, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
+    def _score(v):
+        dot = F.aggregate(F.zip_with(v, ql, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0),
+                                 lambda acc, x: acc + x * x))
+        return dot / (nrm * F.lit(qn))
 
-def _norm(vec_col: str):
-    return F.sqrt(
-        F.aggregate(_vec64(vec_col), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    return let(_vec64(vec_col), _score)
 
 
 def cosine_topk(
@@ -63,7 +66,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: score = (v·q)/(‖v‖‖q‖)."""
     qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
-    score = _dot_lit(vec_col, query_vec) / (_norm(vec_col) * F.lit(qn))
+    score = _cos_lit(vec_col, query_vec, qn)
     if round_to is not None:
         score = F.round(score, round_to)
     return (
@@ -102,7 +105,7 @@ def cosine_radial(
         raise ValueError("radial search takes exactly one of "
                          "min_score / max_distance")
     qn = float(np.linalg.norm(np.asarray(query_vec, dtype=np.float64)))
-    score = _dot_lit(vec_col, query_vec) / (_norm(vec_col) * F.lit(qn))
+    score = _cos_lit(vec_col, query_vec, qn)
     if round_to is not None:
         score = F.round(score, round_to)
     out = emb.select(F.col(id_col), score.alias("score"))
@@ -150,11 +153,15 @@ def cosine_topk_batch(
     qdf = spark.createDataFrame(
         rows, "query_id string, qvec array<double>, qnorm double"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    score = dot / (_norm(vec_col) * F.col("qnorm"))
+    from neural_search_spark.expr import let
+
+    def _score(v):
+        dot = F.aggregate(F.zip_with(v, F.col("qvec"), lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+        return dot / (nrm * F.col("qnorm"))
+
+    score = let(_vec64(vec_col), _score)
     if round_to is not None:
         score = F.round(score, round_to)
     scored = emb.crossJoin(F.broadcast(qdf)).select(
