@@ -835,6 +835,7 @@ def search_request(
                 tagged = F.col(field)  # no lexical terms (pure kNN/ANN query)
             n_frags = int((fopts or {}).get("number_of_fragments", 0))
             if n_frags > 0 and terms:
+                from neural_search_spark.expr import let
                 # static fragmenter (the heuristics of ES's span-based
                 # fragmenter are not contract surface — this is the simple
                 # deterministic spec): cut the TAGGED text into fixed
@@ -844,33 +845,44 @@ def search_request(
                 fsize = int((fopts or {}).get("fragment_size", 100))
                 if fsize <= 0:
                     raise ValueError("fragment_size must be > 0")
-                nwin = F.greatest(
-                    F.ceil(F.length(tagged) / F.lit(fsize)).cast("int"),
-                    F.lit(1))
-                frags = F.transform(
-                    F.sequence(F.lit(0), nwin - 1),
-                    lambda i: F.struct(
-                        i.alias("idx"),
-                        F.substring(tagged, i * fsize + 1, fsize)
-                        .alias("frag")))
-                scored_f = F.transform(
-                    frags,
-                    lambda s: F.struct(
-                        (-(F.length(s["frag"])
-                           - F.length(F.replace(s["frag"], F.lit(pre),
-                                                F.lit(""))))
-                         / F.lit(len(pre))).cast("int").alias("neg_hits"),
-                        s["idx"].alias("idx"),
-                        s["frag"].alias("frag")))
-                best = F.slice(
-                    F.array_sort(F.filter(scored_f,
-                                          lambda s: s["neg_hits"] < 0)),
-                    1, n_frags)
-                tagged = F.transform(
-                    F.array_sort(F.transform(
-                        best, lambda s: F.struct(s["idx"].alias("idx"),
-                                                 s["frag"].alias("frag")))),
-                    lambda s: s["frag"])
+
+                # NOTE: the let-lambda must take exactly ONE parameter —
+                # PySpark maps every parameter (defaults included) to a
+                # lambda variable; fsize/n_frags are closed over (let
+                # builds the expression eagerly, so loop late-binding is
+                # not a hazard here)
+                def _fragment(tg):
+                    # tg is let-bound: the tag regexp runs once per row,
+                    # not once per window reference (expr.let, PLANS.md)
+                    nwin = F.greatest(
+                        F.ceil(F.length(tg) / F.lit(fsize)).cast("int"),
+                        F.lit(1))
+                    frags = F.transform(
+                        F.sequence(F.lit(0), nwin - 1),
+                        lambda i: F.struct(
+                            i.alias("idx"),
+                            F.substring(tg, i * fsize + 1, fsize)
+                            .alias("frag")))
+                    scored_f = F.transform(
+                        frags,
+                        lambda s: F.struct(
+                            (-(F.length(s["frag"])
+                               - F.length(F.replace(s["frag"], F.lit(pre),
+                                                    F.lit(""))))
+                             / F.lit(len(pre))).cast("int").alias("neg_hits"),
+                            s["idx"].alias("idx"),
+                            s["frag"].alias("frag")))
+                    best = F.slice(
+                        F.array_sort(F.filter(scored_f,
+                                              lambda s: s["neg_hits"] < 0)),
+                        1, n_frags)
+                    return F.transform(
+                        F.array_sort(F.transform(
+                            best, lambda s: F.struct(s["idx"].alias("idx"),
+                                                     s["frag"].alias("frag")))),
+                        lambda s: s["frag"])
+
+                tagged = let(tagged, _fragment)
             hits = hits.join(
                 dv.select("docID", tagged.alias(f"highlight_{field}")),
                 "docID", "left")
