@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Query-type family soak: the round-3 query surface at 25× bench scale.
+
+Builds the synthetic source-code corpus at ``n_docs`` (default 500k, 25×
+the sf0.1 bench's 20k), then times one representative query per type —
+phrase / slop / prefix / fuzzy / wildcard / bool / mlt / dis_max /
+boosting / query_string / function_score / suggest / composite agg — so
+BENCH/BASELINE.md can cite how each latency grows with corpus size
+(bounded-work queries should grow sub-linearly; full-match-set scorers
+linearly in their match sets).
+
+    python scripts/soak_querytypes.py [n_docs]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id  # noqa: E402
+from neural_search_spark.index.build import build_index  # noqa: E402
+from neural_search_spark.query import wand  # noqa: E402
+from neural_search_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    spark = get_spark("nss-soak-qt", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"n_docs": n_docs}
+    d = tempfile.mkdtemp(prefix="nss-soak-qt-")
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_docs, seed=42))
+        corpus = corpus.persist()
+        t0 = time.perf_counter()
+        idx = build_index(spark, corpus, d, resume=False)
+        out["build_s"] = round(time.perf_counter() - t0, 1)
+        idx.warmup()
+        wand.search(idx, ["def"], k=10).collect()  # JIT warm
+
+        from neural_search_spark.query import aggs, phrase as ph
+        from neural_search_spark.query.boolean import bool_search
+        from neural_search_spark.query.dismax import (
+            boosting_search, dis_max_search,
+        )
+        from neural_search_spark.query.function_score import (
+            function_score_search,
+        )
+        from neural_search_spark.query.mlt import more_like_this
+        from neural_search_spark.query.qstring import query_string_search
+        from neural_search_spark.query.suggest import term_suggest
+
+        seed_id = int(corpus.select("docID").orderBy("docID")
+                      .first()["docID"])
+        runs = {
+            "bm25_heavy4": lambda: wand.search(
+                idx, ["if", "for", "while", "self"], k=10),
+            "phrase": lambda: ph.phrase_search(
+                idx, corpus, ["def", "return"], k=10, text_col="content"),
+            "phrase_slop2": lambda: ph.phrase_search(
+                idx, corpus, ["def", "return"], k=10, text_col="content",
+                slop=2),
+            "prefix": lambda: ph.prefix_search(idx, "re", k=10),
+            "fuzzy": lambda: ph.fuzzy_search(idx, "retur", k=10),
+            "wildcard": lambda: ph.wildcard_search(idx, "re*n", k=10),
+            "bool": lambda: bool_search(
+                idx, must=["def"], should=["return", "parse"],
+                must_not=["uniq_17"], k=10),
+            "mlt": lambda: more_like_this(
+                idx, corpus, seed_id, k=10, text_col="content"),
+            "dis_max": lambda: dis_max_search(
+                idx, ["query token score", "merge block"], k=10,
+                tie_breaker=0.3),
+            "boosting": lambda: boosting_search(
+                idx, "query token score", "uniq_17", 0.5, k=10),
+            "query_string": lambda: query_string_search(
+                idx, corpus, '+def "def return" -uniq_17 re*', k=10,
+                text_col="content"),
+            "function_score": lambda: function_score_search(
+                idx, "query token score",
+                [{"field_value_factor": {"field": "doclen",
+                                         "modifier": "ln1p"}}], k=10),
+            "suggest": lambda: term_suggest(
+                idx, "retunr qurey", size=5, suggest_mode="always"),
+        }
+        lat = {}
+        for name, fn in runs.items():
+            fn().collect()  # warm (plan compile + code gen)
+            t0 = time.perf_counter()
+            fn().collect()
+            lat[name] = round(time.perf_counter() - t0, 2)
+
+        # composite agg paging over the matched set of a 2-term query
+        t0 = time.perf_counter()
+        res = aggs.aggregate(idx, {
+            "c": {"composite": {
+                "size": 10,
+                "sources": [{"dl": {"histogram": {"field": "doclen",
+                                                  "interval": 16}}}],
+                "after": {"dl": 64.0},
+            }},
+        }, query=["query", "token"], doc_values=idx.docmap)
+        res["c"].collect()
+        lat["agg_composite_page2"] = round(time.perf_counter() - t0, 2)
+
+        out["query_type_latencies"] = lat
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,3 +69,25 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"doc_id", "score"}
+
+
+def test_expr_let_single_evaluation(spark):
+    """expr.let evaluates its bound column once per row and returns fn's
+    value with the right type (the HOF let-binding the phrase/textstats/
+    chunker hot paths rely on — PLANS.md)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.expr import let
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, t string")
+    toks = F.split("t", " ")
+    out = df.select(
+        let(toks, lambda x: F.size(x) * 10 + F.size(x)).alias("v"),
+        let(F.lit(2.5), lambda x: x + x).alias("d"),
+    ).collect()[0]
+    assert out["v"] == 33 and out["d"] == 5.0
+    # the bound expression appears exactly once in the analyzed plan
+    plan = df.select(
+        let(toks, lambda x: F.size(x) + F.size(x)).alias("v")
+    )._jdf.queryExecution().analyzed().toString()
+    assert plan.count("split(") == 1
