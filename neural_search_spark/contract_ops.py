@@ -1528,7 +1528,8 @@ def q_constant_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CONSTANT_SCORE_SQL = f"""
-    SELECT DISTINCT doc_id, {CS_BOOST!r} AS score FROM ({_TF_SQL})
+    SELECT DISTINCT doc_id, CAST({CS_BOOST!r} AS DOUBLE) AS score
+    FROM ({_TF_SQL})
     WHERE term = '{CS_TERM}' ORDER BY doc_id ASC LIMIT 10
 """
 
