@@ -159,6 +159,23 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
         # round-3 query-type family: one representative query per type,
         # timed end-to-end (expansion/selection jobs included). Kept in
         # extras — the headline "queries" keys stay cross-round comparable.
+        # Scaling legs (--skip-seismic) skip it: they only consume
+        # index_files_per_sec and the family would pad every leg's wall.
+        if skip_seismic:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+            return {
+                "cpus": cpus,
+                "n_files": n_files,
+                "index_build_s": round(build_s, 3),
+                "index_files_per_sec": round(n_files / build_s, 1),
+                "query_p50_s": p50,
+                "query_p99_s": p99,
+                "queries": lat,
+                "heavy_query_profile": heavy_profile,
+                "msearch": msearch_stats,
+                "request_hybrid_aggs_s": round(request_s, 3),
+                "query_type_latencies": {},
+            }
         from neural_search_spark.query import phrase as ph
         from neural_search_spark.query.boolean import bool_search
         from neural_search_spark.query.mlt import more_like_this
@@ -232,9 +249,6 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
         # query latency. Kept OUT of the headline value for metric
         # continuity with earlier rounds, and skipped in the scaling legs
         # (which only consume index_files_per_sec).
-        if skip_seismic:
-            shutil.rmtree(idx_dir, ignore_errors=True)
-            return result
         from neural_search_spark.analysis.tokenizer import tokens_with_tf
         from neural_search_spark.index.seismic import (
             build_seismic_index, seismic_search,
