@@ -252,11 +252,15 @@ def constant_score_search(
     boost: float = 1.0,
     k: int = 10,
     where=None,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
 ) -> DataFrame:
     """ConstantScoreQuery: every doc matching the filter clause scores
     exactly ``boost``. The filter is a match-style term set (OR semantics)
-    or None with ``where`` as a forward-index predicate. Ordering is
-    docID ascending within the constant score (deterministic)."""
+    or None with ``where`` as a doc-values predicate (over ``doc_values``
+    when given — the range/exists query path — else the forward index).
+    Ordering is docID ascending within the constant score
+    (deterministic)."""
     from neural_search_spark.query.aggs import matched_docs
 
     if filter is None and where is None:
@@ -266,8 +270,10 @@ def constant_score_search(
         terms, _ = _norm_clause(filter, index.analyzer)
         docs = matched_docs(index, terms, where=where)
     else:
-        docs = index.docmap.where(where).select(
-            F.col(index.id_col).cast("long").alias("docID"))
+        dv = doc_values if doc_values is not None else index.docmap
+        idc = doc_values_id or index.id_col
+        docs = dv.where(where).select(
+            F.col(idc).cast("long").alias("docID"))
         if index.tombstones is not None:
             docs = docs.join(index.tombstones.select("docID"),
                              "docID", "left_anti")

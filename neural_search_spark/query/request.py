@@ -155,6 +155,32 @@ def _parse_subquery(q: dict) -> dict:
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
+    if kind == "term":
+        # exact-term query: NO analysis (Lucene TermQuery — the raw term
+        # must match the indexed token), scored BM25 like a 1-term match
+        v = spec["value"] if isinstance(spec, dict) else spec
+        return {"terms": [str(v)], "field": _field}
+    if kind in ("range", "exists"):
+        # filter-context queries over the forward index: every match
+        # scores a constant 1.0 (Lucene ConstantScoreQuery wrapping —
+        # these kinds carry no relevance signal). Resolved in
+        # _resolve_frame via constant_score with a docmap predicate.
+        if kind == "range":
+            if not isinstance(spec, dict) or not spec:
+                raise ValueError("range needs gt/gte/lt/lte bounds")
+            ops = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<="}
+            unknown = set(spec) - set(ops)
+            if unknown:
+                raise ValueError(f"unsupported range bounds: {sorted(unknown)}")
+            pred = " AND ".join(
+                f"({_field} {ops[b]} {float(spec[b])!r})" for b in sorted(spec))
+        else:
+            pred = f"{_field} IS NOT NULL"
+        w = F.expr(pred)
+        if q.get("filter") is not None:
+            flt = q["filter"]
+            w = w & (F.expr(flt) if isinstance(flt, str) else flt)
+        return {"constant_score": {"filter": None, "boost": 1.0}, "where": w}
     if kind == "match":
         if isinstance(spec, dict):
             # full form: {"query": text, "operator": "or"|"and",
@@ -451,6 +477,9 @@ def search_request(
                     k=fetch_k, **kw)
             else:
                 b = s["constant_score"]
+                if doc_values is not None:
+                    kw["doc_values"] = doc_values
+                    kw["doc_values_id"] = doc_values_id
                 fr = dm.constant_score_search(
                     base_index, _cl(b["filter"]) if b.get("filter") is not None
                     else None,

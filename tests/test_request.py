@@ -778,3 +778,34 @@ def test_highlight_fragments(idx, docvals, spark):
     }, doc_values=dv, doc_values_id="doc_id")
     row2 = [r for r in out2["hits"].collect() if r["docID"] == 1][0]
     assert isinstance(row2["highlight_text"], str)
+
+
+def test_term_range_exists_queries(idx, docvals, spark):
+    # term: exact, UN-analyzed (Lucene TermQuery) — scored like 1-term match
+    got = request.search_request(idx, {
+        "query": {"term": {"text": {"value": "alpha"}}}, "size": 10})
+    want = wand.search(idx, ["alpha"], k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+    # analysis would lowercase; term must NOT (absent term → no hits)
+    got_cs = request.search_request(idx, {
+        "query": {"term": {"text": "Alpha"}}, "size": 10})
+    assert got_cs["hits"].count() == 0
+
+    # range over a doc-values field: filter context, constant score 1.0
+    dv = docvals.withColumn("n", F.col("doc_id") * 10)
+    got_r = request.search_request(idx, {
+        "query": {"range": {"n": {"gte": 20, "lt": 50}}}, "size": 10,
+    }, doc_values=dv, doc_values_id="doc_id")
+    assert _pairs(got_r["hits"]) == [(2, 1.0), (3, 1.0), (4, 1.0)]
+    with pytest.raises(ValueError, match="range"):
+        request.search_request(idx, {"query": {"range": {"n": {}}}})
+    with pytest.raises(ValueError, match="bounds"):
+        request.search_request(idx, {"query": {"range": {"n": {"eq": 3}}}})
+
+    # exists: docs with a non-null field
+    dv2 = docvals.withColumn(
+        "maybe", F.when(F.col("doc_id") <= 2, F.lit("x")))
+    got_e = request.search_request(idx, {
+        "query": {"exists": {"maybe": {}}}, "size": 10,
+    }, doc_values=dv2, doc_values_id="doc_id")
+    assert _pairs(got_e["hits"]) == [(1, 1.0), (2, 1.0)]
