@@ -53,14 +53,21 @@ from neural_search_spark.query.bm25 import bm25_score_col
 
 METRIC_KINDS = frozenset({
     "avg", "sum", "min", "max", "value_count", "cardinality",
-    "stats", "extended_stats", "percentiles",
+    "stats", "extended_stats", "percentiles", "percentile_ranks",
+    "weighted_avg", "top_metrics",
 })
 BUCKET_KINDS = frozenset({
     "terms", "histogram", "range", "filter", "filters", "global",
-    "adjacency_matrix",
+    "adjacency_matrix", "date_histogram", "missing", "rare_terms",
+    "multi_terms",
 })
 PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+})
+# parent pipelines: run INSIDE a bucket agg's "aggs", consuming the bucket
+# frame itself (ES derivative/cumulative_sum/bucket_selector/bucket_sort)
+PARENT_PIPELINE_KINDS = frozenset({
+    "derivative", "cumulative_sum", "bucket_selector", "bucket_sort",
 })
 SIGNIFICANT_KINDS = frozenset({"significant_terms", "significant_text"})
 
@@ -145,7 +152,7 @@ def _field(body: dict) -> Column:
 def _metric_cols(name: str, kind: str, body: dict) -> list[tuple[str, Column]]:
     """(alias, Column) pairs one metric agg contributes to the shared
     ``.agg()`` pass."""
-    f = _field(body)
+    f = _field(body) if "field" in body else None
     if kind == "avg":
         return [(name, F.avg(f))]
     if kind == "sum":
@@ -190,7 +197,53 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[tuple[str, Column]]:
              F.percentile(f, F.lit(p / 100.0)))
             for p in pcts
         ]
+    if kind == "percentile_ranks":
+        # exact CDF: rank(v) = 100 · |x ≤ v| / |x| over non-null values
+        # (ES approximates with TDigest; exact here so the oracle can match)
+        vals = body["values"]
+        d = f.cast("double")
+        return [
+            (f"{name}_rank_{str(v).replace('.', '_').removesuffix('_0')}",
+             F.avg(F.when(d <= float(v), 1.0).when(d.isNotNull(), 0.0))
+             * 100.0)
+            for v in vals
+        ]
+    if kind == "weighted_avg":
+        # Σ(v·w)/Σ(w); rows missing either side are skipped entirely
+        # (ES WeightedAvgAggregator semantics without `missing` defaults)
+        v = F.expr(str(body["value"]["field"])).cast("double")
+        w = F.expr(str(body["weight"]["field"])).cast("double")
+        both = v.isNotNull() & w.isNotNull()
+        return [(name,
+                 F.sum(F.when(both, v * w)) / F.sum(F.when(both, w)))]
+    if kind == "top_metrics":
+        # metric value of the best row by the sort key (ES top_metrics,
+        # size=1). Ties break on ascending docID — ES leaves ties
+        # undefined; pinned here so results are deterministic/oracle-able.
+        m = F.expr(str(body["metrics"]["field"]))
+        (sfield, sorder), = body["sort"].items()
+        s = F.expr(str(sfield))
+        tie = F.col("docID")
+        if sorder == "desc":
+            # max_by on a struct compares fields in order; negate the tie
+            # column so equal sort keys pick the SMALLEST docID
+            return [(name, F.max_by(m, F.struct(s.alias("s"),
+                                                (-tie).alias("t"))))]
+        return [(name, F.min_by(m, F.struct(s.alias("s"), tie.alias("t"))))]
     raise ValueError(f"unknown metric aggregation: {kind}")
+
+
+_CAL_UNITS = {"minute", "hour", "day", "week", "month", "quarter", "year"}
+_FIXED_UNITS = {"ms": 0.001, "s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _fixed_interval_seconds(spec: str) -> float:
+    import re
+
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", spec)
+    if not m:
+        raise ValueError(f"bad fixed_interval {spec!r}")
+    return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
 
 
 def _one_of(spec: dict) -> tuple[str, dict]:
@@ -218,8 +271,38 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
     in several (possibly overlapping) buckets — a literal bucket array is
     filtered per row and exploded: single pass regardless of bucket count.
     """
-    if kind == "terms":
+    if kind in ("terms", "rare_terms"):
         return base.withColumn(key_alias, _field(body)), [key_alias]
+    if kind == "multi_terms":
+        # composite bucket key from several field values (ES multi_terms);
+        # docs with ANY null key component are skipped (ES default)
+        specs = body["terms"]
+        if not specs or len(specs) < 2:
+            raise ValueError("multi_terms needs at least two term sources")
+        names = [f"{key_alias}{i or ''}" for i in range(len(specs))]
+        frame = base.select(
+            "*", *[_field(s).alias(n) for n, s in zip(names, specs)])
+        for n in names:
+            frame = frame.where(F.col(n).isNotNull())
+        return frame, names
+    if kind == "missing":
+        # bucket of docs whose field is absent/null (ES missing agg)
+        return base.where(_field(body).isNull()), []
+    if kind == "date_histogram":
+        f = _field(body).cast("timestamp")
+        cal = body.get("calendar_interval")
+        if cal is not None:
+            if cal not in _CAL_UNITS:
+                raise ValueError(f"bad calendar_interval {cal!r}")
+            # date_trunc('week') starts Monday — same as ES calendar weeks
+            key = F.date_trunc(cal, f)
+        else:
+            secs = _fixed_interval_seconds(body["fixed_interval"])
+            epoch = F.unix_timestamp(f).cast("double")
+            key = F.timestamp_seconds(
+                F.floor(epoch / secs).cast("long") * F.lit(int(secs))
+                if secs >= 1 else F.floor(epoch / secs) * secs)
+        return base.withColumn(key_alias, key), [key_alias]
     if kind == "histogram":
         interval = float(body["interval"])
         if interval <= 0:
@@ -473,6 +556,71 @@ def _composite(base: DataFrame, body: dict,
     return grouped.orderBy(*order).limit(size)
 
 
+def _parent_pipeline(
+    grouped: DataFrame, outer_cols: list[str], keys: list[str],
+    name: str, kind: str, body: dict,
+) -> DataFrame:
+    """Apply one parent pipeline agg to a finished bucket frame.
+
+    ``derivative`` / ``cumulative_sum`` add a column over buckets in key
+    order (windowed per enclosing bucket when nested; the bucket frame is
+    already bucket-cardinality-small, so a driver-side window over few
+    partitions is fine — this never touches doc-cardinality data).
+    ``bucket_selector`` filters buckets with a SQL expression over
+    ``buckets_path`` aliases (the painless-script analog — documented
+    divergence: the script is Spark SQL, not painless). ``bucket_sort``
+    re-orders and pages the buckets.
+    """
+    from pyspark.sql import Window
+
+    if kind in ("derivative", "cumulative_sum"):
+        path = body.get("buckets_path", "doc_count")
+        src = F.col("_count" if path == "_count" else path)
+        w = (Window.partitionBy(*outer_cols) if outer_cols
+             else Window.partitionBy(F.lit(0)))
+        w = w.orderBy(*[F.asc(c) for c in keys])
+        if kind == "derivative":
+            # gap-unaware like ES without unit: difference vs the PREVIOUS
+            # EXISTING bucket (empty buckets were never materialized)
+            col = src - F.lag(src).over(w)
+        else:
+            col = F.sum(src).over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+        return grouped.withColumn(name, col)
+    if kind == "bucket_selector":
+        paths = body.get("buckets_path") or {}
+        script = str(body["script"])
+        tmp = grouped
+        for alias, path in paths.items():
+            tmp = tmp.withColumn(
+                f"_bs_{alias}",
+                F.col("doc_count" if path == "_count" else path))
+        import re as _re
+
+        for alias in paths:
+            script = _re.sub(rf"\b{_re.escape(alias)}\b",
+                             f"_bs_{alias}", script)
+        tmp = tmp.where(F.expr(script))
+        return tmp.drop(*[f"_bs_{a}" for a in paths])
+    if kind == "bucket_sort":
+        sorts = body.get("sort") or []
+        order = []
+        for s in sorts:
+            (col, spec_), = s.items() if isinstance(s, dict) else [(s, "asc")]
+            direction = spec_ if isinstance(spec_, str) else spec_.get(
+                "order", "asc")
+            order.append(F.desc(col) if direction == "desc" else F.asc(col))
+        order.extend(F.asc(c) for c in keys)  # deterministic tie-break
+        out = grouped.orderBy(*order) if order else grouped
+        frm = int(body.get("from", 0))
+        if frm:
+            out = out.offset(frm)
+        if "size" in body:
+            out = out.limit(int(body["size"]))
+        return out
+    raise ValueError(f"unknown parent pipeline aggregation: {kind}")
+
+
 def _run_level(
     base: DataFrame, group_cols: list[str], spec: dict[str, Any],
     all_docs: DataFrame | None, prefix: str = "",
@@ -522,12 +670,15 @@ def _run_level(
             gcols = group_cols + keys
             sub = s.get("aggs") or {}
             sub_metric_cols: list[Column] = []
+            parent_pipes: list[tuple[str, str, dict]] = []
             for sname, ss in sub.items():
                 skind, sbody = _one_of(ss)
                 if skind in METRIC_KINDS:
                     sub_metric_cols.extend(
                         c.alias(a) for a, c in _metric_cols(sname, skind, sbody)
                     )
+                elif skind in PARENT_PIPELINE_KINDS:
+                    parent_pipes.append((sname, skind, sbody))
                 elif skind in BUCKET_KINDS:
                     out.update(_run_level(
                         frame, gcols, {sname: ss}, all_docs,
@@ -539,24 +690,38 @@ def _run_level(
                     )
                 elif skind in PIPELINE_KINDS:
                     raise ValueError(
-                        "pipeline aggs are siblings of buckets, not children"
+                        f"{skind} aggs are siblings of buckets, not children"
                     )
                 else:
                     raise ValueError(f"unknown aggregation: {skind}")
+            if any(pk in ("derivative", "cumulative_sum")
+                   for _, pk, _ in parent_pipes
+                   ) and kind not in ("histogram", "date_histogram"):
+                raise ValueError(
+                    "derivative/cumulative_sum need a histogram parent")
             agg_cols = [F.count(F.lit(1)).alias("doc_count")] + sub_metric_cols
             grouped = (
                 frame.groupBy(*gcols).agg(*agg_cols)
                 if gcols else frame.agg(*agg_cols)
             )
-            if kind in ("terms",):
+            if kind in ("terms", "multi_terms"):
                 grouped = grouped.orderBy(
                     F.desc("doc_count"), *[F.asc(c) for c in gcols]
                 ).limit(int(body.get("size", 10)))
+            elif kind == "rare_terms":
+                # ES RareTermsAggregator: long tail — doc_count at or
+                # under max_doc_count, ordered rarest-first then key
+                grouped = grouped.where(
+                    F.col("doc_count") <= int(body.get("max_doc_count", 1))
+                ).orderBy(F.asc("doc_count"), *[F.asc(c) for c in gcols])
             elif gcols:
                 grouped = grouped.orderBy(*[F.asc(c) for c in gcols])
             mdc = int(body.get("min_doc_count", 1))
             if mdc > 1:
                 grouped = grouped.where(F.col("doc_count") >= mdc)
+            for pname, pkind, pbody in parent_pipes:
+                grouped = _parent_pipeline(
+                    grouped, group_cols, keys, pname, pkind, pbody)
             out[f"{prefix}{name}"] = grouped
         elif kind in PIPELINE_KINDS:
             continue  # resolved in a second pass below (needs sibling frames)

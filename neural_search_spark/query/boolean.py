@@ -56,7 +56,7 @@ from neural_search_spark.index.build import Index
 from neural_search_spark.index.merge import decode_postings
 from neural_search_spark.query import wand
 
-__all__ = ["bool_search"]
+__all__ = ["bool_search", "terms_set_search"]
 
 
 def _clause(c, analyzer: str = "standard") -> tuple[list[str], float]:
@@ -184,3 +184,55 @@ def bool_search(
     ).select("docID", F.lit(0.0).alias("score")) \
      .orderBy(F.asc("docID")).limit(k - len(rows))
     return res.unionByName(fill).orderBy(F.desc("score"), F.asc("docID"))
+
+
+def terms_set_search(
+    index: Index,
+    terms: list[str],
+    minimum_should_match_field: str,
+    k: int = 10,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+    **search_kwargs,
+) -> DataFrame:
+    """``terms_set`` query (Lucene CoveringQuery): a doc matches when the
+    number of DISTINCT query terms it contains is at least the doc's OWN
+    required count, read per document from the numeric doc-values column
+    ``minimum_should_match_field`` (a column name or SQL expression over
+    ``doc_values``). Scores are the BM25 sum of the matching terms — the
+    same disjunctive sum a ``should`` bool produces (CoveringQuery sums
+    its matching sub-scorers).
+
+    Semantics pinned to Lucene: a doc some sub-iterator never visits
+    (zero matching terms) cannot match even if its required count is ≤ 0,
+    so the effective gate is ``matched ≥ max(required, 1)``; docs whose
+    required count exceeds ``len(terms)`` can never match. Docs absent
+    from ``doc_values`` (no required count) do not match.
+
+    Shape: ONE term-pruned postings decode → groupBy(docID) distinct-term
+    count → join to the doc-values required column → the surviving docIDs
+    feed wand.search as its candidates mask (the scoring scan prunes to
+    the same terms; the kernel scores candidates only).
+    """
+    terms = sorted({t for t in terms if t})
+    if not terms:
+        raise ValueError("terms_set needs a non-empty terms list")
+    dv = doc_values if doc_values is not None else index.docmap
+    idc = doc_values_id or index.id_col
+    req = (
+        dv.select(F.col(idc).cast("long").alias("docID"),
+                  F.expr(str(minimum_should_match_field))
+                  .cast("long").alias("_req"))
+        .where(F.col("_req").isNotNull() & (F.col("_req") <= len(terms)))
+    )
+    decoded = decode_postings(
+        index.postings.where(F.col("term").isin(terms))
+    ).select("docID", "term")
+    counts = decoded.groupBy("docID").agg(
+        F.count_distinct("term").alias("_hit"))
+    cand = (
+        counts.join(req, "docID")
+        .where(F.col("_hit") >= F.greatest(F.col("_req"), F.lit(1)))
+        .select("docID")
+    )
+    return wand.search(index, terms, k=k, candidates=cand, **search_kwargs)

@@ -1,0 +1,211 @@
+"""Doc-values scoring queries: rank_feature, distance_feature, ids, pinned.
+
+The reference stores per-token weights in ``rank_features`` fields
+(main/query/NeuralSparseQueryBuilder.java:604-608 requires the field type;
+main/query/NeuralSparseQueryBuilder.java:576-581 scores them with
+FeatureField linear queries). Lucene's standard query over such fields is
+``rank_feature`` — score = a monotone function of the stored feature value
+— and its siblings here round out the doc-values query family a reference
+user reaches for:
+
+* ``rank_feature`` — FeatureQuery (Lucene FeatureField.newSaturationQuery
+  / newLogQuery / newSigmoidQuery / newLinearQuery): score from a per-doc
+  numeric feature. Missing/NULL (or ≤ 0) feature → the doc does not match.
+* ``distance_feature`` — boost · pivot / (pivot + |value − origin|): rank
+  by proximity to an origin on a numeric/date axis.
+* ``ids`` — constant-score membership in an explicit docID list.
+* ``pinned`` — listed ids surface ABOVE every organic hit, in the given
+  order, with the organic query filling the rest of the page.
+
+Scale shape: all four are one narrow doc-values scan (the score is a pure
+Catalyst column; WholeStageCodegen) + TakeOrderedAndProject — no postings
+decode, no exchange before the top-k reduction. ``pinned`` adds the
+organic query's own plan plus a broadcast-sized anti-join on the pinned
+id list.
+
+Determinism notes (documented divergences):
+
+* Lucene gives pinned hits gigantic float scores (~1.7e38 − rank) whose
+  rank gaps vanish in f32 ULPs; here pinned scores are
+  ``PIN_BASE − position`` with ``PIN_BASE = 1e9`` — far above any BM25
+  score, exactly representable, SQL-oracle-able.
+* ``rank_feature`` with no ``pivot`` uses the EXACT geometric mean of the
+  live feature values (Lucene approximates it from index stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.index.build import Index
+
+__all__ = [
+    "rank_feature_search", "distance_feature_search", "ids_search",
+    "pinned_search", "PIN_BASE",
+]
+
+PIN_BASE = 1e9  # pinned-hit score ceiling; BM25 scores never get close
+
+
+def _doc_values(index: Index, doc_values, doc_values_id):
+    dv = doc_values if doc_values is not None else index.docmap
+    idc = doc_values_id or index.id_col
+    dv = dv.withColumn("docID", F.col(idc).cast("long"))
+    if index.tombstones is not None:
+        dv = dv.join(index.tombstones.select("docID"), "docID", "left_anti")
+    return dv
+
+
+def rank_feature_search(
+    index: Index,
+    field: str,
+    k: int = 10,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float | None = None,
+    exponent: float | None = None,
+    boost: float = 1.0,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+    where=None,
+) -> DataFrame:
+    """``rank_feature`` query over a numeric doc-values ``field`` (a column
+    name or SQL expression). Functions (Lucene FeatureField):
+
+    * ``saturation`` (default): v / (v + pivot). ``pivot`` defaults to the
+      exact geometric mean of the live positive feature values (Lucene
+      computes an approximation from index stats).
+    * ``log``: ln(scaling_factor + v); requires ``scaling_factor``.
+    * ``sigmoid``: v^exp / (v^exp + pivot^exp); requires both params.
+    * ``linear``: v.
+
+    Docs with NULL or non-positive feature values do not match (Lucene
+    FeatureField only indexes positive values). Returns
+    DataFrame(docID, score) top-k, score desc / docID asc.
+    """
+    dv = _doc_values(index, doc_values, doc_values_id)
+    if where is not None:
+        dv = dv.where(where)
+    v = F.expr(str(field)).cast("double")
+    dv = dv.where(v.isNotNull() & (v > 0))
+    if function == "saturation":
+        if pivot is None:
+            row = dv.agg(F.exp(F.avg(F.log(v))).alias("g")).collect()[0]
+            pivot = float(row["g"]) if row["g"] is not None else 1.0
+        if pivot <= 0:
+            raise ValueError("saturation pivot must be > 0")
+        score = v / (v + F.lit(float(pivot)))
+    elif function == "log":
+        if scaling_factor is None:
+            raise ValueError("log needs scaling_factor")
+        score = F.log(F.lit(float(scaling_factor)) + v)
+    elif function == "sigmoid":
+        if pivot is None or exponent is None:
+            raise ValueError("sigmoid needs pivot and exponent")
+        ve = F.pow(v, F.lit(float(exponent)))
+        pe = float(pivot) ** float(exponent)
+        score = ve / (ve + F.lit(pe))
+    elif function == "linear":
+        score = v
+    else:
+        raise ValueError(f"unknown rank_feature function: {function}")
+    return (
+        dv.select("docID", (score * F.lit(float(boost))).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
+def distance_feature_search(
+    index: Index,
+    field: str,
+    origin: float,
+    pivot: float,
+    k: int = 10,
+    boost: float = 1.0,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+    where=None,
+) -> DataFrame:
+    """``distance_feature`` query: score = boost · pivot / (pivot +
+    |value − origin|) over a numeric doc-values axis (for dates, pass a
+    ``unix_timestamp(...)`` expression and numeric origin/pivot seconds —
+    ES's date flavor reduces to exactly this in millis). NULL values do
+    not match."""
+    if float(pivot) <= 0:
+        raise ValueError("distance_feature pivot must be > 0")
+    dv = _doc_values(index, doc_values, doc_values_id)
+    if where is not None:
+        dv = dv.where(where)
+    v = F.expr(str(field)).cast("double")
+    dv = dv.where(v.isNotNull())
+    score = (F.lit(float(boost)) * F.lit(float(pivot))
+             / (F.lit(float(pivot)) + F.abs(v - F.lit(float(origin)))))
+    return (
+        dv.select("docID", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )
+
+
+def ids_search(
+    index: Index,
+    values: list,
+    k: int | None = None,
+    boost: float = 1.0,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+) -> DataFrame:
+    """``ids`` query: constant-score membership in an explicit id list
+    (Lucene TermInSetQuery on _id wrapped in ConstantScoreQuery). Only ids
+    present and live in the index are returned; docID ascending."""
+    if not values:
+        raise ValueError("ids query needs a non-empty values list")
+    dv = _doc_values(index, doc_values, doc_values_id)
+    out = (
+        dv.where(F.col("docID").isin([int(v) for v in values]))
+        .select("docID", F.lit(float(boost)).alias("score"))
+        .orderBy(F.asc("docID"))
+    )
+    return out.limit(k) if k is not None else out
+
+
+def pinned_search(
+    index: Index,
+    ids: list,
+    organic,
+    k: int = 10,
+    where=None,
+    doc_values: DataFrame | None = None,
+    doc_values_id: str | None = None,
+) -> DataFrame:
+    """``pinned`` query: the listed ids (those that exist and are live)
+    rank first IN THE GIVEN ORDER, then the organic query's hits (pinned
+    ids deduplicated out) fill the remaining slots.
+
+    ``organic`` is a match-style query (string or term list — the same
+    forms wand.search accepts). Pinned scores are ``PIN_BASE − position``
+    (see module docstring); organic hits keep their exact BM25 scores.
+    """
+    from neural_search_spark.query import wand
+
+    if not ids:
+        raise ValueError("pinned query needs a non-empty ids list")
+    spark = index.postings.sparkSession
+    dv = _doc_values(index, doc_values, doc_values_id)
+    pin = spark.createDataFrame(
+        [(int(d), i) for i, d in enumerate(ids)], "docID long, _pos int")
+    pinned = (
+        dv.select("docID").join(F.broadcast(pin), "docID", "left_semi")
+        .join(F.broadcast(pin), "docID")
+        .select("docID",
+                (F.lit(PIN_BASE) - F.col("_pos")).alias("score"))
+    )
+    organic_hits = wand.search(index, organic, k=k + len(ids), where=where)
+    organic_hits = organic_hits.join(
+        F.broadcast(pin.select("docID")), "docID", "left_anti")
+    return (
+        pinned.unionByName(organic_hits.select("docID", "score"))
+        .orderBy(F.desc("score"), F.asc("docID"))
+        .limit(k)
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "phrase_search",
     "phrase_scores",
     "phrase_prefix_search",
+    "match_bool_prefix_search",
     "prefix_search",
     "expand_prefix",
     "fuzzy_search",
@@ -519,3 +520,43 @@ def wildcard_search(
     return regexp_search(
         index, wildcard_to_regex(pattern), k=k,
         max_expansions=max_expansions, **search_kwargs)
+
+
+def match_bool_prefix_search(
+    index: Index,
+    query: str | list[str],
+    k: int = 10,
+    max_expansions: int = 50,
+    **search_kwargs,
+) -> DataFrame:
+    """``match_bool_prefix``: the analyzed terms become a bool ``should``
+    disjunction, with the LAST term matching as either itself or any
+    dictionary term it prefixes (Lucene MatchBoolPrefixQuery — a
+    BooleanQuery of TermQuerys plus a PrefixQuery on the final token;
+    the type-ahead sibling of match_phrase_prefix without the adjacency
+    requirement).
+
+    Rewrite choice (documented): the prefix slot expands via
+    ``expand_prefix`` (``scoring_boolean``, df-desc capped at
+    ``max_expansions``) and every expansion scores with its own BM25 —
+    the same rewrite the ``prefix``/``wildcard``/``regexp`` queries here
+    use, so the whole query stays on the WAND disjunction hot path: ONE
+    term-pruned scan, no new kernel. (Lucene's default prefix rewrite
+    blends idfs instead; ordering differences only among prefix-slot-only
+    matches.)
+    """
+    terms = (tokenize_query(query, index.analyzer)
+             if isinstance(query, str) else list(query))
+    if not terms:
+        raise ValueError("empty match_bool_prefix query")
+    full, prefix = terms[:-1], terms[-1]
+    expanded = expand_prefix(index, prefix, max_expansions)
+    all_terms = sorted(set(full) | set(expanded))
+    if not all_terms:
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    from neural_search_spark.query import wand
+
+    return wand.search(index, all_terms, k=k, **search_kwargs)

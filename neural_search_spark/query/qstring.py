@@ -188,3 +188,255 @@ def _empty(index: Index) -> DataFrame:
         F.col(index.id_col).cast("long").alias("docID"),
         F.lit(0.0).alias("score"),
     ).limit(0)
+
+
+# ----------------------------------------------------------------------
+# simple_query_string: ES's error-tolerant infix mini-language
+# ----------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Node:
+    """simple_query_string AST: op ∈ {"or", "and", "not", "leaf"}."""
+    op: str
+    children: tuple = ()
+    kind: str = ""      # leaf: "terms" | "phrase" | "prefix"
+    text: str = ""
+    slop: int = 0
+
+
+_SQS_TOKEN_RE = re.compile(
+    r'\(|\)|\||\+|-|"([^"]*)"(?:~(\d+))?|([^\s()|+-][^\s()|]*)')
+
+
+def parse_simple_query_string(
+    qs: str, default_operator: str = "or"
+) -> Node:
+    """Parse ES ``simple_query_string`` syntax into an AST.
+
+    Grammar: ``|`` OR, ``+`` AND, prefix ``-`` NOT, ``( )`` grouping,
+    ``"..."`` phrase (``~N`` slop suffix), trailing ``*`` prefix match;
+    juxtaposition (whitespace) applies ``default_operator``. Precedence
+    NOT > AND > OR. Documented subset: no ``~N`` word fuzziness (route to
+    the ``fuzzy`` query), no per-field syntax. Raises on empty or
+    pure-negative queries (ES rewrites those to match_none-ish shapes; an
+    explicit error is more useful here)."""
+    if default_operator not in ("or", "and"):
+        raise ValueError("default_operator must be 'or' or 'and'")
+    toks: list = []
+    for m in _SQS_TOKEN_RE.finditer(qs):
+        if m.group(1) is not None:
+            toks.append(("phrase", m.group(1), int(m.group(2) or 0)))
+        elif m.group(3) is not None:
+            w = m.group(3)
+            if w.endswith("*") and len(w) > 1:
+                toks.append(("prefix", w[:-1], 0))
+            else:
+                toks.append(("word", w, 0))
+        else:
+            toks.append((m.group(0), "", 0))
+    pos = 0
+
+    def peek():
+        return toks[pos][0] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_unary() -> Node | None:
+        t = peek()
+        if t == "-":
+            take()
+            child = parse_unary()
+            if child is None:
+                return None  # dangling '-': tolerate (ES lenient spirit)
+            return Node("not", (child,))
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() == ")":
+                take()
+            return node
+        if t in ("phrase", "word", "prefix"):
+            kind, text, slop = take()
+            if kind == "word":
+                kind = "terms"
+            return Node("leaf", (), kind=kind, text=text, slop=slop)
+        return None
+
+    def parse_and() -> Node | None:
+        left = parse_unary()
+        if left is None:
+            return None
+        while True:
+            t = peek()
+            explicit_and = t == "+"
+            juxt = t in ("phrase", "word", "prefix", "(", "-")
+            if explicit_and:
+                take()
+            elif not (juxt and default_operator == "and"):
+                break
+            right = parse_unary()
+            if right is None:
+                break
+            left = Node("and", (left, right))
+        return left
+
+    def parse_or() -> Node | None:
+        left = parse_and()
+        if left is None:
+            return None
+        while True:
+            t = peek()
+            explicit_or = t == "|"
+            juxt = t in ("phrase", "word", "prefix", "(", "-")
+            if explicit_or:
+                take()
+            elif not (juxt and default_operator == "or"):
+                break
+            right = parse_and()
+            if right is None:
+                break
+            left = Node("or", (left, right))
+        return left
+
+    root = parse_or()
+    if root is None:
+        raise ValueError("empty simple_query_string")
+
+    def has_positive(n: Node) -> bool:
+        if n.op == "leaf":
+            return True
+        if n.op == "not":
+            return False
+        return any(has_positive(c) for c in n.children)
+
+    if not has_positive(root):
+        raise ValueError(
+            "simple_query_string needs at least one positive clause")
+    return root
+
+
+def simple_query_string_search(
+    index: Index,
+    corpus: DataFrame | None,
+    qs: str,
+    k: int = 10,
+    default_operator: str = "or",
+    max_expansions: int = 50,
+    text_col: str = "text",
+    where=None,
+) -> DataFrame:
+    """Top-k DataFrame(docID, score) for a ``simple_query_string`` query.
+
+    Execution: every leaf gets a clause id; term/prefix leaves ride ONE
+    term-pruned ``clause_scores`` scan, each phrase leaf its own bounded
+    rarest-term pipeline (identical to ``query_string_search``). One
+    groupBy(docID) collects the matched-leaf id set and the score sum of
+    the POSITIVE leaves; the boolean AST then evaluates as a pure Catalyst
+    expression over ``array_contains`` on that id set — arbitrary nesting
+    costs zero extra scans or shuffles.
+
+    Match-set caveat (documented divergence): evaluation covers docs
+    matching ≥1 positive leaf — a doc matching NO positive leaf can never
+    surface (affects only shapes like ``a | -b`` where ES would also
+    return docs containing neither; scoreless there anyway).
+    """
+    from neural_search_spark.query.dismax import clause_scores
+    from neural_search_spark.query.phrase import expand_prefix, phrase_scores
+
+    root = parse_simple_query_string(qs, default_operator)
+
+    leaves: list[Node] = []
+
+    def collect(n: Node):
+        if n.op == "leaf":
+            leaves.append(n)
+        for c in n.children:
+            collect(c)
+
+    collect(root)
+    cid_of = {id(n): i for i, n in enumerate(leaves)}
+
+    # scoring leaves: no "not" ancestor
+    scoring: set[int] = set()
+
+    def mark(n: Node, under_not: bool):
+        if n.op == "leaf" and not under_not:
+            scoring.add(cid_of[id(n)])
+        for c in n.children:
+            mark(c, under_not or n.op == "not")
+
+    mark(root, False)
+
+    termish: list[tuple[int, list[str], float]] = []
+    phrases: list[tuple[int, str, int]] = []
+    matchable: set[int] = set()
+    for n in leaves:
+        cid = cid_of[id(n)]
+        if n.kind == "phrase":
+            phrases.append((cid, n.text, n.slop))
+            matchable.add(cid)
+            continue
+        if n.kind == "prefix":
+            terms = expand_prefix(index, n.text.lower(),
+                                  max_expansions=max_expansions)
+        else:
+            terms = sorted(set(tokenize_query(n.text, index.analyzer)))
+        if terms:
+            termish.append((cid, terms, 1.0))
+            matchable.add(cid)
+
+    if not any(c in scoring for c in matchable):
+        return _empty(index)
+
+    parts: list[DataFrame] = []
+    if termish:
+        per_clause = clause_scores(
+            index, [(terms, boost) for _, terms, boost in termish])
+        cid_map = F.create_map(*[
+            F.lit(x) for i, (cid, _, _) in enumerate(termish)
+            for x in (i, cid)])
+        parts.append(per_clause.select(
+            "docID", cid_map[F.col("cid")].alias("cid"), "score"))
+    for cid, text, slop in phrases:
+        if corpus is None:
+            raise ValueError("simple_query_string with a quoted phrase "
+                             "needs the corpus (forward text)")
+        fr = phrase_scores(index, corpus, text, text_col=text_col,
+                           slop=slop)
+        parts.append(fr.select("docID", F.lit(cid).alias("cid"), "score"))
+
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+
+    score_cids = sorted(scoring & matchable)
+    agg = hits.groupBy("docID").agg(
+        F.array_distinct(F.collect_list("cid")).alias("_cids"),
+        F.sum(F.when(F.col("cid").isin(score_cids), F.col("score"))
+              .otherwise(F.lit(0.0))).alias("score"),
+    )
+
+    def cond(n: Node):
+        if n.op == "leaf":
+            cid = cid_of[id(n)]
+            if cid not in matchable:
+                return F.lit(False)
+            return F.array_contains(F.col("_cids"), cid)
+        if n.op == "not":
+            return ~cond(n.children[0])
+        if n.op == "and":
+            return cond(n.children[0]) & cond(n.children[1])
+        return cond(n.children[0]) | cond(n.children[1])
+
+    out = agg.where(cond(root)).select("docID", "score")
+    if index.tombstones is not None:
+        out = out.join(index.tombstones.select("docID"), "docID", "left_anti")
+    if where is not None:
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID"))
+        out = out.join(accepted, "docID", "left_semi")
+    return out.orderBy(F.desc("score"), F.asc("docID")).limit(k)

@@ -457,3 +457,142 @@ class TestSampler:
                 "samp": {"sampler": {"shard_size": 2},
                          "aggs": {"langs": {"terms": {"field": "lang"}}}},
             }, query=None, doc_values=docvals, doc_values_id="doc_id")
+
+
+class TestRound3NewKinds:
+    """date_histogram, missing, rare_terms, multi_terms buckets;
+    percentile_ranks, weighted_avg, top_metrics metrics; parent pipelines
+    derivative / cumulative_sum / bucket_selector / bucket_sort."""
+
+    def test_date_histogram_calendar_day(self, idx, spark):
+        ev = spark.createDataFrame(
+            [(1, "2024-03-01 10:00:00"), (2, "2024-03-01 23:59:59"),
+             (3, "2024-03-02 00:00:00"), (4, "2024-03-04 05:00:00"),
+             (5, "2024-03-04 06:00:00"), (6, "2024-03-04 07:00:00")],
+            "doc_id long, ts string",
+        ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"))
+        out = aggs.aggregate(idx, {
+            "d": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"}},
+        }, query=None, doc_values=ev, doc_values_id="doc_id")
+        got = {str(r["key"]): r["doc_count"] for r in _rows(out["d"])}
+        assert got == {"2024-03-01 00:00:00": 2, "2024-03-02 00:00:00": 1,
+                       "2024-03-04 00:00:00": 3}
+
+    def test_date_histogram_fixed_interval(self, idx, spark):
+        ev = spark.createDataFrame(
+            [(1, "2024-03-01 10:05:00"), (2, "2024-03-01 10:20:00"),
+             (3, "2024-03-01 10:35:00")],
+            "doc_id long, ts string",
+        ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"))
+        out = aggs.aggregate(idx, {
+            "d": {"date_histogram": {"field": "ts", "fixed_interval": "30m"}},
+        }, query=None, doc_values=ev, doc_values_id="doc_id")
+        got = {str(r["key"]): r["doc_count"] for r in _rows(out["d"])}
+        assert got == {"2024-03-01 10:00:00": 2, "2024-03-01 10:30:00": 1}
+
+    def test_missing_bucket(self, idx, spark):
+        dv = spark.createDataFrame(
+            [(1, "en"), (2, None), (3, None), (4, "de"), (5, "fr"), (6, "fr")],
+            "doc_id long, lang string")
+        out = aggs.aggregate(idx, {
+            "nolang": {"missing": {"field": "lang"}},
+        }, query=["alpha"], doc_values=dv, doc_values_id="doc_id")
+        # matched = {1,2,3,6}; null lang among them = {2,3}
+        assert _rows(out["nolang"])[0]["doc_count"] == 2
+
+    def test_rare_terms(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "rare": {"rare_terms": {"field": "lang", "max_doc_count": 1}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        # alpha matched langs: en x2, de x1, fr x1 -> rare = de, fr
+        assert [(r["key"], r["doc_count"]) for r in _rows(out["rare"])] == [
+            ("de", 1), ("fr", 1)]
+
+    def test_multi_terms(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "lt": {"multi_terms": {"terms": [{"field": "lang"},
+                                             {"field": "n < 30"}],
+                                   "size": 10}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        got = {(r["key"], r["key1"]): r["doc_count"] for r in _rows(out["lt"])}
+        # matched: (en,10),(en,20),(de,30),(fr,60)
+        assert got == {("en", True): 2, ("de", False): 1, ("fr", False): 1}
+
+    def test_multi_terms_needs_two_sources(self, idx, docvals):
+        with pytest.raises(ValueError, match="two term sources"):
+            aggs.aggregate(idx, {
+                "lt": {"multi_terms": {"terms": [{"field": "lang"}]}},
+            }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+
+    def test_percentile_ranks_exact_cdf(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "pr": {"percentile_ranks": {"field": "n", "values": [25, 60]}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        row = _rows(out["pr"])[0]
+        # matched n = 10,20,30,60: <=25 is 2/4, <=60 is 4/4
+        assert row["pr_rank_25"] == pytest.approx(50.0)
+        assert row["pr_rank_60"] == pytest.approx(100.0)
+
+    def test_weighted_avg(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "wa": {"weighted_avg": {"value": {"field": "n"},
+                                    "weight": {"field": "doc_id"}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        # (10*1 + 20*2 + 30*3 + 60*6) / (1+2+3+6) = 500/12
+        assert _rows(out["wa"])[0]["wa"] == pytest.approx(500 / 12)
+
+    def test_top_metrics(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "tm": {"top_metrics": {"metrics": {"field": "doc_id"},
+                                   "sort": {"n": "desc"}}},
+            "tma": {"top_metrics": {"metrics": {"field": "doc_id"},
+                                    "sort": {"n": "asc"}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        assert _rows(out["tm"])[0]["tm"] == 6     # n=60 is the max
+        assert _rows(out["tma"])[0]["tma"] == 1   # n=10 is the min
+
+    def test_derivative_and_cumulative_sum(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "h": {"histogram": {"field": "n", "interval": 20},
+                  "aggs": {"d": {"derivative": {"buckets_path": "doc_count"}},
+                           "c": {"cumulative_sum":
+                                 {"buckets_path": "doc_count"}}}},
+        }, query=None, doc_values=docvals, doc_values_id="doc_id")
+        rows = _rows(out["h"])
+        # buckets 0:{10}, 20:{20,30}, 40:{40,50}, 60:{60}
+        assert [r["doc_count"] for r in rows] == [1, 2, 2, 1]
+        assert [r["d"] for r in rows] == [None, 1, 0, -1]
+        assert [r["c"] for r in rows] == [1, 3, 5, 6]
+
+    def test_derivative_requires_histogram(self, idx, docvals):
+        with pytest.raises(ValueError, match="histogram parent"):
+            aggs.aggregate(idx, {
+                "t": {"terms": {"field": "lang"},
+                      "aggs": {"d": {"derivative":
+                                     {"buckets_path": "doc_count"}}}},
+            }, query=None, doc_values=docvals, doc_values_id="doc_id")
+
+    def test_bucket_selector_and_sort(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "langs": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {
+                          "avg_n": {"avg": {"field": "n"}},
+                          "sel": {"bucket_selector": {
+                              "buckets_path": {"c": "_count"},
+                              "script": "c >= 1"}},
+                          "srt": {"bucket_sort": {
+                              "sort": [{"avg_n": "desc"}], "size": 2}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        rows = _rows(out["langs"])
+        # avg_n: en=15, de=30, fr=60 -> top2 desc = fr, de
+        assert [r["key"] for r in rows] == ["fr", "de"]
+
+    def test_bucket_selector_filters(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "langs": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {"sel": {"bucket_selector": {
+                          "buckets_path": {"c": "_count"},
+                          "script": "c > 1"}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        assert [r["key"] for r in _rows(out["langs"])] == ["en"]

@@ -1,0 +1,265 @@
+"""Doc-values scoring queries (query/feature.py), terms_set, match_bool_prefix
+and simple_query_string.
+
+Reference anchor: rank_features is the field type the reference's
+neural-sparse path requires (main/query/NeuralSparseQueryBuilder.java:604-608);
+rank_feature is Lucene's query over it. The rest round out the request
+surface a reference user drives through hybrid sub-queries.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query.boolean import terms_set_search
+from neural_search_spark.query.feature import (
+    PIN_BASE,
+    distance_feature_search,
+    ids_search,
+    pinned_search,
+    rank_feature_search,
+)
+from neural_search_spark.query.phrase import match_bool_prefix_search
+from neural_search_spark.query.qstring import (
+    parse_simple_query_string,
+    simple_query_string_search,
+)
+
+# doc_id, text, pagerank, ts_num
+DOCS = [
+    (1, "alpha beta gamma", 2.0, 100.0),
+    (2, "alpha beta", 8.0, 200.0),
+    (3, "alpha delta", 0.5, 300.0),
+    (4, "beta delta epsilon", 32.0, 400.0),
+    (5, "zeta eta theta", 1.0, 500.0),
+    (6, "alpha alpha beta iota", None, 600.0),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        [(d[0], d[1]) for d in DOCS], "doc_id long, text string")
+    return build_index(
+        spark, df, str(tmp_path_factory.mktemp("featidx") / "idx"),
+        text_col="text", id_col="doc_id", bucket_bits=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def docvals(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id long, text string, pagerank double, ts_num double")
+
+
+def _pairs(df):
+    return [(r["docID"], r["score"]) for r in df.collect()]
+
+
+class TestRankFeature:
+    def test_saturation_explicit_pivot(self, idx, docvals):
+        got = _pairs(rank_feature_search(
+            idx, "pagerank", pivot=2.0, k=10,
+            doc_values=docvals, doc_values_id="doc_id"))
+        want = sorted(
+            [(d[0], d[2] / (d[2] + 2.0)) for d in DOCS if d[2]],
+            key=lambda x: (-x[1], x[0]))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1])
+
+    def test_saturation_default_pivot_geomean(self, idx, docvals):
+        vals = [d[2] for d in DOCS if d[2]]
+        gm = math.exp(sum(math.log(v) for v in vals) / len(vals))
+        got = _pairs(rank_feature_search(
+            idx, "pagerank", k=1, doc_values=docvals, doc_values_id="doc_id"))
+        assert got[0][0] == 4
+        assert got[0][1] == pytest.approx(32.0 / (32.0 + gm))
+
+    def test_log_and_sigmoid_and_linear(self, idx, docvals):
+        lg = _pairs(rank_feature_search(
+            idx, "pagerank", function="log", scaling_factor=1.0, k=1,
+            doc_values=docvals, doc_values_id="doc_id"))
+        assert lg[0] == (4, pytest.approx(math.log(33.0)))
+        sg = _pairs(rank_feature_search(
+            idx, "pagerank", function="sigmoid", pivot=8.0, exponent=2.0,
+            k=1, doc_values=docvals, doc_values_id="doc_id"))
+        assert sg[0] == (4, pytest.approx(32.0**2 / (32.0**2 + 8.0**2)))
+        ln = _pairs(rank_feature_search(
+            idx, "pagerank", function="linear", boost=3.0, k=1,
+            doc_values=docvals, doc_values_id="doc_id"))
+        assert ln[0] == (4, pytest.approx(96.0))
+
+    def test_null_feature_never_matches(self, idx, docvals):
+        got = [g[0] for g in _pairs(rank_feature_search(
+            idx, "pagerank", pivot=1.0, k=10,
+            doc_values=docvals, doc_values_id="doc_id"))]
+        assert 6 not in got
+
+    def test_validation(self, idx, docvals):
+        with pytest.raises(ValueError, match="scaling_factor"):
+            rank_feature_search(idx, "pagerank", function="log",
+                                doc_values=docvals, doc_values_id="doc_id")
+        with pytest.raises(ValueError, match="unknown rank_feature"):
+            rank_feature_search(idx, "pagerank", function="nope",
+                                doc_values=docvals, doc_values_id="doc_id")
+
+
+class TestDistanceFeature:
+    def test_proximity_order(self, idx, docvals):
+        got = _pairs(distance_feature_search(
+            idx, "ts_num", origin=350.0, pivot=100.0, k=3,
+            doc_values=docvals, doc_values_id="doc_id"))
+        # |v-350|: d3=50, d4=50, d2=150 -> ties break docID asc
+        assert [g[0] for g in got] == [3, 4, 2]
+        assert got[0][1] == pytest.approx(100.0 / 150.0)
+
+    def test_pivot_validation(self, idx, docvals):
+        with pytest.raises(ValueError, match="pivot"):
+            distance_feature_search(idx, "ts_num", origin=0.0, pivot=0.0,
+                                    doc_values=docvals, doc_values_id="doc_id")
+
+
+class TestIdsPinned:
+    def test_ids_membership(self, idx, docvals):
+        got = _pairs(ids_search(idx, [4, 2, 99], boost=2.0,
+                                doc_values=docvals, doc_values_id="doc_id"))
+        assert got == [(2, 2.0), (4, 2.0)]  # 99 absent; docID asc
+
+    def test_pinned_order_then_organic(self, idx):
+        got = _pairs(pinned_search(idx, [5, 3], ["alpha"], k=5))
+        # pinned first, in the given order, above all organic
+        assert [g[0] for g in got][:2] == [5, 3]
+        assert got[0][1] == pytest.approx(PIN_BASE)
+        assert got[1][1] == pytest.approx(PIN_BASE - 1)
+        organic = [g[0] for g in got][2:]
+        # organic = alpha matches minus pinned ids (3 was pinned)
+        assert set(organic) <= {1, 2, 6} and len(organic) == 3
+
+    def test_pinned_missing_id_skipped(self, idx):
+        got = _pairs(pinned_search(idx, [77], ["alpha"], k=3))
+        assert all(g[1] < PIN_BASE / 2 for g in got)  # no pinned row
+
+
+class TestTermsSet:
+    def test_per_doc_required_count(self, idx, spark):
+        req = spark.createDataFrame(
+            [(1, 2), (2, 2), (3, 1), (4, 3), (5, 1), (6, 2)],
+            "doc_id long, required int")
+        got = {g[0] for g in _pairs(terms_set_search(
+            idx, ["alpha", "beta", "delta"], "required",
+            doc_values=req, doc_values_id="doc_id", k=10))}
+        # matched counts: d1{a,b}=2, d2{a,b}=2, d3{a,d}=2, d4{b,d}=2,
+        # d5=0, d6{a,b}=2 ; required: 2,2,1,3,1,2
+        assert got == {1, 2, 3, 6}
+
+    def test_required_above_terms_never_matches(self, idx, spark):
+        req = spark.createDataFrame([(1, 99)], "doc_id long, required int")
+        assert _pairs(terms_set_search(
+            idx, ["alpha", "beta"], "required",
+            doc_values=req, doc_values_id="doc_id")) == []
+
+    def test_zero_required_still_needs_one_hit(self, idx, spark):
+        req = spark.createDataFrame(
+            [(5, 0), (1, 0)], "doc_id long, required int")
+        got = {g[0] for g in _pairs(terms_set_search(
+            idx, ["alpha"], "required",
+            doc_values=req, doc_values_id="doc_id"))}
+        assert got == {1}  # d5 has no query term: unvisited, no match
+
+    def test_score_is_bm25_sum_of_matched(self, idx, spark):
+        from neural_search_spark.query import wand
+
+        req = spark.createDataFrame(
+            [(d[0], 1) for d in DOCS], "doc_id long, required int")
+        ts = dict(_pairs(terms_set_search(
+            idx, ["alpha", "delta"], "required",
+            doc_values=req, doc_values_id="doc_id", k=10)))
+        ref = dict(_pairs(wand.search(idx, ["alpha", "delta"], k=10)))
+        assert ts == ref
+
+
+class TestMatchBoolPrefix:
+    def test_last_term_expands(self, idx):
+        # "beta ga" -> beta OR gamma; doc1 matches both, doc5 neither
+        got = {g[0] for g in _pairs(
+            match_bool_prefix_search(idx, "beta ga", k=10))}
+        assert got == {1, 2, 4, 6}
+        assert 5 not in got
+
+    def test_equals_wand_over_expansion(self, idx):
+        from neural_search_spark.query import wand
+
+        a = _pairs(match_bool_prefix_search(idx, "beta ga", k=10))
+        b = _pairs(wand.search(idx, ["beta", "gamma"], k=10))
+        assert a == b
+
+    def test_single_token_is_pure_prefix(self, idx):
+        got = {g[0] for g in _pairs(
+            match_bool_prefix_search(idx, "alp", k=10))}
+        assert got == {1, 2, 3, 6}
+
+
+class TestSimpleQueryString:
+    def test_parser_precedence(self):
+        n = parse_simple_query_string("a b | c")
+        # default or: ((a OR b) OR c) -- flat ORs
+        assert n.op == "or"
+        n2 = parse_simple_query_string("a + b | c")
+        # AND binds tighter: (a AND b) OR c
+        assert n2.op == "or" and n2.children[0].op == "and"
+
+    def test_pure_negative_raises(self):
+        with pytest.raises(ValueError, match="positive"):
+            parse_simple_query_string("-foo -bar")
+
+    def test_and_or_not(self, idx):
+        got = {g[0] for g in _pairs(simple_query_string_search(
+            idx, None, "alpha + beta + -gamma", k=10))}
+        # alpha AND beta: {1,2,6}; AND NOT gamma ({1}) -> {2,6}
+        assert got == {2, 6}
+
+    def test_negative_under_default_or_widens(self, idx):
+        # whitespace = OR, so "-gamma" is an OR'd branch: a doc matching
+        # alpha AND beta qualifies even when it contains gamma
+        got = {g[0] for g in _pairs(simple_query_string_search(
+            idx, None, "alpha + beta -gamma", k=10))}
+        assert 1 in got
+
+    def test_group_negation(self, idx):
+        got = {g[0] for g in _pairs(simple_query_string_search(
+            idx, None, "beta + -(delta epsilon)", k=10,
+            default_operator="or"))}
+        # beta: {1,2,4,6}; AND NOT(delta OR epsilon) removes 4
+        assert got == {1, 2, 6}
+
+    def test_prefix_leaf(self, idx):
+        got = {g[0] for g in _pairs(simple_query_string_search(
+            idx, None, "iot* | zeta", k=10))}
+        assert got == {5, 6}
+
+    def test_phrase_leaf_with_slop(self, idx, spark):
+        corpus = spark.createDataFrame(
+            [(d[0], d[1]) for d in DOCS], "doc_id long, text string")
+        got = {g[0] for g in _pairs(simple_query_string_search(
+            idx, corpus, '"alpha delta"', k=10))}
+        assert got == {3}
+        got2 = {g[0] for g in _pairs(simple_query_string_search(
+            idx, corpus, '"alpha gamma"~1', k=10))}
+        assert got2 == {1}  # one-gap slop reaches across beta
+
+    def test_score_sums_positive_leaves(self, idx):
+        from neural_search_spark.query import wand
+
+        a = dict(_pairs(simple_query_string_search(
+            idx, None, "alpha | beta", k=10)))
+        b = dict(_pairs(wand.search(idx, ["alpha", "beta"], k=10)))
+        for d, s in b.items():
+            assert a[d] == pytest.approx(s)
+
+    def test_default_operator_and(self, idx):
+        got = {g[0] for g in _pairs(simple_query_string_search(
+            idx, None, "alpha delta", k=10, default_operator="and"))}
+        assert got == {3}
