@@ -3861,6 +3861,393 @@ BOOL_MSM_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-3 session-4: doc-values scoring queries (rank_feature family),
+# terms_set / match_bool_prefix / simple_query_string, and the new agg kinds
+# (date_histogram + parent pipelines, rare/multi_terms, missing,
+# percentile_ranks / weighted_avg / top_metrics, bucket_selector/sort)
+# ---------------------------------------------------------------------------
+
+RF_PIVOT = 300.0
+DFQ_ORIGIN, DFQ_PIVOT = 300.0, 50.0
+IDS_LIST = [5, 6, 7, 9999]
+PIN_IDS = [7, 3]
+TS_TERMS = ["data", "query", "join"]
+TS_REQ = "doc_id % 2 + 1"
+MBP_PREFIX_Q = "data s"      # 's' expands to scan/slow/small/sort/spark/stream
+SQS_QUERY = "data + query + -hash | merge"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_rank_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature saturation query over a numeric doc-values feature
+    (Lucene FeatureField.newSaturationQuery; the standard query over the
+    rank_features field type the reference's neural-sparse path requires —
+    main/query/NeuralSparseQueryBuilder.java:604-608)."""
+    from neural_search_spark.query.feature import rank_feature_search
+
+    idx = _get_index(spark, sf_dir)
+    res = rank_feature_search(
+        idx, "n_chars", pivot=RF_PIVOT, k=10,
+        doc_values=_docs(spark, sf_dir), doc_values_id="doc_id")
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+RANK_FEATURE_SQL = f"""
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT doc_id, n_chars / (n_chars + {RF_PIVOT!r}) AS s
+      FROM documents WHERE n_chars > 0
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_distance_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_feature query: rank by proximity to an origin on a numeric
+    doc-values axis (score = pivot / (pivot + |v − origin|))."""
+    from neural_search_spark.query.feature import distance_feature_search
+
+    idx = _get_index(spark, sf_dir)
+    res = distance_feature_search(
+        idx, "n_chars", origin=DFQ_ORIGIN, pivot=DFQ_PIVOT, k=10,
+        doc_values=_docs(spark, sf_dir), doc_values_id="doc_id")
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+DISTANCE_FEATURE_SQL = f"""
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT doc_id,
+             {DFQ_PIVOT!r} / ({DFQ_PIVOT!r} + abs(n_chars - {DFQ_ORIGIN!r})) AS s
+      FROM documents WHERE n_chars IS NOT NULL
+      ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_ids_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ids query: constant-score membership in an explicit id list; absent
+    ids are silently skipped (Lucene TermInSetQuery on _id)."""
+    from neural_search_spark.query.feature import ids_search
+
+    idx = _get_index(spark, sf_dir)
+    res = ids_search(idx, IDS_LIST, boost=2.0,
+                     doc_values=_docs(spark, sf_dir), doc_values_id="doc_id")
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+IDS_SQL = f"""
+    SELECT doc_id, CAST(2.0 AS DOUBLE) AS score FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in IDS_LIST)})
+    ORDER BY doc_id ASC
+"""
+
+
+def q_pinned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pinned query: listed ids first in the given order (scores
+    PIN_BASE − position), organic BM25 hits fill the rest."""
+    from neural_search_spark.query.feature import pinned_search
+
+    idx = _get_index(spark, sf_dir)
+    res = pinned_search(idx, PIN_IDS, AGG_QUERY, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+PINNED_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, AGG_QUERY)},
+         pin(doc_id, s) AS (VALUES {", ".join(
+             f"({d}, CAST(1e9 - {i} AS DOUBLE))"
+             for i, d in enumerate(PIN_IDS))}),
+         u AS (
+           SELECT p.doc_id, p.s FROM pin p
+           WHERE p.doc_id IN (SELECT doc_id FROM documents)
+           UNION ALL
+           SELECT doc_id, s FROM c0
+           WHERE doc_id NOT IN ({", ".join(str(d) for d in PIN_IDS)})
+         )
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT * FROM u ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_terms_set_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms_set query (Lucene CoveringQuery): per-doc required match
+    count read from a doc-values expression; score = BM25 sum of the
+    matching terms."""
+    from neural_search_spark.query.boolean import terms_set_search
+
+    idx = _get_index(spark, sf_dir)
+    res = terms_set_search(
+        idx, TS_TERMS, TS_REQ, k=10,
+        doc_values=_docs(spark, sf_dir), doc_values_id="doc_id")
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+TERMS_SET_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, TS_TERMS)},
+         hit AS (SELECT doc_id, count(DISTINCT term) AS h FROM tf
+                 WHERE term IN ({", ".join(f"'{t}'" for t in TS_TERMS)})
+                 GROUP BY doc_id),
+         gate AS (SELECT h.doc_id FROM hit h JOIN documents d USING (doc_id)
+                  WHERE ({TS_REQ}) <= {len(TS_TERMS)}
+                    AND h.h >= greatest(({TS_REQ}), 1))
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT c0.doc_id, c0.s FROM c0 JOIN gate USING (doc_id)
+      ORDER BY c0.s DESC, c0.doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_match_bool_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_bool_prefix: bool-should over the full terms plus the last
+    token's dictionary expansions (scoring_boolean rewrite, df-desc cap)."""
+    from neural_search_spark.query.phrase import match_bool_prefix_search
+
+    idx = _get_index(spark, sf_dir)
+    res = match_bool_prefix_search(idx, MBP_PREFIX_Q, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+MATCH_BOOL_PREFIX_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         exp AS (SELECT term FROM (
+             SELECT term, count(*) AS df FROM tf WHERE term LIKE 's%'
+             GROUP BY term ORDER BY df DESC, term ASC LIMIT 50)),
+         q AS (SELECT term FROM exp UNION SELECT 'data'),
+         d0 AS (SELECT term, count(*) AS df FROM tf
+                WHERE term IN (SELECT term FROM q) GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id,
+                  sum( ln(1 + (st.n_docs - d0.df + 0.5) / (d0.df + 0.5))
+                       * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+           FROM tf JOIN d0 USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+           GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT * FROM sc ORDER BY s DESC, doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_simple_query_string_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string: infix mini-language ((data AND query AND NOT
+    hash) OR merge) evaluated as one clause-hit aggregation + a Catalyst
+    boolean expression; score = Σ matched positive leaves."""
+    from neural_search_spark.query.qstring import simple_query_string_search
+
+    idx = _get_index(spark, sf_dir)
+    res = simple_query_string_search(idx, None, SQS_QUERY, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+SIMPLE_QSTRING_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         flags AS (SELECT doc_id,
+                          max(term = 'data') AS fd, max(term = 'query') AS fq,
+                          max(term = 'hash') AS fh, max(term = 'merge') AS fm
+                   FROM tf WHERE term IN ('data', 'query', 'hash', 'merge')
+                   GROUP BY doc_id),
+         d0 AS (SELECT term, count(*) AS df FROM tf
+                WHERE term IN ('data', 'query', 'merge') GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id,
+                  sum( ln(1 + (st.n_docs - d0.df + 0.5) / (d0.df + 0.5))
+                       * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / st.avgdl)) ) AS s
+           FROM tf JOIN d0 USING (term)
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st
+           WHERE tf.term IN ('data', 'query', 'merge')
+           GROUP BY tf.doc_id)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT sc.doc_id, sc.s FROM sc JOIN flags USING (doc_id)
+      WHERE (fd AND fq AND NOT fh) OR fm
+      ORDER BY sc.s DESC, sc.doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram (calendar day) over the events table with a metric
+    sub-agg plus the two parent pipelines (derivative over the metric,
+    cumulative_sum over doc_count)."""
+    from neural_search_spark.query import aggs
+
+    idx = _get_index(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+              "aggs": {"v": {"sum": {"field": "value"}},
+                       "dv": {"derivative": {"buckets_path": "v"}},
+                       "cum": {"cumulative_sum":
+                               {"buckets_path": "doc_count"}}}},
+    }, query=None, doc_values=_events(spark, sf_dir),
+        doc_values_id="event_id")
+    return out["d"].select(
+        "key", "doc_count", F.round("v", 4).alias("v"),
+        F.round("dv", 4).alias("dv"), "cum")
+
+
+AGG_DATE_HISTOGRAM_SQL = """
+    WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key,
+                      count(*) AS doc_count, sum(value) AS v
+               FROM events GROUP BY 1)
+    SELECT key, doc_count, round(v, 4) AS v,
+           round(v - lag(v) OVER (ORDER BY key), 4) AS dv,
+           sum(doc_count) OVER (ORDER BY key
+                                ROWS UNBOUNDED PRECEDING) AS cum
+    FROM b ORDER BY key ASC
+"""
+
+
+def q_agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rare_terms bucket: long-tail keys at or under max_doc_count,
+    rarest first."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "rare": {"rare_terms": {"field": "source", "max_doc_count": 22}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["rare"]
+
+
+AGG_RARE_TERMS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT source AS key, count(*) AS doc_count
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY source HAVING count(*) <= 22
+    ORDER BY doc_count ASC, key ASC
+"""
+
+
+def q_agg_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_terms bucket: composite (lang, source) keys, top-10 by
+    doc_count (key-asc tie-breaks both sides of the cut)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "lt": {"multi_terms": {"terms": [{"field": "lang"},
+                                         {"field": "source"}],
+                               "size": 10}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["lt"]
+
+
+AGG_MULTI_TERMS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang AS key, source AS key1, count(*) AS doc_count
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang, source
+    ORDER BY doc_count DESC, key ASC, key1 ASC LIMIT 10
+"""
+
+
+def q_agg_missing_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """missing bucket: docs whose (expression) field is NULL within the
+    matched set."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "miss": {"missing": {"field": "nullif(lang, 'en')"}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["miss"]
+
+
+AGG_MISSING_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT count(*) AS doc_count FROM documents JOIN m USING (doc_id)
+    WHERE nullif(lang, 'en') IS NULL
+"""
+
+
+def q_agg_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_ranks metric: exact CDF at the given values (the
+    reference's TDigest approximation made exact for oracle parity)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "pr": {"percentile_ranks": {"field": "n_chars",
+                                    "values": [300, 1000]}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["pr"].select(
+        F.round("pr_rank_300", 4).alias("pr_rank_300"),
+        F.round("pr_rank_1000", 4).alias("pr_rank_1000"))
+
+
+AGG_PERCENTILE_RANKS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT round(100.0 * avg(CASE WHEN n_chars <= 300 THEN 1.0
+                                  WHEN n_chars IS NOT NULL THEN 0.0 END), 4)
+             AS pr_rank_300,
+           round(100.0 * avg(CASE WHEN n_chars <= 1000 THEN 1.0
+                                  WHEN n_chars IS NOT NULL THEN 0.0 END), 4)
+             AS pr_rank_1000
+    FROM documents JOIN m USING (doc_id)
+"""
+
+
+def q_agg_weighted_topmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """weighted_avg + top_metrics in one shared .agg() pass (single-row
+    sibling frames cross-joined for the contract output)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                "weight": {"field": "doc_id % 5 + 1"}}},
+        "tm": {"top_metrics": {"metrics": {"field": "docID"},
+                               "sort": {"n_chars": "desc"}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return (out["wa"].select(F.round("wa", 4).alias("wa"))
+            .crossJoin(out["tm"].select(F.col("tm").alias("top_doc"))))
+
+
+AGG_WEIGHTED_TOPMETRICS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    md AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
+    SELECT round(sum(n_chars * (doc_id % 5 + 1))
+                 / sum(doc_id % 5 + 1), 4) AS wa,
+           (SELECT doc_id FROM md
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 1) AS top_doc
+    FROM md
+"""
+
+
+def q_agg_bucket_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms bucket + bucket_selector (SQL-script filter over bucket
+    metrics) + bucket_sort (re-rank and page the buckets)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {
+                      "avg_chars": {"avg": {"field": "n_chars"}},
+                      "sel": {"bucket_selector": {
+                          "buckets_path": {"c": "_count"},
+                          "script": "c > 65"}},
+                      "srt": {"bucket_sort": {
+                          "sort": [{"avg_chars": "desc"}], "size": 3}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["langs"].select(
+        "key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"))
+
+
+AGG_BUCKET_PIPELINE_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang HAVING count(*) > 65
+    ORDER BY avg(n_chars) DESC, key ASC LIMIT 3
+"""
+
+
 SPARK_QUERIES_EXT = {
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
@@ -3972,6 +4359,20 @@ SPARK_QUERIES_EXT = {
     "wand_explain": q_wand_explain,
     "phrase_slop_topk": q_phrase_slop_topk,
     "agg_significant_index": q_agg_significant_index,
+    "rank_feature_topk": q_rank_feature_topk,
+    "distance_feature_topk": q_distance_feature_topk,
+    "ids_lookup": q_ids_lookup,
+    "pinned_topk": q_pinned_topk,
+    "terms_set_topk": q_terms_set_topk,
+    "match_bool_prefix_topk": q_match_bool_prefix_topk,
+    "simple_query_string_topk": q_simple_query_string_topk,
+    "agg_date_histogram": q_agg_date_histogram,
+    "agg_rare_terms": q_agg_rare_terms,
+    "agg_multi_terms": q_agg_multi_terms,
+    "agg_missing_en": q_agg_missing_en,
+    "agg_percentile_ranks": q_agg_percentile_ranks,
+    "agg_weighted_topmetrics": q_agg_weighted_topmetrics,
+    "agg_bucket_pipeline": q_agg_bucket_pipeline,
 }
 
 ORACLE_SQL_EXT = {
@@ -4099,4 +4500,18 @@ ORACLE_SQL_EXT = {
     "wand_explain": _wand_explain_sql(WAND_TERMS_MULTI, 10),
     "phrase_slop_topk": PHRASE_SLOP_SQL,
     "agg_significant_index": AGG_SIG_TEXT_SQL,
+    "rank_feature_topk": RANK_FEATURE_SQL,
+    "distance_feature_topk": DISTANCE_FEATURE_SQL,
+    "ids_lookup": IDS_SQL,
+    "pinned_topk": PINNED_SQL,
+    "terms_set_topk": TERMS_SET_SQL,
+    "match_bool_prefix_topk": MATCH_BOOL_PREFIX_SQL,
+    "simple_query_string_topk": SIMPLE_QSTRING_SQL,
+    "agg_date_histogram": AGG_DATE_HISTOGRAM_SQL,
+    "agg_rare_terms": AGG_RARE_TERMS_SQL,
+    "agg_multi_terms": AGG_MULTI_TERMS_SQL,
+    "agg_missing_en": AGG_MISSING_SQL,
+    "agg_percentile_ranks": AGG_PERCENTILE_RANKS_SQL,
+    "agg_weighted_topmetrics": AGG_WEIGHTED_TOPMETRICS_SQL,
+    "agg_bucket_pipeline": AGG_BUCKET_PIPELINE_SQL,
 }

@@ -140,7 +140,8 @@ def _parse_subquery(q: dict) -> dict:
             sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
         return sub
     if kind in ("dis_max", "multi_match", "boosting", "constant_score",
-                "query_string", "function_score"):
+                "query_string", "function_score", "rank_feature",
+                "distance_feature", "ids", "pinned", "simple_query_string"):
         # Lucene compound queries (query/dismax.py): the body is the spec
         # itself, not {field: spec}. Resolved to pre-scored frames in
         # _resolve_frame (they need the index), so each works both as the
@@ -242,6 +243,23 @@ def _parse_subquery(q: dict) -> dict:
                        "k": spec.get("k"),
                        "max_distance": spec.get("max_distance"),
                        "min_score": spec.get("min_score")}, "field": _field}
+    elif kind == "terms_set":
+        # CoveringQuery: per-doc required count from a doc-values column
+        if not isinstance(spec, dict) or not spec.get("terms"):
+            raise ValueError("terms_set needs a terms list")
+        msm_f = spec.get("minimum_should_match_field")
+        if not msm_f:
+            raise ValueError("terms_set needs minimum_should_match_field")
+        sub = {"terms_set": {"terms": list(spec["terms"]),
+                             "minimum_should_match_field": str(msm_f)},
+               "field": _field}
+    elif kind == "match_bool_prefix":
+        text = spec["query"] if isinstance(spec, dict) else spec
+        sub = {"match_bool_prefix": {
+            "query": str(text),
+            "max_expansions": int(spec.get("max_expansions", 50))
+            if isinstance(spec, dict) else 50,
+        }, "field": _field}
     else:
         raise ValueError(f"unsupported sub-query type: {kind}")
     if q.get("filter") is not None:
@@ -559,6 +577,99 @@ def search_request(
                 index, b["query"], list(b.get("fields", [])), k=fetch_k,
                 type=b.get("type", "best_fields"),
                 tie_breaker=float(b.get("tie_breaker", 0.0)), **kw)
+            return {"frame": fr}
+        if ("rank_feature" in s or "distance_feature" in s or "ids" in s
+                or "pinned" in s):
+            from neural_search_spark.query import feature as ft
+
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            if doc_values is not None:
+                kw["doc_values"] = doc_values
+                kw["doc_values_id"] = doc_values_id
+            if "rank_feature" in s:
+                b = dict(s["rank_feature"])
+                fname = b.pop("field", None)
+                if fname is None:
+                    raise ValueError("rank_feature needs a field")
+                fns = [f for f in ("saturation", "log", "sigmoid", "linear")
+                       if f in b]
+                if len(fns) > 1:
+                    raise ValueError("rank_feature takes one function")
+                fn = fns[0] if fns else "saturation"
+                params = b.get(fn) or {}
+                fr = ft.rank_feature_search(
+                    base_index, fname, k=fetch_k, function=fn,
+                    pivot=params.get("pivot"),
+                    scaling_factor=params.get("scaling_factor"),
+                    exponent=params.get("exponent"),
+                    boost=float(b.get("boost", 1.0)), **kw)
+            elif "distance_feature" in s:
+                b = s["distance_feature"]
+                fr = ft.distance_feature_search(
+                    base_index, b["field"], origin=float(b["origin"]),
+                    pivot=float(b["pivot"]), k=fetch_k,
+                    boost=float(b.get("boost", 1.0)), **kw)
+            elif "ids" in s:
+                b = s["ids"]
+                kw.pop("where", None)  # ids is a pure membership filter
+                fr = ft.ids_search(base_index, list(b.get("values", [])),
+                                   k=fetch_k,
+                                   boost=float(b.get("boost", 1.0)), **kw)
+            else:
+                b = s["pinned"]
+                organic = b.get("organic")
+                if isinstance(organic, dict) and len(organic) == 1 \
+                        and "match" in organic:
+                    (_f, organic), = organic["match"].items()
+                if not isinstance(organic, (str, list)):
+                    raise ValueError("pinned needs a match-style organic "
+                                     "query")
+                kw.pop("doc_values", None)
+                kw.pop("doc_values_id", None)
+                fr = ft.pinned_search(base_index, list(b.get("ids", [])),
+                                      organic, k=fetch_k, **kw)
+            return {"frame": fr}
+        if "terms_set" in s:
+            from neural_search_spark.query.boolean import terms_set_search
+
+            b = s["terms_set"]
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            if doc_values is not None:
+                kw["doc_values"] = doc_values
+                kw["doc_values_id"] = doc_values_id
+            fr = terms_set_search(
+                base_index, b["terms"], b["minimum_should_match_field"],
+                k=fetch_k, **kw)
+            return {"frame": fr}
+        if "match_bool_prefix" in s:
+            from neural_search_spark.query.phrase import (
+                match_bool_prefix_search,
+            )
+
+            b = s["match_bool_prefix"]
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = match_bool_prefix_search(
+                base_index, b["query"], k=fetch_k,
+                max_expansions=b["max_expansions"], **kw)
+            return {"frame": fr}
+        if "simple_query_string" in s:
+            from neural_search_spark.query.qstring import (
+                simple_query_string_search,
+            )
+
+            b = s["simple_query_string"]
+            corpus = None
+            if doc_values is not None:
+                idc = doc_values_id or base_index.id_col
+                corpus = (doc_values if idc == base_index.id_col
+                          else doc_values.withColumnRenamed(
+                              idc, base_index.id_col))
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = simple_query_string_search(
+                base_index, corpus, b["query"], k=fetch_k,
+                default_operator=b.get("default_operator", "or"),
+                max_expansions=int(b.get("max_expansions", 50)),
+                text_col=b.get("text_col", "text"), **kw)
             return {"frame": fr}
         if "seismic" in s:
             if seismic_index is None:

@@ -809,3 +809,101 @@ def test_term_range_exists_queries(idx, docvals, spark):
         "query": {"exists": {"maybe": {}}}, "size": 10,
     }, doc_values=dv2, doc_values_id="doc_id")
     assert _pairs(got_e["hits"]) == [(1, 1.0), (2, 1.0)]
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-4 kinds: rank_feature / distance_feature / ids / pinned /
+# terms_set / match_bool_prefix / simple_query_string
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def numvals(spark):
+    return spark.createDataFrame(
+        [(1, 2.0, 2), (2, 8.0, 2), (3, 0.5, 1), (4, 32.0, 3),
+         (5, 1.0, 1), (6, None, 2)],
+        "doc_id long, pr double, req int")
+
+
+def test_rank_feature_request(idx, numvals):
+    from neural_search_spark.query.feature import rank_feature_search
+
+    got = request.search_request(idx, {
+        "query": {"rank_feature": {"field": "pr",
+                                   "saturation": {"pivot": 2.0},
+                                   "boost": 2.0}},
+        "size": 4,
+    }, doc_values=numvals, doc_values_id="doc_id")
+    want = rank_feature_search(idx, "pr", pivot=2.0, boost=2.0, k=4,
+                               doc_values=numvals, doc_values_id="doc_id")
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_distance_feature_request(idx, numvals):
+    got = request.search_request(idx, {
+        "query": {"distance_feature": {"field": "pr", "origin": 8.0,
+                                       "pivot": 4.0}},
+        "size": 3,
+    }, doc_values=numvals, doc_values_id="doc_id")
+    ids = [p[0] for p in _pairs(got["hits"])]
+    assert ids[0] == 2  # exact hit on the origin
+    assert 6 not in ids  # NULL never matches
+
+
+def test_ids_and_pinned_request(idx, numvals):
+    got = request.search_request(idx, {
+        "query": {"ids": {"values": [4, 2, 99]}},
+    }, doc_values=numvals, doc_values_id="doc_id")
+    assert [p[0] for p in _pairs(got["hits"])] == [2, 4]
+
+    from neural_search_spark.query.feature import PIN_BASE
+
+    got2 = request.search_request(idx, {
+        "query": {"pinned": {"ids": [5, 3],
+                             "organic": {"match": {"text": "alpha"}}}},
+        "size": 5,
+    })
+    pairs = _pairs(got2["hits"])
+    assert [p[0] for p in pairs][:2] == [5, 3]
+    assert pairs[0][1] == pytest.approx(PIN_BASE)
+
+
+def test_terms_set_request(idx, numvals):
+    got = request.search_request(idx, {
+        "query": {"terms_set": {"text": {
+            "terms": ["alpha", "beta", "delta"],
+            "minimum_should_match_field": "req"}}},
+    }, doc_values=numvals, doc_values_id="doc_id")
+    # matched-term counts: d1=2 d2=2 d3=2 d4=2 d5=0 d6=2; req: 2,2,1,3,1,2
+    assert {p[0] for p in _pairs(got["hits"])} == {1, 2, 3, 6}
+
+
+def test_match_bool_prefix_request(idx):
+    got = request.search_request(idx, {
+        "query": {"match_bool_prefix": {"text": "beta ga"}},
+    })
+    want = wand.search(idx, ["beta", "gamma"], k=10)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+
+def test_simple_query_string_request(idx):
+    got = request.search_request(idx, {
+        "query": {"simple_query_string": {
+            "query": "alpha + beta + -gamma"}},
+    })
+    assert {p[0] for p in _pairs(got["hits"])} == {2, 6}
+
+
+def test_hybrid_with_rank_feature_subquery(idx, numvals):
+    got = request.search_request(idx, {
+        "query": {"hybrid": {"queries": [
+            {"match": {"text": "alpha beta"}},
+            {"rank_feature": {"field": "pr",
+                              "saturation": {"pivot": 2.0}}},
+        ]}},
+        "search_pipeline": {"phase_results_processors": [
+            {"normalization-processor": {
+                "normalization": {"technique": "min_max"},
+                "combination": {"technique": "arithmetic_mean"}}}]},
+    }, doc_values=numvals, doc_values_id="doc_id")
+    ids = [p[0] for p in _pairs(got["hits"])]
+    assert len(ids) >= 4 and 4 in ids  # pr=32 doc surfaces via the feature leg
