@@ -4081,6 +4081,51 @@ SIMPLE_QSTRING_SQL = f"""
 """
 
 
+CF_QUERY = ["data", "en"]
+CF_FIELDS = ["text", "lang^2"]
+
+
+def q_combined_fields_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combined_fields query (Lucene CombinedFieldQuery / principled
+    BM25F): weighted tf and length sums across fields, any-field df, one
+    synthetic-field BM25 — over the (text, lang^2) multi-field index."""
+    from neural_search_spark.query.dismax import combined_fields_search
+
+    idx = _get_index_mf(spark, sf_dir)
+    res = combined_fields_search(idx, CF_QUERY, CF_FIELDS, k=10)
+    return res.select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+COMBINED_FIELDS_SQL = f"""
+    WITH tft AS ({_TF_SQL}), dlt AS ({_DL_SQL}),
+         u AS (
+           SELECT doc_id, term, CAST(tf AS DOUBLE) AS wtf FROM tft
+           WHERE term IN ('data', 'en')
+           UNION ALL
+           SELECT doc_id, lower(lang) AS term, 2.0 AS wtf FROM documents
+           WHERE lower(lang) IN ('data', 'en')
+         ),
+         ctf AS (SELECT doc_id, term, sum(wtf) AS tfp FROM u
+                 GROUP BY doc_id, term),
+         cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+         cdl AS (SELECT d.doc_id,
+                        1.0 * coalesce(l.doclen, 0) + 2.0 * 1 AS dlc
+                 FROM documents d LEFT JOIN dlt l USING (doc_id)),
+         stats AS (SELECT count(*) AS n_docs, avg(dlc) AS avgdl FROM cdl)
+    SELECT doc_id, round(s, 4) AS score FROM (
+      SELECT ctf.doc_id,
+             sum( ln(1 + (st.n_docs - cdf.df + 0.5) / (cdf.df + 0.5))
+                  * ctf.tfp
+                  / (ctf.tfp + 1.2 * (0.25 + 0.75 * cdl.dlc / st.avgdl)) ) AS s
+      FROM ctf JOIN cdf USING (term)
+      JOIN cdl ON ctf.doc_id = cdl.doc_id CROSS JOIN stats st
+      GROUP BY ctf.doc_id
+      ORDER BY s DESC, ctf.doc_id ASC LIMIT 10
+    ) ORDER BY score DESC, doc_id ASC
+"""
+
+
 def q_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_histogram (calendar day) over the events table with a metric
     sub-agg plus the two parent pipelines (derivative over the metric,
@@ -4366,6 +4411,7 @@ SPARK_QUERIES_EXT = {
     "terms_set_topk": q_terms_set_topk,
     "match_bool_prefix_topk": q_match_bool_prefix_topk,
     "simple_query_string_topk": q_simple_query_string_topk,
+    "combined_fields_topk": q_combined_fields_topk,
     "agg_date_histogram": q_agg_date_histogram,
     "agg_rare_terms": q_agg_rare_terms,
     "agg_multi_terms": q_agg_multi_terms,
@@ -4507,6 +4553,7 @@ ORACLE_SQL_EXT = {
     "terms_set_topk": TERMS_SET_SQL,
     "match_bool_prefix_topk": MATCH_BOOL_PREFIX_SQL,
     "simple_query_string_topk": SIMPLE_QSTRING_SQL,
+    "combined_fields_topk": COMBINED_FIELDS_SQL,
     "agg_date_histogram": AGG_DATE_HISTOGRAM_SQL,
     "agg_rare_terms": AGG_RARE_TERMS_SQL,
     "agg_multi_terms": AGG_MULTI_TERMS_SQL,

@@ -56,7 +56,7 @@ from neural_search_spark.query.bm25 import bm25_score_col
 
 __all__ = [
     "dis_max_search", "multi_match_search", "boosting_search",
-    "constant_score_search", "clause_scores",
+    "constant_score_search", "combined_fields_search", "clause_scores",
 ]
 
 
@@ -279,3 +279,96 @@ def constant_score_search(
                              "docID", "left_anti")
     return (docs.select("docID", F.lit(float(boost)).alias("score"))
             .orderBy(F.asc("docID")).limit(k))
+
+
+def combined_fields_search(
+    index,
+    query: str | list[str],
+    fields: list[str],
+    k: int = 10,
+    where=None,
+) -> DataFrame:
+    """``combined_fields`` query (Lucene CombinedFieldQuery — principled
+    BM25F): the named fields are treated as ONE synthetic field:
+
+    * tf'(doc, term) = Σ_f weight_f · tf_f(doc, term)
+    * doclen'(doc)   = Σ_f weight_f · len_f(doc)   (absent field → 0)
+    * df'(term)      = #docs containing term in ANY of the fields
+    * score          = Σ_terms idf(df') · tf' / (tf' + k1·(1−b+b·dl'/avgdl'))
+
+    ``fields`` entries may carry ``"name^weight"`` boosts; weights must be
+    ≥ 1 (the ES constraint — BM25F weights act as tf multipliers).
+    Conventions documented as divergences: the query analyzes with the
+    DEFAULT field's analyzer (ES requires one shared analyzer across the
+    fields), and avgdl' averages the combined length over ALL live docs
+    (Lucene merges per-field sumTotalTermFreq; equal when every doc has
+    every field).
+
+    Shape: per-field term-pruned decodes union (narrow) → ONE
+    groupBy(docID, term) weighted-tf shuffle → df' derived from that
+    frame (bucket-small agg) → broadcast stats join → final
+    groupBy(docID) sum → TakeOrderedAndProject. Field count adds pruned
+    scans, never join chains.
+    """
+    if not fields:
+        raise ValueError("combined_fields needs at least one field")
+    parsed = [_parse_field_boost(f) for f in fields]
+    for name, w in parsed:
+        if w < 1.0:
+            raise ValueError(
+                f"combined_fields weight for {name!r} must be >= 1")
+    sub0 = index.field(parsed[0][0])
+    terms = (tokenize_query(query, sub0.analyzer)
+             if isinstance(query, str) else list(query))
+    terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("empty combined_fields query")
+
+    # combined per-doc length from the shared docmap's doclen_<field> cols
+    dl_expr = None
+    for name, w in parsed:
+        col = F.coalesce(F.col(f"doclen_{name}").cast("double"), F.lit(0.0))
+        term_len = col * F.lit(float(w))
+        dl_expr = term_len if dl_expr is None else dl_expr + term_len
+    dv = index.docmap.select(
+        F.col(index.id_col).cast("long").alias("docID"),
+        dl_expr.alias("_dl"))
+    if index.tombstones is not None:
+        dv = dv.join(index.tombstones.select("docID"), "docID", "left_anti")
+    stats = dv.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("_dl").alias("avgdl"))
+
+    parts = []
+    for name, w in parsed:
+        sub = index.field(name)
+        runs = decode_postings(
+            sub.postings.where(F.col("term").isin(terms)))
+        parts.append(runs.select(
+            "docID", "term",
+            (F.col("tf").cast("double") * F.lit(float(w))).alias("_wtf")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    ctf = u.groupBy("docID", "term").agg(F.sum("_wtf").alias("_tfp"))
+    cdf = ctf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    k1, b = float(index.k1), float(index.b)
+    partial = (
+        F.log(F.lit(1.0)
+              + (F.col("n_docs") - F.col("_df") + F.lit(0.5))
+              / (F.col("_df") + F.lit(0.5)))
+        * F.col("_tfp")
+        / (F.col("_tfp")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("_dl") / F.col("avgdl")))
+    )
+    scored = (
+        ctf.join(F.broadcast(cdf), "term")
+        .join(dv, "docID")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("docID").agg(F.sum(partial).alias("score"))
+    )
+    if where is not None:
+        accepted = index.docmap.where(where).select(
+            F.col(index.id_col).cast("long").alias("docID"))
+        scored = scored.join(accepted, "docID", "left_semi")
+    return _topk(scored, k)

@@ -141,7 +141,8 @@ def _parse_subquery(q: dict) -> dict:
         return sub
     if kind in ("dis_max", "multi_match", "boosting", "constant_score",
                 "query_string", "function_score", "rank_feature",
-                "distance_feature", "ids", "pinned", "simple_query_string"):
+                "distance_feature", "ids", "pinned", "simple_query_string",
+                "combined_fields"):
         # Lucene compound queries (query/dismax.py): the body is the spec
         # itself, not {field: spec}. Resolved to pre-scored frames in
         # _resolve_frame (they need the index), so each works both as the
@@ -577,6 +578,18 @@ def search_request(
                 index, b["query"], list(b.get("fields", [])), k=fetch_k,
                 type=b.get("type", "best_fields"),
                 tie_breaker=float(b.get("tie_breaker", 0.0)), **kw)
+            return {"frame": fr}
+        if "combined_fields" in s:
+            from neural_search_spark.query import dismax as dm
+
+            b = s["combined_fields"]
+            if not multi:
+                raise ValueError(
+                    "combined_fields requires a multi-field index")
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = dm.combined_fields_search(
+                index, b["query"], list(b.get("fields", [])), k=fetch_k,
+                **kw)
             return {"frame": fr}
         if ("rank_feature" in s or "distance_feature" in s or "ids" in s
                 or "pinned" in s):

@@ -204,3 +204,64 @@ class TestConstantScore:
     def test_validation(self, idx):
         with pytest.raises(ValueError):
             constant_score_search(idx, None)
+
+
+class TestCombinedFields:
+    """combined_fields (Lucene CombinedFieldQuery, principled BM25F)."""
+
+    @staticmethod
+    def _brute(query, weights):
+        # synthetic-field BM25: weighted tf/len sums, any-field df
+        text = {d[0]: d[1].split() for d in DOCS}
+        lang = {d[0]: [d[2]] for d in DOCS}
+        n = len(DOCS)
+        dl = {d: weights["text"] * len(text[d]) + weights["lang"] * 1
+              for d in text}
+        avgdl = sum(dl.values()) / n
+        out = {}
+        for t in query:
+            df = sum(1 for d in text if t in text[d] or t in lang[d])
+            if df == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for d in text:
+                tfp = (weights["text"] * text[d].count(t)
+                       + weights["lang"] * lang[d].count(t))
+                if tfp == 0:
+                    continue
+                out[d] = out.get(d, 0.0) + idf * tfp / (
+                    tfp + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+        return out
+
+    def test_matches_bruteforce_bm25f(self, mf_idx):
+        from neural_search_spark.query.dismax import combined_fields_search
+
+        got = dict(rows(combined_fields_search(
+            mf_idx, ["spark", "en"], ["text", "lang^2"], k=10)))
+        want = self._brute(["spark", "en"], {"text": 1.0, "lang": 2.0})
+        assert set(got) == set(want)
+        for d, s in want.items():
+            assert got[d] == pytest.approx(s, rel=1e-9)
+
+    def test_lang_only_match_surfaces(self, mf_idx):
+        from neural_search_spark.query.dismax import combined_fields_search
+
+        got = {r[0] for r in rows(combined_fields_search(
+            mf_idx, ["en"], ["text", "lang"], k=10))}
+        assert got == {1, 2, 6}  # matched via the lang field alone
+
+    def test_weight_below_one_rejected(self, mf_idx):
+        from neural_search_spark.query.dismax import combined_fields_search
+
+        with pytest.raises(ValueError, match=">= 1"):
+            combined_fields_search(mf_idx, ["spark"], ["text^0.5"], k=5)
+
+    def test_where_filter(self, mf_idx):
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.query.dismax import combined_fields_search
+
+        got = {r[0] for r in rows(combined_fields_search(
+            mf_idx, ["spark"], ["text", "lang"], k=10,
+            where=F.col("doc_id") <= 3))}
+        assert got == {1, 2, 3}
