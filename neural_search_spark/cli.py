@@ -182,6 +182,68 @@ def cmd_search(spark: SparkSession, args) -> None:
             min_score=body.get("min_score"),
             doc_values=dv,
             doc_values_id=args.id_col if dv is not None else None).collect()
+    elif mode == "simple_query_string":
+        from neural_search_spark.query.qstring import (
+            simple_query_string_search,
+        )
+
+        corpus = spark.read.parquet(args.input) if args.input else None
+        rows = simple_query_string_search(
+            idx, corpus, args.query, k=args.k,
+            default_operator=getattr(args, "default_operator", "or"),
+            max_expansions=args.max_expansions,
+            text_col=args.text_col).collect()
+    elif mode == "match_bool_prefix":
+        from neural_search_spark.query.phrase import match_bool_prefix_search
+
+        rows = match_bool_prefix_search(
+            idx, args.query, k=args.k,
+            max_expansions=args.max_expansions).collect()
+    elif mode in ("terms_set", "rank_feature", "distance_feature",
+                  "ids", "pinned"):
+        body = json.loads(args.query)
+        dv = spark.read.parquet(args.input) if args.input else None
+        dvkw = ({"doc_values": dv, "doc_values_id": args.id_col}
+                if dv is not None else {})
+        if mode == "terms_set":
+            from neural_search_spark.query.boolean import terms_set_search
+
+            rows = terms_set_search(
+                idx, body["terms"], body["minimum_should_match_field"],
+                k=args.k, **dvkw).collect()
+        elif mode == "rank_feature":
+            from neural_search_spark.query.feature import rank_feature_search
+
+            fns = [f for f in ("saturation", "log", "sigmoid", "linear")
+                   if f in body]
+            fn = fns[0] if fns else "saturation"
+            params = body.get(fn) or {}
+            rows = rank_feature_search(
+                idx, body["field"], k=args.k, function=fn,
+                pivot=params.get("pivot"),
+                scaling_factor=params.get("scaling_factor"),
+                exponent=params.get("exponent"),
+                boost=float(body.get("boost", 1.0)), **dvkw).collect()
+        elif mode == "distance_feature":
+            from neural_search_spark.query.feature import (
+                distance_feature_search,
+            )
+
+            rows = distance_feature_search(
+                idx, body["field"], origin=float(body["origin"]),
+                pivot=float(body["pivot"]), k=args.k,
+                boost=float(body.get("boost", 1.0)), **dvkw).collect()
+        elif mode == "ids":
+            from neural_search_spark.query.feature import ids_search
+
+            rows = ids_search(idx, body["values"], k=args.k,
+                              boost=float(body.get("boost", 1.0)),
+                              **dvkw).collect()
+        else:
+            from neural_search_spark.query.feature import pinned_search
+
+            rows = pinned_search(idx, body["ids"], body["organic"],
+                                 k=args.k).collect()
     elif mode == "suggest":
         from neural_search_spark.query.suggest import term_suggest
 
@@ -529,14 +591,20 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["terms", "phrase", "phrase_prefix", "prefix",
                             "fuzzy", "wildcard", "regexp", "mlt", "bool",
                             "dis_max", "boosting", "query_string",
-                            "function_score", "suggest"],
+                            "function_score", "suggest",
+                            "simple_query_string", "match_bool_prefix",
+                            "terms_set", "rank_feature", "distance_feature",
+                            "ids", "pinned"],
                    help="query type: match terms (default), match_phrase, "
                         "match_phrase_prefix, prefix (scoring_boolean), "
                         "fuzzy, wildcard (*/? glob), regexp (anchored), "
                         "mlt (more_like_this; QUERY = seed doc id), "
-                        "bool/dis_max/boosting/function_score (QUERY = "
+                        "bool/dis_max/boosting/function_score/terms_set/"
+                        "rank_feature/distance_feature/ids/pinned (QUERY = "
                         "JSON spec dict), query_string (Lucene classic "
-                        "syntax), suggest (did-you-mean; -k = size)")
+                        "syntax), simple_query_string (infix | + - syntax), "
+                        "match_bool_prefix (type-ahead bool), suggest "
+                        "(did-you-mean; -k = size)")
     s.add_argument("--input", help="source corpus parquet (phrase/mlt/"
                                    "query_string/function_score modes)")
     s.add_argument("--text-col", default="text")

@@ -331,3 +331,53 @@ def test_cli_search_compound_modes(spark, idx_dir, corpus_parquet, capsys):
     out = _json_out(capsys)
     assert out["mode"] == "suggest"
     assert any(s["suggestion"] == "return" for s in out["suggestions"])
+
+
+def test_cli_search_session4_modes(spark, idx_dir, corpus_parquet, capsys):
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="simple_query_string",
+        query="def + return + -uniq_7"))
+    out = _json_out(capsys)
+    assert out["mode"] == "simple_query_string" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="match_bool_prefix", query="def re"))
+    out = _json_out(capsys)
+    assert out["mode"] == "match_bool_prefix" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="rank_feature", input=corpus_parquet,
+        query=json.dumps({"field": "length(content)",
+                          "saturation": {"pivot": 200.0}})))
+    out = _json_out(capsys)
+    assert out["mode"] == "rank_feature" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="distance_feature", input=corpus_parquet,
+        query=json.dumps({"field": "length(content)", "origin": 200,
+                          "pivot": 50})))
+    out = _json_out(capsys)
+    assert out["mode"] == "distance_feature" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="terms_set", input=corpus_parquet,
+        query=json.dumps({"terms": ["def", "return", "import"],
+                          "minimum_should_match_field": "2"})))
+    out = _json_out(capsys)
+    assert out["mode"] == "terms_set" and out["hits"]
+
+    from neural_search_spark.index.build import load_index
+    some_id = load_index(spark, idx_dir).docmap.limit(2).collect()[0][0]
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="ids",
+        query=json.dumps({"values": [int(some_id)]})))
+    out = _json_out(capsys)
+    assert out["mode"] == "ids" and len(out["hits"]) == 1
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="pinned",
+        query=json.dumps({"ids": [int(some_id)],
+                          "organic": "def return"})))
+    out = _json_out(capsys)
+    assert out["mode"] == "pinned"
+    assert out["hits"][0]["docID"] == int(some_id)
