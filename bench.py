@@ -224,6 +224,33 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
             "suggest": lambda: term_suggest(
                 index, "retunr qurey", size=5, suggest_mode="always"),
         })
+
+        # round-3 fourth-session family: doc-values scoring queries,
+        # terms_set, type-ahead bool, simple_query_string
+        from neural_search_spark.query.boolean import terms_set_search
+        from neural_search_spark.query.feature import (
+            distance_feature_search, pinned_search, rank_feature_search,
+        )
+        from neural_search_spark.query.phrase import match_bool_prefix_search
+        from neural_search_spark.query.qstring import (
+            simple_query_string_search,
+        )
+
+        qt_runs.update({
+            "rank_feature": lambda: rank_feature_search(
+                index, "doclen", pivot=100.0, k=10),
+            "distance_feature": lambda: distance_feature_search(
+                index, "doclen", origin=100.0, pivot=20.0, k=10),
+            "pinned": lambda: pinned_search(
+                index, [seed_id], "query token score", k=10),
+            "terms_set": lambda: terms_set_search(
+                index, ["query", "token", "score"], "2", k=10),
+            "match_bool_prefix": lambda: match_bool_prefix_search(
+                index, "def re", k=10),
+            "simple_query_string": lambda: simple_query_string_search(
+                index, corpus, 'def + "def return" + -uniq_17 | re*', k=10,
+                text_col="content"),
+        })
         qt_lat = {}
         for qname, fn in qt_runs.items():
             t0 = time.perf_counter()
