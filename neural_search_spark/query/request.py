@@ -154,6 +154,36 @@ def _parse_subquery(q: dict) -> dict:
             flt = q["filter"]
             sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
         return sub
+    if kind in ("match_all", "match_none"):
+        # constant-score over every live doc / the empty set (Lucene
+        # MatchAllDocsQuery / MatchNoDocsQuery)
+        if not isinstance(body, dict):
+            raise ValueError(f"'{kind}' body must be a dict")
+        if kind == "match_none":
+            return {"match_none": {}}
+        sub = {"constant_score": {"filter": None,
+                                  "boost": float(body.get("boost", 1.0))},
+               "where": F.lit(True)}
+        if q.get("filter") is not None:
+            flt = q["filter"]
+            sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
+        return sub
+    if kind == "terms":
+        # ES terms query: UN-analyzed exact-token membership, filter
+        # context → constant score (Lucene TermInSetQuery wrapped in
+        # ConstantScoreQuery). Body: {field: [v1, v2], "boost"?: b}
+        boost = float(body.pop("boost", 1.0)) if isinstance(body, dict) else 1.0
+        if not isinstance(body, dict) or len(body) != 1:
+            raise ValueError("'terms' body must be {field: [values]}")
+        (_f, values), = body.items()
+        if not isinstance(values, (list, tuple)) or not values:
+            raise ValueError("'terms' needs a non-empty value list")
+        sub = {"constant_score": {"filter": [str(v) for v in values],
+                                  "boost": boost}, "field": _f}
+        if q.get("filter") is not None:
+            flt = q["filter"]
+            sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
+        return sub
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
@@ -453,6 +483,11 @@ def search_request(
 
     def _resolve_frame(s: dict, fetch_k: int) -> dict:
         """seismic / knn / bool markers → pre-scored (docID, score) frames."""
+        if "match_none" in s:
+            fr = base_index.docmap.select(
+                F.col(base_index.id_col).cast("long").alias("docID"),
+                F.lit(0.0).alias("score")).limit(0)
+            return {"frame": fr}
         if "bool" in s:
             from neural_search_spark.query.boolean import bool_search
 

@@ -907,3 +907,24 @@ def test_hybrid_with_rank_feature_subquery(idx, numvals):
     }, doc_values=numvals, doc_values_id="doc_id")
     ids = [p[0] for p in _pairs(got["hits"])]
     assert len(ids) >= 4 and 4 in ids  # pr=32 doc surfaces via the feature leg
+
+
+def test_terms_match_all_match_none(idx):
+    # terms query: exact-token membership, constant score (TermInSetQuery)
+    got = request.search_request(idx, {
+        "query": {"terms": {"text": ["gamma", "epsilon"], "boost": 2.0}},
+    })
+    assert _pairs(got["hits"]) == [(1, 2.0), (4, 2.0)]
+
+    got2 = request.search_request(idx, {"query": {"match_all": {}}, "size": 10})
+    assert [p[0] for p in _pairs(got2["hits"])] == [1, 2, 3, 4, 5, 6]
+    assert all(p[1] == 1.0 for p in _pairs(got2["hits"]))
+
+    got3 = request.search_request(idx, {"query": {"match_none": {}}})
+    assert _pairs(got3["hits"]) == []
+
+    # terms values are NOT analyzed: a camel token matches nothing
+    got4 = request.search_request(idx, {
+        "query": {"terms": {"text": ["Gamma"]}},
+    })
+    assert _pairs(got4["hits"]) == []
