@@ -87,6 +87,33 @@ def main() -> None:
             "suggest": lambda: term_suggest(
                 idx, "retunr qurey", size=5, suggest_mode="always"),
         }
+
+        from neural_search_spark.query.boolean import terms_set_search
+        from neural_search_spark.query.feature import (
+            distance_feature_search, pinned_search, rank_feature_search,
+        )
+        from neural_search_spark.query.phrase import (
+            match_bool_prefix_search,
+        )
+        from neural_search_spark.query.qstring import (
+            simple_query_string_search,
+        )
+
+        runs.update({
+            "rank_feature": lambda: rank_feature_search(
+                idx, "doclen", pivot=100.0, k=10),
+            "distance_feature": lambda: distance_feature_search(
+                idx, "doclen", origin=100.0, pivot=20.0, k=10),
+            "pinned": lambda: pinned_search(
+                idx, [seed_id], "query token score", k=10),
+            "terms_set": lambda: terms_set_search(
+                idx, ["query", "token", "score"], "2", k=10),
+            "match_bool_prefix": lambda: match_bool_prefix_search(
+                idx, "def re", k=10),
+            "simple_query_string": lambda: simple_query_string_search(
+                idx, corpus, 'def + "def return" + -uniq_17 | re*', k=10,
+                text_col="content"),
+        })
         lat = {}
         for name, fn in runs.items():
             fn().collect()  # warm (plan compile + code gen)
