@@ -542,6 +542,13 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
             "(doclen-classed block layout) is required — rebuild with "
             "build_index(..., resume=False)"
         )
+    if fmt > 2:
+        # forward-compat guard (the reference's BWC axis, qa/restart-upgrade:
+        # old code must refuse — not misread — an index a newer engine wrote)
+        raise ValueError(
+            f"index at {index_dir} has on-disk format {fmt}, newer than "
+            "this engine's format 2 — upgrade the engine to read it"
+        )
     tombs = (
         snapshot_read(spark, index_dir, "tombstones")
         if "tombstones" in man.current else None

@@ -216,3 +216,42 @@ def test_upsert_equals_fresh_build(spark, corpora):
     finally:
         shutil.rmtree(d_ups, ignore_errors=True)
         shutil.rmtree(d_ref, ignore_errors=True)
+
+
+def test_index_format_version_guards(spark, tmp_path):
+    """BWC axis (reference qa/restart-upgrade): the engine refuses — with a
+    clear message, not an executor KeyError — both an index whose on-disk
+    format predates the doclen-classed layout (format 1) and one a NEWER
+    engine wrote (format > 2)."""
+    import json
+    import os
+
+    from neural_search_spark.index.build import build_index, load_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    d = str(tmp_path / "fmtidx")
+    build_index(spark, docs, d, text_col="text", id_col="doc_id")
+    load_index(spark, d)  # current format loads fine
+
+    man_path = os.path.join(d, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+
+    def _set_format(v):
+        for h in man["history"]:
+            if h.get("stage") == "build-complete":
+                h["config"]["format"] = v
+        with open(man_path, "w") as f:
+            json.dump(man, f)
+
+    _set_format(1)
+    with pytest.raises(ValueError, match="format 2 .*required|rebuild"):
+        load_index(spark, d)
+
+    _set_format(99)
+    with pytest.raises(ValueError, match="newer than"):
+        load_index(spark, d)
+
+    _set_format(2)
+    load_index(spark, d)  # restored
