@@ -265,3 +265,13 @@ class TestCombinedFields:
             mf_idx, ["spark"], ["text", "lang"], k=10,
             where=F.col("doc_id") <= 3))}
         assert got == {1, 2, 3}
+
+
+def test_combined_fields_plan_no_python(mf_idx):
+    from neural_search_spark.query.dismax import combined_fields_search
+
+    df = combined_fields_search(mf_idx, ["spark", "en"], ["text", "lang"],
+                                k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -263,3 +263,41 @@ class TestSimpleQueryString:
         got = {g[0] for g in _pairs(simple_query_string_search(
             idx, None, "alpha delta", k=10, default_operator="and"))}
         assert got == {3}
+
+
+class TestPlanShapes:
+    """Plan pins for the session-4 operators (repo invariant: no
+    row-at-a-time Python in any query path; doc-values queries must stay
+    exchange-free)."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_rank_feature_zero_exchanges(self, idx, docvals):
+        p = self._plan(rank_feature_search(
+            idx, "pagerank", pivot=2.0, k=10,
+            doc_values=docvals, doc_values_id="doc_id"))
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p
+        assert "TakeOrderedAndProject" in p
+
+    def test_distance_feature_zero_exchanges(self, idx, docvals):
+        p = self._plan(distance_feature_search(
+            idx, "ts_num", origin=300.0, pivot=50.0, k=10,
+            doc_values=docvals, doc_values_id="doc_id"))
+        assert "Exchange" not in p and "BatchEvalPython" not in p
+
+    def test_terms_set_one_decode_no_python(self, idx, spark):
+        req = spark.createDataFrame(
+            [(d[0], 1) for d in DOCS], "doc_id long, required int")
+        p = self._plan(terms_set_search(
+            idx, ["alpha", "beta"], "required",
+            doc_values=req, doc_values_id="doc_id"))
+        assert "BatchEvalPython" not in p
+
+    def test_simple_query_string_no_python(self, idx):
+        p = self._plan(simple_query_string_search(
+            idx, None, "alpha + beta + -gamma | delta", k=10))
+        assert "BatchEvalPython" not in p
+        assert "TakeOrderedAndProject" in p
