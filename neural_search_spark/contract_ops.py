@@ -4158,6 +4158,68 @@ AGG_DATE_HISTOGRAM_SQL = """
 """
 
 
+def q_agg_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """moving_fn (window sum over the preceding buckets) + serial_diff
+    (lag-n difference) parent pipelines on a day date_histogram."""
+    from neural_search_spark.query import aggs
+
+    idx = _get_index(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+              "aggs": {"v": {"sum": {"field": "value"}},
+                       "mv": {"moving_fn": {"buckets_path": "v",
+                                            "window": 7, "script": "sum"}},
+                       "sd": {"serial_diff": {"buckets_path": "doc_count",
+                                              "lag": 7}}}},
+    }, query=None, doc_values=_events(spark, sf_dir),
+        doc_values_id="event_id")
+    return out["d"].select(
+        "key", "doc_count", F.round("v", 4).alias("v"),
+        F.round("mv", 4).alias("mv"), "sd")
+
+
+AGG_MOVING_STATS_SQL = """
+    WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key,
+                      count(*) AS doc_count, sum(value) AS v
+               FROM events GROUP BY 1)
+    SELECT key, doc_count, round(v, 4) AS v,
+           round(sum(v) OVER (ORDER BY key
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 4)
+             AS mv,
+           doc_count - lag(doc_count, 7) OVER (ORDER BY key) AS sd
+    FROM b ORDER BY key ASC
+"""
+
+
+def q_agg_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversified_sampler: best-scoring sample with a per-key cap
+    (max_docs_per_value per lang), sub-agg over the sample."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "div": {"diversified_sampler": {"shard_size": 3, "field": "lang",
+                                        "max_docs_per_value": 1},
+                "aggs": {"langs": {"terms": {"field": "lang"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["div>langs"]
+
+
+AGG_DIVERSIFIED_SQL = f"""
+    WITH tf AS ({_TF_SQL}), dl AS ({_DL_SQL}),
+         stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+         {_clause_cte(0, AGG_QUERY)},
+         ranked AS (
+           SELECT c0.doc_id, c0.s, d.lang,
+                  row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY c0.s DESC, c0.doc_id ASC) AS rn
+           FROM c0 JOIN documents d ON c0.doc_id = d.doc_id),
+         sample AS (
+           SELECT doc_id, lang FROM ranked WHERE rn <= 1
+           ORDER BY s DESC, doc_id ASC LIMIT 3)
+    SELECT lang AS key, count(*) AS doc_count FROM sample
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
 def q_agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rare_terms bucket: long-tail keys at or under max_doc_count,
     rarest first."""
@@ -4413,6 +4475,8 @@ SPARK_QUERIES_EXT = {
     "simple_query_string_topk": q_simple_query_string_topk,
     "combined_fields_topk": q_combined_fields_topk,
     "agg_date_histogram": q_agg_date_histogram,
+    "agg_moving_stats": q_agg_moving_stats,
+    "agg_diversified_sampler": q_agg_diversified_sampler,
     "agg_rare_terms": q_agg_rare_terms,
     "agg_multi_terms": q_agg_multi_terms,
     "agg_missing_en": q_agg_missing_en,
@@ -4555,6 +4619,8 @@ ORACLE_SQL_EXT = {
     "simple_query_string_topk": SIMPLE_QSTRING_SQL,
     "combined_fields_topk": COMBINED_FIELDS_SQL,
     "agg_date_histogram": AGG_DATE_HISTOGRAM_SQL,
+    "agg_moving_stats": AGG_MOVING_STATS_SQL,
+    "agg_diversified_sampler": AGG_DIVERSIFIED_SQL,
     "agg_rare_terms": AGG_RARE_TERMS_SQL,
     "agg_multi_terms": AGG_MULTI_TERMS_SQL,
     "agg_missing_en": AGG_MISSING_SQL,

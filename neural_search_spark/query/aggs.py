@@ -68,6 +68,7 @@ PIPELINE_KINDS = frozenset({
 # frame itself (ES derivative/cumulative_sum/bucket_selector/bucket_sort)
 PARENT_PIPELINE_KINDS = frozenset({
     "derivative", "cumulative_sum", "bucket_selector", "bucket_sort",
+    "moving_fn", "serial_diff",
 })
 SIGNIFICANT_KINDS = frozenset({"significant_terms", "significant_text"})
 
@@ -573,7 +574,7 @@ def _parent_pipeline(
     """
     from pyspark.sql import Window
 
-    if kind in ("derivative", "cumulative_sum"):
+    if kind in ("derivative", "cumulative_sum", "moving_fn", "serial_diff"):
         path = body.get("buckets_path", "doc_count")
         src = F.col("_count" if path == "_count" else path)
         w = (Window.partitionBy(*outer_cols) if outer_cols
@@ -583,9 +584,29 @@ def _parent_pipeline(
             # gap-unaware like ES without unit: difference vs the PREVIOUS
             # EXISTING bucket (empty buckets were never materialized)
             col = src - F.lag(src).over(w)
-        else:
+        elif kind == "cumulative_sum":
             col = F.sum(src).over(
                 w.rowsBetween(Window.unboundedPreceding, 0))
+        elif kind == "serial_diff":
+            col = src - F.lag(src, int(body.get("lag", 1))).over(w)
+        else:
+            # moving_fn subset: the MovingFunctions builtins expressible as
+            # SQL window aggregates; default shift 0 = window covers the w
+            # buckets BEFORE the current one (ES semantics)
+            window_n = int(body["window"])
+            if window_n <= 0:
+                raise ValueError("moving_fn window must be > 0")
+            shift = int(body.get("shift", 0))
+            fn_name = str(body.get("script", "unweightedAvg"))
+            fns = {"max": F.max, "min": F.min, "sum": F.sum,
+                   "unweightedAvg": F.avg, "stdDev": F.stddev_pop}
+            if fn_name not in fns:
+                raise ValueError(
+                    f"unsupported moving_fn script {fn_name!r}; "
+                    f"supported: {sorted(fns)}")
+            lo = -window_n + shift
+            hi = -1 + shift
+            col = fns[fn_name](src).over(w.rowsBetween(lo, hi))
         return grouped.withColumn(name, col)
     if kind == "bucket_selector":
         paths = body.get("buckets_path") or {}
@@ -694,11 +715,13 @@ def _run_level(
                     )
                 else:
                     raise ValueError(f"unknown aggregation: {skind}")
-            if any(pk in ("derivative", "cumulative_sum")
+            if any(pk in ("derivative", "cumulative_sum", "moving_fn",
+                          "serial_diff")
                    for _, pk, _ in parent_pipes
                    ) and kind not in ("histogram", "date_histogram"):
                 raise ValueError(
-                    "derivative/cumulative_sum need a histogram parent")
+                    "derivative/cumulative_sum/moving_fn/serial_diff "
+                    "need a histogram parent")
             agg_cols = [F.count(F.lit(1)).alias("doc_count")] + sub_metric_cols
             grouped = (
                 frame.groupBy(*gcols).agg(*agg_cols)
@@ -811,18 +834,39 @@ def aggregate(
     # global and deterministic (score desc, docID asc)). Sub-aggs then run
     # over the sampled base like a normal level.
     sampler_specs = {n: s for n, s in aggs.items()
-                     if isinstance(s, dict) and _one_of(s)[0] == "sampler"}
+                     if isinstance(s, dict)
+                     and _one_of(s)[0] in ("sampler", "diversified_sampler")}
     level_specs = {n: s for n, s in aggs.items() if n not in sampler_specs}
 
     def _run_all(b: DataFrame) -> dict[str, DataFrame]:
         out_ = _run_level(b, [], level_specs, all_docs=live)
         for name, s in sampler_specs.items():
-            _, body = _one_of(s)
+            skind, body = _one_of(s)
             if query is None:
                 raise ValueError(
                     "sampler needs a scoring query (score-ranked sample)")
             shard_size = int(body.get("shard_size", 100))
-            top = (scored_matches(index, query, where=where)
+            scored = scored_matches(index, query, where=where)
+            if skind == "diversified_sampler":
+                # ES DiversifiedAggregator: the best-scoring docs subject
+                # to a per-key cap — rank within each key value first,
+                # keep ≤ max_docs_per_value per key, then the global cut.
+                # Both windows compile to WindowGroupLimit-style
+                # pre-limits; the sample is deterministic (score desc,
+                # docID asc).
+                from pyspark.sql import Window as W
+
+                keyc = dv.select(
+                    "docID", F.expr(str(body["field"])).alias("_divkey"))
+                cap = int(body.get("max_docs_per_value", 1))
+                wk = W.partitionBy("_divkey").orderBy(
+                    F.desc("score"), F.asc("docID"))
+                scored = (
+                    scored.join(keyc, "docID")
+                    .withColumn("_rn", F.row_number().over(wk))
+                    .where(F.col("_rn") <= cap)
+                )
+            top = (scored
                    .orderBy(F.desc("score"), F.asc("docID"))
                    .limit(shard_size).select("docID"))
             sbase = dv.join(top, "docID", "left_semi")

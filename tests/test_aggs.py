@@ -596,3 +596,44 @@ class TestRound3NewKinds:
                           "script": "c > 1"}}}},
         }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
         assert [r["key"] for r in _rows(out["langs"])] == ["en"]
+
+
+class TestMorePipelines:
+    """moving_fn / serial_diff parent pipelines + diversified_sampler."""
+
+    def test_moving_fn_and_serial_diff(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "h": {"histogram": {"field": "n", "interval": 20},
+                  "aggs": {
+                      "mv": {"moving_fn": {"buckets_path": "doc_count",
+                                           "window": 2, "script": "sum"}},
+                      "sd": {"serial_diff": {"buckets_path": "doc_count",
+                                             "lag": 2}}}},
+        }, query=None, doc_values=docvals, doc_values_id="doc_id")
+        rows = _rows(out["h"])
+        # buckets doc_count = [1, 2, 2, 1]
+        # moving sum over the 2 PRECEDING buckets: [None->.., 1, 3, 4]
+        assert [r["mv"] for r in rows] == [None, 1, 3, 4]
+        # serial diff lag 2: [None, None, 1, -1]
+        assert [r["sd"] for r in rows] == [None, None, 1, -1]
+
+    def test_moving_fn_validation(self, idx, docvals):
+        with pytest.raises(ValueError, match="unsupported moving_fn"):
+            aggs.aggregate(idx, {
+                "h": {"histogram": {"field": "n", "interval": 20},
+                      "aggs": {"mv": {"moving_fn": {
+                          "buckets_path": "doc_count", "window": 2,
+                          "script": "holtWinters"}}}},
+            }, query=None, doc_values=docvals, doc_values_id="doc_id")
+
+    def test_diversified_sampler_caps_per_key(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "div": {"diversified_sampler": {"shard_size": 3, "field": "lang",
+                                            "max_docs_per_value": 1},
+                    "aggs": {"langs": {"terms": {"field": "lang"}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        # alpha matches en x2, de x1, fr x1 -> cap 1/lang keeps exactly one
+        # en doc; sample = 3 docs over 3 distinct langs
+        got = {r["key"]: r["doc_count"] for r in _rows(out["div>langs"])}
+        assert got == {"en": 1, "de": 1, "fr": 1}
+        assert _rows(out["div"])[0]["doc_count"] == 3
