@@ -227,7 +227,18 @@ def _parse_subquery(q: dict) -> dict:
             if op not in ("or", "and"):
                 raise ValueError("match operator must be 'or' or 'and'")
             msm = spec.get("minimum_should_match")
-            if op == "or" and msm is None:
+            if spec.get("fuzziness") is not None:
+                # Lucene MatchQuery with fuzziness: every analyzed term
+                # becomes a FuzzyQuery (boost-weighted expansion union)
+                if op == "and" or msm is not None:
+                    raise ValueError(
+                        "match fuzziness composes with operator=or only")
+                sub = {"match_fuzzy": {
+                    "query": str(text),
+                    "fuzziness": int(spec["fuzziness"]),
+                    "max_expansions": int(spec.get("max_expansions", 50)),
+                }, "field": _field}
+            elif op == "or" and msm is None:
                 sub = {"terms": str(text), "field": _field}
             else:
                 sub = {"match_full": {"query": str(text), "operator": op,
@@ -689,6 +700,29 @@ def search_request(
                 base_index, b["terms"], b["minimum_should_match_field"],
                 k=fetch_k, **kw)
             return {"frame": fr}
+        if "match_fuzzy" in s:
+            from neural_search_spark.query import wand
+            from neural_search_spark.query.phrase import expand_fuzzy
+
+            b = s["match_fuzzy"]
+            sub_idx = (index.field(s.get("field")) if multi else base_index)
+            weights: dict[str, float] = {}
+            for t in sorted(set(tokenize_query(b["query"],
+                                               sub_idx.analyzer))):
+                for term, boost in expand_fuzzy(
+                        sub_idx, t, b["fuzziness"],
+                        b["max_expansions"]).items():
+                    # a term reachable from several query tokens sums its
+                    # boosts (bool-should over the per-token FuzzyQuerys)
+                    weights[term] = weights.get(term, 0.0) + boost
+            if not weights:
+                return {"frame": sub_idx.docmap.select(
+                    F.col(sub_idx.id_col).cast("long").alias("docID"),
+                    F.lit(0.0).alias("score")).limit(0)}
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = wand.search(sub_idx, sorted(weights), k=fetch_k,
+                             weights=weights, **kw)
+            return {"frame": fr}
         if "match_bool_prefix" in s:
             from neural_search_spark.query.phrase import (
                 match_bool_prefix_search,
@@ -1000,6 +1034,24 @@ def search_request(
     if mmr is not None and out["hits"] is not None:
         out["hits"] = _mmr_post(out["hits"])
 
+    def _response_order(cols) -> list:
+        """Ordering that restores the response order after a doc-values
+        join (joins must not disturb rank/score/sort order)."""
+        if "rank" in cols:  # MMR output: selection order, not score
+            return [F.asc("rank")]
+        if "score" in cols:
+            return [F.desc("score"), F.asc("docID")]
+        order = []  # field-sort path: re-apply the request's sort spec
+        for s_ in body.get("sort", []):
+            if isinstance(s_, str):
+                order.append(F.asc(s_))
+            else:
+                (f_, spec_), = s_.items()
+                asc_ = spec_.get("order", "asc") == "asc"
+                order.append(F.asc(f_) if asc_ else F.desc(f_))
+        order.append(F.asc("docID"))
+        return order
+
     if body.get("highlight") and out["hits"] is not None:
         import re as _re
 
@@ -1074,22 +1126,24 @@ def search_request(
             hits = hits.join(
                 dv.select("docID", tagged.alias(f"highlight_{field}")),
                 "docID", "left")
-        # the joins must not disturb the response order
-        if "rank" in hits.columns:  # MMR output: selection order, not score
-            order = [F.asc("rank")]
-        elif "score" in hits.columns:
-            order = [F.desc("score"), F.asc("docID")]
-        else:  # field-sort path: re-apply the request's sort spec
-            order = []
-            for s_ in body.get("sort", []):
-                if isinstance(s_, str):
-                    order.append(F.asc(s_))
-                else:
-                    (f_, spec_), = s_.items()
-                    asc_ = spec_.get("order", "asc") == "asc"
-                    order.append(F.asc(f_) if asc_ else F.desc(f_))
-            order.append(F.asc("docID"))
-        out["hits"] = hits.orderBy(*order)
+        out["hits"] = hits.orderBy(*_response_order(hits.columns))
+
+    src = (body.get("_source") if isinstance(body.get("_source"), (list, str))
+           else body.get("fields"))
+    if src and out["hits"] is not None:
+        # _source / fields retrieval: materialize the named stored columns
+        # onto the hits (the fetch phase's _source filtering; reference
+        # requests select stored fields the same way). One broadcast-sized
+        # join — hits are already page-cut.
+        cols = [src] if isinstance(src, str) else [str(c) for c in src]
+        if doc_values is None:
+            raise ValueError("_source/fields requires doc_values with the "
+                             "stored columns")
+        dv_src = doc_values.withColumn(
+            "docID", F.col(doc_values_id or "docID").cast("long"))
+        joined = out["hits"].join(
+            dv_src.select("docID", *cols), "docID", "left")
+        out["hits"] = joined.orderBy(*_response_order(out["hits"].columns))
 
     if body.get("aggs"):
         agg_dv = doc_values if doc_values is not None else (

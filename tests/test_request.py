@@ -928,3 +928,47 @@ def test_terms_match_all_match_none(idx):
         "query": {"terms": {"text": ["Gamma"]}},
     })
     assert _pairs(got4["hits"]) == []
+
+
+def test_source_fields_retrieval(idx, docvals):
+    got = request.search_request(idx, {
+        "query": {"match": {"text": "alpha"}},
+        "_source": ["lang"],
+        "size": 3,
+    }, doc_values=docvals, doc_values_id="doc_id")
+    rows = got["hits"].collect()
+    assert [set(r.asDict()) >= {"docID", "score", "lang"} for r in rows]
+    langs = {d[0]: d[2] for d in DOCS}
+    for r in rows:
+        assert r["lang"] == langs[r["docID"]]
+    # order preserved (score desc, docID asc)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    # fields spelling + single string form
+    got2 = request.search_request(idx, {
+        "query": {"match": {"text": "alpha"}}, "fields": "lang",
+    }, doc_values=docvals, doc_values_id="doc_id")
+    assert "lang" in got2["hits"].columns
+
+    with pytest.raises(ValueError, match="doc_values"):
+        request.search_request(idx, {
+            "query": {"match": {"text": "alpha"}}, "_source": ["lang"]})
+
+
+def test_match_fuzziness(idx):
+    from neural_search_spark.query.phrase import expand_fuzzy
+    from neural_search_spark.query import wand as w
+
+    got = request.search_request(idx, {
+        "query": {"match": {"text": {"query": "alpa", "fuzziness": 1}}},
+    })
+    weights = expand_fuzzy(idx, "alpa", 1, 50)
+    assert "alpha" in weights
+    want = w.search(idx, sorted(weights), k=10, weights=weights)
+    assert _pairs(got["hits"]) == _pairs(want)
+
+    with pytest.raises(ValueError, match="operator=or"):
+        request.search_request(idx, {
+            "query": {"match": {"text": {
+                "query": "alpa", "fuzziness": 1, "operator": "and"}}}})
