@@ -4220,6 +4220,70 @@ AGG_DIVERSIFIED_SQL = f"""
 """
 
 
+def q_agg_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matrix_stats metric: paired sample variance / covariance / Pearson
+    correlation over two numeric doc-values expressions, computed in the
+    matched-set aggregation context (reference semantics: ES
+    MatrixStatsAggregator; paired-rows divergence documented in
+    query/aggs.py). One shared .agg() pass like every metric sibling."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "ms": {"matrix_stats": {"fields": ["n_chars", "doc_id % 1000"]}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["ms"].select(
+        "ms_count",
+        F.round("ms_mean_a", 4).alias("ms_mean_a"),
+        F.round("ms_mean_b", 4).alias("ms_mean_b"),
+        F.round("ms_variance_a", 3).alias("ms_variance_a"),
+        F.round("ms_variance_b", 3).alias("ms_variance_b"),
+        F.round("ms_covariance", 3).alias("ms_covariance"),
+        F.round("ms_correlation", 6).alias("ms_correlation"),
+    )
+
+
+AGG_MATRIX_STATS_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    md AS (SELECT CAST(n_chars AS DOUBLE) AS a,
+                  CAST(doc_id % 1000 AS DOUBLE) AS b
+           FROM documents JOIN m USING (doc_id))
+    SELECT count(*) AS ms_count,
+           round(avg(a), 4) AS ms_mean_a, round(avg(b), 4) AS ms_mean_b,
+           round(var_samp(a), 3) AS ms_variance_a,
+           round(var_samp(b), 3) AS ms_variance_b,
+           round(covar_samp(a, b), 3) AS ms_covariance,
+           round(corr(a, b), 6) AS ms_correlation
+    FROM md
+"""
+
+
+def q_agg_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentiles_bucket sibling pipeline: exact linear-interpolation
+    percentiles over the doc_count values of a finished histogram bucket
+    frame (bucket-cardinality input, never doc-cardinality)."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "h": {"histogram": {"field": "n_chars", "interval": 100}},
+        "p": {"percentiles_bucket": {"buckets_path": "h>doc_count",
+                                     "percents": [25.0, 50.0, 90.0]}},
+    }, query=None, doc_values=docs, doc_values_id="doc_id")
+    return out["p"].select(
+        F.round("p_p25", 4).alias("p_p25"),
+        F.round("p_p50", 4).alias("p_p50"),
+        F.round("p_p90", 4).alias("p_p90"),
+    )
+
+
+AGG_PCT_BUCKET_SQL = """
+    WITH b AS (SELECT floor(n_chars / 100.0) * 100.0 AS key,
+                      count(*) AS doc_count
+               FROM documents GROUP BY 1)
+    SELECT round(quantile_cont(doc_count, 0.25), 4) AS p_p25,
+           round(quantile_cont(doc_count, 0.50), 4) AS p_p50,
+           round(quantile_cont(doc_count, 0.90), 4) AS p_p90
+    FROM b
+"""
+
+
 def q_agg_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rare_terms bucket: long-tail keys at or under max_doc_count,
     rarest first."""
@@ -4477,6 +4541,8 @@ SPARK_QUERIES_EXT = {
     "agg_date_histogram": q_agg_date_histogram,
     "agg_moving_stats": q_agg_moving_stats,
     "agg_diversified_sampler": q_agg_diversified_sampler,
+    "agg_matrix_stats": q_agg_matrix_stats,
+    "agg_percentiles_bucket": q_agg_percentiles_bucket,
     "agg_rare_terms": q_agg_rare_terms,
     "agg_multi_terms": q_agg_multi_terms,
     "agg_missing_en": q_agg_missing_en,
@@ -4621,6 +4687,8 @@ ORACLE_SQL_EXT = {
     "agg_date_histogram": AGG_DATE_HISTOGRAM_SQL,
     "agg_moving_stats": AGG_MOVING_STATS_SQL,
     "agg_diversified_sampler": AGG_DIVERSIFIED_SQL,
+    "agg_matrix_stats": AGG_MATRIX_STATS_SQL,
+    "agg_percentiles_bucket": AGG_PCT_BUCKET_SQL,
     "agg_rare_terms": AGG_RARE_TERMS_SQL,
     "agg_multi_terms": AGG_MULTI_TERMS_SQL,
     "agg_missing_en": AGG_MISSING_SQL,

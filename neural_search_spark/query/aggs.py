@@ -54,7 +54,7 @@ from neural_search_spark.query.bm25 import bm25_score_col
 METRIC_KINDS = frozenset({
     "avg", "sum", "min", "max", "value_count", "cardinality",
     "stats", "extended_stats", "percentiles", "percentile_ranks",
-    "weighted_avg", "top_metrics",
+    "weighted_avg", "top_metrics", "matrix_stats",
 })
 BUCKET_KINDS = frozenset({
     "terms", "histogram", "range", "filter", "filters", "global",
@@ -63,6 +63,7 @@ BUCKET_KINDS = frozenset({
 })
 PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "percentiles_bucket",
 })
 # parent pipelines: run INSIDE a bucket agg's "aggs", consuming the bucket
 # frame itself (ES derivative/cumulative_sum/bucket_selector/bucket_sort)
@@ -231,6 +232,28 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[tuple[str, Column]]:
             return [(name, F.max_by(m, F.struct(s.alias("s"),
                                                 (-tie).alias("t"))))]
         return [(name, F.min_by(m, F.struct(s.alias("s"), tie.alias("t"))))]
+    if kind == "matrix_stats":
+        # two-field matrix_stats (ES MatrixStatsAggregator): sample
+        # variance/covariance + Pearson correlation over PAIRED
+        # observations (documented divergence: ES computes per-field
+        # moments over each field's own non-null set; here all moments use
+        # rows where BOTH fields are present, which is what the
+        # covariance/correlation need anyway)
+        flds = body.get("fields") or []
+        if len(flds) != 2:
+            raise ValueError("matrix_stats here takes exactly two fields")
+        fa = F.expr(str(flds[0])).cast("double")
+        fb = F.expr(str(flds[1])).cast("double")
+        both = fa.isNotNull() & fb.isNotNull()
+        a, b = F.when(both, fa), F.when(both, fb)
+        return [
+            (f"{name}_count", F.count(a)),
+            (f"{name}_mean_a", F.avg(a)), (f"{name}_mean_b", F.avg(b)),
+            (f"{name}_variance_a", F.var_samp(a)),
+            (f"{name}_variance_b", F.var_samp(b)),
+            (f"{name}_covariance", F.covar_samp(a, b)),
+            (f"{name}_correlation", F.corr(a, b)),
+        ]
     raise ValueError(f"unknown metric aggregation: {kind}")
 
 
@@ -772,7 +795,14 @@ def _run_level(
                              f"named '{bname}'")
         col = col or "doc_count"
         stat = kind.removesuffix("_bucket")
-        if stat == "stats":
+        if stat == "percentiles":
+            pcts = body.get("percents", [25.0, 50.0, 75.0])
+            reduced = src.agg(*[
+                F.percentile(F.col(col), F.lit(p / 100.0)).alias(
+                    f"{name}_p{str(p).replace('.', '_').removesuffix('_0')}")
+                for p in pcts
+            ])
+        elif stat == "stats":
             reduced = src.agg(
                 F.count(col).alias(f"{name}_count"),
                 F.min(col).alias(f"{name}_min"), F.max(col).alias(f"{name}_max"),

@@ -637,3 +637,37 @@ class TestMorePipelines:
         got = {r["key"]: r["doc_count"] for r in _rows(out["div>langs"])}
         assert got == {"en": 1, "de": 1, "fr": 1}
         assert _rows(out["div"])[0]["doc_count"] == 3
+
+
+class TestMatrixStatsAndPercentilesBucket:
+    def test_matrix_stats(self, idx, docvals):
+        import statistics
+
+        out = aggs.aggregate(idx, {
+            "ms": {"matrix_stats": {"fields": ["n", "doc_id * 10"]}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        row = _rows(out["ms"])[0]
+        ns = [10, 20, 30, 60]            # matched docs 1,2,3,6
+        ds = [10, 20, 30, 60]            # doc_id*10 happens to equal n here
+        assert row["ms_count"] == 4
+        assert row["ms_mean_a"] == pytest.approx(statistics.mean(ns))
+        assert row["ms_variance_a"] == pytest.approx(
+            statistics.variance(ns))
+        assert row["ms_covariance"] == pytest.approx(
+            statistics.covariance(ns, ds))
+        assert row["ms_correlation"] == pytest.approx(1.0)
+
+    def test_matrix_stats_validation(self, idx, docvals):
+        with pytest.raises(ValueError, match="two fields"):
+            aggs.aggregate(idx, {
+                "ms": {"matrix_stats": {"fields": ["n"]}},
+            }, query=None, doc_values=docvals, doc_values_id="doc_id")
+
+    def test_percentiles_bucket(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "h": {"histogram": {"field": "n", "interval": 20}},
+            "p": {"percentiles_bucket": {"buckets_path": "h>doc_count",
+                                         "percents": [50.0]}},
+        }, query=None, doc_values=docvals, doc_values_id="doc_id")
+        # bucket doc_counts [1, 2, 2, 1] -> median 1.5
+        assert _rows(out["p"])[0]["p_p50"] == pytest.approx(1.5)
