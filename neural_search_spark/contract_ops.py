@@ -4419,7 +4419,89 @@ AGG_BUCKET_PIPELINE_SQL = f"""
 """
 
 
+SEM_HL_QUESTION = "data query table"
+_SEM_HL_WORDS = 8  # words per synthesized sentence (testdata has no '. ')
+
+
+def q_semantic_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level semantic highlighting (scoring double) over documents
+    whose text is deterministically re-chunked into 8-word sentences.
+    Reference: main/highlight/single/SemanticHighlighterEngine.java (span
+    validation + constructHighlightedText); the query-overlap double stands
+    in for the ML model."""
+    from neural_search_spark.query.semantic_highlight import \
+        semantic_highlight
+
+    w = _SEM_HL_WORDS
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    nseg = F.ceil(F.size(words) / F.lit(float(w))).cast("int")
+    text2 = F.array_join(
+        F.transform(F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(
+                        F.slice(words, i * w + 1, w), " ")),
+        ". ")
+    out = semantic_highlight(
+        docs.select("doc_id", text2.alias("text")), SEM_HL_QUESTION)
+    return out.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.get("spans", 0)["start"].cast("long").alias("first_start"),
+        F.get("spans", 0)["end"].cast("long").alias("first_end"),
+        F.md5("highlighted").alias("hl_md5"),
+    ).orderBy("doc_id")
+
+
+_SEM_HL_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+        array_to_string(
+          list_transform(
+            range(0, CAST(ceil(len(string_split(text, ' ')) / {_SEM_HL_WORDS}.0) AS INT)),
+            i -> array_to_string(
+                   string_split(text, ' ')[i*{_SEM_HL_WORDS}+1 : i*{_SEM_HL_WORDS}+{_SEM_HL_WORDS}], ' ')),
+          '. ') AS text2
+      FROM documents),
+    sents AS (SELECT doc_id, string_split(text2, '. ') AS l FROM base),
+    seg AS (
+      SELECT doc_id, s.i AS i, l[s.i] AS sent, len(l) AS n,
+        CASE WHEN s.i = 1 THEN 0
+             ELSE len(array_to_string(l[1 : s.i-1], '. ')) + 2 END AS st
+      FROM sents, LATERAL (SELECT unnest(range(1, len(l)+1)) AS i) s),
+    seg2 AS (
+      SELECT doc_id, i, n, sent, st,
+        st + len(sent) + CASE WHEN i < n THEN 1 ELSE 0 END AS en,
+        len(list_intersect(
+          list_distinct(list_filter(
+            string_split_regex(lower(sent), '[^a-z0-9_]+'), x -> x <> '')),
+          [{', '.join(repr(t) for t in SEM_HL_QUESTION.split())}])) AS score
+      FROM seg),
+    mx AS (SELECT doc_id, max(score) AS mx FROM seg2 GROUP BY doc_id),
+    tagged AS (
+      SELECT s.doc_id,
+        string_agg(
+          CASE WHEN s.score = m.mx AND m.mx > 0
+            THEN '<em>' || s.sent ||
+                 CASE WHEN s.i < s.n THEN '.' ELSE '' END || '</em>'
+            ELSE s.sent || CASE WHEN s.i < s.n THEN '.' ELSE '' END END,
+          ' ' ORDER BY s.i) AS highlighted
+      FROM seg2 s JOIN mx m USING (doc_id) GROUP BY s.doc_id)
+    SELECT s.doc_id AS doc_id,
+      CAST(count(*) FILTER (WHERE s.score = m.mx AND m.mx > 0) AS BIGINT)
+        AS n_spans,
+      CAST(min(s.st) FILTER (WHERE s.score = m.mx AND m.mx > 0) AS BIGINT)
+        AS first_start,
+      CAST(arg_min(s.en, s.st) FILTER (WHERE s.score = m.mx AND m.mx > 0)
+        AS BIGINT) AS first_end,
+      md5(any_value(t.highlighted)) AS hl_md5
+    FROM seg2 s JOIN mx m USING (doc_id) JOIN tagged t ON s.doc_id = t.doc_id
+    GROUP BY s.doc_id
+    ORDER BY doc_id
+"""
+
+
 SPARK_QUERIES_EXT = {
+    "semantic_highlight": q_semantic_highlight,
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
     "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
@@ -4552,6 +4634,7 @@ SPARK_QUERIES_EXT = {
 }
 
 ORACLE_SQL_EXT = {
+    "semantic_highlight": _SEM_HL_SQL,
     "wand_topk_single": _bm25_exact_sql(WAND_TERMS_SINGLE, 10),
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
     "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),

@@ -62,10 +62,11 @@ operators:
   main/highlight/SemanticHighlightingConstants.java:32). Whole-field
   tagging, i.e. OpenSearch's ``number_of_fragments: 0`` semantics; the
   match boundary is ``\\b`` (word chars = the tokenizer's [a-z0-9_]
-  alphabet), case-insensitive, original case preserved. The reference's
-  own highlighter is ML-sentence-based (main/highlight/
-  SemanticHighlighter.java) and out of scope like the other model-backed
-  processors; this is the lexical counterpart a search user expects.
+  alphabet), case-insensitive, original case preserved. A field with
+  ``{"type": "semantic"}`` instead uses sentence-level highlighting (the
+  reference's own highlighter type, main/highlight/SemanticHighlighter.java)
+  via query/semantic_highlight.py — deterministic query-overlap scoring
+  double by default, real models plug in through ``highlight_fn``.
 * ``ext.mmr``: the MMR diversity-rerank search extension
   (``{"diversity": d, "candidates": n}``). Like the reference's
   transformer (main/processor/mmr/MMRNeuralQueryTransformer.java:47-49),
@@ -1068,6 +1069,21 @@ def search_request(
             "docID", F.col(doc_values_id or "docID").cast("long"))
         hits = out["hits"]
         for field, fopts in hl["fields"].items():
+            if (fopts or {}).get("type") == "semantic":
+                # sentence-level highlighting (the reference's own
+                # highlighter type, main/highlight/SemanticHighlighter.java
+                # + single/SemanticHighlighterEngine.java): the deterministic
+                # query-overlap scoring double stands in for the ML model;
+                # a real model plugs into query.semantic_highlight's
+                # highlight_fn seam. One Catalyst expression per field.
+                from neural_search_spark.query.semantic_highlight import \
+                    highlight_struct
+                sem = highlight_struct(F.col(field), terms, pre, post)
+                hits = hits.join(
+                    dv.select("docID", sem["highlighted"]
+                              .alias(f"highlight_{field}")),
+                    "docID", "left")
+                continue
             if terms:
                 pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
                 tagged = F.regexp_replace(F.col(field), pat, f"{pre}$1{post}")

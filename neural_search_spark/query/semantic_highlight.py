@@ -1,0 +1,192 @@
+"""Semantic (sentence-level) highlighting — Spark-first re-expression of the
+reference's semantic highlighter.
+
+Reference semantics (main/highlight/single/SemanticHighlighterEngine.java):
+an ML model is handed (question, context) and returns a list of character
+``{start, end}`` spans — the sentences it deems relevant — sorted ascending
+by start; the engine validates the spans (0 ≤ start < end ≤ len, sorted,
+else it throws) and wraps each one in pre/post tags
+(``constructHighlightedText``). An empty model result returns the context
+untouched. The batch variant (main/highlight/batch/**) groups many hits
+into one inference call; on Spark that grouping is inherent — the operator
+is a DataFrame transform, so "batch inference" is simply the Arrow batch
+handed to ``mapInPandas`` when a real model is plugged in.
+
+Two paths:
+
+* **Default scoring double** (``highlight_fn=None``): a deterministic,
+  pure-Catalyst stand-in for the sentence-highlighting model. Sentences are
+  ``". "``-delimited segments; each is scored by the number of DISTINCT
+  question tokens it contains (standard analyzer on both sides); every
+  sentence achieving the per-document maximum (if > 0) becomes a span.
+  The whole computation — segmentation, character offsets, scoring, tag
+  construction — is one Catalyst expression tree (WholeStageCodegen, no
+  Python, no shuffle): at 100 TB this runs at scan speed.
+* **Pluggable model** (``highlight_fn``): a callable
+  ``(question, pandas.Series[str]) -> iterable[list[(start, end)]]``
+  executed via ``mapInPandas`` in Arrow batches (the batch-inference
+  shape of main/highlight/batch/processor). Spans are validated exactly
+  like the reference: out-of-bounds or unsorted spans raise ValueError.
+
+Output columns: ``spans`` (array<struct<start,end>>, empty when nothing
+relevant) and ``highlighted`` (the context with each span wrapped in
+pre/post tags; unchanged when spans is empty).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import (TOKEN_SPLIT_RE,
+                                                    tokenize_query)
+from neural_search_spark.expr import let
+
+__all__ = ["semantic_highlight", "sentence_structs", "highlight_struct"]
+
+_SENT_SEP = ". "        # sentence delimiter of the scoring double
+
+
+def _tok(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE),
+                    lambda t: t != F.lit(""))
+
+
+def sentence_structs(text: Column, q_tokens: list[str]) -> Column:
+    """array<struct<i, sent, start, end, score>> for the scoring double.
+
+    One linear ``aggregate`` pass over the ``". "``-split segments carries
+    the running character offset, so offsets are exact reconstruction
+    coordinates into the ORIGINAL string: segment i occupies
+    ``[start, end)`` where end includes the terminal '.' for every segment
+    but the last (the split consumed ``". "``; the trailing space sits
+    between spans, never inside one).
+    """
+    qlit = F.array(*[F.lit(t) for t in sorted(set(q_tokens))])
+
+    def build(sents: Column) -> Column:
+        n = F.size(sents)
+        acc0 = F.struct(
+            F.array().cast(
+                "array<struct<i:int,sent:string,start:int,end:int,score:int>>"
+            ).alias("arr"),
+            F.lit(0).alias("off"), F.lit(0).alias("i"))
+        def merge(acc, s):
+            is_last = acc["i"] == n - 1
+            seg_len = F.length(s) + F.when(is_last, 0).otherwise(1)
+            score = F.size(F.array_intersect(_tok(s), qlit))
+            row = F.struct(
+                acc["i"].alias("i"), s.alias("sent"),
+                acc["off"].alias("start"),
+                (acc["off"] + seg_len).alias("end"),
+                score.alias("score"))
+            return F.struct(
+                F.array_append(acc["arr"], row).alias("arr"),
+                (acc["off"] + seg_len + 1).alias("off"),
+                (acc["i"] + 1).alias("i"))
+        return F.aggregate(sents, acc0, merge, lambda acc: acc["arr"])
+
+    return let(F.split(text, r"\. "), build)
+
+
+def _tagged_text(structs: Column, max_score: Column,
+                 pre: str, post: str) -> Column:
+    """Rebuild the document text, wrapping every max-scoring segment."""
+    def piece(s: Column) -> Column:
+        body = F.substring(
+            F.concat(s["sent"],
+                     F.when(s["score"] >= F.lit(0), F.lit("."))),  # pad
+            1, s["end"] - s["start"])
+        # body = the ORIGINAL slice: sent + '.' except for the last segment
+        tagged = F.when((s["score"] == max_score) & (max_score > 0),
+                        F.concat(F.lit(pre), body, F.lit(post))
+                        ).otherwise(body)
+        return tagged
+    return F.array_join(F.transform(structs, piece), _SENT_SEP[1])
+
+
+def highlight_struct(text: Column, q_tokens: list[str],
+                     pre_tag: str = "<em>",
+                     post_tag: str = "</em>") -> Column:
+    """``struct<spans, highlighted>`` of the scoring double for one text
+    column — the Column-level seam the request DSL's ``type: "semantic"``
+    highlight fields use (one Catalyst expression, no Python)."""
+    structs = sentence_structs(text, q_tokens)
+
+    def finish(st: Column) -> Column:
+        mx = F.array_max(F.transform(st, lambda s: s["score"]))
+        spans = F.when(mx > 0, F.transform(
+            F.filter(st, lambda s: s["score"] == mx),
+            lambda s: F.struct(s["start"].alias("start"),
+                               s["end"].alias("end")))
+        ).otherwise(F.array().cast(
+            "array<struct<start:int,end:int>>"))
+        return F.struct(
+            spans.alias("spans"),
+            _tagged_text(st, mx, pre_tag, post_tag).alias("highlighted"))
+
+    return let(structs, finish)
+
+
+def semantic_highlight(
+    df: DataFrame,
+    question: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    highlight_fn: Optional[
+        Callable[[str, "pandas.Series"], Iterable[list[tuple[int, int]]]]
+    ] = None,
+) -> DataFrame:
+    """Attach ``spans`` + ``highlighted`` to every row of ``df``.
+
+    ``highlight_fn`` plugs a real sentence-highlighting model in
+    (batch-inference shape); ``None`` uses the deterministic query-overlap
+    scoring double described in the module docstring.
+    """
+    if not question or not question.strip():
+        raise ValueError("question must be a non-empty string")
+    if highlight_fn is None:
+        out = highlight_struct(F.col(text_col), tokenize_query(question),
+                               pre_tag, post_tag)
+        return df.withColumn("_hl", out).select(
+            "*", F.col("_hl.spans").alias("spans"),
+            F.col("_hl.highlighted").alias("highlighted")).drop("_hl")
+
+    # pluggable-model path: Arrow-batched inference, reference-faithful
+    # span validation (SemanticHighlighterEngine.validateHighlightPositions
+    # + the sorted-highlights check), tag construction in the same batch.
+    import pandas as pd
+
+    schema = (df.schema.simpleString()[7:-1]
+              + ",spans array<struct<start:int,end:int>>,highlighted string")
+
+    def run(batches):
+        for pdf in batches:
+            texts = pdf[text_col].astype(str)
+            spans_col, tagged_col = [], []
+            for text, spans in zip(texts, highlight_fn(question, texts)):
+                spans = [(int(a), int(b)) for a, b in spans]
+                prev = -1
+                for a, b in spans:
+                    if a < 0 or b <= a or b > len(text):
+                        raise ValueError(
+                            f"invalid highlight span ({a},{b}) for text "
+                            f"of length {len(text)}")
+                    if a < prev:
+                        raise ValueError("received unsorted highlights "
+                                         "from model")
+                    prev = a
+                outp, pos = [], 0
+                for a, b in spans:
+                    outp += [text[pos:a], pre_tag, text[a:b], post_tag]
+                    pos = b
+                outp.append(text[pos:])
+                spans_col.append([{"start": a, "end": b} for a, b in spans])
+                tagged_col.append("".join(outp) if spans else text)
+            yield pdf.assign(spans=pd.Series(spans_col, index=pdf.index),
+                             highlighted=tagged_col)
+
+    return df.mapInPandas(run, schema=schema)

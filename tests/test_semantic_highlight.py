@@ -1,0 +1,150 @@
+"""Semantic (sentence-level) highlighting — query/semantic_highlight.py.
+
+Reference semantics: main/highlight/single/SemanticHighlighterEngine.java
+(span validation, constructHighlightedText, empty-result passthrough) and
+main/highlight/batch/** (batch inference = the Arrow batch of mapInPandas).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.query.semantic_highlight import (highlight_struct,
+                                                          semantic_highlight)
+
+DOCS = [
+    (1, "The cat sat. The dog ran fast. Cats and dogs play"),
+    (2, "Nothing relevant here. Still nothing"),
+    (3, "cat"),
+    (4, ""),
+    (5, "dog cat. plain filler. cat dog again"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _rows(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_double_tags_max_scoring_sentences(docs):
+    rows = _rows(semantic_highlight(docs, "cat dog"))
+    # doc 1: sentences score 1,1,0 ('cats'/'dogs' are distinct tokens) →
+    # both max sentences tagged, spans cover original char offsets
+    assert rows[1]["highlighted"] == (
+        "<em>The cat sat.</em> <em>The dog ran fast.</em> Cats and dogs play")
+    assert [(s["start"], s["end"]) for s in rows[1]["spans"]] == [
+        (0, 12), (13, 30)]
+    # spans are exact slices of the original text
+    text = DOCS[0][1]
+    assert text[0:12] == "The cat sat."
+    assert text[13:30] == "The dog ran fast."
+
+
+def test_double_no_match_returns_text_untouched(docs):
+    rows = _rows(semantic_highlight(docs, "cat dog"))
+    assert rows[2]["spans"] == []
+    assert rows[2]["highlighted"] == DOCS[1][1]
+    assert rows[4]["spans"] == []
+    assert rows[4]["highlighted"] == ""
+
+
+def test_double_single_sentence_and_ties(docs):
+    rows = _rows(semantic_highlight(docs, "cat dog"))
+    assert rows[3]["highlighted"] == "<em>cat</em>"
+    # doc 5: sentences score 2,0,2 → first and last tagged, middle not
+    assert rows[5]["highlighted"] == (
+        "<em>dog cat.</em> plain filler. <em>cat dog again</em>")
+    assert [(s["start"], s["end"]) for s in rows[5]["spans"]] == [
+        (0, 8), (23, 36)]
+
+
+def test_spans_reconstruct_original_text(docs):
+    # invariant: stripping the tags from `highlighted` gives back `text`,
+    # and every span slices the original to the tagged body
+    out = semantic_highlight(docs, "cat dog")
+    bad = out.where(
+        F.regexp_replace("highlighted", "</?em>", "") != F.col("text"))
+    assert bad.count() == 0
+
+
+def test_empty_question_rejected(docs):
+    with pytest.raises(ValueError, match="question"):
+        semantic_highlight(docs, "   ")
+
+
+def test_highlight_struct_column_seam(docs):
+    st = highlight_struct(F.col("text"), ["cat", "dog"], "[", "]")
+    got = {r["doc_id"]: r["h"] for r in
+           docs.select("doc_id", st["highlighted"].alias("h")).collect()}
+    assert got[3] == "[cat]"
+
+
+# ----------------------------------------------------- pluggable model path
+
+
+def test_model_path_tags_and_validates(docs):
+    def fn(question, texts):
+        assert question == "cat dog"
+        return [[(0, 3)] if len(t) >= 3 else [] for t in texts]
+
+    rows = _rows(semantic_highlight(docs, "cat dog", highlight_fn=fn))
+    assert rows[1]["highlighted"].startswith("<em>The</em>")
+    assert rows[4]["spans"] == [] and rows[4]["highlighted"] == ""
+
+
+def test_model_path_multi_span_construction(docs):
+    def fn(question, texts):
+        return [[(0, 3), (4, 7)] if len(t) > 7 else [] for t in texts]
+
+    rows = _rows(semantic_highlight(docs, "q", highlight_fn=fn))
+    assert rows[1]["highlighted"][:26] == "<em>The</em> <em>cat</em> "
+
+
+def test_model_path_rejects_out_of_bounds_span(docs):
+    def fn(question, texts):
+        return [[(0, len(t) + 5)] for t in texts]
+
+    with pytest.raises(Exception, match="invalid highlight span"):
+        semantic_highlight(docs, "q", highlight_fn=fn).collect()
+
+
+def test_model_path_rejects_unsorted_spans(docs):
+    def fn(question, texts):
+        return [[(5, 8), (0, 3)] if len(t) > 8 else [] for t in texts]
+
+    with pytest.raises(Exception, match="unsorted"):
+        semantic_highlight(docs, "q", highlight_fn=fn).collect()
+
+
+# ------------------------------------------------------- request DSL wiring
+
+
+def test_request_semantic_highlight_field(spark, tmp_path_factory):
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.query import request
+
+    rows = [
+        (1, "alpha beta. gamma delta. alpha gamma"),
+        (2, "beta beta. delta delta"),
+        (3, "alpha. alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_index(
+        spark, df, str(tmp_path_factory.mktemp("semhl") / "idx"),
+        text_col="text", id_col="doc_id", bucket_bits=2)
+    out = request.search_request(idx, {
+        "query": {"match": {"text": "alpha gamma"}},
+        "highlight": {"fields": {"text": {"type": "semantic"}}},
+        "size": 10,
+    }, doc_values=df, doc_values_id="doc_id")
+    got = {r["docID"]: r["highlight_text"] for r in out["hits"].collect()}
+    # doc 1 sentences score 1,1,2 → only the max sentence tagged
+    assert got[1] == "alpha beta. gamma delta. <em>alpha gamma</em>"
+    # doc 3: both sentences tie at 1
+    assert got[3] == "<em>alpha.</em> <em>alpha</em>"
+    # plan stays pure Catalyst: no Python stage in the semantic branch
+    assert "BatchEvalPython" not in out["hits"]._jdf.queryExecution() \
+        .executedPlan().toString()
