@@ -94,11 +94,10 @@ def _tagged_text(structs: Column, max_score: Column,
                  pre: str, post: str) -> Column:
     """Rebuild the document text, wrapping every max-scoring segment."""
     def piece(s: Column) -> Column:
-        body = F.substring(
-            F.concat(s["sent"],
-                     F.when(s["score"] >= F.lit(0), F.lit("."))),  # pad
-            1, s["end"] - s["start"])
-        # body = the ORIGINAL slice: sent + '.' except for the last segment
+        # body = the ORIGINAL slice: sent + '.' for every segment but the
+        # last (end-start = len(sent)+1 there, = len(sent) on the last)
+        body = F.substring(F.concat(s["sent"], F.lit(".")),
+                           1, s["end"] - s["start"])
         tagged = F.when((s["score"] == max_score) & (max_score > 0),
                         F.concat(F.lit(pre), body, F.lit(post))
                         ).otherwise(body)
