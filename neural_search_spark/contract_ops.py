@@ -4500,8 +4500,126 @@ _SEM_HL_SQL = f"""
 """
 
 
+SPAN_NEAR_CLAUSES = [["data"], ["query", "table"]]  # term, span_or
+SPAN_NEAR_SLOP = 4
+SPAN_FIRST_CLAUSES = [["value"], ["table"]]
+SPAN_FIRST_SLOP = 3
+SPAN_FIRST_END = 60
+SPAN_NOT_EXCLUDE = "the"
+
+
+def q_span_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered span_near with a span_or second clause: sequential
+    nearest-position binding per anchor, sloppyFreq 1/(1+d) weights, idf
+    over the distinct clause terms (SpanWeight term-states semantics)."""
+    from neural_search_spark.query import spans as sp
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    res = sp.span_near_search(
+        idx, corpus, SPAN_NEAR_CLAUSES, slop=SPAN_NEAR_SLOP,
+        in_order=False, k=10)
+    return res.select(F.col("docID").alias("doc_id"), "score")
+
+
+def q_span_first_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_not(span_first(span_near ordered)): greedy in-order completion,
+    window end capped at SPAN_FIRST_END, windows containing the exclude
+    term vetoed."""
+    from neural_search_spark.query import spans as sp
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    res = sp.span_near_search(
+        idx, corpus, SPAN_FIRST_CLAUSES, slop=SPAN_FIRST_SLOP,
+        in_order=True, k=10, first_end=SPAN_FIRST_END,
+        exclude=SPAN_NOT_EXCLUDE)
+    return res.select(F.col("docID").alias("doc_id"), "score")
+
+
+def _span_idf_cte(terms: list[str]) -> str:
+    """dfs + idf CTEs (idf = Σ over DISTINCT terms, df = docs containing)."""
+    cols = ",\n             ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(sorted(set(terms))))
+    idf = " + ".join(
+        f"ln(1 + (s.n_docs - d.df_{i} + 0.5) / (d.df_{i} + 0.5))"
+        for i in range(len(sorted(set(terms)))))
+    return f"""
+    dl AS (SELECT doc_id, len(toks) AS doclen FROM tok),
+    stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+    dfs AS (SELECT {cols} FROM tok),
+    idf AS (SELECT {idf} AS v, s.avgdl AS avgdl FROM stats s, dfs d)"""
+
+
+def _pos_sql(terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return (f"list_filter(generate_series(1, len(toks)), "
+            f"i -> list_contains([{tl}], toks[i]))")
+
+
+# m=2 unordered: anchor i over clause-1 positions; the second clause binds
+# its nearest position b (pair-sort [abs, p] → earlier position on ties;
+# the clauses' term sets are disjoint so the engine's bound-position
+# exclusion never fires); d = |b − i| − 1; weight 1/(1+d).
+SPAN_NEAR_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    {_span_idf_cte(sorted(set(SPAN_NEAR_CLAUSES[0] + SPAN_NEAR_CLAUSES[1])))},
+    tfp AS (
+      SELECT t.doc_id, dl.doclen,
+        coalesce(list_sum(list_transform(
+          list_filter(
+            list_transform({_pos_sql(SPAN_NEAR_CLAUSES[0])},
+              i -> CASE WHEN len({_pos_sql(SPAN_NEAR_CLAUSES[1])}) = 0
+                        THEN -1
+                        ELSE abs(list_sort(list_transform(
+                               {_pos_sql(SPAN_NEAR_CLAUSES[1])},
+                               p -> [abs(p - i), p]))[1][2] - i) - 1 END),
+            d -> d >= 0 AND d <= {SPAN_NEAR_SLOP}),
+          d -> 1.0 / (1.0 + d))), 0.0) AS tfp
+      FROM tok t JOIN dl ON t.doc_id = dl.doc_id)
+    SELECT doc_id,
+      round(i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * doclen / i.avgdl)), 4)
+        AS score
+    FROM tfp, idf i WHERE tfp > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+# m=2 ordered + span_first + span_not: b = first clause-2 position after
+# the anchor; d = b − i − 1; gates d ≤ slop, b ≤ END, no exclude position
+# inside [i, b].
+SPAN_FIRST_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    {_span_idf_cte(sorted(set(SPAN_FIRST_CLAUSES[0] + SPAN_FIRST_CLAUSES[1])))},
+    tfp AS (
+      SELECT t.doc_id, dl.doclen,
+        coalesce(list_sum(list_transform(
+          list_filter(
+            list_transform({_pos_sql(SPAN_FIRST_CLAUSES[0])},
+              i -> CASE WHEN len(list_filter({_pos_sql(SPAN_FIRST_CLAUSES[1])},
+                                             p -> p > i)) = 0
+                        THEN [-1, -1]
+                        ELSE [i, list_filter(
+                               {_pos_sql(SPAN_FIRST_CLAUSES[1])},
+                               p -> p > i)[1]] END),
+            w -> w[2] >= 0 AND w[2] - w[1] - 1 <= {SPAN_FIRST_SLOP}
+                 AND w[2] <= {SPAN_FIRST_END}
+                 AND len(list_filter({_pos_sql([SPAN_NOT_EXCLUDE])},
+                         p -> p >= w[1] AND p <= w[2])) = 0),
+          w -> 1.0 / (1.0 + (w[2] - w[1] - 1)))), 0.0) AS tfp
+      FROM tok t JOIN dl ON t.doc_id = dl.doc_id)
+    SELECT doc_id,
+      round(i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * doclen / i.avgdl)), 4)
+        AS score
+    FROM tfp, idf i WHERE tfp > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 SPARK_QUERIES_EXT = {
     "semantic_highlight": q_semantic_highlight,
+    "span_near_topk": q_span_near_topk,
+    "span_first_not_topk": q_span_first_not_topk,
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
     "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
@@ -4635,6 +4753,8 @@ SPARK_QUERIES_EXT = {
 
 ORACLE_SQL_EXT = {
     "semantic_highlight": _SEM_HL_SQL,
+    "span_near_topk": SPAN_NEAR_SQL,
+    "span_first_not_topk": SPAN_FIRST_SQL,
     "wand_topk_single": _bm25_exact_sql(WAND_TERMS_SINGLE, 10),
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
     "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),

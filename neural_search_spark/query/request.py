@@ -143,7 +143,8 @@ def _parse_subquery(q: dict) -> dict:
     if kind in ("dis_max", "multi_match", "boosting", "constant_score",
                 "query_string", "function_score", "rank_feature",
                 "distance_feature", "ids", "pinned", "simple_query_string",
-                "combined_fields"):
+                "combined_fields", "span_near", "span_first", "span_not",
+                "span_term", "span_or"):
         # Lucene compound queries (query/dismax.py): the body is the spec
         # itself, not {field: spec}. Resolved to pre-scored frames in
         # _resolve_frame (they need the index), so each works both as the
@@ -596,6 +597,31 @@ def search_request(
                 boost_mode=b.get("boost_mode", "multiply"),
                 max_boost=b.get("max_boost"),
                 min_score=b.get("min_score"), **kw)
+            return {"frame": fr}
+        span_kinds = [kk for kk in ("span_near", "span_first", "span_not",
+                                    "span_term", "span_or") if kk in s]
+        if span_kinds:
+            from neural_search_spark.query.spans import (parse_span_query,
+                                                         span_near_search)
+
+            if doc_values is None:
+                raise ValueError("span queries need doc_values with the "
+                                 "indexed text (forward-index verify)")
+            idc = doc_values_id or base_index.id_col
+            corpus = (doc_values if idc == base_index.id_col
+                      else doc_values.withColumnRenamed(
+                          idc, base_index.id_col))
+            (kk,) = span_kinds
+            body = s[kk]
+            text_col = (body.pop("text_col", "text")
+                        if isinstance(body, dict) else "text")
+            sp = parse_span_query({kk: body})
+            kw = {"where": s["where"]} if s.get("where") is not None else {}
+            fr = span_near_search(
+                base_index, corpus, sp["clauses"], slop=sp["slop"],
+                in_order=sp["in_order"], k=fetch_k,
+                first_end=sp["first_end"], exclude=sp["exclude"],
+                text_col=text_col, **kw)
             return {"frame": fr}
         if "query_string" in s:
             from neural_search_spark.query.qstring import query_string_search

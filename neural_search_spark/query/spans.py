@@ -1,0 +1,305 @@
+"""Span queries — the Lucene SpanQuery family, Spark-first.
+
+The reference's hybrid request wraps arbitrary Lucene sub-queries
+(main/query/HybridQueryBuilder.java visits generic QueryBuilder clauses),
+and span queries are the positional family a fulltext user reaches for
+when match_phrase is too rigid: ``span_near`` (terms within ``slop``
+positions, optionally in order), ``span_first`` (match confined to the
+first ``end`` positions), ``span_or`` (term alternatives inside a clause)
+and ``span_not`` (windows vetoed by an excluded term).
+
+Execution reuses the phrase shape (query/phrase.py): postings carry no
+positions — exactly like the reference's sparse formats — so the RAREST
+clause's postings drive candidate docIDs (df from block headers, one
+pruned decode), and position verification runs over the forward text as
+one Catalyst higher-order-function expression per doc (no Python, no
+explode, no shuffle beyond the candidate semi-join).
+
+Matching semantics (deterministic, oracle-replicable; documented
+divergences from Lucene's lazy span iterators, in the same spirit as
+phrase._sloppy_freq's greedy-completion note):
+
+* every clause is unit-length: ``span_term`` (one analyzed term) or
+  ``span_or`` over terms (position set = union of member positions);
+* enumeration anchors on clause 0's positions;
+* **ordered** (``in_order=True``): clause j binds to its FIRST position
+  strictly after clause j-1's binding (greedy minimal completion —
+  NearSpansOrdered's non-overlap requirement for unit spans);
+* **unordered**: clauses bind sequentially — clause j takes the position
+  NEAREST the anchor among positions not bound by clauses before it
+  (ties → the earlier position), so repeated terms across clauses bind
+  distinct occurrences, mirroring Lucene's one-spans-iterator-per-clause
+  conjunction; a clause with no unbound position breaks the match;
+* a completed window [mn, mx] has width d = (mx − mn + 1) − m; it
+  matches when 0 ≤ d ≤ slop — and, for ``span_first``, mx ≤ end — and,
+  under ``span_not``, no exclude-term position falls inside [mn, mx];
+* each match contributes Lucene's sloppyFreq weight 1/(1+d) to tf;
+  score = idf_sum · tf / (tf + k1·(1−b+b·dl/avgdl)) with idf summed over
+  the DISTINCT present terms of all clauses — SpanWeight keys term
+  states by Term (unlike PhraseQuery, which counts repeats repeatedly).
+
+A clause none of whose terms exist in the dictionary can never bind, so
+the query matches nothing (Lucene: a missing TermState empties the
+near-spans conjunction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokens_col
+from neural_search_spark.expr import let as _let
+from neural_search_spark.index.build import Index
+from neural_search_spark.index.merge import decode_postings
+from neural_search_spark.query.phrase import _idf, _term_dfs
+
+__all__ = ["span_near_search", "span_near_scores", "span_near_freq",
+           "normalize_clauses", "parse_span_query"]
+
+
+def normalize_clauses(clauses) -> list[list[str]]:
+    """Accept ``["term", ["alt1", "alt2"], {"span_term": "t"},
+    {"span_or": ["a", "b"]}]`` → list of term lists (one per clause)."""
+    out: list[list[str]] = []
+    for c in clauses:
+        if isinstance(c, str):
+            out.append([c])
+        elif isinstance(c, (list, tuple)):
+            out.append([str(t) for t in c])
+        elif isinstance(c, dict) and "span_term" in c:
+            v = c["span_term"]
+            if isinstance(v, dict):
+                # {"span_term": {"value": t}} or the OpenSearch field form
+                # {"span_term": {field: t}} / {"span_term": {field:
+                # {"value": t}}} — single field per span_term
+                v = v.get("value", v)
+                if isinstance(v, dict):
+                    if len(v) != 1:
+                        raise ValueError(f"span_term wants one field: {v!r}")
+                    (v,) = v.values()
+                    if isinstance(v, dict):
+                        v = v["value"]
+            out.append([str(v)])
+        elif isinstance(c, dict) and "span_or" in c:
+            sub = c["span_or"]
+            terms = sub.get("clauses", sub) if isinstance(sub, dict) else sub
+            out.append([t for s in normalize_clauses(terms) for t in s])
+        else:
+            raise ValueError(f"unsupported span clause: {c!r}")
+    if not out or any(not c for c in out):
+        raise ValueError("span_near needs at least one non-empty clause")
+    return out
+
+
+def parse_span_query(q: dict) -> dict:
+    """Parse an OpenSearch-style span query body into
+    ``{clauses, slop, in_order, first_end, exclude}`` (the kwargs of
+    :func:`span_near_search`). Supported nesting: span_term / span_or at
+    the leaves; span_near over them; span_first / span_not wrapping a
+    span_near (or a leaf). Matches the reference's builder surface —
+    deeper span algebra (span_containing / span_within / field_masking)
+    raises."""
+    if "span_near" in q:
+        b = q["span_near"]
+        return {"clauses": normalize_clauses(b["clauses"]),
+                "slop": int(b.get("slop", 0)),
+                "in_order": bool(b.get("in_order", True)),
+                "first_end": None, "exclude": None}
+    if "span_term" in q or "span_or" in q:
+        return {"clauses": normalize_clauses([q]), "slop": 0,
+                "in_order": True, "first_end": None, "exclude": None}
+    if "span_first" in q:
+        b = q["span_first"]
+        inner = parse_span_query(b["match"])
+        if inner["first_end"] is not None or inner["exclude"] is not None:
+            raise ValueError("span_first cannot wrap span_first/span_not")
+        inner["first_end"] = int(b["end"])
+        return inner
+    if "span_not" in q:
+        b = q["span_not"]
+        inner = parse_span_query(b["include"])
+        if inner["exclude"] is not None:
+            raise ValueError("nested span_not is unsupported")
+        excl = normalize_clauses([b["exclude"]])
+        inner["exclude"] = [t for c in excl for t in c]
+        return inner
+    raise ValueError(f"unsupported span query: {sorted(q)!r}")
+
+
+def _positions(toks: Column, terms: list[str]) -> Column:
+    """Sorted 1-based positions of ``toks`` whose token ∈ terms."""
+    tset = sorted(set(terms))
+    if len(tset) == 1:
+        pred = lambda i: F.element_at(toks, i) == F.lit(tset[0])  # noqa: E731
+    else:
+        arr = F.array(*[F.lit(t) for t in tset])
+        pred = lambda i: F.array_contains(arr, F.element_at(toks, i))  # noqa: E731
+    return F.when(
+        F.size(toks) > 0,
+        F.filter(F.sequence(F.lit(1), F.size(toks)), pred),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def span_near_freq(
+    toks: Column,
+    clauses: list[list[str]],
+    slop: int,
+    in_order: bool = True,
+    first_end: int | None = None,
+    exclude: list[str] | None = None,
+) -> Column:
+    """Weighted span-match frequency (double) over a token-array column —
+    Σ 1/(1+d) over matching windows per the module-docstring semantics.
+    One Catalyst expression; every position array is let-bound (evaluated
+    once per row)."""
+    m = len(clauses)
+    pos_arrays = [_positions(toks, c).cast("array<int>") for c in clauses]
+    if exclude:
+        pos_arrays.append(_positions(toks, exclude).cast("array<int>"))
+    P_expr = F.array(*pos_arrays)  # clause j at index j+1; exclude at m+1
+
+    def body(P: Column) -> Column:
+        def window(i: Column) -> Column:
+            if in_order:
+                mx = i.cast("int") if m == 1 else F.aggregate(
+                    F.sequence(F.lit(2), F.lit(m)),
+                    i.cast("int"),
+                    lambda acc, j: F.when(acc == 0, F.lit(0)).otherwise(
+                        F.coalesce(
+                            F.try_element_at(
+                                F.filter(F.element_at(P, j),
+                                         lambda p: p > acc), F.lit(1)),
+                            F.lit(0))).cast("int"))
+                return F.struct(i.cast("int").alias("mn"), mx.alias("mx"))
+            # unordered: clauses bind sequentially to the position nearest
+            # the anchor among positions NOT bound by earlier clauses
+            # (tie → the earlier position); 0 = broken sentinel
+            binds = F.aggregate(
+                F.sequence(F.lit(2), F.lit(m)),
+                F.array(i.cast("int")),
+                lambda acc, j: F.array_append(acc, F.coalesce(
+                    F.try_element_at(
+                        F.array_sort(F.transform(
+                            F.filter(F.element_at(P, j),
+                                     lambda p: ~F.array_contains(acc, p)),
+                            lambda p: F.struct(F.abs(p - i).alias("d"),
+                                               p.alias("p")))),
+                        F.lit(1))["p"],
+                    F.lit(0))),
+            ) if m > 1 else F.array(i.cast("int"))
+
+            def fin(allv: Column) -> Column:
+                broken = F.array_contains(allv, 0)
+                return F.struct(
+                    F.when(broken, F.lit(0))
+                    .otherwise(F.array_min(allv)).cast("int").alias("mn"),
+                    F.when(broken, F.lit(0))
+                    .otherwise(F.array_max(allv)).cast("int").alias("mx"))
+
+            return _let(binds, fin)
+
+        def ok(w: Column) -> Column:
+            d = w["mx"] - w["mn"] + 1 - m
+            c = (w["mx"] > 0) & (d >= 0) & (d <= slop)
+            if first_end is not None:
+                c = c & (w["mx"] <= first_end)
+            if exclude:
+                c = c & ~F.exists(
+                    F.element_at(P, m + 1),
+                    lambda p: (p >= w["mn"]) & (p <= w["mx"]))
+            return c
+
+        weights = F.transform(
+            F.filter(F.transform(F.element_at(P, 1), window), ok),
+            lambda w: F.lit(1.0) / (F.lit(1.0) + (w["mx"] - w["mn"] + 1 - m)))
+        return F.coalesce(
+            F.aggregate(weights, F.lit(0.0), lambda a, x: a + x), F.lit(0.0))
+
+    return _let(P_expr, body)
+
+
+def span_near_scores(
+    index: Index,
+    corpus: DataFrame,
+    clauses,
+    slop: int = 0,
+    in_order: bool = True,
+    text_col: str = "text",
+    first_end: int | None = None,
+    exclude: str | list[str] | None = None,
+    where: Column | None = None,
+) -> DataFrame:
+    """FULL-match-set unrounded span scores — (docID, score) for every doc
+    with span frequency > 0. ``clauses`` per :func:`normalize_clauses`;
+    ``first_end`` wraps the near-match in span_first(end=...); ``exclude``
+    wraps it in span_not (windows containing any exclude term are vetoed);
+    ``where`` pre-filters the corpus rows (per-sub-query filter context)."""
+    cl = normalize_clauses(clauses)
+    if where is not None:
+        corpus = corpus.where(where)
+    excl = ([exclude] if isinstance(exclude, str) else
+            [str(t) for t in exclude] if exclude else None)
+    all_terms = sorted({t for c in cl for t in c})
+    dfs = _term_dfs(index, all_terms)
+
+    # a clause with no dictionary term can never bind → empty result
+    cl_present = [[t for t in c if dfs.get(t)] for c in cl]
+    if any(not c for c in cl_present):
+        return index.docmap.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.lit(0.0).alias("score")).limit(0)
+
+    # idf over DISTINCT present terms (SpanWeight's term-states map)
+    idf_sum = float(sum(
+        _idf(dfs[t], index.n_docs)
+        for t in sorted({t for c in cl_present for t in c})))
+
+    # rarest clause drives candidates (Σ df of its present terms)
+    rarest = min(cl_present, key=lambda c: (sum(dfs[t] for t in c), c))
+    cand = (decode_postings(
+        index.postings.where(F.col("term").isin(rarest)))
+        .select("docID").distinct())
+    if index.tombstones is not None:
+        cand = cand.join(index.tombstones, "docID", "left_anti")
+
+    toks = tokens_col(F.col(text_col), index.analyzer)
+    k1, b, avgdl = index.k1, index.b, index.avgdl
+
+    def _score_of(t: Column) -> Column:
+        tfp = span_near_freq(t, cl_present, slop, in_order,
+                             first_end=first_end, exclude=excl)
+        return _let(tfp, lambda x: F.when(
+            x > 0,
+            F.lit(idf_sum) * x
+            / (x + k1 * (1.0 - b + b * F.size(t) / avgdl))))
+
+    fwd = corpus.select(
+        F.col(index.id_col).cast("long").alias("docID"), F.col(text_col),
+    ).join(F.broadcast(cand), "docID", "left_semi")
+    return (fwd.select("docID", _let(toks, _score_of).alias("score"))
+            .where(F.col("score").isNotNull()))
+
+
+def span_near_search(
+    index: Index,
+    corpus: DataFrame,
+    clauses,
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    text_col: str = "text",
+    first_end: int | None = None,
+    exclude: str | list[str] | None = None,
+    where: Column | None = None,
+) -> DataFrame:
+    """span_near / span_first / span_not top-k: DataFrame(docID, score),
+    rounded to 4 dp, ties broken on docID ascending. ``corpus`` is the
+    source table the index was built from (the forward text — see
+    phrase_search's note; only candidate rows are ever tokenized)."""
+    scored = span_near_scores(index, corpus, clauses, slop=slop,
+                              in_order=in_order, text_col=text_col,
+                              first_end=first_end, exclude=exclude,
+                              where=where)
+    return (scored.select("docID", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("docID"))
+            .limit(k))

@@ -1,0 +1,211 @@
+"""Span queries (query/spans.py) — span_term / span_or / span_near
+(ordered + unordered) / span_first / span_not, plus request-DSL routing.
+
+Hand-computed oracles over a tiny corpus; BM25 factors checked exactly.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query import spans
+
+DOCS = [
+    (1, "alpha beta gamma delta"),
+    (2, "beta alpha x x gamma"),
+    (3, "gamma x x x alpha x beta"),
+    (4, "alpha x beta"),
+    (5, "delta epsilon"),
+    (6, "alpha beta alpha beta"),
+]
+N = len(DOCS)
+LENS = {d: len(t.split()) for d, t, in DOCS}
+AVGDL = sum(LENS.values()) / N
+DFS = {"alpha": 5, "beta": 5, "gamma": 3, "delta": 2, "x": 3}
+
+
+def _idf(t):
+    return math.log(1 + (N - DFS[t] + 0.5) / (DFS[t] + 0.5))
+
+
+def _score(terms, tfp, doc):
+    idf = sum(_idf(t) for t in sorted(set(terms)))
+    return round(
+        idf * tfp / (tfp + 1.2 * (0.25 + 0.75 * LENS[doc] / AVGDL)), 4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    return build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("spanidx") / "idx"),
+        text_col="text", id_col="doc_id", bucket_bits=2)
+
+
+def _got(df):
+    return {r["docID"]: r["score"] for r in df.collect()}
+
+
+def test_ordered_slop0_is_adjacent_pairs(idx, corpus):
+    got = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=0, in_order=True))
+    # doc6: two adjacent matches (tf=2); doc1: one; others none
+    assert got == {6: _score(["alpha", "beta"], 2.0, 6),
+                   1: _score(["alpha", "beta"], 1.0, 1)}
+
+
+def test_ordered_slop_weights(idx, corpus):
+    got = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=1, in_order=True))
+    # doc4 (alpha x beta): d=1 → w=1/2; doc3 (alpha@5, beta@7): d=1 → 1/2
+    assert got[4] == _score(["alpha", "beta"], 0.5, 4)
+    assert got[3] == _score(["alpha", "beta"], 0.5, 3)
+    assert 2 not in got  # beta BEFORE alpha — ordered rejects
+
+
+def test_unordered_matches_reversed_pairs(idx, corpus):
+    got = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=1, in_order=False))
+    # doc2 (beta@1, alpha@2): window [1,2], d=0 → w=1
+    assert got[2] == _score(["alpha", "beta"], 1.0, 2)
+    assert got[6] == _score(["alpha", "beta"], 2.0, 6)
+
+
+def test_span_or_clause_and_idf_distinct_terms(idx, corpus):
+    got = _got(spans.span_near_search(
+        idx, corpus, ["alpha", ["beta", "gamma"]], slop=3, in_order=False))
+    # doc2: anchor alpha@2 → nearest of {beta@1, gamma@5} is beta@1 (d=1
+    # vs 3) → window [1,2], w=1. idf = idf(alpha)+idf(beta)+idf(gamma)
+    assert got[2] == _score(["alpha", "beta", "gamma"], 1.0, 2)
+    # doc1: anchor alpha@1 → nearest of {beta@2, gamma@3} is beta@2 → w=1
+    assert got[1] == _score(["alpha", "beta", "gamma"], 1.0, 1)
+
+
+def test_unordered_tie_prefers_earlier_position(spark, idx, tmp_path_factory):
+    # 'beta alpha beta': anchor alpha@2, beta at 1 and 3 equidistant →
+    # binds @1 (documented tie rule); either way d=0, w=1 — assert via
+    # freq expression directly to pin the binding
+    df = spark.createDataFrame([(1, "beta alpha beta")],
+                               "doc_id long, text string")
+    toks = F.split("text", " ")
+    out = df.select(
+        spans.span_near_freq(toks, [["alpha"], ["beta"]], 0, False)
+        .alias("f")).collect()
+    assert out[0]["f"] == 1.0
+
+
+def test_same_position_double_binding_rejected(spark):
+    # two clauses over the SAME term bind the same position → d < 0 → no
+    # match; distinct occurrences still match
+    df = spark.createDataFrame([(1, "alpha x"), (2, "alpha alpha")],
+                               "doc_id long, text string")
+    toks = F.split("text", " ")
+    rows = df.select("doc_id", spans.span_near_freq(
+        toks, [["alpha"], ["alpha"]], 2, False).alias("f")).collect()
+    got = {r["doc_id"]: r["f"] for r in rows}
+    assert got[1] == 0.0
+    assert got[2] > 0.0
+
+
+def test_span_first_bounds_window_end(idx, corpus):
+    got = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=1, in_order=True, first_end=3))
+    # doc6 keeps only the [1,2] match (the [3,4] one ends past 3) → tf=1
+    assert got[6] == _score(["alpha", "beta"], 1.0, 6)
+    assert got[1] == _score(["alpha", "beta"], 1.0, 1)
+    assert got[4] == _score(["alpha", "beta"], 0.5, 4)
+    assert 3 not in got  # its only window ends at 7
+
+
+def test_span_not_vetoes_windows_containing_exclude(idx, corpus):
+    got = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=3, in_order=False,
+        exclude="x"))
+    # doc4's window [1,3] contains x@2; doc3's [5,7] contains x@6
+    assert 4 not in got and 3 not in got
+    assert got[2] == _score(["alpha", "beta"], 1.0, 2)
+
+
+def test_missing_clause_term_matches_nothing(idx, corpus):
+    assert spans.span_near_search(
+        idx, corpus, ["alpha", "zzz"], slop=5).count() == 0
+
+
+def test_parse_span_query_shapes():
+    p = spans.parse_span_query({"span_near": {
+        "clauses": [{"span_term": {"text": "alpha"}},
+                    {"span_or": {"clauses": [
+                        {"span_term": {"text": {"value": "beta"}}},
+                        {"span_term": "gamma"}]}}],
+        "slop": 2, "in_order": False}})
+    assert p == {"clauses": [["alpha"], ["beta", "gamma"]], "slop": 2,
+                 "in_order": False, "first_end": None, "exclude": None}
+    p = spans.parse_span_query({"span_first": {
+        "match": {"span_near": {"clauses": ["alpha", "beta"], "slop": 1}},
+        "end": 3}})
+    assert p["first_end"] == 3 and p["in_order"] is True
+    p = spans.parse_span_query({"span_not": {
+        "include": {"span_near": {"clauses": ["alpha", "beta"],
+                                  "slop": 3, "in_order": False}},
+        "exclude": {"span_term": {"text": "x"}}}})
+    assert p["exclude"] == ["x"]
+    with pytest.raises(ValueError, match="unsupported span query"):
+        spans.parse_span_query({"span_containing": {}})
+
+
+def test_request_dsl_span_kinds(idx, corpus):
+    from neural_search_spark.query import request
+
+    out = request.search_request(idx, {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "alpha"}},
+                        {"span_term": {"text": "beta"}}],
+            "slop": 1, "in_order": False}},
+        "size": 10,
+    }, doc_values=corpus, doc_values_id="doc_id")
+    want = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=1, in_order=False))
+    assert _got(out["hits"].select("docID", "score")) == want
+
+    out = request.search_request(idx, {
+        "query": {"span_not": {
+            "include": {"span_near": {"clauses": ["alpha", "beta"],
+                                      "slop": 3, "in_order": False}},
+            "exclude": {"span_term": {"text": "x"}}}},
+        "size": 10,
+    }, doc_values=corpus, doc_values_id="doc_id")
+    want = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=3, in_order=False, exclude="x"))
+    assert _got(out["hits"].select("docID", "score")) == want
+
+
+def test_request_span_in_hybrid(idx, corpus):
+    from neural_search_spark.query import request
+
+    out = request.search_request(idx, {
+        "query": {"hybrid": {"queries": [
+            {"match": {"text": "gamma"}},
+            {"span_near": {"clauses": ["alpha", "beta"], "slop": 0}},
+        ]}},
+        "size": 10,
+        "search_pipeline": {"normalization": "min_max",
+                            "combination": "arithmetic_mean"},
+    }, doc_values=corpus, doc_values_id="doc_id")
+    rows = out["hits"].collect()
+    assert len(rows) > 0  # combined frame materializes
+    ids = {r["docID"] for r in rows}
+    assert 6 in ids  # top span doc present in the combined set
+
+
+def test_plan_no_python_and_one_candidate_join(idx, corpus):
+    df = spans.span_near_search(
+        idx, corpus, ["alpha", ["beta", "gamma"]], slop=2, in_order=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
