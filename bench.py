@@ -251,6 +251,24 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
                 index, corpus, 'def + "def return" + -uniq_17 | re*', k=10,
                 text_col="content"),
         })
+
+        # round-3 fifth-session family: span queries + semantic highlight
+        from neural_search_spark.query.semantic_highlight import (
+            semantic_highlight,
+        )
+        from neural_search_spark.query.spans import span_near_search
+
+        qt_runs.update({
+            "span_near_unordered": lambda: span_near_search(
+                index, corpus, [["def"], ["return", "parse"]], slop=4,
+                in_order=False, k=10, text_col="content"),
+            "span_first_not": lambda: span_near_search(
+                index, corpus, ["def", "return"], slop=3, in_order=True,
+                first_end=60, exclude="uniq_17", k=10, text_col="content"),
+            "semantic_highlight": lambda: semantic_highlight(
+                corpus.limit(2000), "def return parse",
+                text_col="content", id_col="docID"),
+        })
         qt_lat = {}
         for qname, fn in qt_runs.items():
             t0 = time.perf_counter()

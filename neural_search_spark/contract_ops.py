@@ -4558,6 +4558,62 @@ def _pos_sql(terms: list[str]) -> str:
             f"i -> list_contains([{tl}], toks[i]))")
 
 
+INTERVALS_TERMS = ["data", "query", "table"]
+INTERVALS_MAX_GAPS = 6
+
+
+def q_intervals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervals all_of (unordered, max_gaps) through parse_intervals_query
+    → the span machinery; m=3 exercises the sequential unordered binding
+    the m=2 span entries don't."""
+    from neural_search_spark.query import spans as sp
+
+    idx = _get_index(spark, sf_dir)
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    p = sp.parse_intervals_query({"all_of": {
+        "intervals": [{"match": {"query": t}} for t in INTERVALS_TERMS],
+        "max_gaps": INTERVALS_MAX_GAPS, "ordered": False}})
+    res = sp.span_near_search(
+        idx, corpus, p["clauses"], slop=p["slop"], in_order=p["in_order"],
+        k=10)
+    return res.select(F.col("docID").alias("doc_id"), "score")
+
+
+# m=3 unordered with pairwise-disjoint clause terms: the engine's
+# bound-position exclusion never fires, so clauses 2 and 3 independently
+# bind their nearest position to the anchor (pair-sort tie → earlier);
+# window = [least, greatest] of the three, d = width − 3.
+INTERVALS_SQL = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    {_span_idf_cte(INTERVALS_TERMS)},
+    pos AS (
+      SELECT t.doc_id, dl.doclen,
+        {_pos_sql([INTERVALS_TERMS[0]])} AS p0,
+        {_pos_sql([INTERVALS_TERMS[1]])} AS p1,
+        {_pos_sql([INTERVALS_TERMS[2]])} AS p2
+      FROM tok t JOIN dl ON t.doc_id = dl.doc_id),
+    tfp AS (
+      SELECT doc_id, doclen,
+        coalesce(list_sum(list_transform(
+          list_filter(
+            list_transform(p0,
+              i -> CASE WHEN len(p1) = 0 OR len(p2) = 0 THEN -1 ELSE
+                greatest(i, list_sort(list_transform(p1, p -> [abs(p - i), p]))[1][2],
+                            list_sort(list_transform(p2, p -> [abs(p - i), p]))[1][2])
+                - least(i, list_sort(list_transform(p1, p -> [abs(p - i), p]))[1][2],
+                           list_sort(list_transform(p2, p -> [abs(p - i), p]))[1][2])
+                + 1 - 3 END),
+            d -> d >= 0 AND d <= {INTERVALS_MAX_GAPS}),
+          d -> 1.0 / (1.0 + d))), 0.0) AS tfp
+      FROM pos)
+    SELECT doc_id,
+      round(i.v * tfp / (tfp + 1.2 * (0.25 + 0.75 * doclen / i.avgdl)), 4)
+        AS score
+    FROM tfp, idf i WHERE tfp > 0
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # m=2 unordered: anchor i over clause-1 positions; the second clause binds
 # its nearest position b (pair-sort [abs, p] → earlier position on ties;
 # the clauses' term sets are disjoint so the engine's bound-position
@@ -4620,6 +4676,7 @@ SPARK_QUERIES_EXT = {
     "semantic_highlight": q_semantic_highlight,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
+    "intervals_topk": q_intervals_topk,
     "wand_topk_single": _wand_entry(WAND_TERMS_SINGLE),
     "wand_topk_multi": _wand_entry(WAND_TERMS_MULTI),
     "wand_topk_heavy": _wand_entry(WAND_TERMS_HEAVY),
@@ -4755,6 +4812,7 @@ ORACLE_SQL_EXT = {
     "semantic_highlight": _SEM_HL_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
+    "intervals_topk": INTERVALS_SQL,
     "wand_topk_single": _bm25_exact_sql(WAND_TERMS_SINGLE, 10),
     "wand_topk_multi": _bm25_exact_sql(WAND_TERMS_MULTI, 10),
     "wand_topk_heavy": _bm25_exact_sql(WAND_TERMS_HEAVY, 10),

@@ -144,7 +144,7 @@ def _parse_subquery(q: dict) -> dict:
                 "query_string", "function_score", "rank_feature",
                 "distance_feature", "ids", "pinned", "simple_query_string",
                 "combined_fields", "span_near", "span_first", "span_not",
-                "span_term", "span_or"):
+                "span_term", "span_or", "intervals"):
         # Lucene compound queries (query/dismax.py): the body is the spec
         # itself, not {field: spec}. Resolved to pre-scored frames in
         # _resolve_frame (they need the index), so each works both as the
@@ -599,10 +599,11 @@ def search_request(
                 min_score=b.get("min_score"), **kw)
             return {"frame": fr}
         span_kinds = [kk for kk in ("span_near", "span_first", "span_not",
-                                    "span_term", "span_or") if kk in s]
+                                    "span_term", "span_or", "intervals")
+                      if kk in s]
         if span_kinds:
-            from neural_search_spark.query.spans import (parse_span_query,
-                                                         span_near_search)
+            from neural_search_spark.query.spans import (
+                parse_intervals_query, parse_span_query, span_near_search)
 
             if doc_values is None:
                 raise ValueError("span queries need doc_values with the "
@@ -615,7 +616,17 @@ def search_request(
             body = s[kk]
             text_col = (body.pop("text_col", "text")
                         if isinstance(body, dict) else "text")
-            sp = parse_span_query({kk: body})
+            if kk == "intervals":
+                # body is {field: rule}; the indexed field IS the text
+                # column here (single-field index), so the field name only
+                # selects the forward column
+                if len(body) != 1:
+                    raise ValueError("intervals wants exactly one field")
+                (fld, rule), = body.items()
+                text_col = fld
+                sp = parse_intervals_query(rule, base_index.analyzer)
+            else:
+                sp = parse_span_query({kk: body})
             kw = {"where": s["where"]} if s.get("where") is not None else {}
             fr = span_near_search(
                 base_index, corpus, sp["clauses"], slop=sp["slop"],

@@ -54,7 +54,7 @@ from neural_search_spark.index.merge import decode_postings
 from neural_search_spark.query.phrase import _idf, _term_dfs
 
 __all__ = ["span_near_search", "span_near_scores", "span_near_freq",
-           "normalize_clauses", "parse_span_query"]
+           "normalize_clauses", "parse_span_query", "parse_intervals_query"]
 
 
 def normalize_clauses(clauses) -> list[list[str]]:
@@ -124,6 +124,84 @@ def parse_span_query(q: dict) -> dict:
         inner["exclude"] = [t for c in excl for t in c]
         return inner
     raise ValueError(f"unsupported span query: {sorted(q)!r}")
+
+
+def parse_intervals_query(rule: dict, analyzer: str = "standard") -> dict:
+    """Parse an OpenSearch ``intervals`` per-field rule into the span
+    kwargs — the intervals surface is the modern face of the same
+    positional algebra, so it executes on the span machinery:
+
+    * ``match`` (query analyzed to terms; ``max_gaps`` → slop, −1 = ∞;
+      ``ordered`` → in_order) — each term is one unit clause;
+    * ``any_of`` over single-term matches → one span_or-style clause;
+    * ``all_of`` over match / any_of sub-rules (its own max_gaps/ordered);
+    * filter ``not_containing`` (a match rule) → span_not exclude terms.
+
+    Scoring divergence (documented): Lucene's IntervalQuery scores by
+    interval density (1/width credit via IntervalScorer); here matches
+    score with the identical sloppyFreq-BM25 the span family uses, so
+    intervals ≡ the equivalent span query result-for-result.
+    """
+    from neural_search_spark.analysis.tokenizer import tokenize_query
+
+    BIG = 1 << 30
+
+    def _terms(m: dict) -> list[str]:
+        t = tokenize_query(str(m["query"]), analyzer)
+        if not t:
+            raise ValueError("empty intervals match query")
+        return t
+
+    def _leaf_clause(r: dict) -> list[str]:
+        # a sub-rule usable as ONE unit clause: single-term match, or
+        # any_of over single-term matches
+        if "match" in r:
+            t = _terms(r["match"])
+            if len(t) != 1:
+                raise ValueError(
+                    "all_of sub-match must be a single term (nest another "
+                    "all_of for multi-term sequences)")
+            return t
+        if "any_of" in r:
+            out: list[str] = []
+            for sub in r["any_of"]["intervals"]:
+                out.extend(_leaf_clause(sub))
+            return out
+        raise ValueError(f"unsupported intervals sub-rule: {sorted(r)!r}")
+
+    exclude: list[str] | None = None
+
+    def _filter(b: dict) -> None:
+        nonlocal exclude
+        flt = b.get("filter")
+        if not flt:
+            return
+        if set(flt) != {"not_containing"} or "match" not in flt["not_containing"]:
+            raise ValueError(
+                "only the not_containing(match) intervals filter is "
+                "supported")
+        exclude = _terms(flt["not_containing"]["match"])
+
+    if "match" in rule:
+        b = rule["match"]
+        _filter(b)
+        gaps = int(b.get("max_gaps", -1))
+        return {"clauses": [[t] for t in _terms(b)],
+                "slop": BIG if gaps < 0 else gaps,
+                "in_order": bool(b.get("ordered", False)),
+                "first_end": None, "exclude": exclude}
+    if "any_of" in rule:
+        return {"clauses": [_leaf_clause(rule)], "slop": 0,
+                "in_order": True, "first_end": None, "exclude": None}
+    if "all_of" in rule:
+        b = rule["all_of"]
+        _filter(b)
+        gaps = int(b.get("max_gaps", -1))
+        return {"clauses": [_leaf_clause(r) for r in b["intervals"]],
+                "slop": BIG if gaps < 0 else gaps,
+                "in_order": bool(b.get("ordered", False)),
+                "first_end": None, "exclude": exclude}
+    raise ValueError(f"unsupported intervals rule: {sorted(rule)!r}")
 
 
 def _positions(toks: Column, terms: list[str]) -> Column:

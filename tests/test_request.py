@@ -179,7 +179,7 @@ def test_validation(idx):
     with pytest.raises(ValueError, match="query_tokens"):
         request.search_request(idx, {"query": {"neural_sparse": {"text": {}}}})
     with pytest.raises(ValueError, match="unsupported"):
-        request.search_request(idx, {"query": {"span_near": {"text": "a"}}})
+        request.search_request(idx, {"query": {"percolate": {"text": "a"}}})
     with pytest.raises(ValueError, match="must/should/filter"):
         request.search_request(idx, {"query": {"bool": {"must": []}}})
     with pytest.raises(ValueError, match="at most one"):

@@ -159,6 +159,61 @@ def test_parse_span_query_shapes():
         spans.parse_span_query({"span_containing": {}})
 
 
+def test_parse_intervals_query():
+    p = spans.parse_intervals_query({"match": {
+        "query": "Alpha, BETA!", "max_gaps": 2, "ordered": True}})
+    assert p["clauses"] == [["alpha"], ["beta"]]
+    assert p["slop"] == 2 and p["in_order"] is True
+    # max_gaps default −1 = unbounded
+    p = spans.parse_intervals_query({"match": {"query": "alpha beta"}})
+    assert p["slop"] >= 1 << 29 and p["in_order"] is False
+    # all_of over single-term matches + any_of alternative
+    p = spans.parse_intervals_query({"all_of": {
+        "intervals": [
+            {"match": {"query": "alpha"}},
+            {"any_of": {"intervals": [{"match": {"query": "beta"}},
+                                      {"match": {"query": "gamma"}}]}},
+        ], "max_gaps": 3, "ordered": False}})
+    assert p["clauses"] == [["alpha"], ["beta", "gamma"]]
+    assert p["slop"] == 3
+    # not_containing filter → exclude
+    p = spans.parse_intervals_query({"match": {
+        "query": "alpha beta", "max_gaps": 3,
+        "filter": {"not_containing": {"match": {"query": "x"}}}}})
+    assert p["exclude"] == ["x"]
+    with pytest.raises(ValueError, match="single term"):
+        spans.parse_intervals_query({"all_of": {
+            "intervals": [{"match": {"query": "two words"}}]}})
+    with pytest.raises(ValueError, match="unsupported intervals"):
+        spans.parse_intervals_query({"fuzzy": {}})
+
+
+def test_intervals_equals_equivalent_span(idx, corpus):
+    p = spans.parse_intervals_query({"match": {
+        "query": "alpha beta", "max_gaps": 1, "ordered": False,
+        "filter": {"not_containing": {"match": {"query": "x"}}}}})
+    got = _got(spans.span_near_search(
+        idx, corpus, p["clauses"], slop=p["slop"], in_order=p["in_order"],
+        exclude=p["exclude"]))
+    want = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=1, in_order=False,
+        exclude="x"))
+    assert got == want
+
+
+def test_request_dsl_intervals_kind(idx, corpus):
+    from neural_search_spark.query import request
+
+    out = request.search_request(idx, {
+        "query": {"intervals": {"text": {"match": {
+            "query": "alpha beta", "max_gaps": 1, "ordered": False}}}},
+        "size": 10,
+    }, doc_values=corpus, doc_values_id="doc_id")
+    want = _got(spans.span_near_search(
+        idx, corpus, ["alpha", "beta"], slop=1, in_order=False))
+    assert _got(out["hits"].select("docID", "score")) == want
+
+
 def test_request_dsl_span_kinds(idx, corpus):
     from neural_search_spark.query import request
 
