@@ -158,6 +158,31 @@ def cmd_search(spark: SparkSession, args) -> None:
             idx, body["positive"], body["negative"],
             negative_boost=float(body.get("negative_boost", 0.5)),
             k=args.k).collect()
+    elif mode in ("span", "intervals"):
+        from neural_search_spark.query.spans import (parse_intervals_query,
+                                                     parse_span_query,
+                                                     span_near_search)
+
+        if not args.input:
+            raise SystemExit(f"search --mode {mode} requires --input "
+                             "(source corpus: forward-text verify)")
+        corpus = spark.read.parquet(args.input)
+        body = json.loads(args.query)
+        if mode == "span":
+            sp = parse_span_query(body)
+        else:
+            # {field: rule} (request form) or the bare rule
+            if len(body) == 1 and next(iter(body)) not in (
+                    "match", "any_of", "all_of"):
+                (fld, rule), = body.items()
+            else:
+                rule = body
+            sp = parse_intervals_query(rule, idx.analyzer)
+        rows = span_near_search(
+            idx, corpus, sp["clauses"], slop=sp["slop"],
+            in_order=sp["in_order"], k=args.k,
+            first_end=sp["first_end"], exclude=sp["exclude"],
+            text_col=args.text_col).collect()
     elif mode == "query_string":
         from neural_search_spark.query.qstring import query_string_search
 
@@ -594,7 +619,7 @@ def main(argv: list[str] | None = None) -> None:
                             "function_score", "suggest",
                             "simple_query_string", "match_bool_prefix",
                             "terms_set", "rank_feature", "distance_feature",
-                            "ids", "pinned"],
+                            "ids", "pinned", "span", "intervals"],
                    help="query type: match terms (default), match_phrase, "
                         "match_phrase_prefix, prefix (scoring_boolean), "
                         "fuzzy, wildcard (*/? glob), regexp (anchored), "
@@ -604,7 +629,9 @@ def main(argv: list[str] | None = None) -> None:
                         "JSON spec dict), query_string (Lucene classic "
                         "syntax), simple_query_string (infix | + - syntax), "
                         "match_bool_prefix (type-ahead bool), suggest "
-                        "(did-you-mean; -k = size)")
+                        "(did-you-mean; -k = size), span (QUERY = JSON "
+                        "span_near/span_first/span_not body), intervals "
+                        "(QUERY = JSON {field: rule} or bare rule)")
     s.add_argument("--input", help="source corpus parquet (phrase/mlt/"
                                    "query_string/function_score modes)")
     s.add_argument("--text-col", default="text")

@@ -381,3 +381,22 @@ def test_cli_search_session4_modes(spark, idx_dir, corpus_parquet, capsys):
     out = _json_out(capsys)
     assert out["mode"] == "pinned"
     assert out["hits"][0]["docID"] == int(some_id)
+
+
+def test_cli_search_span_intervals_modes(spark, idx_dir, corpus_parquet,
+                                         capsys):
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="span", input=corpus_parquet,
+        query=json.dumps({"span_near": {
+            "clauses": [{"span_term": {"content": "def"}},
+                        {"span_term": {"content": "return"}}],
+            "slop": 3, "in_order": False}})))
+    out = _json_out(capsys)
+    assert out["mode"] == "span" and out["hits"]
+
+    cli.cmd_search(spark, _search_ns(
+        index_dir=idx_dir, mode="intervals", input=corpus_parquet,
+        query=json.dumps({"content": {"match": {
+            "query": "def return", "max_gaps": 3}}})))
+    out = _json_out(capsys)
+    assert out["mode"] == "intervals" and out["hits"]
