@@ -4672,8 +4672,57 @@ SPAN_FIRST_SQL = f"""
 """
 
 
+AUTO_DH_TARGET = 10
+
+
+def q_agg_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_date_histogram over events: smallest ladder interval fitting
+    the bucket target (fixed-interval ladder, documented calendar
+    approximation), chosen interval surfaced as a key column."""
+    from neural_search_spark.query import aggs
+
+    idx = _get_index(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "d": {"auto_date_histogram": {"field": "ts",
+                                      "buckets": AUTO_DH_TARGET},
+              "aggs": {"v": {"sum": {"field": "value"}}}},
+    }, query=None, doc_values=_events(spark, sf_dir),
+        doc_values_id="event_id")
+    return out["d"].select(
+        "key", "key_interval", "doc_count", F.round("v", 4).alias("v"),
+    ).orderBy("key")
+
+
+_AUTO_DH_LADDER_SQL = ", ".join(
+    f"({s}, '{lbl}')" for s, lbl in [
+        (1, "1s"), (5, "5s"), (10, "10s"), (30, "30s"), (60, "1m"),
+        (300, "5m"), (600, "10m"), (1800, "30m"), (3600, "1h"),
+        (10800, "3h"), (43200, "12h"), (86400, "1d"), (604800, "7d"),
+        (2592000, "30d"), (7776000, "90d"), (31536000, "365d")])
+
+AGG_AUTO_DATE_HISTOGRAM_SQL = f"""
+    WITH span AS (SELECT floor(epoch(min(ts))) AS lo,
+                         floor(epoch(max(ts))) AS hi FROM events),
+    ladder(secs, label) AS (VALUES {_AUTO_DH_LADDER_SQL}),
+    chosen AS (
+      SELECT secs, label,
+        (floor(hi / secs) - floor(lo / secs) + 1 <= {AUTO_DH_TARGET}) AS fits
+      FROM ladder, span
+      ORDER BY fits DESC,
+               CASE WHEN fits THEN secs ELSE -secs END ASC
+      LIMIT 1)
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / c.secs) AS BIGINT)
+                             * c.secs) AS TIMESTAMP) AS key,
+           c.label AS key_interval,
+           count(*) AS doc_count, round(sum(value), 4) AS v
+    FROM events, chosen c
+    GROUP BY 1, 2 ORDER BY key
+"""
+
+
 SPARK_QUERIES_EXT = {
     "semantic_highlight": q_semantic_highlight,
+    "agg_auto_date_histogram": q_agg_auto_date_histogram,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -4810,6 +4859,7 @@ SPARK_QUERIES_EXT = {
 
 ORACLE_SQL_EXT = {
     "semantic_highlight": _SEM_HL_SQL,
+    "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

@@ -59,7 +59,7 @@ METRIC_KINDS = frozenset({
 BUCKET_KINDS = frozenset({
     "terms", "histogram", "range", "filter", "filters", "global",
     "adjacency_matrix", "date_histogram", "missing", "rare_terms",
-    "multi_terms",
+    "multi_terms", "auto_date_histogram",
 })
 PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
@@ -270,6 +270,24 @@ def _fixed_interval_seconds(spec: str) -> float:
     return int(m.group(1)) * _FIXED_UNITS[m.group(2)]
 
 
+# auto_date_histogram rounding ladder — ES's AutoDateHistogramAggregator
+# ladder re-expressed as FIXED intervals (calendar month/quarter/year
+# approximated by 30d/90d/365d: a documented divergence that keeps the
+# interval choice a pure function of (min, max, target), replicable by
+# any SQL oracle without calendar arithmetic)
+_AUTO_DH_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800,
+    3600, 3 * 3600, 12 * 3600, 86400, 7 * 86400,
+    30 * 86400, 90 * 86400, 365 * 86400,
+]
+_AUTO_DH_LABEL = {
+    1: "1s", 5: "5s", 10: "10s", 30: "30s", 60: "1m", 300: "5m",
+    600: "10m", 1800: "30m", 3600: "1h", 3 * 3600: "3h",
+    12 * 3600: "12h", 86400: "1d", 7 * 86400: "7d", 30 * 86400: "30d",
+    90 * 86400: "90d", 365 * 86400: "365d",
+}
+
+
 def _one_of(spec: dict) -> tuple[str, dict]:
     kinds = [k for k in spec if k != "aggs"]
     if len(kinds) != 1:
@@ -327,6 +345,34 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
                 F.floor(epoch / secs).cast("long") * F.lit(int(secs))
                 if secs >= 1 else F.floor(epoch / secs) * secs)
         return base.withColumn(key_alias, key), [key_alias]
+    if kind == "auto_date_histogram":
+        # ES AutoDateHistogramAggregationBuilder: pick the smallest ladder
+        # interval whose bucket count fits the target (default 10). The
+        # span probe is ONE bounded min/max job over the matched frame
+        # (the same pre-pass shape rank_feature's default pivot uses);
+        # the chosen interval rides the output as a constant key column.
+        import math
+
+        target = int(body.get("buckets", 10))
+        if target <= 0:
+            raise ValueError("auto_date_histogram buckets must be > 0")
+        f = _field(body).cast("timestamp")
+        epoch = F.unix_timestamp(f).cast("double")
+        row = base.select(F.min(epoch).alias("lo"),
+                          F.max(epoch).alias("hi")).collect()[0]
+        secs = _AUTO_DH_LADDER[-1]
+        if row["lo"] is not None:
+            for s_ in _AUTO_DH_LADDER:
+                n = math.floor(row["hi"] / s_) - math.floor(row["lo"] / s_) + 1
+                if n <= target:
+                    secs = s_
+                    break
+        key = F.timestamp_seconds(
+            F.floor(epoch / secs).cast("long") * F.lit(int(secs)))
+        frame = (base.withColumn(key_alias, key)
+                 .withColumn(f"{key_alias}_interval",
+                             F.lit(_AUTO_DH_LABEL[secs])))
+        return frame, [key_alias, f"{key_alias}_interval"]
     if kind == "histogram":
         interval = float(body["interval"])
         if interval <= 0:

@@ -114,6 +114,23 @@ def main() -> None:
                 idx, corpus, 'def + "def return" + -uniq_17 | re*', k=10,
                 text_col="content"),
         })
+
+        from neural_search_spark.query.semantic_highlight import (
+            semantic_highlight,
+        )
+        from neural_search_spark.query.spans import span_near_search
+
+        runs.update({
+            "span_near_unordered": lambda: span_near_search(
+                idx, corpus, [["def"], ["return", "parse"]], slop=4,
+                in_order=False, k=10, text_col="content"),
+            "span_first_not": lambda: span_near_search(
+                idx, corpus, ["def", "return"], slop=3, in_order=True,
+                first_end=60, exclude="uniq_17", k=10, text_col="content"),
+            "semantic_highlight_2k": lambda: semantic_highlight(
+                corpus.limit(2000), "def return parse",
+                text_col="content", id_col="docID"),
+        })
         lat = {}
         for name, fn in runs.items():
             fn().collect()  # warm (plan compile + code gen)

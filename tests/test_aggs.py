@@ -671,3 +671,52 @@ class TestMatrixStatsAndPercentilesBucket:
         }, query=None, doc_values=docvals, doc_values_id="doc_id")
         # bucket doc_counts [1, 2, 2, 1] -> median 1.5
         assert _rows(out["p"])[0]["p_p50"] == pytest.approx(1.5)
+
+
+# ------------------------------------------------- auto_date_histogram
+
+
+@pytest.fixture(scope="module")
+def ts_docvals(spark):
+    # 6 docs spread over ~50 minutes (epoch seconds chosen so ladder
+    # choices are unambiguous)
+    rows = [(d, 1_700_000_000 + i * 600) for i, d in
+            enumerate([1, 2, 3, 4, 5, 6])]
+    return spark.createDataFrame(rows, "doc_id long, ep long").select(
+        "doc_id", F.timestamp_seconds("ep").alias("ts"))
+
+
+def test_auto_date_histogram_picks_smallest_fitting(idx, ts_docvals):
+    # span 3000 s: 10m → 6 buckets ≤ 10 wins over 5m (11 buckets)
+    out = aggs.aggregate(idx, {
+        "d": {"auto_date_histogram": {"field": "ts", "buckets": 10}},
+    }, query=None, doc_values=ts_docvals, doc_values_id="doc_id")
+    rows = _rows(out["d"].orderBy("key"))
+    assert {r["key_interval"] for r in rows} == {"10m"}
+    assert len(rows) == 6 and all(r["doc_count"] == 1 for r in rows)
+
+
+def test_auto_date_histogram_target_widens_interval(idx, ts_docvals):
+    out = aggs.aggregate(idx, {
+        "d": {"auto_date_histogram": {"field": "ts", "buckets": 3}},
+    }, query=None, doc_values=ts_docvals, doc_values_id="doc_id")
+    rows = _rows(out["d"].orderBy("key"))
+    # 30m buckets: epoch 1.7e9 is not 30m-aligned; 0..3000 s span covers
+    # 3 half-hour buckets (fits target 3)
+    assert {r["key_interval"] for r in rows} == {"30m"}
+    assert sum(r["doc_count"] for r in rows) == 6 and len(rows) <= 3
+
+
+def test_auto_date_histogram_single_point_and_validation(spark, idx):
+    one = spark.createDataFrame(
+        [(1, 1_700_000_000)], "doc_id long, ep long"
+    ).select("doc_id", F.timestamp_seconds("ep").alias("ts"))
+    out = aggs.aggregate(idx, {
+        "d": {"auto_date_histogram": {"field": "ts", "buckets": 10}},
+    }, query=None, doc_values=one, doc_values_id="doc_id")
+    rows = _rows(out["d"])
+    assert len(rows) == 1 and rows[0]["key_interval"] == "1s"
+    with pytest.raises(ValueError, match="buckets must be > 0"):
+        aggs.aggregate(idx, {
+            "d": {"auto_date_histogram": {"field": "ts", "buckets": 0}},
+        }, query=None, doc_values=one, doc_values_id="doc_id")
