@@ -4720,9 +4720,39 @@ AGG_AUTO_DATE_HISTOGRAM_SQL = f"""
 """
 
 
+def q_agg_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scripted_metric (SQL-constrained): per-lang buckets with a map_script
+    expression over doc values + sum combine, riding the shared one-pass
+    groupBy with an ordinary sibling metric."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {
+                      "weird": {"scripted_metric": {
+                          "map_script":
+                              "n_chars * 2 + length(source)",
+                          "combine": "sum"}},
+                      "mx": {"scripted_metric": {
+                          "map_script": "n_chars % 97",
+                          "combine": "max"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["langs"].select("key", "doc_count", "weird", "mx")
+
+
+AGG_SCRIPTED_METRIC_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           sum(n_chars * 2 + length(source)) AS weird,
+           max(n_chars % 97) AS mx
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+"""
+
+
 SPARK_QUERIES_EXT = {
     "semantic_highlight": q_semantic_highlight,
     "agg_auto_date_histogram": q_agg_auto_date_histogram,
+    "agg_scripted_metric": q_agg_scripted_metric,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -4860,6 +4890,7 @@ SPARK_QUERIES_EXT = {
 ORACLE_SQL_EXT = {
     "semantic_highlight": _SEM_HL_SQL,
     "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM_SQL,
+    "agg_scripted_metric": AGG_SCRIPTED_METRIC_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

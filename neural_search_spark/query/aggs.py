@@ -54,7 +54,7 @@ from neural_search_spark.query.bm25 import bm25_score_col
 METRIC_KINDS = frozenset({
     "avg", "sum", "min", "max", "value_count", "cardinality",
     "stats", "extended_stats", "percentiles", "percentile_ranks",
-    "weighted_avg", "top_metrics", "matrix_stats",
+    "weighted_avg", "top_metrics", "matrix_stats", "scripted_metric",
 })
 BUCKET_KINDS = frozenset({
     "terms", "histogram", "range", "filter", "filters", "global",
@@ -254,6 +254,22 @@ def _metric_cols(name: str, kind: str, body: dict) -> list[tuple[str, Column]]:
             (f"{name}_covariance", F.covar_samp(a, b)),
             (f"{name}_correlation", F.corr(a, b)),
         ]
+    if kind == "scripted_metric":
+        # constrained scripted_metric (ES ScriptedMetricAggregationBuilder):
+        # the painless scripts become SQL — map_script is a per-doc SQL
+        # expression over the doc-values columns, combine is one of the
+        # algebraic reducers (so the map→combine pair distributes with
+        # map-side partial aggregation; an arbitrary stateful reduce would
+        # serialize the matched set and is deliberately unsupported).
+        # Same scripting stance as bucket_selector's SQL script.
+        expr = F.expr(str(body["map_script"]))
+        combine = str(body.get("combine", "sum"))
+        fns = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+               "count": F.count}
+        if combine not in fns:
+            raise ValueError(
+                f"scripted_metric combine must be one of {sorted(fns)}")
+        return [(name, fns[combine](expr))]
     raise ValueError(f"unknown metric aggregation: {kind}")
 
 

@@ -720,3 +720,29 @@ def test_auto_date_histogram_single_point_and_validation(spark, idx):
         aggs.aggregate(idx, {
             "d": {"auto_date_histogram": {"field": "ts", "buckets": 0}},
         }, query=None, doc_values=one, doc_values_id="doc_id")
+
+
+# ----------------------------------------------------- scripted_metric
+
+
+def test_scripted_metric_sql_map_and_combines(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {"s": {"scripted_metric": {
+                               "map_script": "n * 2", "combine": "sum"}},
+                           "m": {"scripted_metric": {
+                               "map_script": "n + 1", "combine": "max"}}}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r for r in _rows(out["langs"])}
+    # alpha matches {1,2,3,6}: en n={10,20}, de n={30}, fr n={60}
+    assert rows["en"]["s"] == 60 and rows["en"]["m"] == 21
+    assert rows["de"]["s"] == 60 and rows["de"]["m"] == 31
+    assert rows["fr"]["s"] == 120 and rows["fr"]["m"] == 61
+
+
+def test_scripted_metric_rejects_unknown_combine(idx, docvals):
+    with pytest.raises(ValueError, match="combine must be one of"):
+        aggs.aggregate(idx, {
+            "x": {"scripted_metric": {"map_script": "n",
+                                      "combine": "median"}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
