@@ -4749,10 +4749,33 @@ AGG_SCRIPTED_METRIC_SQL = f"""
 """
 
 
+def q_agg_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """terms bucket ordered by a sub-metric (ES terms `order` parameter),
+    key-asc tie-break."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 3,
+                            "order": {"avg_chars": "desc"}},
+                  "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["langs"].select(
+        "key", "doc_count", F.round("avg_chars", 4).alias("avg_chars"))
+
+
+AGG_TERMS_ORDER_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang ORDER BY avg(n_chars) DESC, key ASC LIMIT 3
+"""
+
+
 SPARK_QUERIES_EXT = {
     "semantic_highlight": q_semantic_highlight,
     "agg_auto_date_histogram": q_agg_auto_date_histogram,
     "agg_scripted_metric": q_agg_scripted_metric,
+    "agg_terms_order": q_agg_terms_order,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -4891,6 +4914,7 @@ ORACLE_SQL_EXT = {
     "semantic_highlight": _SEM_HL_SQL,
     "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM_SQL,
     "agg_scripted_metric": AGG_SCRIPTED_METRIC_SQL,
+    "agg_terms_order": AGG_TERMS_ORDER_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

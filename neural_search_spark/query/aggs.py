@@ -813,8 +813,31 @@ def _run_level(
                 if gcols else frame.agg(*agg_cols)
             )
             if kind in ("terms", "multi_terms"):
+                # ES terms `order`: {"_count"|"_key"|<sub-metric name>:
+                # "asc"|"desc"}; default _count desc. Multi-column metrics
+                # (stats/percentiles) order by their expanded column name
+                # (e.g. "st_avg" — the response column IS the path).
+                # Key ascending always breaks ties (deterministic pages).
+                ospec = body.get("order") or {"_count": "desc"}
+                if not isinstance(ospec, dict) or len(ospec) != 1:
+                    raise ValueError(
+                        "terms order wants exactly one {path: asc|desc}")
+                (opath, odir), = ospec.items()
+                if odir not in ("asc", "desc"):
+                    raise ValueError(f"bad terms order direction {odir!r}")
+                if opath == "_count":
+                    ocol = F.col("doc_count")
+                elif opath == "_key":
+                    ocol = F.col(gcols[0])
+                elif opath in grouped.columns:
+                    ocol = F.col(opath)
+                else:
+                    raise ValueError(
+                        f"terms order path {opath!r} is not _count/_key "
+                        "or a sub-aggregation column")
                 grouped = grouped.orderBy(
-                    F.desc("doc_count"), *[F.asc(c) for c in gcols]
+                    ocol.asc() if odir == "asc" else ocol.desc(),
+                    *[F.asc(c) for c in gcols]
                 ).limit(int(body.get("size", 10)))
             elif kind == "rare_terms":
                 # ES RareTermsAggregator: long tail — doc_count at or

@@ -746,3 +746,38 @@ def test_scripted_metric_rejects_unknown_combine(idx, docvals):
             "x": {"scripted_metric": {"map_script": "n",
                                       "combine": "median"}},
         }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+
+
+# ----------------------------------------------------------- terms order
+
+
+def test_terms_order_by_key_and_metric(idx, docvals):
+    body = {"terms": {"field": "lang", "size": 10,
+                      "order": {"_key": "desc"}},
+            "aggs": {"avg_n": {"avg": {"field": "n"}}}}
+    out = aggs.aggregate(idx, {"l": body}, query=["alpha"],
+                         doc_values=docvals, doc_values_id="doc_id")
+    assert [r["key"] for r in _rows(out["l"])] == ["fr", "en", "de"]
+
+    body["terms"]["order"] = {"avg_n": "desc"}
+    out = aggs.aggregate(idx, {"l": body}, query=["alpha"],
+                         doc_values=docvals, doc_values_id="doc_id")
+    # avgs: en (10,20)→15, de (30)→30, fr (60)→60
+    assert [r["key"] for r in _rows(out["l"])] == ["fr", "de", "en"]
+
+    body["terms"]["order"] = {"_count": "asc"}
+    out = aggs.aggregate(idx, {"l": body}, query=["alpha"],
+                         doc_values=docvals, doc_values_id="doc_id")
+    # counts: de 1, fr 1, en 2 — tie de/fr breaks on key asc
+    assert [r["key"] for r in _rows(out["l"])] == ["de", "fr", "en"]
+
+
+def test_terms_order_validation(idx, docvals):
+    with pytest.raises(ValueError, match="order path"):
+        aggs.aggregate(idx, {"l": {"terms": {
+            "field": "lang", "order": {"nope": "desc"}}}},
+            query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    with pytest.raises(ValueError, match="direction"):
+        aggs.aggregate(idx, {"l": {"terms": {
+            "field": "lang", "order": {"_count": "down"}}}},
+            query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
