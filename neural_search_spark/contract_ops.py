@@ -3671,6 +3671,51 @@ AGG_SIG_TERMS_SQL = f"""
 """
 
 
+def q_agg_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms under the chi_square heuristic (2×2 contingency
+    over the superset) — same foreground/background machinery as the JLH
+    entry, alternative scorer selected by the body key."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "sig": {"significant_terms": {"field": "lang", "size": 10,
+                                      "min_doc_count": 2,
+                                      "chi_square": {}}},
+    }, query=SIG_TERMS_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["sig"]
+
+
+AGG_SIG_CHI2_SQL = f"""
+    WITH tf AS ({_TF_SQL}),
+    m AS (SELECT DISTINCT doc_id FROM tf
+          WHERE term = '{SIG_TERMS_QUERY[0]}'),
+    ft AS (SELECT count(*) AS c FROM m),
+    bt AS (SELECT count(*) AS c FROM documents),
+    fg AS (SELECT lang AS key, count(*) AS doc_count
+           FROM documents JOIN m USING (doc_id) GROUP BY lang),
+    bg AS (SELECT lang AS key, count(*) AS bg_count
+           FROM documents GROUP BY lang)
+    SELECT key, doc_count, bg_count, round(score, 6) AS score FROM (
+      SELECT key, doc_count, bg_count,
+        CASE WHEN (a + b) * (a + c) * (b + d) * (c + d) > 0
+          THEN n * ((a * d - b * c) * (a * d - b * c))
+               / ((a + b) * (a + c) * (b + d) * (c + d))
+          ELSE 0.0 END AS score,
+        fgp, bgp
+      FROM (
+        SELECT key, doc_count, bg_count,
+          CAST(doc_count AS DOUBLE) AS a,
+          CAST(bg_count - doc_count AS DOUBLE) AS b,
+          CAST(ft.c - doc_count AS DOUBLE) AS c,
+          CAST(bt.c - ft.c - bg_count + doc_count AS DOUBLE) AS d,
+          CAST(bt.c AS DOUBLE) AS n,
+          doc_count * 1.0 / ft.c AS fgp, bg_count * 1.0 / bt.c AS bgp
+        FROM fg JOIN bg USING (key), ft, bt
+        WHERE doc_count >= 2)
+    ) WHERE fgp > bgp
+    ORDER BY score DESC, key ASC LIMIT 10
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -4776,6 +4821,7 @@ SPARK_QUERIES_EXT = {
     "agg_auto_date_histogram": q_agg_auto_date_histogram,
     "agg_scripted_metric": q_agg_scripted_metric,
     "agg_terms_order": q_agg_terms_order,
+    "agg_significant_chi2": q_agg_significant_chi2,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -4915,6 +4961,7 @@ ORACLE_SQL_EXT = {
     "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM_SQL,
     "agg_scripted_metric": AGG_SCRIPTED_METRIC_SQL,
     "agg_terms_order": AGG_TERMS_ORDER_SQL,
+    "agg_significant_chi2": AGG_SIG_CHI2_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

@@ -456,6 +456,12 @@ def _significant(base: DataFrame, all_docs: DataFrame, kind: str,
     foreground). Terms below ``min_doc_count`` (default 3) or with
     fg% ≤ bg% are dropped, top ``size`` by score desc / key asc.
 
+    The other ES heuristics select via a body key, each with superset
+    counting and the same fg%>bg% gate (heuristic/* in the same package):
+    ``chi_square`` ({include_negatives, background_is_superset} fixed to
+    ES defaults false/true), ``gnd`` (normalized Google distance),
+    ``mutual_information``, and ``percentage`` (fg/bg share).
+
     significant_terms reads a doc-values field; significant_text tokenizes
     the named text column with the standard analyzer, counting each doc
     once per distinct term (ES counts docs, not occurrences). Shape: one
@@ -486,10 +492,45 @@ def _significant(base: DataFrame, all_docs: DataFrame, kind: str,
         ).limit(0)
     fg_pct = F.col("doc_count") / F.lit(float(fg_total))
     bg_pct = F.col("bg_count") / F.lit(float(bg_total))
+    heur = next((h for h in ("chi_square", "gnd", "mutual_information",
+                             "percentage", "jlh") if h in body), "jlh")
+    a = F.col("doc_count").cast("double")       # term ∧ subset
+    sf = F.col("bg_count").cast("double")       # term ∧ superset
+    ss = F.lit(float(fg_total))                 # subset size
+    N = F.lit(float(bg_total))                  # superset size
+    if heur == "jlh":
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    elif heur == "chi_square":
+        # 2×2 contingency over the superset (term×subset membership)
+        b_, c_, d_ = sf - a, ss - a, N - ss - sf + a
+        denom = (a + b_) * (a + c_) * (b_ + d_) * (c_ + d_)
+        score = F.when(denom > 0,
+                       N * F.pow(a * d_ - b_ * c_, 2) / denom).otherwise(0.0)
+    elif heur == "gnd":
+        # exp(−NGD) with fx = superset term docs, fy = subset size,
+        # fxy = subset term docs (bigger = more significant)
+        ngd_den = F.log(N) - F.least(F.log(sf), F.log(ss))
+        score = F.when(
+            ngd_den > 0,
+            F.exp(-((F.greatest(F.log(sf), F.log(ss)) - F.log(a))
+                    / ngd_den))).otherwise(0.0)
+    elif heur == "mutual_information":
+        # 2×2 mutual information, log2, zero-cell terms contribute 0
+        def _mi(nxy, px, py):
+            p = nxy / N
+            return F.when((nxy > 0) & (px > 0) & (py > 0),
+                          p * F.log2(p / ((px / N) * (py / N)))
+                          ).otherwise(0.0)
+        n11, n10, n01 = a, sf - a, ss - a
+        n00 = N - ss - sf + a
+        score = (_mi(n11, sf, ss) + _mi(n10, sf, N - ss)
+                 + _mi(n01, N - sf, ss) + _mi(n00, N - sf, N - ss))
+    else:  # percentage
+        score = a / sf
     return (
         fg.join(bg, "key")
-        .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
-        .where((F.col("doc_count") >= mdc) & (F.col("score") > 0))
+        .withColumn("score", score)
+        .where((F.col("doc_count") >= mdc) & (fg_pct > bg_pct))
         .orderBy(F.desc("score"), F.asc("key"))
         .limit(size)
         .select("key", "doc_count", "bg_count",

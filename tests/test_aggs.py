@@ -781,3 +781,35 @@ def test_terms_order_validation(idx, docvals):
         aggs.aggregate(idx, {"l": {"terms": {
             "field": "lang", "order": {"_count": "down"}}}},
             query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+
+
+# ------------------------------------------- significance heuristics
+
+
+def _sig(idx, docvals, extra):
+    body = {"significant_terms": {"field": "lang", "size": 10,
+                                  "min_doc_count": 1, **extra}}
+    out = aggs.aggregate(idx, {"s": body}, query=["delta"],
+                         doc_values=docvals, doc_values_id="doc_id")
+    return {r["key"]: r["score"] for r in _rows(out["s"])}
+
+
+def test_significant_chi_square_hand_check(idx, docvals):
+    # query delta → docs {3, 4} (langs de, de); fg=2, bg_total=6
+    # 'de': a=2, sf(bg de)=2, ss=2, N=6 → b=0, c=0, d=4 →
+    # chi2 = 6 * (2*4)^2 / (2*2*4*4) = 6*64/64 = 6
+    got = _sig(idx, docvals, {"chi_square": {}})
+    assert got == {"de": 6.0}  # en/fr have fg 0 (join drops), gate fg%>bg%
+
+
+def test_significant_percentage_and_gnd(idx, docvals):
+    got = _sig(idx, docvals, {"percentage": {}})
+    assert got == {"de": 1.0}  # 2 of 2 'de' docs are in the foreground
+    got = _sig(idx, docvals, {"gnd": {}})
+    # fx=2, fy=2, fxy=2 → NGD = (log2 - log2)/(log6 - log2) = 0 → e^0 = 1
+    assert got == {"de": 1.0}
+
+
+def test_significant_mutual_information_positive(idx, docvals):
+    got = _sig(idx, docvals, {"mutual_information": {}})
+    assert set(got) == {"de"} and got["de"] > 0
