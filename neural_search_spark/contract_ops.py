@@ -3716,6 +3716,47 @@ AGG_SIG_CHI2_SQL = f"""
 """
 
 
+VWH_BUCKETS = 5
+
+
+def q_agg_vwh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variable_width_histogram (deterministic quantile-boundary
+    divergence): n_chars split at exact i/5 quantiles, per-bucket
+    min/max/avg like ES's centroid response."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "w": {"variable_width_histogram": {"field": "n_chars",
+                                           "buckets": VWH_BUCKETS},
+              "aggs": {"mn": {"min": {"field": "n_chars"}},
+                       "mx": {"max": {"field": "n_chars"}},
+                       "av": {"avg": {"field": "n_chars"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["w"].select(
+        F.col("key").cast("long").alias("key"), "doc_count",
+        F.col("mn").cast("double").alias("mn"),
+        F.col("mx").cast("double").alias("mx"),
+        F.round("av", 4).alias("av"),
+    ).orderBy("key")
+
+
+AGG_VWH_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    vals AS (SELECT CAST(n_chars AS DOUBLE) AS v
+             FROM documents JOIN m USING (doc_id)
+             WHERE n_chars IS NOT NULL),
+    bs AS (SELECT quantile_cont(v, [{', '.join(
+        f'{i}/{VWH_BUCKETS}.0' for i in range(1, VWH_BUCKETS))}]) AS b
+           FROM vals),
+    uniqb AS (SELECT list_distinct(b) AS b FROM bs),
+    keyed AS (
+      SELECT len(list_filter(u.b, x -> v > x)) AS key, v
+      FROM vals, uniqb u)
+    SELECT key, count(*) AS doc_count,
+           min(v) AS mn, max(v) AS mx, round(avg(v), 4) AS av
+    FROM keyed GROUP BY key ORDER BY key
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -4822,6 +4863,7 @@ SPARK_QUERIES_EXT = {
     "agg_scripted_metric": q_agg_scripted_metric,
     "agg_terms_order": q_agg_terms_order,
     "agg_significant_chi2": q_agg_significant_chi2,
+    "agg_vwh": q_agg_vwh,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -4962,6 +5004,7 @@ ORACLE_SQL_EXT = {
     "agg_scripted_metric": AGG_SCRIPTED_METRIC_SQL,
     "agg_terms_order": AGG_TERMS_ORDER_SQL,
     "agg_significant_chi2": AGG_SIG_CHI2_SQL,
+    "agg_vwh": AGG_VWH_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

@@ -59,7 +59,7 @@ METRIC_KINDS = frozenset({
 BUCKET_KINDS = frozenset({
     "terms", "histogram", "range", "filter", "filters", "global",
     "adjacency_matrix", "date_histogram", "missing", "rare_terms",
-    "multi_terms", "auto_date_histogram",
+    "multi_terms", "auto_date_histogram", "variable_width_histogram",
 })
 PIPELINE_KINDS = frozenset({
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
@@ -389,6 +389,34 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
                  .withColumn(f"{key_alias}_interval",
                              F.lit(_AUTO_DH_LABEL[secs])))
         return frame, [key_alias, f"{key_alias}_interval"]
+    if kind == "variable_width_histogram":
+        # ES VariableWidthHistogramAggregator is an approximate 1-D
+        # clusterer (shard-local nearest-centroid merging, order-dependent
+        # results). Deterministic divergence here: bucket boundaries are
+        # the exact i/buckets quantiles (percentile_cont interpolation —
+        # the definition DuckDB/ANSI share), computed in ONE bounded agg
+        # pre-pass, then assignment is a pure Catalyst comparison — fully
+        # parallel, no global sort, replicable by any SQL oracle. Docs with
+        # a null field are skipped (ES skips missing). Tied boundaries
+        # collapse (fewer, never more, than `buckets` buckets). Add
+        # min/max/avg sub-aggs to get ES's per-bucket bounds columns.
+        target = int(body.get("buckets", 10))
+        if target <= 1:
+            raise ValueError("variable_width_histogram buckets must be > 1")
+        f = _field(body).cast("double")
+        qs = [i / target for i in range(1, target)]
+        row = base.select(
+            F.percentile(f, F.array(*[F.lit(q) for q in qs])).alias("bs")
+        ).collect()[0]
+        uniq: list[float] = []
+        for bval in (row["bs"] or []):
+            if bval is not None and (not uniq or bval > uniq[-1]):
+                uniq.append(float(bval))
+        key = F.lit(0)
+        for bval in uniq:
+            key = key + (f > F.lit(bval)).cast("int")
+        return (base.where(f.isNotNull()).withColumn(key_alias, key),
+                [key_alias])
     if kind == "histogram":
         interval = float(body["interval"])
         if interval <= 0:

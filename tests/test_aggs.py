@@ -813,3 +813,33 @@ def test_significant_percentage_and_gnd(idx, docvals):
 def test_significant_mutual_information_positive(idx, docvals):
     got = _sig(idx, docvals, {"mutual_information": {}})
     assert set(got) == {"de"} and got["de"] > 0
+
+
+# -------------------------------------------- variable_width_histogram
+
+
+def test_vwh_quantile_buckets(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "w": {"variable_width_histogram": {"field": "n", "buckets": 2},
+              "aggs": {"mn": {"min": {"field": "n"}},
+                       "mx": {"max": {"field": "n"}}}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    rows = {r["key"]: r for r in _rows(out["w"])}
+    # alpha docs n = {10, 20, 30, 60}; median boundary = 25 →
+    # bucket 0 = {10, 20}, bucket 1 = {30, 60}
+    assert rows[0]["doc_count"] == 2 and rows[0]["mx"] == 20
+    assert rows[1]["doc_count"] == 2 and rows[1]["mn"] == 30
+
+
+def test_vwh_validation_and_null_skip(spark, idx):
+    dv = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7), (6, 9)], "doc_id long, n int")
+    out = aggs.aggregate(idx, {
+        "w": {"variable_width_histogram": {"field": "n", "buckets": 3}},
+    }, query=["alpha"], doc_values=dv, doc_values_id="doc_id")
+    assert sum(r["doc_count"] for r in _rows(out["w"])) == 3  # null skipped
+    import pytest as _pt
+    with _pt.raises(ValueError, match="buckets must be > 1"):
+        aggs.aggregate(idx, {
+            "w": {"variable_width_histogram": {"field": "n", "buckets": 1}},
+        }, query=["alpha"], doc_values=dv, doc_values_id="doc_id")
