@@ -3757,6 +3757,64 @@ AGG_VWH_SQL = f"""
 """
 
 
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed term counts (streaming.trending_terms run in batch mode —
+    the window/tokenize/count expression is identical in both; streaming
+    adds only the watermark-bounded state)."""
+    from neural_search_spark.streaming import trending_terms
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.col("event_type").alias("text"))
+    out = trending_terms(ev, window="1 day", watermark="0 seconds")
+    return out.select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "term", "doc_count").orderBy("window_start", "term")
+
+
+TRENDING_TERMS_SQL = """
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                             * 86400) AS TIMESTAMP) AS window_start,
+           event_type AS term, count(*) AS doc_count
+    FROM events GROUP BY 1, 2 ORDER BY window_start, term
+"""
+
+
+SESSION_GAP_S = 3600
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (streaming.sessionize in batch
+    mode; oracle = the classic gaps-and-islands SQL)."""
+    from neural_search_spark.streaming import sessionize
+
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, gap=f"{SESSION_GAP_S} seconds",
+                     watermark="0 seconds",
+                     metrics={"value_sum": F.sum("value")})
+    return out.select(
+        F.col("key").alias("user_id"), "session_start", "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    ).orderBy("user_id", "session_start")
+
+
+SESSIONIZE_SQL = f"""
+    WITH o AS (
+      SELECT user_id, ts, value,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS value_sum
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -4864,6 +4922,8 @@ SPARK_QUERIES_EXT = {
     "agg_terms_order": q_agg_terms_order,
     "agg_significant_chi2": q_agg_significant_chi2,
     "agg_vwh": q_agg_vwh,
+    "trending_terms": q_trending_terms,
+    "sessionize": q_sessionize,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -5005,6 +5065,8 @@ ORACLE_SQL_EXT = {
     "agg_terms_order": AGG_TERMS_ORDER_SQL,
     "agg_significant_chi2": AGG_SIG_CHI2_SQL,
     "agg_vwh": AGG_VWH_SQL,
+    "trending_terms": TRENDING_TERMS_SQL,
+    "sessionize": SESSIONIZE_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

@@ -168,3 +168,75 @@ def stream_ingest_seismic(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def trending_terms(
+    stream,
+    time_col: str = "ts",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    analyzer: str = "standard",
+):
+    """Watermarked windowed term counts over a text stream — the
+    query-side streaming analog of ingest (what's trending NOW, while
+    stream_ingest keeps the index fresh for retrieval).
+
+    One stateful windowed aggregation: tokenize with the engine's Catalyst
+    tokenizer (docs counted once per distinct term — the significant_text
+    convention), explode, groupBy(window(time), term) count. The watermark
+    bounds state: late rows beyond it are dropped, windows older than it
+    are finalized and evictable. Returns a STREAMING DataFrame
+    (window_start, window_end, term, doc_count) — write it with
+    outputMode("append") (finalized windows only) or "update".
+
+    Scale shape: tokenize+explode are narrow; the windowed count is ONE
+    keyed shuffle with map-side partial aggregation, state partitioned by
+    (window, term) — the standard Structured Streaming agg layout that
+    scales with executors. No Python anywhere.
+    """
+    from neural_search_spark.analysis.tokenizer import tokens_col
+
+    toks = F.array_distinct(tokens_col(F.col(text_col), analyzer))
+    return (
+        stream.withWatermark(time_col, watermark)
+        .select(F.col(time_col), F.explode(toks).alias("term"))
+        .groupBy(F.window(F.col(time_col), window, slide or window), "term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "term", "doc_count")
+    )
+
+
+def sessionize(
+    stream,
+    time_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    metrics: dict | None = None,
+):
+    """Session windows per key (gap-based): events of one key closer than
+    ``gap`` merge into one session (Spark's native session_window — the
+    built-in covering applyInPandasWithState's canonical use case, kept
+    JVM-side). Returns a STREAMING DataFrame (key, session_start,
+    session_end, n_events [+ metrics]) for outputMode("append").
+
+    ``metrics``: optional {name: aggregate Column} extras (e.g.
+    {"value_sum": F.sum("value")}).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")] + [
+        c.alias(n) for n, c in (metrics or {}).items()]
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap),
+                 F.col(key_col).alias("key"))
+        .agg(*aggs)
+        .select("key",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                *[F.col(n) for n in
+                  ["n_events"] + list((metrics or {}).keys())])
+    )

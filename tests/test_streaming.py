@@ -165,3 +165,67 @@ def test_stream_seismic_partial_overlap_batch_ingests_new_ids(spark, tmp_path):
     q2.awaitTermination(180)
     assert SeismicIndex.load(spark, idx_dir).params["n_docs"] == \
         n_base + n_old + n_new
+
+
+def test_trending_terms_windowed_counts(spark, tmp_path):
+    """File-source stream → watermarked windowed term counts; finalized
+    windows match a hand-computed batch count."""
+    from neural_search_spark.streaming import trending_terms
+
+    rows = [
+        # window [00:00, 00:10)
+        ("2024-01-01 00:01:00", "alpha beta alpha"),
+        ("2024-01-01 00:05:00", "alpha gamma"),
+        # window [00:10, 00:20)
+        ("2024-01-01 00:11:00", "beta beta"),
+    ]
+    src_dir = str(tmp_path / "tt-src")
+    spark.createDataFrame(rows, "ts_s string, text string").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema("ts timestamp, text string") \
+        .parquet(src_dir)
+    out = trending_terms(stream, window="10 minutes",
+                         watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("tt")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "tt-ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].minute, r["term"]): r["doc_count"]
+           for r in spark.sql("select * from tt").collect()}
+    # docs counted once per DISTINCT term
+    assert got[(0, "alpha")] == 2 and got[(0, "beta")] == 1
+    assert got[(0, "gamma")] == 1 and got[(10, "beta")] == 1
+    assert len(got) == 4
+
+
+def test_sessionize_gap_windows(spark, tmp_path):
+    from neural_search_spark.streaming import sessionize
+
+    rows = [
+        ("2024-01-01 00:00:00", 1, 1.0),
+        ("2024-01-01 00:10:00", 1, 2.0),   # same session (gap 30m)
+        ("2024-01-01 01:00:00", 1, 5.0),   # new session
+        ("2024-01-01 00:02:00", 2, 7.0),
+    ]
+    src_dir = str(tmp_path / "sess-src")
+    spark.createDataFrame(rows, "ts_s string, user_id long, value double") \
+        .select(F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "value").write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double").parquet(src_dir)
+    out = sessionize(stream, gap="30 minutes", watermark="0 seconds",
+                     metrics={"value_sum": F.sum("value")})
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "sess-ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["key"], r["session_start"].hour): (r["n_events"],
+                                                 r["value_sum"])
+           for r in spark.sql("select * from sess").collect()}
+    assert got[(1, 0)] == (2, 3.0)
+    assert got[(1, 1)] == (1, 5.0)
+    assert got[(2, 0)] == (1, 7.0)
