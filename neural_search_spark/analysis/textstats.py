@@ -48,6 +48,25 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens_array(col))
 
 
+# GPT-2 pre-tokenizer pattern minus its trailing-whitespace lookahead
+# branch (RE2 has no lookahead, so this exact pattern runs identically in
+# Spark's Java regex and a DuckDB/RE2 oracle): contractions, optionally
+# space-prefixed letter runs / digit runs / punctuation runs, whitespace
+# runs. Counting these matches approximates a BPE tokenizer's
+# pre-tokenization segment count — the budget estimate a training-data
+# pipeline needs (real BPE merges only split WITHIN these segments, so
+# this is a lower bound on GPT-2-family token counts).
+BPE_SPLIT_RE = (r"('s|'t|'re|'ve|'m|'ll|'d)"
+                r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """BPE-ish token count (GPT-2 pre-tokenizer segments, whitespace runs
+    excluded from the count — they carry no token budget)."""
+    segs = F.regexp_extract_all(_c(col), F.lit(BPE_SPLIT_RE), 0)
+    return F.size(F.filter(segs, lambda s: s.rlike(r"\S")))
+
+
 def punct_ratio(col: str | Column) -> Column:
     c = _c(col)
     stripped = F.regexp_replace(c, r"[^\p{Punct}]", "")

@@ -3815,6 +3815,32 @@ SESSIONIZE_SQL = f"""
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimators per doc: analyzer token count + BPE-ish
+    count (GPT-2 pre-tokenizer segments, RE2-compatible — see
+    textstats.BPE_SPLIT_RE)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        ts.token_count("text").cast("long").alias("ws_tokens"),
+        ts.bpe_token_count("text").cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# doubled single-quotes: the pattern is embedded in a SQL string literal
+_BPE_RE_SQL = (r"(''s|''t|''re|''ve|''m|''ll|''d)"
+               r"| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+")
+
+TOKEN_COUNTS_SQL = f"""
+    SELECT doc_id,
+      len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                      t -> t <> '')) AS ws_tokens,
+      len(list_filter(regexp_extract_all(text, '{_BPE_RE_SQL}'),
+                      s -> regexp_matches(s, '\\S'))) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -4924,6 +4950,7 @@ SPARK_QUERIES_EXT = {
     "agg_vwh": q_agg_vwh,
     "trending_terms": q_trending_terms,
     "sessionize": q_sessionize,
+    "token_counts": q_token_counts,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -5067,6 +5094,7 @@ ORACLE_SQL_EXT = {
     "agg_vwh": AGG_VWH_SQL,
     "trending_terms": TRENDING_TERMS_SQL,
     "sessionize": SESSIONIZE_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

@@ -157,3 +157,20 @@ class TestDecontaminate:
         plan = (decontaminate(docs, bench, n=5)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BatchEvalPython" not in plan
+
+
+def test_bpe_token_count_segments(spark):
+    from neural_search_spark.analysis import textstats as ts
+
+    df = spark.createDataFrame([
+        (1, "Hello world, it's 2024!"),  # Hello| world|,| it|'s| 2024|!
+        (2, ""),
+        (3, "foo_bar baz123 qux"),       # foo|_|bar| baz|123| qux
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", ts.bpe_token_count("text").alias("n")).collect()}
+    assert got == {1: 7, 2: 0, 3: 6}
+    # whitespace-run matches never count toward the token budget
+    one = spark.createDataFrame([("   ",)], "text string")
+    assert one.select(ts.bpe_token_count("text").alias("n")) \
+        .collect()[0]["n"] == 0
