@@ -1233,4 +1233,30 @@ def search_request(
                 prefix_length=int(t.get("prefix_length", 1)),
                 min_doc_freq=int(t.get("min_doc_freq", 0)),
                 suggest_mode=t.get("suggest_mode", "missing"))
+
+    # search-pipeline RESPONSE processors (reference: the SearchPipeline
+    # framework's response side — rename_field / truncate_hits / sort run
+    # on the final hit frame, after fetch/highlight/_source). Order of the
+    # list is execution order, like OpenSearch.
+    rprocs = (body.get("search_pipeline") or {}).get(
+        "response_processors", [])
+    for proc in rprocs:
+        if out["hits"] is None:
+            raise ValueError("response_processors need hits")
+        (pkind, pbody), = proc.items()
+        if pkind == "rename_field":
+            out["hits"] = out["hits"].withColumnRenamed(
+                str(pbody["field"]), str(pbody["target_field"]))
+        elif pkind == "truncate_hits":
+            out["hits"] = out["hits"].limit(int(pbody["target_size"]))
+        elif pkind == "sort":
+            # re-sort hits by a response field (asc default), docID tie
+            fld = str(pbody["field"] if isinstance(pbody, dict)
+                      else pbody)
+            asc = (pbody.get("order", "asc") == "asc"
+                   if isinstance(pbody, dict) else True)
+            lead = F.asc(fld) if asc else F.desc(fld)
+            out["hits"] = out["hits"].orderBy(lead, F.asc("docID"))
+        else:
+            raise ValueError(f"unsupported response processor: {pkind!r}")
     return out

@@ -972,3 +972,33 @@ def test_match_fuzziness(idx):
         request.search_request(idx, {
             "query": {"match": {"text": {
                 "query": "alpa", "fuzziness": 1, "operator": "and"}}}})
+
+
+# ------------------------------------------------- response processors
+
+
+def test_response_processors_rename_truncate_sort(idx, docvals):
+    out = request.search_request(idx, {
+        "query": {"match": {"text": "alpha beta"}},
+        "size": 10,
+        "_source": ["lang"],
+        "search_pipeline": {"response_processors": [
+            {"rename_field": {"field": "lang", "target_field": "language"}},
+            {"sort": {"field": "docID", "order": "desc"}},
+            {"truncate_hits": {"target_size": 3}},
+        ]},
+    }, doc_values=docvals, doc_values_id="doc_id")
+    rows = out["hits"].collect()
+    assert len(rows) == 3
+    assert "language" in out["hits"].columns and "lang" not in out["hits"].columns
+    ids = [r["docID"] for r in rows]
+    assert ids == sorted(ids, reverse=True)
+
+
+def test_response_processor_unknown_kind(idx, docvals):
+    with pytest.raises(ValueError, match="unsupported response processor"):
+        request.search_request(idx, {
+            "query": {"match": {"text": "alpha"}},
+            "search_pipeline": {"response_processors": [
+                {"explode_hits": {}}]},
+        }, doc_values=docvals, doc_values_id="doc_id")
