@@ -3841,6 +3841,45 @@ TOKEN_COUNTS_SQL = f"""
 """
 
 
+PERCOLATE_BANK = [
+    ("any_data_query", ["data", "query"], 1),
+    ("all_data_query_table", ["data", "query", "table"], -1),
+    ("two_of_four", ["scan", "merge", "hash", "sort"], 2),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolator / rule tagging: every (doc, stored-query) match pair
+    under per-rule minimum-should-match (−1 = all terms)."""
+    from neural_search_spark.operators.percolate import percolate
+
+    docs = _docs(spark, sf_dir)
+    bank = spark.createDataFrame(
+        PERCOLATE_BANK, "query_id string, terms array<string>, msm int")
+    return percolate(docs, bank).orderBy("doc_id", "query_id")
+
+
+def _percolate_rule_sql(qid: str, terms: list[str], msm: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    req = len(set(terms)) if msm == -1 else msm
+    return f"""
+      SELECT doc_id, '{qid}' AS query_id,
+             count(DISTINCT term) AS n_matched
+      FROM toks WHERE term IN ({tl})
+      GROUP BY doc_id HAVING count(DISTINCT term) >= {req}"""
+
+
+PERCOLATE_SQL = ("""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                    t -> t <> ''))) AS term
+      FROM documents)
+    """ + " UNION ALL ".join(
+        _percolate_rule_sql(q, t, m) for q, t, m in PERCOLATE_BANK)
+    + " ORDER BY doc_id, query_id")
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -4951,6 +4990,7 @@ SPARK_QUERIES_EXT = {
     "trending_terms": q_trending_terms,
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
+    "percolate": q_percolate,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -5095,6 +5135,7 @@ ORACLE_SQL_EXT = {
     "trending_terms": TRENDING_TERMS_SQL,
     "sessionize": SESSIONIZE_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
+    "percolate": PERCOLATE_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

@@ -1,0 +1,74 @@
+"""Percolator — reverse search: match a bank of STORED queries against
+documents (OpenSearch's percolate query over the `percolator` field type;
+the reference plugin registers its neural queries through the same
+framework). For a training-data pipeline this is rule tagging at scale:
+label every document with the rule-queries it satisfies.
+
+Constrained query form (the percolator analog of this engine's term-set
+surface): each stored query is a row ``(query_id, terms, msm)`` where
+``terms`` is an analyzed term array and ``msm`` the minimum number of
+DISTINCT terms a doc must contain — an integer, or -1 meaning ALL terms
+(conjunction). Arbitrary DSL percolation reduces to this plus a rescore
+pass over the tagged pairs (run the full query on the matched docs).
+
+Scale shape: the query bank is broadcast (banks are small — thousands of
+rules — while docs are the 100 TB side), the doc side is one
+tokenize+explode narrow pass, matching is ONE groupBy(doc, query) count
+shuffle bounded by (doc, matched-rule) pairs. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from neural_search_spark.analysis.tokenizer import tokens_col
+
+__all__ = ["percolate"]
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    msm_col: str | None = "msm",
+    analyzer: str = "standard",
+) -> DataFrame:
+    """(doc_id, query_id, n_matched) for every stored query a doc matches.
+
+    ``msm_col`` may be absent/None (default 1 — OR semantics) or hold per-
+    query ints; -1 requires ALL of the query's distinct terms. Docs are
+    tokenized with the engine's analyzer; queries' ``terms`` are assumed
+    pre-analyzed (register them through ``tokenize_query`` upstream).
+    """
+    qcols = [F.col(query_id_col).alias("__qid"),
+             F.array_distinct(F.col(terms_col)).alias("__qterms")]
+    if msm_col and msm_col in queries.columns:
+        qcols.append(F.col(msm_col).cast("int").alias("__msm"))
+    else:
+        qcols.append(F.lit(1).alias("__msm"))
+    # msm > |terms| is unsatisfiable and simply never matches (like a
+    # terms_set whose required count exceeds its terms)
+    q = queries.select(*qcols).withColumn(
+        "__required",
+        F.when(F.col("__msm") == -1, F.size("__qterms"))
+        .otherwise(F.col("__msm")))
+    q_terms = q.select(
+        "__qid", "__required", F.explode("__qterms").alias("term"))
+
+    doc_terms = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col), analyzer))
+                  ).alias("term"))
+
+    return (
+        doc_terms.join(F.broadcast(q_terms), "term")
+        .groupBy(id_col, "__qid", "__required")
+        .agg(F.count(F.lit(1)).alias("n_matched"))  # terms distinct per side
+        .where(F.col("n_matched") >= F.col("__required"))
+        .select(F.col(id_col),
+                F.col("__qid").alias("query_id"),
+                F.col("n_matched").cast("long").alias("n_matched"))
+    )

@@ -1,0 +1,53 @@
+"""Percolator — reverse search / rule tagging (operators/percolate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators.percolate import percolate
+
+DOCS = [
+    (1, "alpha beta gamma"),
+    (2, "alpha alpha"),
+    (3, "delta epsilon"),
+    (4, ""),
+]
+QUERIES = [
+    ("q_or", ["alpha", "delta"], 1),    # any of
+    ("q_and", ["alpha", "beta"], -1),   # all of
+    ("q_two", ["alpha", "beta", "gamma"], 2),
+    ("q_impossible", ["alpha"], 5),     # msm > |terms| → never matches
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = spark.createDataFrame(QUERIES,
+                              "query_id string, terms array<string>, msm int")
+    return d, q
+
+
+def test_percolate_matches(frames):
+    d, q = frames
+    got = {(r["doc_id"], r["query_id"]): r["n_matched"]
+           for r in percolate(d, q).collect()}
+    assert got == {
+        (1, "q_or"): 1, (2, "q_or"): 1, (3, "q_or"): 1,
+        (1, "q_and"): 2,
+        (1, "q_two"): 3,  # three distinct terms matched, required 2
+    }
+
+
+def test_percolate_default_msm_is_or(spark, frames):
+    d, _ = frames
+    q = spark.createDataFrame([("r1", ["gamma", "epsilon"])],
+                              "query_id string, terms array<string>")
+    got = {r["doc_id"] for r in percolate(d, q, msm_col=None).collect()}
+    assert got == {1, 3}
+
+
+def test_percolate_plan_broadcasts_bank(frames):
+    d, q = frames
+    plan = percolate(d, q)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
