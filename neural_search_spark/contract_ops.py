@@ -3880,6 +3880,40 @@ PERCOLATE_SQL = ("""
     + " ORDER BY doc_id, query_id")
 
 
+TEMP_SAMPLE_ALPHA = 0.5
+TEMP_SAMPLE_TARGET = 0.4
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based class rebalancing over (doc_id, source):
+    keep_frac_c = min(1, target·N·n_c^α/(Z·n_c)) with the portable
+    md5-bucket filter — the SQL oracle re-derives the fractions from the
+    class counts itself (no Python-computed literals)."""
+    from neural_search_spark.operators import prep
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return prep.temperature_sample(
+        d, "source", alpha=TEMP_SAMPLE_ALPHA,
+        target_fraction=TEMP_SAMPLE_TARGET, id_col="doc_id", seed=42
+    ).orderBy("doc_id")
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT sum(n) AS N,
+                   sum(pow(n, {TEMP_SAMPLE_ALPHA})) AS Z FROM cnt),
+    fr AS (SELECT source,
+             least(1.0, {TEMP_SAMPLE_TARGET} * t.N
+                        * pow(cnt.n, {TEMP_SAMPLE_ALPHA})
+                        / (t.Z * cnt.n)) AS frac
+           FROM cnt, tot t)
+    SELECT d.doc_id, d.source FROM documents d JOIN fr USING (source)
+    WHERE ('0x' || substr(md5('42:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+          % 1000000 < CAST(floor(fr.frac * 1000000) AS BIGINT)
+    ORDER BY d.doc_id
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -4991,6 +5025,7 @@ SPARK_QUERIES_EXT = {
     "sessionize": q_sessionize,
     "token_counts": q_token_counts,
     "percolate": q_percolate,
+    "temperature_sample": q_temperature_sample,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -5136,6 +5171,7 @@ ORACLE_SQL_EXT = {
     "sessionize": SESSIONIZE_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "percolate": PERCOLATE_SQL,
+    "temperature_sample": TEMPERATURE_SAMPLE_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

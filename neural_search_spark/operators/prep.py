@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from neural_search_spark.operators.dedup import md5_prefix_hash
 
-__all__ = ["remove_boilerplate_lines", "hash_sample", "hash_sample_by"]
+__all__ = ["remove_boilerplate_lines", "hash_sample", "hash_sample_by",
+           "temperature_sample"]
 
 _HASH_MOD = 1_000_000  # sampling resolution: 1e-6 fraction granularity
 
@@ -178,3 +179,45 @@ def redact_secrets(
         *counts,
         total.alias("n_redactions"),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strat_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    id_col: str = "docID",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based class rebalancing (the domain-mixing step of a
+    training-data pipeline, à la multilingual/domain sampling with
+    p(class) ∝ n_class^alpha): per-class keep fractions are chosen so the
+    expected kept mass is ``target_fraction`` of the input distributed by
+    the tempered class masses — alpha=1 keeps the natural mix, alpha=0
+    equalizes classes, in between up-weights the tail.
+
+    keep_frac_c = min(1, target·N·n_c^alpha / (Z·n_c)),  Z = Σ n^alpha.
+
+    ONE bounded class-count aggregation (class cardinality rows), then the
+    deterministic md5-bucket filter of hash_sample_by — reproducible
+    across runs/partitionings/cluster sizes and exactly recomputable by a
+    SQL oracle.
+    """
+    import math
+
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError("target_fraction must be in (0, 1]")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    rows = df.groupBy(strat_col).count().collect()
+    if not rows:
+        return df
+    Z = sum(math.pow(r["count"], alpha) for r in rows)
+    N = sum(r["count"] for r in rows)
+    fracs = {
+        r[strat_col]: min(1.0, target_fraction * N
+                          * math.pow(r["count"], alpha)
+                          / (Z * r["count"]))
+        for r in rows
+    }
+    return hash_sample_by(df, strat_col, fracs, id_col=id_col, seed=seed)

@@ -174,3 +174,33 @@ def test_bpe_token_count_segments(spark):
     one = spark.createDataFrame([("   ",)], "text string")
     assert one.select(ts.bpe_token_count("text").alias("n")) \
         .collect()[0]["n"] == 0
+
+
+def test_temperature_sample_rebalances(spark):
+    from neural_search_spark.operators import prep
+
+    rows = ([(i, "big") for i in range(900)]
+            + [(i + 1000, "small") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    # alpha=0 equalizes class masses: expected kept per class equal
+    out = prep.temperature_sample(df, "cls", alpha=0.0,
+                                  target_fraction=0.2, id_col="doc_id")
+    got = {r["cls"]: r["count"] for r in
+           out.groupBy("cls").count().collect()}
+    # expected: 100 kept total, ~50 per class; 'small' keeps 100% cap
+    # check the tail is strongly up-weighted vs natural mix
+    assert got["small"] >= 80  # frac = min(1, 0.2*1000*1/(2*100)) = 1.0
+    assert got["big"] < 200    # frac = 0.2*1000/(2*900) ≈ 0.111
+    # determinism: same seed → same rows
+    again = prep.temperature_sample(df, "cls", alpha=0.0,
+                                    target_fraction=0.2, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # alpha=1 keeps the natural mix scaled by target
+    nat = prep.temperature_sample(df, "cls", alpha=1.0,
+                                  target_fraction=0.5, id_col="doc_id")
+    gn = {r["cls"]: r["count"] for r in nat.groupBy("cls").count().collect()}
+    assert 0.35 < gn["big"] / 900 < 0.65 and 0.3 < gn["small"] / 100 < 0.7
+    import pytest as _pt
+    with _pt.raises(ValueError, match="target_fraction"):
+        prep.temperature_sample(df, "cls", target_fraction=0.0)
