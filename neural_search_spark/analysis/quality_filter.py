@@ -1,0 +1,144 @@
+"""Gopher-style composite document quality filter.
+
+The rule battery of Rae et al. 2021 (Gopher, Appendix A1) as one
+deterministic Catalyst expression battery — the quality-filtering stage a
+training-data pipeline runs corpus-wide. Each rule is a named predicate;
+a document KEEPS only if every enabled rule passes, and the output carries
+the failed-rule names so filtering is auditable (the reasons column is
+what you aggregate to see WHY a corpus shrank).
+
+Word-level rules use whitespace words of the RAW text (Gopher counts
+words, not analyzer tokens); repetition rules join the per-doc signals of
+analysis/repetition.py (dup-line / top-2-gram / dup-n-gram mass). All
+expressions are RE2-compatible (no lookaround) so a SQL oracle can
+recompute every rule verbatim.
+
+Thresholds default to the paper's values; pass overrides to tune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["gopher_quality_filter", "GOPHER_DEFAULTS"]
+
+GOPHER_DEFAULTS: dict = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,     # '#' and '…'/'...' per word
+    "max_bullet_line_frac": 0.9,      # lines starting with a bullet
+    "max_ellipsis_line_frac": 0.3,    # lines ending in an ellipsis
+    "min_alpha_word_frac": 0.8,       # words containing a letter
+    "min_stopwords": 2,               # distinct hits from the stop list
+    # repetition thresholds (Gopher table A1's representative rows)
+    "max_dup_line_frac": 0.30,
+    "max_top_2gram_char_frac": 0.20,
+    "max_dup_ngram_char_frac": 0.15,
+}
+
+_STOP_HITS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_repetition: bool = True,
+    **overrides,
+) -> DataFrame:
+    """(id, n_words, keep, reasons) per document.
+
+    ``reasons`` is the sorted array of failed rule names (empty ⇒ keep).
+    ``include_repetition=False`` skips the repetition join (word-level
+    rules only — the cheap pre-pass shape; repetition adds the n-gram
+    shuffles of repetition_stats).
+    """
+    unknown = set(overrides) - set(GOPHER_DEFAULTS)
+    if unknown:
+        raise ValueError(f"unknown gopher thresholds: {sorted(unknown)}")
+    th = {**GOPHER_DEFAULTS, **overrides}
+
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    lines = F.filter(F.split(text, r"\n"), lambda l: l != F.lit(""))
+
+    def _per_doc(w, ln):
+        n_words = F.size(w)
+        mean_wl = F.when(
+            n_words > 0,
+            F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+            .cast("double") / n_words).otherwise(0.0)
+        n_sym = F.aggregate(
+            w, F.lit(0),
+            lambda a, x: a
+            + F.length(x) - F.length(F.replace(x, F.lit("#")))
+            + F.size(F.regexp_extract_all(x, F.lit(r"(\.\.\.|…)"), 0)))
+        alpha_frac = F.when(
+            n_words > 0,
+            F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+            .cast("double") / n_words).otherwise(0.0)
+        stop_hits = F.size(F.array_intersect(
+            F.array_distinct(F.transform(w, F.lower)),
+            F.array(*[F.lit(s) for s in _STOP_HITS])))
+        n_lines = F.greatest(F.size(ln), F.lit(1))
+        bullet_frac = F.size(F.filter(
+            ln, lambda l: F.trim(l).rlike(r"^[-*•]"))).cast("double") / n_lines
+        ellipsis_frac = F.size(F.filter(
+            ln, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+        ).cast("double") / n_lines
+        checks = [
+            ("too_few_words", n_words < th["min_words"]),
+            ("too_many_words", n_words > th["max_words"]),
+            ("mean_word_len_out_of_range",
+             (mean_wl < th["min_mean_word_len"])
+             | (mean_wl > th["max_mean_word_len"])),
+            ("symbol_word_ratio",
+             F.when(n_words > 0, n_sym.cast("double") / n_words)
+             .otherwise(0.0) > th["max_symbol_word_ratio"]),
+            ("bullet_lines", bullet_frac > th["max_bullet_line_frac"]),
+            ("ellipsis_lines", ellipsis_frac > th["max_ellipsis_line_frac"]),
+            ("alpha_words", alpha_frac < th["min_alpha_word_frac"]),
+            ("stopwords", stop_hits < th["min_stopwords"]),
+        ]
+        reasons = F.array_compact(F.array(*[
+            F.when(cond, F.lit(name)) for name, cond in checks]))
+        return F.struct(n_words.alias("n_words"), reasons.alias("reasons"))
+
+    from neural_search_spark.expr import let
+
+    word_side = df.select(
+        F.col(id_col),
+        let(words, lambda w: let(lines, lambda ln: _per_doc(w, ln)))
+        .alias("_q"),
+    ).select(id_col, F.col("_q.n_words").alias("n_words"),
+             F.col("_q.reasons").alias("reasons"))
+
+    if include_repetition:
+        from neural_search_spark.analysis.repetition import repetition_stats
+
+        rep = repetition_stats(df, text_col, id_col)
+        rep_reasons = F.array_compact(F.array(
+            F.when(F.col("dup_line_frac") > th["max_dup_line_frac"],
+                   F.lit("dup_lines")),
+            F.when(F.col("top_2gram_char_frac")
+                   > th["max_top_2gram_char_frac"], F.lit("top_2gram")),
+            F.when(F.col("dup_ngram_char_frac")
+                   > th["max_dup_ngram_char_frac"], F.lit("dup_ngrams")),
+        ))
+        word_side = (
+            word_side.join(rep.select(id_col, rep_reasons.alias("_rr")),
+                           id_col, "left")
+            .select(id_col, "n_words",
+                    F.concat("reasons",
+                             F.coalesce(F.col("_rr"),
+                                        F.array().cast("array<string>"))
+                             ).alias("reasons"))
+        )
+
+    return word_side.select(
+        id_col, "n_words",
+        F.array_sort("reasons").alias("reasons"),
+        (F.size("reasons") == 0).alias("keep"),
+    )

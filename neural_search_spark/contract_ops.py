@@ -3914,6 +3914,79 @@ TEMPERATURE_SAMPLE_SQL = f"""
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter over the repetition corpus
+    (doc_id%10==0 docs carry injected duplicate lines → repetition drops);
+    min_stopwords=1 because the synthetic vocabulary holds one stopword."""
+    from neural_search_spark.analysis.quality_filter import \
+        gopher_quality_filter
+
+    out = gopher_quality_filter(_rep_docs(spark, sf_dir), "text", "doc_id",
+                                min_stopwords=1)
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        F.array_join("reasons", ",").alias("reasons"), "keep",
+    ).orderBy("doc_id")
+
+
+_GOPHER_WORDS = (r"list_filter(string_split_regex(text, '\s+'), "
+                 r"w -> w <> '')")
+_GOPHER_STOPS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+GOPHER_FILTER_SQL = f"""
+    WITH docs AS ({_REP_DOCS_SQL}),
+    rep AS ({REPETITION_SQL}),
+    w AS (
+      SELECT doc_id, {_GOPHER_WORDS} AS words,
+        list_filter(string_split(text, chr(10)), l -> l <> '') AS lns
+      FROM docs),
+    sig AS (
+      SELECT doc_id, len(words) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+          / len(words) ELSE 0.0 END AS mean_wl,
+        CASE WHEN len(words) > 0 THEN
+          CAST(list_sum(list_transform(words,
+            x -> (length(x) - length(replace(x, '#', '')))
+                 + len(regexp_extract_all(x, '(\\.\\.\\.|…)')))) AS DOUBLE)
+          / len(words) ELSE 0.0 END AS sym_ratio,
+        CASE WHEN len(words) > 0 THEN
+          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               AS DOUBLE) / len(words) ELSE 0.0 END AS alpha_frac,
+        len(list_intersect(list_distinct(
+          list_transform(words, x -> lower(x))), {_GOPHER_STOPS}))
+          AS stop_hits,
+        CAST(len(list_filter(lns,
+          l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+          / greatest(len(lns), 1) AS bullet_frac,
+        CAST(len(list_filter(lns,
+          l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+          / greatest(len(lns), 1) AS ellipsis_frac
+      FROM w),
+    reasons AS (
+      SELECT s.doc_id, s.n_words,
+        list_sort(list_filter([
+          CASE WHEN s.n_words < 50 THEN 'too_few_words' END,
+          CASE WHEN s.n_words > 100000 THEN 'too_many_words' END,
+          CASE WHEN s.mean_wl < 3.0 OR s.mean_wl > 10.0
+               THEN 'mean_word_len_out_of_range' END,
+          CASE WHEN s.sym_ratio > 0.1 THEN 'symbol_word_ratio' END,
+          CASE WHEN s.bullet_frac > 0.9 THEN 'bullet_lines' END,
+          CASE WHEN s.ellipsis_frac > 0.3 THEN 'ellipsis_lines' END,
+          CASE WHEN s.alpha_frac < 0.8 THEN 'alpha_words' END,
+          CASE WHEN s.stop_hits < 1 THEN 'stopwords' END,
+          CASE WHEN r.dup_line_frac > 0.30 THEN 'dup_lines' END,
+          CASE WHEN r.top_2gram_char_frac > 0.20 THEN 'top_2gram' END,
+          CASE WHEN r.dup_ngram_char_frac > 0.15 THEN 'dup_ngrams' END
+        ], x -> x IS NOT NULL)) AS rl
+      FROM sig s JOIN rep r USING (doc_id))
+    SELECT doc_id, n_words,
+           coalesce(array_to_string(rl, ','), '') AS reasons,
+           len(rl) = 0 AS keep
+    FROM reasons ORDER BY doc_id
+"""
+
+
 MLT_SEED = 42
 MLT_MAX_TERMS = 10
 MLT_MIN_TF = 2
@@ -5026,6 +5099,7 @@ SPARK_QUERIES_EXT = {
     "token_counts": q_token_counts,
     "percolate": q_percolate,
     "temperature_sample": q_temperature_sample,
+    "gopher_filter": q_gopher_filter,
     "span_near_topk": q_span_near_topk,
     "span_first_not_topk": q_span_first_not_topk,
     "intervals_topk": q_intervals_topk,
@@ -5172,6 +5246,7 @@ ORACLE_SQL_EXT = {
     "token_counts": TOKEN_COUNTS_SQL,
     "percolate": PERCOLATE_SQL,
     "temperature_sample": TEMPERATURE_SAMPLE_SQL,
+    "gopher_filter": GOPHER_FILTER_SQL,
     "span_near_topk": SPAN_NEAR_SQL,
     "span_first_not_topk": SPAN_FIRST_SQL,
     "intervals_topk": INTERVALS_SQL,

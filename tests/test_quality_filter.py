@@ -1,0 +1,53 @@
+"""Gopher-style composite quality filter (analysis/quality_filter.py)."""
+
+import pytest
+
+from neural_search_spark.analysis.quality_filter import (GOPHER_DEFAULTS,
+                                                         gopher_quality_filter)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then it sat down "
+        "with all of its friends to have a long conversation about many "
+        "different topics that we should be able to enumerate here for "
+        "quite a while longer until the word count exceeds fifty words "
+        "total easily done now")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        (1, GOOD),
+        (2, "short text"),
+        (3, "- item one\n- item two\n- item three"),
+        (4, GOOD.replace("the", "###")),
+        (5, GOOD + "\n" + GOOD),  # fully duplicated lines
+    ], "doc_id long, text string")
+
+
+def _rows(df):
+    return {r["doc_id"]: r for r in df.collect()}
+
+
+def test_word_level_rules(docs):
+    rows = _rows(gopher_quality_filter(docs, include_repetition=False))
+    assert rows[1]["keep"] and rows[1]["reasons"] == []
+    assert set(rows[2]["reasons"]) == {"too_few_words", "stopwords"}
+    assert "bullet_lines" in rows[3]["reasons"]
+    assert not rows[3]["keep"]
+    assert rows[4]["reasons"] == ["symbol_word_ratio"]
+
+
+def test_repetition_rules_join(docs):
+    rows = _rows(gopher_quality_filter(docs))
+    assert rows[1]["keep"]
+    assert "dup_lines" in rows[5]["reasons"] and not rows[5]["keep"]
+
+
+def test_threshold_overrides_and_validation(docs):
+    rows = _rows(gopher_quality_filter(
+        docs, include_repetition=False, min_words=1, min_stopwords=0,
+        min_mean_word_len=0.0, min_alpha_word_frac=0.0,
+        max_bullet_line_frac=1.0))
+    assert rows[3]["keep"]  # every failed rule relaxed
+    with pytest.raises(ValueError, match="unknown gopher thresholds"):
+        gopher_quality_filter(docs, not_a_rule=1)
+    assert set(GOPHER_DEFAULTS) >= {"min_words", "max_dup_line_frac"}
