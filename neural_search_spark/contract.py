@@ -205,6 +205,13 @@ _R03_FRONT = [
     # never driver-verified rows-only ANN approximations (weak check only;
     # each has a pytest oracle — the window tail is the right place)
     "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",
+    # r04 NOTE: the session-5 additions (semantic_highlight, span_near_topk,
+    # span_first_not_topk, intervals_topk, agg_auto_date_histogram,
+    # agg_scripted_metric, agg_terms_order, agg_significant_chi2, agg_vwh,
+    # trending_terms, sessionize, token_counts, percolate,
+    # temperature_sample, gopher_filter) land past the window and are
+    # first in line next round — run scripts/rotate_window.py against
+    # CORRECTNESS_r03.json to regenerate this list.
     # last green in r01 (pushed out of the r02 window)
     "prune_abs_value", "prune_alpha_mass", "text_stats",
     "dedup_exact_groups", "dedup_exact_survivors", "ngram_jaccard_pairs",
