@@ -1856,6 +1856,19 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=4)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: PQ codebooks come from numpy k-means (approximate by
+    construction; recall + exact-rerank-score pytest oracles in
+    tests/test_pq.py). ADC candidates reranked with exact cosine."""
+    from neural_search_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return pq.pq_topk(emb, _query_vec(spark, sf_dir), k=10, m=8, nbits=6,
+                      rerank=50)
+
+
 def q_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: persisted IVF index (list_id-partitioned parquet), query
     prunes to nprobe partitions — same rows as q_ivf_topk by construction
@@ -5181,6 +5194,7 @@ SPARK_QUERIES_EXT = {
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "pq_topk": q_pq_topk,
     "ann_indexed_topk": q_ann_indexed_topk,
     "seismic_exact_topk": _seismic_entry("default", "exact"),
     "seismic_ann_sharp": _seismic_entry("sharp", "ann"),

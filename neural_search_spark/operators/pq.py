@@ -1,0 +1,188 @@
+"""Product quantization (PQ) — the memory-compression tier of ANN serving.
+
+At 100 TB of raw float vectors, even IVF partition pruning
+(operators/ann_index.py) still reads full-precision vectors inside the
+probed lists. PQ (Jégou et al. 2011, "Product Quantization for Nearest
+Neighbor Search") stores each vector as ``m`` uint8 codes — a 64-dim f32
+vector compresses 256 B → 8 B at m=8 — and scores candidates from a
+per-query lookup table (ADC: asymmetric distance computation) without
+touching the original floats. The standard 100 TB layout is IVF-PQ:
+partition-prune lists, ADC-scan codes, exact-rerank survivors; this
+module supplies the PQ half and composes with the existing IVF/brute
+pieces for the rerank.
+
+Spark-first shape:
+
+* **train** — per-subspace k-means on a bounded, hash-ordered sample
+  collected to the driver (the universal PQ training recipe; codebooks
+  are m·k·dsub floats — kilobytes — and broadcast by closure);
+* **encode** — one Arrow-batched pandas UDF per row batch: argmin over
+  the k sub-centroids via a single matmul per subspace (vectorized, the
+  documented Python-kernel tier, like the SEISMIC scorer);
+* **score** — ADC lookup-table sum per batch, then the same
+  WindowGroupLimit top-k every other similarity operator uses; optional
+  exact cosine rerank joins only the survivors back to the float
+  vectors.
+
+Vectors are L2-normalized before encoding, so the ADC inner product
+approximates cosine — keeping PQ results comparable with the
+cosine_topk/lsh_topk/ivf_topk family and its oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+from neural_search_spark.operators.dedup import md5_prefix_hash
+
+__all__ = ["train_pq", "pq_encode", "pq_adc_scores", "pq_topk"]
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    sample_n: int = 16384,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Codebooks of shape (m, k, dsub), k = min(2^nbits, sample size).
+
+    The training sample is hash-ordered (md5-prefix of the id — the
+    repo's portable sampler), so it is reproducible and decorrelated from
+    id assignment order; TakeOrdered keeps the selection bounded. Lloyd
+    iterations run in numpy on the driver — the sample is
+    ``sample_n × dim`` floats (megabytes), while the ENCODE pass over the
+    full corpus stays distributed.
+    """
+    rows = (emb.select(vec_col)
+            .orderBy(md5_prefix_hash(F.col(id_col).cast("string")))
+            .limit(int(sample_n)).collect())
+    if not rows:
+        raise ValueError("train_pq needs a non-empty embedding frame")
+    x = _normalize(np.array([r[0] for r in rows], dtype=np.float64))
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(1 << nbits, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub:(s + 1) * dsub]
+        cent = xs[rng.choice(n, size=k, replace=False)].copy()
+        for _ in range(int(iters)):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(0)
+                else:  # empty cluster: reseed deterministically
+                    cent[c] = xs[rng.integers(0, n)]
+        books[s] = cent
+    return books
+
+
+def _make_encoder(books: np.ndarray):
+    m, k, dsub = books.shape
+    # ||x - c||² argmin ≡ (||c||² - 2 x·c) argmin — one matmul/subspace
+    cn2 = (books ** 2).sum(-1)  # (m, k)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        mat = _normalize(np.stack(v.to_numpy()).astype(np.float64))
+        out = np.empty((mat.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            xs = mat[:, s * dsub:(s + 1) * dsub]
+            out[:, s] = (cn2[s][None, :] - 2.0 * (xs @ books[s].T)).argmin(1)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length m) — the compressed index frame.
+    Persist this instead of the floats for the ADC serving path."""
+    return emb.select(
+        id_col, _make_encoder(books)(F.col(vec_col)).alias("codes"))
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    books: np.ndarray,
+    query_vec,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, adc) approximate cosine via the per-query lookup table."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("zero query vector")
+    q = q / qn
+    m, k, dsub = books.shape
+    lut = np.stack([books[s] @ q[s * dsub:(s + 1) * dsub]
+                    for s in range(m)])  # (m, k)
+
+    @pandas_udf(DoubleType())
+    def adc(c: pd.Series) -> pd.Series:
+        mat = np.stack(c.to_numpy()).astype(np.int64)  # (batch, m)
+        return pd.Series(lut[np.arange(m)[None, :], mat].sum(1))
+
+    return codes.select(id_col, adc(F.col("codes")).alias("adc"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 8,
+    rerank: int | None = None,
+    books: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k (docID-ascending tie-break, like the siblings).
+
+    ``rerank=c`` keeps the top-c by ADC and re-scores them with EXACT
+    cosine over the original vectors (the IVF-PQ serving pattern); the
+    returned ``score`` column is then the exact cosine. Without rerank,
+    ``score`` is the ADC approximation. Pass ``books``/``codes`` to reuse
+    a trained+encoded index across queries (training per query is the
+    ad-hoc tier, same caveat as lsh/ivf_topk's per-query signatures).
+    """
+    if books is None:
+        books = train_pq(emb, m=m, nbits=nbits, seed=seed,
+                         id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(emb, books, id_col, vec_col)
+    scored = pq_adc_scores(codes, books, query_vec, id_col)
+    if rerank:
+        from neural_search_spark.operators.similarity import cosine_topk
+
+        cand_ids = (scored.orderBy(F.desc("adc"), F.asc(id_col))
+                    .limit(int(rerank)).select(id_col))
+        cand = emb.join(F.broadcast(cand_ids), id_col, "left_semi")
+        return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    return (scored.select(id_col, F.round("adc", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col)).limit(k))

@@ -1,0 +1,76 @@
+"""Product quantization ANN (operators/pq.py) — codebooks, encoding,
+ADC scoring, rerank recall vs exact cosine."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators import pq
+from neural_search_spark.operators.similarity import cosine_topk
+
+DIM, N = 16, 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.train_pq(emb, m=4, nbits=4, sample_n=N, iters=8, seed=3)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert books.shape == (4, 16, DIM // 4)
+    again = pq.train_pq(emb, m=4, nbits=4, sample_n=N, iters=8, seed=3)
+    assert np.array_equal(books, again)
+
+
+def test_encode_codes_in_range(emb, books):
+    codes = pq.pq_encode(emb, books).collect()
+    assert len(codes) == N
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_adc_approximates_cosine(emb, books):
+    q = [float(x) for x in np.random.default_rng(9).standard_normal(DIM)]
+    codes = pq.pq_encode(emb, books)
+    adc = {r["vec_id"]: r["adc"]
+           for r in pq.pq_adc_scores(codes, books, q).collect()}
+    exact = {r["vec_id"]: r["score"]
+             for r in cosine_topk(emb, q, k=N).collect()}
+    errs = [abs(adc[i] - exact[i]) for i in exact]
+    assert sum(errs) / len(errs) < 0.25  # coarse codes, bounded error
+
+
+def test_pq_topk_rerank_recall(emb, books):
+    rng = np.random.default_rng(11)
+    hits = 0
+    for _ in range(5):
+        q = [float(x) for x in rng.standard_normal(DIM)]
+        truth = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+        got = {r["vec_id"] for r in pq.pq_topk(
+            emb, q, k=10, rerank=50, books=books).collect()}
+        hits += len(truth & got)
+    assert hits / 50 >= 0.8  # recall@10 with 25% rerank depth
+
+
+def test_pq_topk_rerank_scores_are_exact(emb, books):
+    q = [1.0] * DIM
+    got = pq.pq_topk(emb, q, k=5, rerank=40, books=books).collect()
+    exact = {r["vec_id"]: r["score"]
+             for r in cosine_topk(emb, q, k=N).collect()}
+    for r in got:
+        assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-9)
+
+
+def test_train_validation(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.train_pq(emb, m=5)
