@@ -45,6 +45,8 @@ def build_ann_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int | None = None,
+    pq_nbits: int = 8,
 ) -> dict:
     """Write the persisted ANN index; returns the manifest dict.
 
@@ -54,15 +56,33 @@ def build_ann_index(
     — a query within Hamming radius r of the full signature differs from it
     by ≤ r bits in ANY prefix, so probing the radius-r ball of bucket values
     (Σ C(bucket_bits, 0..r) partitions) is lossless vs the ad-hoc scan.
+
+    ``pq_m`` additionally stores product-quantization codes next to every
+    vector (operators/pq.py) and the codebooks in the manifest — the
+    IVF-PQ layout: a query prunes to nprobe partitions, ranks candidates
+    by the ADC lookup table over the tiny ``codes`` column (column-pruned
+    scan — the floats stay on disk), and only the top ``pq_rerank``
+    survivors' vectors are read for exact rescoring.
     """
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     os.makedirs(index_dir, exist_ok=True)
+    books = None
+    if pq_m:
+        from neural_search_spark.operators.pq import pq_encode, train_pq
+
+        books = train_pq(emb, m=pq_m, nbits=pq_nbits, seed=seed,
+                         id_col=id_col, vec_col=vec_col)
     if kind == "ivf":
         cents = ivf_centroids(emb, nlist, id_col, vec_col,
                               refine_iters=refine_iters)
         assigned = ivf_assign(emb, cents, id_col, vec_col)
-        (assigned.select(id_col, vec_col, "list_id")
+        cols = [id_col, vec_col, "list_id"]
+        if books is not None:
+            assigned = assigned.join(
+                pq_encode(emb, books, id_col, vec_col), id_col)
+            cols.append("codes")
+        (assigned.select(*cols)
          .write.mode("overwrite").partitionBy("list_id")
          .parquet(os.path.join(index_dir, "vectors")))
         manifest = {
@@ -71,6 +91,12 @@ def build_ann_index(
             "refine_iters": refine_iters,
             "centroids": [[float(x) for x in c] for c in cents],
         }
+        if books is not None:
+            manifest["pq"] = {
+                "m": int(pq_m), "nbits": int(pq_nbits),
+                "books": [[[float(x) for x in c] for c in sub]
+                          for sub in books],
+            }
     elif kind == "lsh":
         if not 1 <= bucket_bits <= nbits:
             raise ValueError("bucket_bits must be in [1, nbits]")
@@ -119,12 +145,19 @@ def ann_search(
     k: int = 10,
     nprobe: int = 4,
     max_hamming: int = 2,
+    pq_rerank: int | None = None,
 ) -> DataFrame:
     """Top-k over a persisted ANN index; scans only the probed partitions.
 
     Same candidates (hence identical rows) as the ad-hoc ``ivf_topk`` /
     ``lsh_topk`` with matching parameters — the difference is the plan: a
     partition-pruned parquet scan instead of a full-table recompute.
+
+    ``pq_rerank=c`` (index built with ``pq_m``): rank the probed
+    partitions' rows by the PQ ADC table over the ``codes`` column, then
+    exact-rescore only the top c — the scan that feeds ADC is pruned to
+    (id, codes), so the float vectors are read for c rows, not the whole
+    probe set.
     """
     with open(os.path.join(index_dir, "manifest.json")) as f:
         man = json.load(f)
@@ -138,6 +171,18 @@ def ann_search(
         order = np.argsort(-(cents @ q) / (cnorm * qn), kind="stable")
         probe = [int(x) for x in order[:nprobe]]
         cand = vectors.where(F.col("list_id").isin(probe))
+        if pq_rerank:
+            if "pq" not in man:
+                raise ValueError("index was built without pq_m")
+            from neural_search_spark.operators.pq import pq_adc_scores
+
+            books = np.array(man["pq"]["books"], dtype=np.float64)
+            idc = man["id_col"]
+            top = (pq_adc_scores(cand.select(idc, "codes"), books,
+                                 query_vec, idc)
+                   .orderBy(F.desc("adc"), F.asc(idc))
+                   .limit(int(pq_rerank)).select(idc))
+            cand = cand.join(F.broadcast(top), idc, "left_semi")
     else:
         nbits, bbits = man["nbits"], man["bucket_bits"]
         rng = np.random.default_rng(man["seed"])

@@ -74,3 +74,34 @@ def test_pq_topk_rerank_scores_are_exact(emb, books):
 def test_train_validation(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq.train_pq(emb, m=5)
+
+
+def test_ivf_pq_persisted_index(spark, emb, tmp_path):
+    from neural_search_spark.operators.ann_index import (ann_search,
+                                                         build_ann_index)
+
+    d = str(tmp_path / "ivfpq")
+    man = build_ann_index(emb, d, kind="ivf", nlist=8, pq_m=4, pq_nbits=4,
+                          refine_iters=1)
+    assert man["pq"]["m"] == 4 and len(man["pq"]["books"]) == 4
+
+    q = [float(x) for x in np.random.default_rng(13).standard_normal(DIM)]
+    # pq_rerank wide enough to cover the probe set → identical rows to
+    # the exact-cosine path over the same probed partitions
+    exact = ann_search(spark, d, q, k=10, nprobe=8)
+    viapq = ann_search(spark, d, q, k=10, nprobe=8, pq_rerank=N)
+    assert [tuple(r) for r in exact.collect()] == \
+        [tuple(r) for r in viapq.collect()]
+    # narrow rerank still recalls most of the exact top-10
+    narrow = ann_search(spark, d, q, k=10, nprobe=8, pq_rerank=50)
+    got = {r["vec_id"] for r in narrow.collect()}
+    want = {r["vec_id"] for r in exact.collect()}
+    assert len(got & want) >= 8
+    # partition pruning survives the PQ path
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(list_id" in plan \
+        or "list_id" in plan
+    with pytest.raises(ValueError, match="without pq_m"):
+        d2 = str(tmp_path / "plain")
+        build_ann_index(emb, d2, kind="ivf", nlist=4)
+        ann_search(spark, d2, q, k=5, pq_rerank=10)
