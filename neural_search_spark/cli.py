@@ -504,14 +504,17 @@ def cmd_ann(spark: SparkSession, args) -> None:
             emb, args.index_dir, kind=args.kind, nlist=args.nlist,
             nbits=args.nbits, refine_iters=args.refine_iters,
             id_col=args.id_col, vec_col=args.vec_col,
+            pq_m=args.pq_m, pq_nbits=args.pq_nbits,
         )
         print(json.dumps({"action": "ann-build", **{
-            k: v for k, v in man.items() if k != "centroids"}}))
+            k: v for k, v in man.items() if k not in ("centroids", "pq")},
+            **({"pq_m": man["pq"]["m"]} if "pq" in man else {})}))
     else:
         q = json.loads(args.query_vec)
         rows = ann_search(
             spark, args.index_dir, q, k=args.k,
             nprobe=args.nprobe, max_hamming=args.max_hamming,
+            pq_rerank=args.pq_rerank,
         ).collect()
         print(json.dumps({
             "action": "ann-search",
@@ -772,6 +775,11 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("-k", type=int, default=10)
     an.add_argument("--nprobe", type=int, default=4)
     an.add_argument("--max-hamming", type=int, default=2)
+    an.add_argument("--pq-m", type=int, default=None,
+                    help="build: store PQ codes (m subspaces) → IVF-PQ")
+    an.add_argument("--pq-nbits", type=int, default=8)
+    an.add_argument("--pq-rerank", type=int, default=None,
+                    help="search: ADC-rank probed rows, exact-rescore top c")
 
     args = ap.parse_args(argv)
     if args.cmd == "ann":

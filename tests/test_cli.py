@@ -94,14 +94,29 @@ def test_cli_ann_build_and_search(spark, tmp_path, capsys):
     cli.cmd_ann(spark, Namespace(
         ann_cmd="build", index_dir=d, input=emb_path, kind="ivf", nlist=4,
         nbits=16, refine_iters=1, id_col="vec_id", vec_col="embedding",
+        pq_m=None, pq_nbits=8,
     ))
     assert _json_out(capsys)["nlist"] == 4
     cli.cmd_ann(spark, Namespace(
         ann_cmd="search", index_dir=d, query_vec=json.dumps(rows[0][1]),
-        k=3, nprobe=4, max_hamming=2,
+        k=3, nprobe=4, max_hamming=2, pq_rerank=None,
     ))
     out = _json_out(capsys)
     assert out["hits"][0]["id"] == 0  # self-match first at nprobe=nlist
+
+    # IVF-PQ: build with codes, search via ADC + exact rerank
+    d2 = str(tmp_path / "ann-pq")
+    cli.cmd_ann(spark, Namespace(
+        ann_cmd="build", index_dir=d2, input=emb_path, kind="ivf", nlist=4,
+        nbits=16, refine_iters=1, id_col="vec_id", vec_col="embedding",
+        pq_m=4, pq_nbits=4,
+    ))
+    assert _json_out(capsys)["pq_m"] == 4
+    cli.cmd_ann(spark, Namespace(
+        ann_cmd="search", index_dir=d2, query_vec=json.dumps(rows[0][1]),
+        k=3, nprobe=4, max_hamming=2, pq_rerank=20,
+    ))
+    assert _json_out(capsys)["hits"][0]["id"] == 0
 
 
 def test_cli_request(spark, idx_dir, capsys):
