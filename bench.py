@@ -325,8 +325,37 @@ def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
         }
         shutil.rmtree(seis_dir, ignore_errors=True)
 
+        # dense ANN memory tier: PQ train+encode over the sf embeddings,
+        # ADC+rerank query latency (round-3 session-5 addition)
+        from pyspark.sql import functions as F
+
+        from neural_search_spark.operators import pq as pqm
+
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"))
+        n_vecs = emb.count()
+        t0 = time.perf_counter()
+        books = pqm.train_pq(emb, m=8, nbits=6)
+        codes = pqm.pq_encode(emb, books)
+        codes.cache().count()
+        pq_build_s = time.perf_counter() - t0
+        qv = [float(x) for x in emb.where(F.col("vec_id") == 0)
+              .first()["embedding"]]
+        pqm.pq_topk(emb, qv, k=10, rerank=50, books=books,
+                    codes=codes).collect()
+        t0 = time.perf_counter()
+        pqm.pq_topk(emb, qv, k=10, rerank=50, books=books,
+                    codes=codes).collect()
+        pq_query_s = time.perf_counter() - t0
+        codes.unpersist()
+        pq_stats = {"n_vecs": int(n_vecs),
+                    "train_encode_s": round(pq_build_s, 3),
+                    "adc_rerank_query_s": round(pq_query_s, 4)}
+
         shutil.rmtree(idx_dir, ignore_errors=True)
-        return {**result, "seismic": seismic_stats}
+        return {**result, "seismic": seismic_stats, "pq": pq_stats}
     finally:
         spark.stop()
 
@@ -426,6 +455,7 @@ def main() -> None:
             "request_hybrid_aggs_s": res["request_hybrid_aggs_s"],
             "query_type_latencies": res["query_type_latencies"],
             **({"seismic": res["seismic"]} if "seismic" in res else {}),
+            **({"pq": res["pq"]} if "pq" in res else {}),
             **extra,
         },
     }
