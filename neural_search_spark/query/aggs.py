@@ -330,7 +330,20 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
     filtered per row and exploded: single pass regardless of bucket count.
     """
     if kind in ("terms", "rare_terms"):
-        return base.withColumn(key_alias, _field(body)), [key_alias]
+        frame = base.withColumn(key_alias, _field(body))
+        # ES include/exclude: anchored regex (string) or exact-value list;
+        # exclude wins on overlap (ES precedence)
+        inc, exc = body.get("include"), body.get("exclude")
+        key = F.col(key_alias).cast("string")
+        if isinstance(inc, str):
+            frame = frame.where(key.rlike(f"^(?:{inc})$"))
+        elif isinstance(inc, (list, tuple)):
+            frame = frame.where(key.isin([str(v) for v in inc]))
+        if isinstance(exc, str):
+            frame = frame.where(~key.rlike(f"^(?:{exc})$"))
+        elif isinstance(exc, (list, tuple)):
+            frame = frame.where(~key.isin([str(v) for v in exc]))
+        return frame, [key_alias]
     if kind == "multi_terms":
         # composite bucket key from several field values (ES multi_terms);
         # docs with ANY null key component are skipped (ES default)

@@ -843,3 +843,23 @@ def test_vwh_validation_and_null_skip(spark, idx):
         aggs.aggregate(idx, {
             "w": {"variable_width_histogram": {"field": "n", "buckets": 1}},
         }, query=["alpha"], doc_values=dv, doc_values_id="doc_id")
+
+
+# --------------------------------------------- terms include/exclude
+
+
+def test_terms_include_exclude(idx, docvals):
+    out = aggs.aggregate(idx, {
+        "l": {"terms": {"field": "lang", "include": "e.*"}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    assert [r["key"] for r in _rows(out["l"])] == ["en"]
+    out = aggs.aggregate(idx, {
+        "l": {"terms": {"field": "lang", "exclude": ["en"]}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    assert sorted(r["key"] for r in _rows(out["l"])) == ["de", "fr"]
+    # exclude wins over include on overlap (ES precedence)
+    out = aggs.aggregate(idx, {
+        "l": {"terms": {"field": "lang", "include": ["en", "de"],
+                        "exclude": "en"}},
+    }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+    assert [r["key"] for r in _rows(out["l"])] == ["de"]
