@@ -118,14 +118,22 @@ def gopher_quality_filter(
     if include_repetition:
         from neural_search_spark.analysis.repetition import repetition_stats
 
-        rep = repetition_stats(df, text_col, id_col)
+        # integer facts + cross-multiplied thresholds: `dup_lines > th ·
+        # n_lines` is the exact form of `dup_lines/n_lines > th` with no
+        # rounded intermediate, so the rule battery is oracle-reproducible
+        # bit-for-bit (threshold · BIGINT is one IEEE multiply everywhere)
+        rep = repetition_stats(df, text_col, id_col, facts=True)
+        tchars1 = F.greatest(F.col("tchars"), F.lit(1))
         rep_reasons = F.array_compact(F.array(
-            F.when(F.col("dup_line_frac") > th["max_dup_line_frac"],
+            F.when(F.col("dup_lines")
+                   > F.lit(th["max_dup_line_frac"]) * F.col("n_lines"),
                    F.lit("dup_lines")),
-            F.when(F.col("top_2gram_char_frac")
-                   > th["max_top_2gram_char_frac"], F.lit("top_2gram")),
-            F.when(F.col("dup_ngram_char_frac")
-                   > th["max_dup_ngram_char_frac"], F.lit("dup_ngrams")),
+            F.when(F.col("top2_mass")
+                   > F.lit(th["max_top_2gram_char_frac"]) * tchars1,
+                   F.lit("top_2gram")),
+            F.when(F.col("cov_chars")
+                   > F.lit(th["max_dup_ngram_char_frac"]) * tchars1,
+                   F.lit("dup_ngrams")),
         ))
         word_side = (
             word_side.join(rep.select(id_col, rep_reasons.alias("_rr")),

@@ -40,6 +40,8 @@ __all__ = ["repetition_stats"]
 
 
 def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Integer line facts per doc: n_lines, dup_lines (lines whose text
+    occurs >1×), dup_line_chars, line_chars."""
     lines = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), "\n", -1)).alias("line"),
@@ -48,14 +50,11 @@ def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     dup = F.col("cnt") > 1
     return per_line.groupBy(id_col).agg(
         F.sum("cnt").alias("n_lines"),
-        F.round(
-            F.sum(F.when(dup, F.col("cnt")).otherwise(0))
-            / F.sum("cnt"), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            F.sum(F.when(dup, F.col("cnt") * F.length("line")).otherwise(0))
-            / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1)), 6
-        ).alias("dup_line_char_frac"),
+        F.sum(F.when(dup, F.col("cnt")).otherwise(0)).alias("dup_lines"),
+        F.sum(
+            F.when(dup, F.col("cnt") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
     )
 
 
@@ -103,11 +102,19 @@ def repetition_stats(
     text_col: str = "content",
     id_col: str = "docID",
     ngram_n: int = 5,
+    facts: bool = False,
 ) -> DataFrame:
     """Per-document repetition signals (see module docstring for columns).
 
     Documents with no tokens report 0.0 for the gram fractions; documents
     shorter than ``ngram_n`` tokens report 0.0 for the n-gram coverage.
+
+    With ``facts=True``, emit the exact BIGINT facts behind the fractions
+    instead of the rounded ratios — (n_lines, dup_lines, dup_line_chars,
+    line_chars, top2_mass, cov_chars, tchars). Integer facts are the
+    verification-friendly form: a float ratio rounded at the same precision
+    an external comparator formats at can flip its last digit on a 1-ulp
+    engine difference; integers can't.
     """
     base = _token_chars(df, text_col, id_col)
     line = _line_stats(df, text_col, id_col)
@@ -150,22 +157,38 @@ def repetition_stats(
         .agg(F.sum(F.length("tok")).alias("cov_chars"))
     )
 
-    return (
+    joined = (
         base.join(line, id_col, "left")
         .join(g2, id_col, "left")
         .join(dup_cov, id_col, "left")
-        .select(
+    )
+    if facts:
+        return joined.select(
             id_col,
-            F.col("n_lines"),
-            F.col("dup_line_frac"),
-            F.col("dup_line_char_frac"),
-            F.round(
-                F.coalesce(F.col("top2_mass"), F.lit(0))
-                / F.greatest(F.col("tchars"), F.lit(1)), 6
-            ).alias("top_2gram_char_frac"),
-            F.round(
-                F.coalesce(F.col("cov_chars"), F.lit(0))
-                / F.greatest(F.col("tchars"), F.lit(1)), 6
-            ).alias("dup_ngram_char_frac"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("dup_lines").cast("long").alias("dup_lines"),
+            F.col("dup_line_chars").cast("long").alias("dup_line_chars"),
+            F.col("line_chars").cast("long").alias("line_chars"),
+            F.coalesce(F.col("top2_mass"), F.lit(0))
+            .cast("long").alias("top2_mass"),
+            F.coalesce(F.col("cov_chars"), F.lit(0))
+            .cast("long").alias("cov_chars"),
+            F.col("tchars").cast("long").alias("tchars"),
         )
+    return joined.select(
+        id_col,
+        F.col("n_lines"),
+        F.round(F.col("dup_lines") / F.col("n_lines"), 6).alias("dup_line_frac"),
+        F.round(
+            F.col("dup_line_chars")
+            / F.greatest(F.col("line_chars"), F.lit(1)), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.coalesce(F.col("top2_mass"), F.lit(0))
+            / F.greatest(F.col("tchars"), F.lit(1)), 6
+        ).alias("top_2gram_char_frac"),
+        F.round(
+            F.coalesce(F.col("cov_chars"), F.lit(0))
+            / F.greatest(F.col("tchars"), F.lit(1)), 6
+        ).alias("dup_ngram_char_frac"),
     )

@@ -3216,9 +3216,13 @@ _REP_DOCS_SQL = """
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # facts=True: exact BIGINT facts, not rounded ratios. The r03 driver row
+    # went red on a 1-ulp Spark-vs-DuckDB divergence inside round(x, 6) at
+    # the hash's own 6-dp format boundary; integers have no such boundary.
     from neural_search_spark.analysis.repetition import repetition_stats
 
-    return repetition_stats(_rep_docs(spark, sf_dir), "text", "doc_id")
+    return repetition_stats(_rep_docs(spark, sf_dir), "text", "doc_id",
+                            facts=True)
 
 
 REPETITION_SQL = f"""
@@ -3231,10 +3235,9 @@ REPETITION_SQL = f"""
     per_line AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line),
     line_stats AS (
       SELECT doc_id, sum(cnt) AS n_lines,
-        round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt), 6)
-          AS dup_line_frac,
-        round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS DOUBLE)
-              / greatest(sum(cnt * length(line)), 1), 6) AS dup_line_char_frac
+        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
+        sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS dup_line_chars,
+        sum(cnt * length(line)) AS line_chars
       FROM per_line GROUP BY doc_id),
     g2 AS (
       SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
@@ -3263,13 +3266,14 @@ REPETITION_SQL = f"""
     cov_chars AS (
       SELECT c.doc_id, sum(length(t.toks[c.pos + 1])) AS cchars
       FROM cov c JOIN tok t USING (doc_id) GROUP BY c.doc_id)
-    SELECT b.doc_id AS doc_id, l.n_lines AS n_lines,
-           l.dup_line_frac AS dup_line_frac,
-           l.dup_line_char_frac AS dup_line_char_frac,
-           round(CAST(coalesce(t2.top2_mass, 0) AS DOUBLE)
-                 / greatest(b.tchars, 1), 6) AS top_2gram_char_frac,
-           round(CAST(coalesce(cc.cchars, 0) AS DOUBLE)
-                 / greatest(b.tchars, 1), 6) AS dup_ngram_char_frac
+    SELECT b.doc_id AS doc_id,
+           CAST(l.n_lines AS BIGINT) AS n_lines,
+           CAST(l.dup_lines AS BIGINT) AS dup_lines,
+           CAST(l.dup_line_chars AS BIGINT) AS dup_line_chars,
+           CAST(l.line_chars AS BIGINT) AS line_chars,
+           CAST(coalesce(t2.top2_mass, 0) AS BIGINT) AS top2_mass,
+           CAST(coalesce(cc.cchars, 0) AS BIGINT) AS cov_chars,
+           CAST(b.tchars AS BIGINT) AS tchars
     FROM base b
     JOIN line_stats l USING (doc_id)
     LEFT JOIN (SELECT doc_id, top2_mass FROM top2 WHERE rn = 1) t2 USING (doc_id)
@@ -3988,9 +3992,11 @@ GOPHER_FILTER_SQL = f"""
           CASE WHEN s.ellipsis_frac > 0.3 THEN 'ellipsis_lines' END,
           CASE WHEN s.alpha_frac < 0.8 THEN 'alpha_words' END,
           CASE WHEN s.stop_hits < 1 THEN 'stopwords' END,
-          CASE WHEN r.dup_line_frac > 0.30 THEN 'dup_lines' END,
-          CASE WHEN r.top_2gram_char_frac > 0.20 THEN 'top_2gram' END,
-          CASE WHEN r.dup_ngram_char_frac > 0.15 THEN 'dup_ngrams' END
+          CASE WHEN r.dup_lines > 0.30 * r.n_lines THEN 'dup_lines' END,
+          CASE WHEN r.top2_mass > 0.20 * greatest(r.tchars, 1)
+               THEN 'top_2gram' END,
+          CASE WHEN r.cov_chars > 0.15 * greatest(r.tchars, 1)
+               THEN 'dup_ngrams' END
         ], x -> x IS NOT NULL)) AS rl
       FROM sig s JOIN rep r USING (doc_id))
     SELECT doc_id, n_words,
