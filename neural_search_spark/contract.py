@@ -156,70 +156,40 @@ SPARK_QUERIES.update(_ext().SPARK_QUERIES_EXT)
 # rounds 1-2), so dict order decides which entries get a hard oracle row
 # each round.  Rotate per round: entries that have never had a driver row
 # come first (oracled before rows-only), then entries whose last green row
-# is oldest, then the most-recently-verified.  r03 front window below;
+# is oldest, then the most-recently-verified.  r04 front window below;
 # recompute next round from CORRECTNESS_r{N}.json.
-_R03_FRONT = [
-    # never driver-verified, DuckDB-oracled
-    "seismic_exact_topk", "seismic_ann_sharp", "seismic_explain",
-    "search_request_seismic", "hybrid_knn_text", "search_request_highlight",
-    "mmr_rerank", "cosine_topk_batch",
-    # newly oracled this round (was err: no_oracle in r01/r02)
-    "chunk_fixed_token",
-    # new this round: index mutation paths (append/delete/compact/upsert)
-    "append_then_topk", "delete_then_topk", "compact_then_topk",
-    "upsert_then_topk",
-    # new this round: semantic field type (auto chunk+embed at the mapper)
-    "ingest_semantic",
-    # new this round: model-scored rescoring rerank (similarity seam)
-    "rerank_ml_similarity",
-    # new this round: corpus-prep operators (boilerplate removal, sampling)
-    "boilerplate_removed", "sample_stratified_lang",
-    "unigram_surprisal",
-    # new this round: near-dup clustering (connected components), Gopher
-    # repetition stats, secret redaction, phrase/prefix retrieval
-    "neardup_components", "neardup_survivors", "repetition_stats",
-    "redact_secrets", "phrase_topk",
-    "phrase_prefix_topk", "fuzzy_topk", "bool_topk", "bool_filter_msm",
-    "wildcard_topk", "regexp_topk", "mlt_topk", "agg_sampler_langs",
-    "agg_significant_text", "agg_significant_terms", "decontaminate",
-    "wand_explain", "phrase_slop_topk", "agg_significant_index",
-    # new in the round-3 second session: radial kNN (threshold, no cut),
-    # pluggable analyzers (code identifier splitting, index+query e2e)
-    "knn_radial", "wand_topk_code",
-    # new in the round-3 third session: Lucene compound queries
-    "dis_max_topk", "boosting_topk",
-    "multi_match_best_fields", "query_string_topk", "agg_composite_page2",
-    "function_score_topk", "term_suggest_missing",
-    "agg_adjacency_matrix", "rescore_phrase",
-    # dedup pair entries newly promoted to md5-portable-hash oracles —
-    # never driver-verified, so they outrank the rows-only block below
-    "minhash_lsh_pairs", "simhash_pairs",
-    # 54 never-verified oracled entries compete for the 50-slot window;
-    # these four are the most redundant (constant scores are trivial;
-    # match-and shares the bool gate machinery verified via
-    # bool_filter_msm; analyzer_code_tokens' token identity is implied by
-    # the wand_topk_code e2e entry; prefix_topk's header-expansion + WAND
-    # shape is covered by wildcard/regexp/fuzzy) — first in line for r04
-    "constant_score_topk", "match_operator_and", "analyzer_code_tokens",
-    "prefix_topk",
-    # never driver-verified rows-only ANN approximations (weak check only;
-    # each has a pytest oracle — the window tail is the right place)
-    "seismic_ann_topk", "ann_indexed_topk", "lsh_topk", "ivf_topk",
-    # r04 NOTE: the session-5 additions (semantic_highlight, span_near_topk,
-    # span_first_not_topk, intervals_topk, agg_auto_date_histogram,
-    # agg_scripted_metric, agg_terms_order, agg_significant_chi2, agg_vwh,
-    # trending_terms, sessionize, token_counts, percolate,
-    # temperature_sample, gopher_filter) land past the window and are
-    # first in line next round — run scripts/rotate_window.py against
-    # CORRECTNESS_r03.json to regenerate this list.
-    # last green in r01 (pushed out of the r02 window)
-    "prune_abs_value", "prune_alpha_mass", "text_stats",
-    "dedup_exact_groups", "dedup_exact_survivors", "ngram_jaccard_pairs",
-    "cosine_topk", "embedding_near_dup_pairs", "multimodal_features",
+_R04_FRONT = [
+    # never driver-verified, DuckDB-oracled (session-4/5 r03 surface:
+    # 11 agg kinds, span/intervals, rank/distance_feature, ids/pinned/
+    # terms_set/match_bool_prefix, simple_query_string, combined_fields,
+    # semantic_highlight, trending_terms/sessionize, percolate,
+    # temperature_sample, gopher_filter, token_counts) plus the one red
+    # r03 row (repetition_stats, now integer-facts) and the four
+    # deliberately-deferred redundant entries from the r03 note
+    "agg_auto_date_histogram", "agg_bucket_pipeline", "agg_date_histogram",
+    "agg_diversified_sampler", "agg_matrix_stats", "agg_missing_en",
+    "agg_moving_stats", "agg_multi_terms", "agg_percentile_ranks",
+    "agg_percentiles_bucket", "agg_rare_terms", "agg_scripted_metric",
+    "agg_significant_chi2", "agg_terms_order", "agg_vwh",
+    "agg_weighted_topmetrics", "analyzer_code_tokens",
+    "combined_fields_topk", "constant_score_topk", "distance_feature_topk",
+    "gopher_filter", "ids_lookup", "intervals_topk",
+    "match_bool_prefix_topk", "match_operator_and", "percolate",
+    "pinned_topk", "prefix_topk", "rank_feature_topk", "repetition_stats",
+    "semantic_highlight", "sessionize", "simple_query_string_topk",
+    "span_first_not_topk", "span_near_topk", "temperature_sample",
+    "terms_set_topk", "token_counts", "trending_terms",
+    # never driver-verified rows-only (weak check, pytest-oracled)
+    "ann_indexed_topk", "pq_topk", "seismic_ann_topk",
+    # oldest green rows (r01) fill the remaining slots
+    "cosine_topk", "dedup_exact_groups", "dedup_exact_survivors",
+    "embedding_near_dup_pairs", "multimodal_features",
+    "ngram_jaccard_pairs", "prune_abs_value", "prune_alpha_mass",
 ]
+
 SPARK_QUERIES = {
-    **{k: SPARK_QUERIES[k] for k in _R03_FRONT if k in SPARK_QUERIES},
-    **{k: v for k, v in SPARK_QUERIES.items() if k not in _R03_FRONT},
+    **{k: SPARK_QUERIES[k] for k in _R04_FRONT if k in SPARK_QUERIES},
+    **{k: v for k, v in SPARK_QUERIES.items() if k not in _R04_FRONT},
 }
 
 ORACLE_SQL = {
