@@ -58,6 +58,27 @@ __all__ = [
 
 from neural_search_spark.expr import let as _let  # single-eval binding
 
+# A phrase of common terms at web scale has rarest-term df in the 1e8
+# range; unconditionally broadcasting that candidate frame OOMs the
+# driver/executors. The dictionary already tells us the candidate
+# cardinality (df of the driving term) before planning, so pick the join
+# strategy from it: broadcast-hint under this threshold, plain shuffle
+# left_semi above (AQE may still auto-broadcast if the runtime size
+# allows — the point is to stop FORCING it). Both paths produce
+# identical rows; reference semantics unchanged (two-phase verify,
+# reference main/query/HybridQueryScorer.java:222-299).
+BROADCAST_CAND_MAX_DF = 1_000_000
+
+
+def semi_join_candidates(
+    left: DataFrame, cand: DataFrame, cand_df: int
+) -> DataFrame:
+    """Semi-join ``left`` to the candidate docID frame, broadcasting only
+    when the dictionary-known candidate cardinality bounds it."""
+    if cand_df <= BROADCAST_CAND_MAX_DF:
+        cand = F.broadcast(cand)
+    return left.join(cand, "docID", "left_semi")
+
 
 def _term_dfs(index: Index, terms: list[str]) -> dict[str, int]:
     """df per term from posting-block headers (no decode)."""
@@ -239,10 +260,13 @@ def phrase_scores(
             F.lit(idf_sum) * x
             / (x + k1 * (1.0 - b + b * F.size(t) / avgdl))))
 
-    fwd = corpus.select(
-        F.col(index.id_col).cast("long").alias("docID"),
-        F.col(text_col),
-    ).join(F.broadcast(cand), "docID", "left_semi")
+    fwd = semi_join_candidates(
+        corpus.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.col(text_col),
+        ),
+        cand, dfs[rarest],
+    )
     return (
         fwd.select("docID", _let(toks, _score_of).alias("score"))
         .where(F.col("score").isNotNull())
@@ -351,10 +375,13 @@ def phrase_prefix_search(
             F.lit(idf_sum) * x
             / (x + k1 * (1.0 - b + b * F.size(t) / avgdl))))
 
-    fwd = corpus.select(
-        F.col(index.id_col).cast("long").alias("docID"),
-        F.col(text_col),
-    ).join(F.broadcast(cand), "docID", "left_semi")
+    fwd = semi_join_candidates(
+        corpus.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.col(text_col),
+        ),
+        cand, dfs[rarest],
+    )
     return (
         fwd.select("docID", _let(toks, _score_of).alias("_s"))
         .where(F.col("_s").isNotNull())

@@ -51,7 +51,11 @@ from neural_search_spark.analysis.tokenizer import tokens_col
 from neural_search_spark.expr import let as _let
 from neural_search_spark.index.build import Index
 from neural_search_spark.index.merge import decode_postings
-from neural_search_spark.query.phrase import _idf, _term_dfs
+from neural_search_spark.query.phrase import (
+    _idf,
+    _term_dfs,
+    semi_join_candidates,
+)
 
 __all__ = ["span_near_search", "span_near_scores", "span_near_freq",
            "normalize_clauses", "parse_span_query", "parse_intervals_query"]
@@ -351,9 +355,16 @@ def span_near_scores(
             F.lit(idf_sum) * x
             / (x + k1 * (1.0 - b + b * F.size(t) / avgdl))))
 
-    fwd = corpus.select(
-        F.col(index.id_col).cast("long").alias("docID"), F.col(text_col),
-    ).join(F.broadcast(cand), "docID", "left_semi")
+    # candidate cardinality is bounded by the driving clause's summed df
+    # (distinct shrinks it further) — known from the dictionary, so the
+    # join strategy is picked without an extra count job
+    fwd = semi_join_candidates(
+        corpus.select(
+            F.col(index.id_col).cast("long").alias("docID"),
+            F.col(text_col),
+        ),
+        cand, sum(dfs[t] for t in rarest),
+    )
     return (fwd.select("docID", _let(toks, _score_of).alias("score"))
             .where(F.col("score").isNotNull()))
 

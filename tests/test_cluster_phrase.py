@@ -363,3 +363,84 @@ class TestSloppyPhrase:
         got0 = {r.docID for r in phrase_search(
             idx, docs, "a b c", k=10, slop=1).collect()}
         assert got0 == {2}
+
+
+class TestCandidateBroadcastBound:
+    """The candidate semi-join must not FORCE a broadcast when the
+    dictionary says the driving term's df is large: a common-term phrase
+    at web scale has rarest-df ~1e8 and an unconditional broadcast hint
+    OOMs the driver. Below the threshold the hint stays (small dim →
+    broadcast is the right plan)."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, tmp_path_factory):
+        from neural_search_spark.index.build import build_index
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark shuffle join spark shuffle"),
+                (2, "shuffle spark nothing here"),
+                (3, "spark shuffle at the start"),
+                (4, "unrelated words only"),
+                (5, "spark spark shuffle shuffle spark shuffle end"),
+            ],
+            "doc_id long, text string",
+        )
+        d = str(tmp_path_factory.mktemp("bcast-idx"))
+        return build_index(spark, docs, d, text_col="text", id_col="doc_id"), docs
+
+    @staticmethod
+    def _hinted(df) -> bool:
+        return "strategy=broadcast" in (
+            df._jdf.queryExecution().analyzed().toString()
+        )
+
+    def test_phrase_over_threshold_same_rows_no_hint(
+        self, spark, idx, monkeypatch
+    ):
+        import neural_search_spark.query.phrase as ph
+
+        index, docs = idx
+        want = sorted(
+            (r.docID, r.score)
+            for r in ph.phrase_search(index, docs, "spark shuffle", k=10).collect()
+        )
+        assert self._hinted(ph.phrase_scores(index, docs, "spark shuffle"))
+        monkeypatch.setattr(ph, "BROADCAST_CAND_MAX_DF", 0)
+        shuffled = ph.phrase_search(index, docs, "spark shuffle", k=10)
+        assert not self._hinted(
+            ph.phrase_scores(index, docs, "spark shuffle")
+        )
+        assert sorted((r.docID, r.score) for r in shuffled.collect()) == want
+
+    def test_phrase_prefix_over_threshold_same_rows(
+        self, spark, idx, monkeypatch
+    ):
+        import neural_search_spark.query.phrase as ph
+
+        index, docs = idx
+        want = sorted(
+            (r.docID, r.score)
+            for r in ph.phrase_prefix_search(
+                index, docs, ["spark", "sh"], k=10
+            ).collect()
+        )
+        monkeypatch.setattr(ph, "BROADCAST_CAND_MAX_DF", 0)
+        got = ph.phrase_prefix_search(index, docs, ["spark", "sh"], k=10)
+        assert not self._hinted(got)
+        assert sorted((r.docID, r.score) for r in got.collect()) == want
+
+    def test_span_near_over_threshold_same_rows(self, spark, idx, monkeypatch):
+        import neural_search_spark.query.phrase as ph
+        from neural_search_spark.query import spans
+
+        index, docs = idx
+        args = (index, docs, ["spark", "shuffle"])
+        want = sorted(
+            (r.docID, r.score)
+            for r in spans.span_near_search(*args, slop=0, k=10).collect()
+        )
+        monkeypatch.setattr(ph, "BROADCAST_CAND_MAX_DF", 0)
+        got = spans.span_near_search(*args, slop=0, k=10)
+        assert not self._hinted(got)
+        assert sorted((r.docID, r.score) for r in got.collect()) == want
