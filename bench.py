@@ -48,6 +48,70 @@ QUERY_SET: list[list[str]] = [
 ]
 
 
+def run_build_only(cpus: int, sf_dir: str, multiplier: int) -> dict:
+    """One scaling leg: corpus gen + JIT warmup + timed index build, nothing
+    else. The scaling criterion consumes only index-build throughput, so the
+    legs skip the query/seismic/pq surfaces entirely."""
+    from neural_search_spark.session import get_spark
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    spark = get_spark("nss-bench-leg", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_files = base_docs * multiplier
+        corpus = with_doc_id(generate_corpus(spark, n_files, seed=42))
+        warm_dir = tempfile.mkdtemp(prefix="nss-bench-warm-")
+        build_index(
+            spark, with_doc_id(generate_corpus(spark, 5000, seed=1)),
+            warm_dir, resume=False,
+        )
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        idx_dir = tempfile.mkdtemp(prefix="nss-bench-idx-")
+        t0 = time.perf_counter()
+        build_index(spark, corpus, idx_dir, resume=False)
+        build_s = time.perf_counter() - t0
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        return {
+            "cpus": cpus,
+            "n_files": n_files,
+            "index_build_s": round(build_s, 3),
+            "index_files_per_sec": round(n_files / build_s, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def _cpu_ceiling_probe() -> dict:
+    """Measure what THIS machine gives 8 vs 32 independent processes doing
+    identical fixed CPU work (pure integer loop — no memory traffic, no
+    Spark). On this sandbox the per-task time inflates ~25-50% at 32
+    workers (hypervisor-level; steal accounting reads ~0), so even a
+    perfectly parallel job cannot show 4× from 8→32 cores here. A real
+    N→4N-executor cluster adds machines, not threads on one oversubscribed
+    VM, so the ceiling does not apply there; we report engine efficiency
+    both raw and normalized by this measured ceiling."""
+    import concurrent.futures as cf
+
+    def work(_):
+        x = 0
+        for i in range(20_000_000):
+            x += i
+        return x
+
+    thr = {}
+    for w in (8, 32):
+        with cf.ProcessPoolExecutor(w) as ex:
+            t0 = time.perf_counter()
+            list(ex.map(work, range(w)))
+            thr[w] = w / (time.perf_counter() - t0)
+    return {
+        "spin_tasks_per_sec": {"8": round(thr[8], 2), "32": round(thr[32], 2)},
+        "ceiling_8_to_32": round(thr[32] / thr[8] / 4.0, 3),
+    }
+
+
 def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
               skip_seismic: bool = False) -> dict:
     from neural_search_spark.session import get_spark
@@ -368,7 +432,13 @@ def main() -> None:
                     help="synthetic corpus size = documents rows x this")
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--skip-seismic", action="store_true")
+    ap.add_argument("--build-only", action="store_true",
+                    help="internal: one scaling leg (build throughput only)")
     args = ap.parse_args()
+
+    if args.build_only:
+        print(json.dumps(run_build_only(args.cpus, SF_DIR, args.multiplier)))
+        return
 
     res = run_bench(args.cpus, SF_DIR, args.multiplier,
                     skip_seismic=args.skip_seismic)
@@ -379,28 +449,49 @@ def main() -> None:
     extra: dict = {}
     if args.scaling:
         # The north-rule criterion is throughput efficiency ≥ 0.8 from N to
-        # 4N parallelism on the same input. Primary evidence: N=2 → 4N=8
-        # (each leg a fresh single-JVM local-mode process). 8 → 32 is also
-        # reported: in ONE shared-heap JVM, threads contend on allocation
-        # and shuffle machinery well before 32 cores, which under-reports
-        # what separate 4N executors (own heap/disk per executor) would do.
-        #
-        # Robustness: ≥3 trials per leg (the sandbox VM has multi-10%
-        # run-to-run noise from CPU steal); the headline efficiency is
-        # computed on the MEDIAN throughput per leg, with every raw trial
-        # reported alongside so the spread is visible.
+        # 4N parallelism on the same input; BASELINE.md names local[8] vs
+        # local[32] as the sandbox substitute for N vs 4N executors.
+        # Measurement discipline (each distortion was measured, not
+        # assumed — see BENCH/BASELINE.md):
+        #   * taskset-pinned legs: local[N]'s Python workers are EXTRA
+        #     processes beyond the N JVM threads, so an unpinned local[8]
+        #     leg consumes ~16 machine cores and silently inflates the
+        #     denominator; pinning each leg to exactly N cores models a
+        #     per-executor core allocation.
+        #   * index dirs on /dev/shm when available: all legs share this
+        #     VM's single root disk, while real 4N executors bring 4N
+        #     local disks — a constant-speed shared disk in the legs
+        #     measures the disk, not the algorithm.
+        #   * interleaved trials (leg order 2,8,32 repeated) with medians:
+        #     the VM shows ±30% run-to-run drift, so consecutive same-leg
+        #     trials confound drift with cluster size.
+        #   * a machine-ceiling probe: 32 INDEPENDENT fixed-work processes
+        #     on this VM only deliver ~2.7× the throughput of 8 (per-task
+        #     time inflates at 32 — hypervisor-level), so raw 8→32
+        #     efficiency is capped near 0.68 for ANY job including
+        #     embarrassingly parallel ones. Efficiency is reported raw AND
+        #     normalized by this measured ceiling; the ceiling does not
+        #     exist on a real cluster where 4N executors are 4× machines.
         trials_per_leg = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
-        legs_raw: dict[int, list[float]] = {}
-        scale_mult = max(args.multiplier, 40)  # big enough that compute dominates
-        for cpus in (2, 8, 32):
-            legs_raw[cpus] = []
-            for _ in range(trials_per_leg):
+        legs = (2, 8, 32)
+        legs_raw: dict[int, list[float]] = {c: [] for c in legs}
+        # big enough that parallel work dominates fixed stage/commit costs
+        scale_mult = max(args.multiplier, 200)
+        leg_env = {**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR}
+        if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+            tmp = os.path.join("/dev/shm", "nss-scaling-tmp")
+            os.makedirs(tmp, exist_ok=True)
+            leg_env["TMPDIR"] = tmp
+        have_taskset = shutil.which("taskset") is not None
+        for _ in range(trials_per_leg):
+            for cpus in legs:  # interleaved: drift hits all legs equally
+                prefix = (["taskset", "-c", f"0-{cpus - 1}"]
+                          if have_taskset else [])
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-                     "--multiplier", str(scale_mult), "--json-only",
-                     "--skip-seismic"],
-                    capture_output=True, text=True, check=True,
-                    env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+                    prefix + [sys.executable, os.path.abspath(__file__),
+                              "--cpus", str(cpus),
+                              "--multiplier", str(scale_mult), "--build-only"],
+                    capture_output=True, text=True, check=True, env=leg_env,
                 )
                 leg = json.loads(out.stdout.strip().splitlines()[-1])
                 legs_raw[cpus].append(leg["index_files_per_sec"])
@@ -411,13 +502,21 @@ def main() -> None:
             return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
         fps = {c: median(v) for c, v in legs_raw.items()}
+        ceiling = _cpu_ceiling_probe()
+        eff_raw = round(fps[32] / fps[8] / 4.0, 3)
         extra["scaling"] = {
             "files_per_sec_median": {f"local[{c}]": fps[c] for c in fps},
             "files_per_sec_trials": {f"local[{c}]": v for c, v in legs_raw.items()},
             "trials_per_leg": trials_per_leg,
+            "n_files": 5000 * scale_mult if SF_DIR.endswith("0.1") else None,
+            "pinned": have_taskset,
             "efficiency_2_to_8": round(fps[8] / fps[2] / 4.0, 3),
-            "efficiency_8_to_32": round(fps[32] / fps[8] / 4.0, 3),
-            "criterion": "N=2 vs 4N=8 median efficiency >= 0.8",
+            "efficiency_8_to_32": eff_raw,
+            "machine_ceiling": ceiling,
+            "efficiency_8_to_32_vs_ceiling": round(
+                eff_raw / max(ceiling["ceiling_8_to_32"], 1e-9), 3),
+            "criterion": "N=8 vs 4N=32 median efficiency >= 0.8 "
+                         "(raw, with measured machine ceiling alongside)",
         }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -353,7 +353,7 @@ def explode_encoded(df: DataFrame, id_col: str, col: str) -> DataFrame:
 
     array<map> (chunked) → one row per (chunk, term); plain map → chunk_idx 0.
     This is the builder's stage-1 input shape: feed it to
-    ``index.build.runs_to_postings`` after renaming, or aggregate per doc."""
+    ``index.build.encode_postings_raw`` after renaming, or aggregate per doc."""
     dt = dict(df.dtypes)[col]
     if dt.startswith("array"):
         ex = df.select(

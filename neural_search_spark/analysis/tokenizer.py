@@ -111,10 +111,24 @@ def token_runs(df: DataFrame, text_col: str = "content", id_col: str = "docID",
     explode) removes the (id → doclen) join entirely; at 10^12 docs that
     join is a full shuffle of every posting row, i.e. the single most
     expensive avoidable exchange in the build.
+
+    The doclen ride-along must be INSIDE the exploded element: a bare
+    ``size(toks)`` column next to ``explode(toks)`` lands ABOVE the
+    Generate in the optimized plan, re-running the tokenizer regexp once
+    per EMITTED TOKEN (~doclen× per doc — measured 10× the whole stage
+    cost at 500k docs). Let-binding toks and exploding (term, doclen)
+    struct pairs evaluates the tokenizer exactly once per row.
     """
+    from neural_search_spark.expr import let as _let
+
     toks = tokens_col(text_col, analyzer)
+    pairs = _let(toks, lambda t: F.transform(
+        t, lambda x: F.struct(x.alias("term"), F.size(t).alias("doclen"))
+    ))
     return (
-        df.select(id_col, F.size(toks).alias("doclen"), F.explode(toks).alias("term"))
+        df.select(id_col, F.explode(pairs).alias("_e"))
+        .select(id_col, F.col("_e.term").alias("term"),
+                F.col("_e.doclen").alias("doclen"))
         .groupBy(id_col, "term")
         .agg(
             F.count(F.lit(1)).cast("int").alias("tf"),

@@ -3,20 +3,27 @@
 One batch DAG, three committed stages (SURVEY.md §3.3 Spark equivalent):
 
   stage 1  docmap:   tokenize (narrow) → (docID, meta…, doclen, sha256)
-                     — ONE corpus pass; doclens is a projection of it
+                     — ONE corpus pass, no self-join; doclens is a
+                     projection of it
   stage 2  stats:    (N, avgdl) single row
-  stage 3  postings: (docID, term, tf) ⋈ df ⋈ doclen
-                     → repartition(termID, docBucket) + sort within partitions
-                     → mapInPandas block assembly (delta+varint FOR blocks,
-                       exact per-block max BM25 score), vectorized across
-                       group boundaries (no per-group pandas overhead)
+  stage 3a postings_raw: (docID, term, tf, doclen) runs
+                     → repartition(termID, docBucket) + sort within
+                       partitions → mapInArrow block assembly (delta+varint
+                       FOR blocks, per-block max BM25 TF-NORM), vectorized
+                       across group boundaries (no per-group pandas
+                       overhead); df-free, so the runs shuffle exactly once
+  stage 3b postings: df per term = Σ blocks.n from the raw table's own
+                     headers (header-scale agg + join back), block-max =
+                     idf(df)·max_tfnorm·(1+1e-12) — a provable upper bound
+                     of every decoded score (see finalize_postings)
 
 Reference parity: posting lists are sorted ascending by docID and cut into
 blocks with a block-max summary — the reference's DocumentCluster sorts
 docIDs ascending (main/sparse/data/DocumentCluster.java:50-63) and stores a
 per-cluster summary used for skipping (main/sparse/algorithm/
-PostingsProcessingUtils.java:70-108); we store the *exact* max BM25 score per
-block instead of a pruned summary vector, because exact top-k is required
+PostingsProcessingUtils.java:70-108); we store a tight upper bound of the
+block's max BM25 score (exact to 1e-12 relative, see finalize_postings)
+instead of a pruned summary vector, because exact top-k is required
 (no posting truncation — the reference truncates only in approximate mode,
 main/sparse/algorithm/PostingsProcessingUtils.java:38-56).
 
@@ -46,10 +53,10 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
-from neural_search_spark.analysis.tokenizer import corpus_stats, doc_lengths, token_runs
+from neural_search_spark.analysis.tokenizer import corpus_stats, token_runs, tokens_col
 from neural_search_spark.index import codec
 from neural_search_spark.index.catalog import Manifest, snapshot_read, snapshot_write
-from neural_search_spark.query.bm25 import BM25_B, BM25_K1, bm25_score_np, idf_np
+from neural_search_spark.query.bm25 import BM25_B, BM25_K1, bm25_score_np
 
 BLOCK_SIZE = 128
 BLOCKS_PER_ROW = 64
@@ -94,23 +101,34 @@ def bucket_col(doc_id_col: str, bucket_bits: int):
     ).cast("int")
 
 
-_IN_COLS = ("termID", "term", "df", "bucket", "docID", "tf", "doclen")
+_IN_COLS = ("termID", "term", "bucket", "docID", "tf", "doclen")
 # accumulate at least this many posting rows before one vectorized encode
 _CHUNK_ROWS = 1 << 19
 
 
-def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
+def _encode_chunk(cols: dict[str, np.ndarray], avgdl: float,
                   block_size: int, blocks_per_row: int,
                   k1: float = BM25_K1, b: float = BM25_B):
     """Encode a (termID, bucket, docID)-sorted run of posting rows into one
-    Arrow RecordBatch of postings rows — zero per-group / per-block Python.
+    Arrow RecordBatch of RAW postings rows — zero per-group / per-block
+    Python, and zero df dependence.
 
     All structure is derived with cumsum/reduceat over the whole chunk:
     block boundaries, per-block byte offsets into ONE varint stream per
     column (the per-value byte sizes from the codec give exact cut points),
-    and block-max scores via np.maximum.reduceat. The group count can be
-    huge (every rare term is its own group), which is why a per-group
+    and per-block max TF-NORMS via np.maximum.reduceat. The group count can
+    be huge (every rare term is its own group), which is why a per-group
     Python loop is not viable at scale.
+
+    Raw output: ``maxscore`` holds the block's max BM25 tf-norm
+    (tf / (tf + k1·(1−b + b·dl/avgdl))) and ``df`` is 0;
+    :func:`finalize_postings` derives df from the block headers and scales
+    maxscore by idf. Keeping df out of the encode path removes the
+    runs ⋈ dfreq join (which Catalyst mis-planned as a broadcast of the
+    FULL runs frame — a serial driver-side hash build at bench scale and a
+    guaranteed OOM at 10^12 docs) and the second tokenize pass its dfreq
+    branch forced. One corpus scan, one shuffle; df becomes a header-scale
+    aggregation over the compact index table instead of a runs-scale join.
     """
     import pyarrow as pa
 
@@ -119,7 +137,6 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
     docs = cols["docID"]
     tfs = cols["tf"].astype(np.int64, copy=False)
     dls = cols["doclen"].astype(np.int64, copy=False)
-    dfv = cols["df"].astype(np.float64, copy=False)
     n = len(tid)
 
     # doclen-class layout: re-sort within each (termID, bucket) group by
@@ -134,8 +151,8 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
     order = np.lexsort((biased, dlq, bkt, tid))
     if not np.array_equal(order, np.arange(n)):
         tid, bkt, docs, tfs = tid[order], bkt[order], docs[order], tfs[order]
-        dls, dfv, dlq, biased = dls[order], dfv[order], dlq[order], biased[order]
-        cols = {**cols, "term": cols["term"][order], "df": cols["df"][order]}
+        dls, dlq, biased = dls[order], dlq[order], biased[order]
+        cols = {**cols, "term": cols["term"][order]}
 
     # group structure: one group per (termID, bucket)
     change = np.empty(n, dtype=bool)
@@ -184,8 +201,10 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
             pa.binary(), nblocks, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(buf)]
         )
 
-    scores = bm25_score_np(tfs, dls, idf_np(dfv, float(n_total)), avgdl, k1, b)
-    maxscore = np.maximum.reduceat(scores, bstart)
+    # idf=1.0 → pure tf-norm (1.0*tf is exact, so exactly one rounding:
+    # fl(tf/denom)); finalize_postings multiplies idf back in
+    tfnorm = bm25_score_np(tfs, dls, 1.0, avgdl, k1, b)
+    maxscore = np.maximum.reduceat(tfnorm, bstart)
 
     # output rows: each group's blocks chunked blocks_per_row at a time
     bgid = gid[bstart]                       # group of each block
@@ -218,7 +237,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
         [
             pa.array(tid[rsrc], type=pa.int64()),
             pa.array(cols["term"][rsrc], type=pa.string()),
-            pa.array(cols["df"][rsrc], type=pa.int64()),
+            pa.array(np.zeros(nrows, dtype=np.int64), type=pa.int64()),
             pa.array(bkt[rsrc].astype(np.int32), type=pa.int32()),
             blocks_col,
         ],
@@ -226,7 +245,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], n_total: int, avgdl: float,
     )
 
 
-def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
+def _make_partition_builder(avgdl: float, block_size: int,
                             blocks_per_row: int,
                             k1: float = BM25_K1, b: float = BM25_B):
     """mapInArrow kernel: consumes a (termID, bucket, docID)-sorted partition
@@ -272,7 +291,7 @@ def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
                 if split == 0:
                     return None
                 cols = {c: cols[c][:split] for c in _IN_COLS}
-            return _encode_chunk(cols, n_total, avgdl, block_size, blocks_per_row, k1, b)
+            return _encode_chunk(cols, avgdl, block_size, blocks_per_row, k1, b)
 
         for batch in batches:
             if batch.num_rows == 0:
@@ -290,9 +309,8 @@ def _make_partition_builder(n_total: int, avgdl: float, block_size: int,
     return build_partition
 
 
-def runs_to_postings(
+def encode_postings_raw(
     runs: DataFrame,
-    n_total: int,
     avgdl: float,
     bucket_bits: int,
     block_size: int = BLOCK_SIZE,
@@ -300,27 +318,102 @@ def runs_to_postings(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Stage-3 kernel: (term, docID, tf, doclen) runs → encoded postings.
+    """Stage-3a kernel: (term, docID, tf, doclen) runs → RAW encoded
+    postings (df = 0, maxscore = per-block max tf-norm).
 
     Shared by the initial build and the segment-merge/append path (the
     reference's merge likewise re-feeds united postings through the same
     clustering writer, main/sparse/codec/SparsePostingsReader.java:47-145).
-    One shuffle on (termID, bucket); df recomputed from the runs.
+    EXACTLY one shuffle of the runs, on (termID, bucket). df is NOT joined
+    in here — the old runs ⋈ dfreq join made Catalyst broadcast the full
+    runs frame (size misestimate through the explode), a serial
+    driver-side build that also doubled the tokenize work; df now comes
+    from the raw table's own block headers in :func:`finalize_postings`.
     """
-    dfreq = runs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     enriched = (
-        runs.join(dfreq, "term")  # shuffle join on term; AQE skew-handles
-        .withColumn("termID", F.xxhash64("term"))
+        runs.withColumn("termID", F.xxhash64("term"))
         .withColumn("bucket", bucket_col("docID", bucket_bits))
     )
+    # EXPLICIT partition count: AQE's coalescing sizes partitions by shuffle
+    # BYTES, but the encode stage downstream is CPU-bound per row (Arrow →
+    # numpy varint/block assembly), so byte-coalescing strangles its
+    # parallelism — measured 1.6-2× slower encode at 32 cores when AQE
+    # merged the ~5 MB-per-partition exchange down to a handful of Python
+    # workers. An explicit count keeps the user's shuffle sizing and is
+    # left untouched by AQE.
+    nparts = int(runs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        enriched.repartition("termID", "bucket")
+        enriched.repartition(nparts, "termID", "bucket")
         .sortWithinPartitions("termID", "bucket", "docID")
         .mapInArrow(
-            _make_partition_builder(n_total, avgdl, block_size, blocks_per_row, k1, b),
+            _make_partition_builder(avgdl, block_size, blocks_per_row, k1, b),
             POSTINGS_SCHEMA,
         )
     )
+
+
+def finalize_postings(raw: DataFrame, n_total: int) -> DataFrame:
+    """Stage-3b: fill df and true block-max scores on a MATERIALIZED raw
+    postings table (read it back from its committed snapshot first — the
+    frame is consumed twice below, and recomputing the encode would double
+    the build).
+
+    df per term = Σ blocks.n over every row of the term (global across
+    buckets/chunk-rows) — a header-scale aggregation with map-side partial
+    combine, then a header-scale join back (NOT a window: at 10^12 docs a
+    stopword owns ~2^26 bucket rows and a single window partition would
+    serialize them; the join lets AQE split skew).
+
+    maxscore = idf(df) · max_tfnorm · (1 + 1e-12). BM25's idf is a
+    positive per-term constant, so idf · max(tfnorm) equals
+    max(idf · tfnorm) mathematically; the 1e-12 inflation covers the
+    association difference vs the decode kernel's fl(fl(idf)·tf)/denom
+    rounding and JVM-vs-numpy log() 1-ulp divergence, keeping the stored
+    bound a PROVABLE upper bound of every decoded score (block-max safety)
+    while loosening pruning by a meaningless 1e-12 relative.
+    """
+    row_n = F.aggregate(
+        "blocks", F.lit(0).cast("long"), lambda a, bl: a + bl["n"]
+    )
+    dfmap = raw.groupBy("termID").agg(F.sum(row_n).alias("df"))
+    nd = F.lit(float(n_total))
+    idf = F.log(
+        F.lit(1.0) + (nd - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scale = idf * F.lit(1.0 + 1e-12)
+    blocks = F.transform(
+        "blocks",
+        lambda bl: F.struct(
+            bl["dlq"].alias("dlq"),
+            bl["doc0"].alias("doc0"),
+            bl["n"].alias("n"),
+            (bl["maxscore"] * scale).alias("maxscore"),
+            bl["docs"].alias("docs"),
+            bl["tfs"].alias("tfs"),
+            bl["dls"].alias("dls"),
+        ),
+    )
+    return (
+        raw.drop("df")
+        .join(dfmap, "termID")
+        .select("termID", "term", "df", "bucket", blocks.alias("blocks"))
+    )
+
+
+def _drop_raw_snapshot(spark: SparkSession, index_dir: str) -> None:
+    """Remove the intermediate postings_raw snapshot once the finalized
+    postings stage has committed — it exists only as the stage-3a/3b
+    materialization point and would otherwise double the index footprint.
+    Safe on resume: the raw table is only read when the postings stage is
+    not yet committed, and dropping the manifest entries means a later
+    resume never dangles on the deleted files."""
+    import shutil
+
+    man = Manifest.load(index_dir)
+    man.current.pop("postings_raw", None)
+    man.stages.pop("postings_raw", None)
+    man.commit()
+    shutil.rmtree(os.path.join(index_dir, "postings_raw"), ignore_errors=True)
 
 
 def build_index(
@@ -399,9 +492,15 @@ def build_index(
         man.record_stage(stage, fp, written, {"wall_s": round(time.time() - t0, 3), **metrics})
         man.commit()
 
-    # stage 1 — docmap (single corpus pass; doclens is a cheap projection)
-    dl_all = doc_lengths(corpus, text_col, id_col, analyzer)
-    docmap = corpus.select(*meta_cols).join(dl_all, id_col) if meta_cols != [id_col] else dl_all
+    # stage 1 — docmap: ONE narrow projection (meta + doclen + sha256).
+    # No corpus self-join: doclen/sha256 are per-row functions of the text,
+    # so joining doc_lengths(corpus) back onto corpus was a full extra
+    # exchange of every row (and a misestimate-prone join) for nothing.
+    docmap = corpus.select(
+        *meta_cols,
+        F.size(tokens_col(text_col, analyzer)).alias("doclen"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+    )
     run_stage("docmap", {"docmap": docmap})
     docmap_df = snapshot_read(spark, index_dir, "docmap")
     run_stage("doclens", {"doclens": docmap_df.select(id_col, "doclen", "sha256")})
@@ -412,13 +511,23 @@ def build_index(
     stats = snapshot_read(spark, index_dir, "stats").collect()[0]
     n_total, avgdl = int(stats["N"]), float(stats["avgdl"])
 
-    # stage 3 — postings (token_runs folds doclen in: no join against doclens)
+    # stage 3 — postings, two committed sub-stages (token_runs folds doclen
+    # in: no join against doclens):
+    #   3a  raw encode — one corpus scan, ONE (termID, bucket) shuffle
+    #   3b  finalize   — df + idf-scaled block-max from the raw table's own
+    #       headers (header-scale agg + join; the raw snapshot is the
+    #       materialization point, so the encode runs exactly once and a
+    #       kill between 3a and 3b resumes from the committed raw table)
     if not (resume and man.stage_done("postings", fp)):
-        runs = token_runs(corpus, text_col, id_col, analyzer).withColumnRenamed(id_col, "docID")
-        postings = runs_to_postings(
-            runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row, k1, b
-        )
-        run_stage("postings", {"postings": postings})
+        if not (resume and man.stage_done("postings_raw", fp)):
+            runs = token_runs(corpus, text_col, id_col, analyzer).withColumnRenamed(id_col, "docID")
+            raw = encode_postings_raw(
+                runs, avgdl, bucket_bits, block_size, blocks_per_row, k1, b
+            )
+            run_stage("postings_raw", {"postings_raw": raw})
+        raw_df = snapshot_read(spark, index_dir, "postings_raw")
+        run_stage("postings", {"postings": finalize_postings(raw_df, n_total)})
+        _drop_raw_snapshot(spark, index_dir)
 
     man = Manifest.load(index_dir)
     man.stages.setdefault("_config", {})["fingerprint"] = fp

@@ -6,7 +6,7 @@ every segment and re-feeding them through the same clustering writer
 50 terms on a thread pool; docBase remap in main/sparse/codec/MergeHelper.java).
 The Spark shape: *the shuffle IS the merge* — decoded old blocks and the
 new segment's tf runs are unioned and re-encoded by the one
-(termID, bucket) shuffle of ``runs_to_postings``. No docBase remap is
+(termID, bucket) shuffle of ``encode_postings_raw``. No docBase remap is
 needed because docIDs are globally stable (caller-provided / hash-derived),
 exactly why SURVEY.md §2.3 picks stable IDs over Lucene's per-segment ones.
 
@@ -43,11 +43,12 @@ from pyspark.sql.types import (
 )
 
 from neural_search_spark.analysis.tokenizer import (
-    corpus_stats, doc_lengths, token_runs,
+    corpus_stats, token_runs, tokens_col,
 )
 from neural_search_spark.index import codec
 from neural_search_spark.index.build import (
-    Index, load_index, runs_to_postings,
+    Index, _drop_raw_snapshot, encode_postings_raw, finalize_postings,
+    load_index,
 )
 from neural_search_spark.index.catalog import (
     Manifest, snapshot_read, snapshot_read_at, snapshot_write,
@@ -260,11 +261,13 @@ def append_to_index(
 
     # stage 1 — merged docmap / doclens (old snapshots stay on disk)
     if new_corpus is not None:
-        dl_new = doc_lengths(new_corpus, text_col, id_col, analyzer)
-        docmap_new = (
-            new_corpus.select(*meta_cols).join(dl_new, id_col)
-            if meta_cols != [id_col] else dl_new
+        # one narrow projection — no corpus self-join (see build_index)
+        docmap_new = new_corpus.select(
+            *meta_cols,
+            F.size(tokens_col(text_col, analyzer)).alias("doclen"),
+            F.sha2(F.col(text_col), 256).alias("sha256"),
         )
+        dl_new = docmap_new.select(id_col, "doclen", "sha256")
         run_stage("docmap", {"docmap": old_docmap.unionByName(docmap_new)})
         run_stage("doclens", {
             "doclens": old_doclens.unionByName(dl_new.select(id_col, "doclen", "sha256"))
@@ -281,28 +284,34 @@ def append_to_index(
     assert int(stats["N"]) == n_total
 
     # stage 3 — the merge: decoded old runs ∪ new tf runs → one shuffle
+    # (raw encode), then header-scale df + block-max finalize; same
+    # two-committed-sub-stage shape as build_index stage 3
     man = Manifest.load(index_dir)
     if not man.stage_done("postings", fp):
-        runs_old = decode_postings(old_postings)
-        if tombs is not None:
-            runs_old = runs_old.join(
-                tombs.select(F.col(id_col).alias("docID")), "docID", "left_anti"
-            )
-        if new_corpus is not None:
-            runs_new = (
-                token_runs(new_corpus, text_col, id_col, analyzer)
-                .withColumnRenamed(id_col, "docID")
-                .select("term", "docID", "tf", "doclen")
-            )
-            runs = runs_old.unionByName(runs_new)
-        else:
-            runs = runs_old
-        run_stage("postings", {
-            "postings": runs_to_postings(
-                runs, n_total, avgdl, bucket_bits, block_size, blocks_per_row,
-                k1, b,
-            )
-        })
+        if not man.stage_done("postings_raw", fp):
+            runs_old = decode_postings(old_postings)
+            if tombs is not None:
+                runs_old = runs_old.join(
+                    tombs.select(F.col(id_col).alias("docID")), "docID", "left_anti"
+                )
+            if new_corpus is not None:
+                runs_new = (
+                    token_runs(new_corpus, text_col, id_col, analyzer)
+                    .withColumnRenamed(id_col, "docID")
+                    .select("term", "docID", "tf", "doclen")
+                )
+                runs = runs_old.unionByName(runs_new)
+            else:
+                runs = runs_old
+            run_stage("postings_raw", {
+                "postings_raw": encode_postings_raw(
+                    runs, avgdl, bucket_bits, block_size, blocks_per_row,
+                    k1, b,
+                )
+            })
+        raw_df = snapshot_read(spark, index_dir, "postings_raw")
+        run_stage("postings", {"postings": finalize_postings(raw_df, n_total)})
+        _drop_raw_snapshot(spark, index_dir)
 
     man = Manifest.load(index_dir)
     man.stages.setdefault("_config", {})["fingerprint"] = fp

@@ -131,7 +131,11 @@ def test_index_invariants(index):
             assert np.all(codec.dlq_np(dls.astype(np.int64)) == b["dlq"])
             idf = bm25.idf_np(r["df"], index.n_docs)
             ms = bm25.bm25_score_np(tfs.astype(np.int64), dls.astype(np.int64), idf, index.avgdl).max()
-            assert ms == pytest.approx(b["maxscore"], rel=1e-12)
+            # stored block-max is an UPPER BOUND of every decoded score,
+            # tight to the finalize inflation (idf·max_tfnorm·(1+1e-12)
+            # vs max((idf·tf)/denom): association + log ulps + 1e-12)
+            assert b["maxscore"] >= ms or ms == pytest.approx(b["maxscore"], rel=1e-12)
+            assert ms == pytest.approx(b["maxscore"], rel=1e-9)
             df_sum[(r["termID"], )] = df_sum.get((r["termID"],), 0) + b["n"]
         assert r["df"] > 0
     # per-term df equals total postings across buckets/rows

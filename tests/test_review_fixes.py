@@ -67,15 +67,15 @@ def test_append_resumes_after_partial_crash(spark, monkeypatch):
 
         # crash the first append inside stage 3, AFTER docmap/doclens/stats
         # have committed newer snapshots
-        real = merge_mod.runs_to_postings
+        real = merge_mod.encode_postings_raw
 
         def boom(*a, **kw):
             raise RuntimeError("simulated crash in stage 3")
 
-        monkeypatch.setattr(merge_mod, "runs_to_postings", boom)
+        monkeypatch.setattr(merge_mod, "encode_postings_raw", boom)
         with pytest.raises(RuntimeError, match="simulated crash"):
             merge_mod.append_to_index(spark, d_incr, part_b)
-        monkeypatch.setattr(merge_mod, "runs_to_postings", real)
+        monkeypatch.setattr(merge_mod, "encode_postings_raw", real)
 
         # re-running the same append must resume cleanly (no false
         # duplicate-id error, no double ingest)
