@@ -3387,6 +3387,100 @@ PHRASE_SQL = f"""
 """
 
 
+def q_search_request_agentic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agentic NL search end-to-end (reference:
+    main/query/AgenticSearchQueryBuilder.java:48-61 +
+    main/processor/AgenticQueryTranslatorProcessor.java:41-160): the
+    rule-based translator double turns 'find docs with "table hash"' into
+    match_phrase {text: "table hash"} (query/agentic.py rules — quoted
+    span → phrase, filler words dropped), the request pipeline substitutes
+    the DSL and executes it. Result ≡ the hand-written match_phrase twin,
+    so the oracle is the same Lucene-PhraseQuery SQL as phrase_topk."""
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = search_request(idx, {
+        "query": {"agentic": {
+            "query_text": f'find docs with "{PHRASE_TERMS[0]} {PHRASE_TERMS[1]}"',
+            "query_fields": ["text"],
+        }},
+        "size": 10,
+        "search_pipeline": {
+            "request_processors": [{"agentic_query_translator": {}}],
+            "response_processors": [{"agentic_context": {
+                "agent_steps_summary": True}}],
+        },
+    }, doc_values=docs, doc_values_id="doc_id")
+    return out["hits"].select(F.col("docID").alias("doc_id"), "score")
+
+
+ENRICHER_QUERY_TEXT = "sort the probability table"
+
+
+def q_neural_enricher_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neural_query_enricher request processor (reference:
+    main/processor/NeuralQueryEnricherProcessor.java:38-105): a neural
+    sub-query carrying only query_text gets the default model id injected
+    and — the engine's analog of the reference's query-time ML inference —
+    its query_vector derived through the deterministic embedding double
+    (request._embed_text_py ≡ pipeline.embed_col). Scored as raw cosine
+    over the documents' own double-embedded vectors, all SQL-expressible."""
+    from neural_search_spark.analysis.pipeline import embed_col
+    from neural_search_spark.query.request import search_request
+
+    idx = _get_index(spark, sf_dir)
+    vecs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("docID"), embed_col("text").alias("embedding"))
+    out = search_request(idx, {
+        "query": {"neural": {"embedding": {
+            "query_text": ENRICHER_QUERY_TEXT, "k": 10}}},
+        "size": 10,
+        "search_pipeline": {"request_processors": [
+            {"neural_query_enricher": {"default_model_id": "double-v1"}}]},
+    }, vectors=vecs)
+    return out["hits"].select(
+        F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"))
+
+
+def _enricher_knn_sql() -> str:
+    from neural_search_spark.analysis.pipeline import LETTER_GROUPS
+
+    arms = ", ".join(
+        f"CAST(length(lower(text)) - length(translate(lower(text), '{g}', ''))"
+        " AS DOUBLE)" for g in LETTER_GROUPS
+    )
+    qarms = ", ".join(
+        "CAST(length(lower(qt)) - length(translate(lower(qt), "
+        f"'{g}', '')) AS DOUBLE)" for g in LETTER_GROUPS
+    )
+    return f"""
+    WITH qt0 AS (SELECT '{ENRICHER_QUERY_TEXT}' AS qt),
+    qraw AS (SELECT [{qarms}] AS raw FROM qt0),
+    q AS (SELECT list_transform(raw, x -> x / sqrt(list_sum(
+              list_transform(raw, y -> y * y)))) AS qv FROM qraw),
+    e AS (SELECT doc_id, [{arms}] AS raw FROM documents),
+    v AS (SELECT doc_id,
+                 CASE WHEN sqrt(list_sum(list_transform(raw, x -> x * x))) = 0
+                      THEN raw
+                      ELSE list_transform(raw, x -> x / sqrt(list_sum(
+                          list_transform(raw, y -> y * y)))) END AS v
+          FROM e),
+    scored AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, len(v)), i -> v[i] * q.qv[i])), (a, b) -> a + b)
+        / ( sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(q.qv, x -> x * x)), (a, b) -> a + b)) ) AS s
+      FROM v CROSS JOIN q
+    )
+    SELECT doc_id, round(s, 4) AS score FROM scored
+    ORDER BY s DESC, doc_id ASC LIMIT 10
+    """
+
+
 PHRASE_SLOP = 2
 
 
@@ -5158,6 +5252,8 @@ SPARK_QUERIES_EXT = {
     "ingest_text_image": q_ingest_text_image,
     "ingest_incremental": q_ingest_incremental,
     "search_request_hybrid": q_search_request_hybrid,
+    "search_request_agentic": q_search_request_agentic,
+    "neural_enricher_knn": q_neural_enricher_knn,
     "search_request_collapse": q_search_request_collapse,
     "hybrid_collapse": q_hybrid_collapse,
     "rerank_by_field": q_rerank_by_field,
@@ -5380,6 +5476,10 @@ ORACLE_SQL_EXT = {
     "repetition_stats": REPETITION_SQL,
     "redact_secrets": REDACT_SQL,
     "phrase_topk": PHRASE_SQL,
+    # agentic translation is deterministic, so the request e2e shares the
+    # hand-written phrase oracle verbatim
+    "search_request_agentic": PHRASE_SQL,
+    "neural_enricher_knn": _enricher_knn_sql(),
     "prefix_topk": PREFIX_SQL,
     "phrase_prefix_topk": PHRASE_PREFIX_SQL,
     "fuzzy_topk": FUZZY_SQL,

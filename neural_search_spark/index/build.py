@@ -497,7 +497,8 @@ def build_index(
     # so joining doc_lengths(corpus) back onto corpus was a full extra
     # exchange of every row (and a misestimate-prone join) for nothing.
     docmap = corpus.select(
-        *meta_cols,
+        id_col,
+        *[c for c in meta_cols if c != id_col],
         F.size(tokens_col(text_col, analyzer)).alias("doclen"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
     )

@@ -263,7 +263,8 @@ def append_to_index(
     if new_corpus is not None:
         # one narrow projection — no corpus self-join (see build_index)
         docmap_new = new_corpus.select(
-            *meta_cols,
+            id_col,
+            *[c for c in meta_cols if c != id_col],
             F.size(tokens_col(text_col, analyzer)).alias("doclen"),
             F.sha2(F.col(text_col), 256).alias("sha256"),
         )

@@ -1,0 +1,158 @@
+"""Agentic search: natural-language query → DSL via a pluggable translator.
+
+Reference surface (all under src/main/java/org/opensearch/neuralsearch/):
+* query kind ``agentic`` {query_text, query_fields ≤25, memory_id}
+  (query/AgenticSearchQueryBuilder.java:48-61, 126-166): query_text is
+  required; it is SANITIZED — ``(system|instruction|prompt):`` and
+  ``(execute|run|eval|script)[:(]`` prompt/command-injection patterns are
+  stripped (AgenticSearchQueryBuilder.java:53-56, 216-238) — then length-
+  capped at 1000 chars; at most 25 query_fields
+  (AgenticSearchQueryBuilder.java:144-152).
+* an agentic query that reaches EXECUTION untranslated is an error: it
+  must be the top-level query and be rewritten away by the
+  ``agentic_query_translator`` request processor
+  (AgenticSearchQueryBuilder.java:177-183 doToQuery throws).
+* request processor ``agentic_query_translator``
+  (processor/AgenticQueryTranslatorProcessor.java:41-160): calls the
+  agent with the NL text + field context; the agent answers
+  {dsl_query, agent_steps_summary, memory_id}; the processor validates
+  dsl_query (non-null, ≤ 10_000 chars,
+  AgenticQueryTranslatorProcessor.java:42,124-141), REPLACES the request
+  query with the parsed DSL, and stashes the context attributes for the
+  response side (AgenticQueryTranslatorProcessor.java:143-154).
+* response processor ``agentic_context`` + the agent_steps response ext
+  (processor/AgenticContextResponseProcessor.java:39-121,
+  query/ext/AgentStepsSearchExtBuilder.java:24-26): response ext fields
+  agent_steps_summary / dsl_query are opt-in config flags (default
+  false); memory_id is always included when present.
+
+The agent itself is ML-backed in the reference (an MLCommons
+conversational agent). Like semantic highlighting and ML-similarity
+rerank, this repo ships a DETERMINISTIC rule-based double behind a
+pluggable ``translate_fn`` seam: a real agent client drops in as
+``translate_fn(query_text, query_fields, memory_id) ->
+{"dsl_query": str, "agent_steps_summary": str, "memory_id": str}``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+
+__all__ = [
+    "MAX_AGENT_RESPONSE_SIZE",
+    "MAX_QUERY_FIELDS",
+    "MAX_QUERY_LENGTH",
+    "default_translate",
+    "sanitize_query_text",
+    "validate_agentic",
+]
+
+# reference: AgenticSearchQueryBuilder.java:57, :148;
+# AgenticQueryTranslatorProcessor.java:42
+MAX_QUERY_LENGTH = 1000
+MAX_QUERY_FIELDS = 25
+MAX_AGENT_RESPONSE_SIZE = 10_000
+
+# reference: AgenticSearchQueryBuilder.java:54-56
+_SYSTEM_INSTRUCTION = re.compile(r"(?i)\b(system|instruction|prompt)\s*:")
+_COMMAND_INJECTION = re.compile(r"(?i)\b(execute|run|eval|script)\s*[:\(]")
+
+
+def sanitize_query_text(text: str) -> str:
+    """Strip prompt/command-injection patterns, trim, cap the length
+    (reference: AgenticSearchQueryBuilder.java:216-238)."""
+    out = _COMMAND_INJECTION.sub("", _SYSTEM_INSTRUCTION.sub("", text)).strip()
+    if len(out) > MAX_QUERY_LENGTH:
+        raise ValueError(
+            f"Query text too long. Maximum allowed length is "
+            f"[{MAX_QUERY_LENGTH}] characters"
+        )
+    return out
+
+
+def validate_agentic(spec: dict) -> dict:
+    """Parse-time validation of an ``agentic`` query body (reference:
+    AgenticSearchQueryBuilder.fromXContent, :126-166)."""
+    if not isinstance(spec, dict):
+        raise ValueError("'agentic' body must be a dict")
+    unknown = set(spec) - {"query_text", "query_fields", "memory_id"}
+    if unknown:
+        raise ValueError(f"Unknown field {sorted(unknown)}")
+    text = spec.get("query_text")
+    if not text or not str(text).strip():
+        raise ValueError("[query_text] is required")
+    fields = spec.get("query_fields")
+    if fields is not None:
+        fields = [str(f) for f in fields]
+        if len(fields) > MAX_QUERY_FIELDS:
+            raise ValueError(
+                f"Too many query fields. Maximum allowed is {MAX_QUERY_FIELDS}"
+            )
+    return {
+        "query_text": sanitize_query_text(str(text)),
+        "query_fields": fields,
+        "memory_id": spec.get("memory_id"),
+    }
+
+
+# NL filler the rule-based double drops before building term clauses; the
+# remaining tokens are the content terms. Deterministic by construction.
+_NL_STOPWORDS = frozenset(
+    "a an and the of in on for with about containing contain find show list"
+    " search me all any docs documents files that which is are".split()
+)
+_QUOTED = re.compile(r'"([^"]+)"')
+_TOKEN = re.compile(r"[a-z0-9_]+")
+
+
+def default_translate(
+    query_text: str,
+    query_fields: list[str] | None = None,
+    memory_id: str | None = None,
+) -> dict:
+    """Deterministic rule-based agent double: NL → match / match_phrase /
+    bool DSL (JSON string), with a human-readable steps summary.
+
+    Rules (stable, documented so the twin DSL is hand-writable):
+      1. every double-quoted span becomes a ``match_phrase`` clause;
+      2. the remaining tokens, lowercased, minus NL filler words, become
+         ONE ``match`` clause (OR semantics);
+      3. one clause present → that clause is the query; several →
+         ``hybrid`` over the clauses (default min_max + arithmetic_mean
+         combination);
+      4. the target field is ``query_fields[0]`` (default ``content``).
+
+    memory_id: echoed when provided, else derived deterministically from
+    the query text (stable conversation handle for the double).
+    """
+    field = (query_fields or ["content"])[0]
+    steps = [f"analyze query intent: {query_text!r}"]
+    phrases = _QUOTED.findall(query_text)
+    rest = _QUOTED.sub(" ", query_text).lower()
+    terms = [t for t in _TOKEN.findall(rest) if t not in _NL_STOPWORDS]
+    clauses: list[dict] = []
+    for p in phrases:
+        clauses.append({"match_phrase": {field: p}})
+        steps.append(f"quoted span -> match_phrase on {field!r}: {p!r}")
+    if terms:
+        clauses.append({"match": {field: " ".join(terms)}})
+        steps.append(
+            f"content terms -> match on {field!r}: {' '.join(terms)!r}")
+    if not clauses:
+        dsl: dict = {"match_all": {}}
+        steps.append("no content terms -> match_all")
+    elif len(clauses) == 1:
+        dsl = clauses[0]
+    else:
+        dsl = {"hybrid": {"queries": clauses}}
+        steps.append(f"combine {len(clauses)} clauses -> hybrid")
+    mem = memory_id or (
+        "mem-" + hashlib.sha256(query_text.encode()).hexdigest()[:12]
+    )
+    return {
+        "dsl_query": json.dumps(dsl, sort_keys=True),
+        "agent_steps_summary": "; ".join(steps),
+        "memory_id": mem,
+    }

@@ -186,9 +186,34 @@ def _parse_subquery(q: dict) -> dict:
             flt = q["filter"]
             sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
         return sub
+    if kind == "agentic":
+        # reference: AgenticSearchQueryBuilder.doToQuery throws — an
+        # agentic query must be translated away by the
+        # agentic_query_translator request processor before execution
+        # (main/query/AgenticSearchQueryBuilder.java:177-183)
+        raise ValueError(
+            "Agentic search query must be used as top-level query, not "
+            "nested inside other queries. Should be used with "
+            "agentic_query_translator search processor")
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"'{kind}' body must be {{field: spec}}")
     (_field, spec), = body.items()
+    if kind == "match_phrase":
+        # Lucene PhraseQuery ({field: text} or {field: {query, slop}});
+        # resolved to a frame in _resolve_frame (needs index + forward text)
+        if isinstance(spec, dict):
+            text = spec.get("query")
+            if text is None:
+                raise ValueError("match_phrase dict form requires 'query'")
+            slop = int(spec.get("slop", 0))
+        else:
+            text, slop = spec, 0
+        sub = {"match_phrase": {"query": str(text), "slop": slop},
+               "field": _field}
+        if q.get("filter") is not None:
+            flt = q["filter"]
+            sub["where"] = F.expr(flt) if isinstance(flt, str) else flt
+        return sub
     if kind == "term":
         # exact-term query: NO analysis (Lucene TermQuery — the raw term
         # must match the indexed token), scored BM25 like a 1-term match
@@ -429,6 +454,118 @@ def _apply_rescore(index, hits, rescore: dict, fetch_k: int,
     )
 
 
+def _embed_text_py(text: str) -> list[float]:
+    """Driver-side twin of analysis/pipeline.embed_col's deterministic
+    embedding double (L2-normalized character-class counts) — the
+    query-time text→vector step the reference's ML client performs. A real
+    model plugs in through neural_query_enricher's ``embed_fn``."""
+    import math
+
+    from neural_search_spark.analysis.pipeline import LETTER_GROUPS
+
+    low = text.lower()
+    raw = [float(sum(low.count(ch) for ch in g)) for g in LETTER_GROUPS]
+    nrm = math.sqrt(sum(x * x for x in raw))
+    return raw if nrm == 0.0 else [x / nrm for x in raw]
+
+
+def _apply_request_processors(body: dict) -> tuple[dict, dict]:
+    """Run search-pipeline request processors; returns (new body, agentic
+    response context). Processors:
+
+    * ``agentic_query_translator`` (reference:
+      main/processor/AgenticQueryTranslatorProcessor.java:41-160): an
+      ``agentic`` top-level query is validated/sanitized, translated to
+      DSL through the ``translate_fn`` seam (deterministic rule-based
+      double by default, query/agentic.py), size-checked and SUBSTITUTED
+      as the request query; agent context is stashed for the
+      ``agentic_context`` response processor. Non-agentic queries pass
+      through untouched (the reference processor is likewise a no-op
+      then).
+    * ``neural_query_enricher`` (reference:
+      main/processor/NeuralQueryEnricherProcessor.java:38-105): injects
+      ``default_model_id`` / per-field ``neural_field_default_id`` into
+      neural / knn / neural_sparse (sub-)queries that name none, and —
+      the engine's analog of the reference's query-time ML inference —
+      derives ``query_vector`` from ``query_text`` via the deterministic
+      embedding double (or a plugged ``embed_fn``) once a model id is
+      resolved.
+    """
+    import json as _json
+
+    rq = (body.get("search_pipeline") or {}).get("request_processors", [])
+    if not rq:
+        return body, {}
+    body = dict(body)  # processors rewrite the request; never mutate input
+    agentic_ctx: dict = {}
+    for proc in rq:
+        (pkind, pbody), = proc.items()
+        pbody = pbody or {}
+        if pkind == "agentic_query_translator":
+            from neural_search_spark.query import agentic as agm
+
+            q = body.get("query") or {}
+            if "agentic" not in q:
+                continue
+            spec = agm.validate_agentic(q["agentic"])
+            translate = pbody.get("translate_fn") or agm.default_translate
+            resp = translate(spec["query_text"], spec["query_fields"],
+                             spec["memory_id"]) or {}
+            dsl = resp.get("dsl_query")
+            if dsl is None:
+                raise ValueError(
+                    "Agent failed to generate a query for agentic search")
+            if len(dsl) > agm.MAX_AGENT_RESPONSE_SIZE:
+                raise ValueError(
+                    f"Agent response too large ({len(dsl)} characters). "
+                    f"Maximum allowed is {agm.MAX_AGENT_RESPONSE_SIZE}")
+            body["query"] = _json.loads(dsl)
+            agentic_ctx = {k: v for k, v in {
+                "agent_steps_summary": resp.get("agent_steps_summary"),
+                "memory_id": resp.get("memory_id"),
+                "dsl_query": dsl,
+            }.items() if v}
+        elif pkind == "neural_query_enricher":
+            default_model = pbody.get("default_model_id")
+            per_field = pbody.get("neural_field_default_id") or {}
+            if default_model is None and not per_field:
+                raise ValueError(
+                    "model Id or neural info map either of them should be "
+                    "provided")
+            embed = pbody.get("embed_fn") or _embed_text_py
+
+            def _enrich(q: dict) -> dict:
+                out = {}
+                for kind, qb in q.items():
+                    if kind == "hybrid" and isinstance(qb, dict):
+                        out[kind] = {**qb, "queries": [
+                            _enrich(s) for s in qb.get("queries", [])]}
+                        continue
+                    if (kind in ("neural", "knn", "neural_sparse")
+                            and isinstance(qb, dict) and len(qb) == 1):
+                        (fld, spec), = qb.items()
+                        if isinstance(spec, dict):
+                            spec = dict(spec)
+                            if spec.get("model_id") is None:
+                                spec["model_id"] = per_field.get(
+                                    fld, default_model)
+                            if (kind in ("neural", "knn")
+                                    and spec.get("query_vector") is None
+                                    and spec.get("query_text") is not None
+                                    and spec.get("model_id") is not None):
+                                spec["query_vector"] = embed(
+                                    str(spec.pop("query_text")))
+                            qb = {fld: spec}
+                    out[kind] = qb
+                return out
+
+            if body.get("query"):
+                body["query"] = _enrich(body["query"])
+        else:
+            raise ValueError(f"unsupported request processor: {pkind!r}")
+    return body, agentic_ctx
+
+
 def search_request(
     index,
     body: dict,
@@ -442,6 +579,11 @@ def search_request(
     from neural_search_spark.operators.collapse import collapse as collapse_op
     from neural_search_spark.operators.sort_search import field_sort_search
     from neural_search_spark.query import aggs as ag
+
+    # search-pipeline REQUEST processors (reference: the SearchPipeline
+    # framework's request side). They may rewrite `body` before parsing,
+    # so they run first; list order is execution order, like OpenSearch.
+    body, agentic_ctx = _apply_request_processors(body)
 
     query = body.get("query")
     size = int(body.get("size", 10))
@@ -771,6 +913,26 @@ def search_request(
             fr = match_bool_prefix_search(
                 base_index, b["query"], k=fetch_k,
                 max_expansions=b["max_expansions"], **kw)
+            return {"frame": fr}
+        if "match_phrase" in s:
+            from neural_search_spark.query.phrase import phrase_scores
+
+            b = s["match_phrase"]
+            sub_idx = (index.field(s.get("field")) if multi else base_index)
+            if doc_values is None:
+                raise ValueError(
+                    "match_phrase requires doc_values (the forward text "
+                    "table the index was built from)")
+            idc = doc_values_id or sub_idx.id_col
+            corpus = (doc_values if idc == sub_idx.id_col
+                      else doc_values.withColumnRenamed(idc, sub_idx.id_col))
+            fr = phrase_scores(sub_idx, corpus, b["query"],
+                               text_col=b.get("text_col", "text"),
+                               slop=b["slop"])
+            if s.get("where") is not None:
+                fr = fr.join(_frame_filter(s), "docID", "left_semi")
+            fr = (fr.select("docID", F.round("score", 4).alias("score"))
+                  .orderBy(F.desc("score"), F.asc("docID")).limit(fetch_k))
             return {"frame": fr}
         if "simple_query_string" in s:
             from neural_search_spark.query.qstring import (
@@ -1241,9 +1403,27 @@ def search_request(
     rprocs = (body.get("search_pipeline") or {}).get(
         "response_processors", [])
     for proc in rprocs:
+        (pkind, pbody), = proc.items()
+        if pkind == "agentic_context":
+            # response ext from the agentic translation (reference:
+            # main/processor/AgenticContextResponseProcessor.java:39-121 +
+            # query/ext/AgentStepsSearchExtBuilder.java:24-26):
+            # agent_steps_summary / dsl_query are opt-in flags (default
+            # false); memory_id is always included when present
+            pbody = pbody or {}
+            ext = {}
+            if pbody.get("agent_steps_summary") and agentic_ctx.get(
+                    "agent_steps_summary"):
+                ext["agent_steps_summary"] = agentic_ctx["agent_steps_summary"]
+            if agentic_ctx.get("memory_id"):
+                ext["memory_id"] = agentic_ctx["memory_id"]
+            if pbody.get("dsl_query") and agentic_ctx.get("dsl_query"):
+                ext["dsl_query"] = agentic_ctx["dsl_query"]
+            if ext:
+                out.setdefault("ext", {}).update(ext)
+            continue
         if out["hits"] is None:
             raise ValueError("response_processors need hits")
-        (pkind, pbody), = proc.items()
         if pkind == "rename_field":
             out["hits"] = out["hits"].withColumnRenamed(
                 str(pbody["field"]), str(pbody["target_field"]))
