@@ -570,7 +570,11 @@ def q_hybrid_from_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """explain=True exposes per-subquery normalized scores as columns."""
+    """explain=True exposes per-subquery normalized scores as columns plus
+    the per-technique descriptions (reference ExplanationResponseProcessor
+    payload: '<technique.describe()> normalization of:' /
+    '<describe> combination of:' — explain/ExplanationUtils.java:36,
+    combination/ScoreCombiner.java:479-484)."""
     idx = _get_index(spark, sf_dir)
     res = hybrid.hybrid_search(
         idx, HYBRID_SUBS, k=HYBRID_K, normalization="min_max",
@@ -581,6 +585,7 @@ def q_hybrid_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("docID").alias("doc_id"), F.round("score", 4).alias("score"),
         F.round("nscore_0", 4).alias("nscore_0"),
         F.round("nscore_1", 4).alias("nscore_1"),
+        "explain_norm", "explain_comb",
     )
 
 
@@ -5384,7 +5389,11 @@ ORACLE_SQL_EXT = {
     "hybrid_minmax_bounded": _hybrid_bounded_sql(
         HYBRID_SUBS, HYBRID_LOWER_BOUNDS, HYBRID_UPPER_BOUNDS),
     "hybrid_from_offset": _hybrid_bounded_sql(HYBRID_SUBS, None, None, from_=5),
-    "hybrid_explain": _hybrid_bounded_sql(HYBRID_SUBS, None, None, explain=True),
+    "hybrid_explain": f"""
+        SELECT *, 'min_max normalization of:' AS explain_norm,
+               'arithmetic_mean combination of:' AS explain_comb
+        FROM ({_hybrid_bounded_sql(HYBRID_SUBS, None, None, explain=True)})
+    """,
     "hybrid_min_score": _hybrid_bounded_sql(
         HYBRID_SUBS, None, None, min_score=HYBRID_MIN_SCORE),
     "agg_terms_metrics": AGG_TERMS_SQL,

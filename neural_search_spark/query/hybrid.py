@@ -51,6 +51,45 @@ COMBINATION_TECHNIQUES = ("arithmetic_mean", "harmonic_mean", "geometric_mean", 
 BOUND_MODES = ("apply", "clip", "ignore")  # reference: bounds/BoundMode.java
 
 
+def describe_normalization(
+    technique: str,
+    rank_constant: int = DEFAULT_RANK_CONSTANT,
+    lower_bounds: list[dict] | None = None,
+    upper_bounds: list[dict] | None = None,
+) -> str:
+    """The normalization technique's self-description — name + params,
+    byte-compatible with the reference's ExplainableTechnique.describe():
+    min_max appends ", lower|upper bounds [(mode, score), …]" when bounds
+    are configured (MinMaxScoreNormalizationTechnique.java:156-176), rrf
+    appends ", rank_constant [n]" (RRFNormalizationTechnique.java:137-139),
+    l2 / z_score are the bare name."""
+    if technique == "rrf":
+        return f"rrf, rank_constant [{int(rank_constant)}]"
+    out = technique
+    if technique == "min_max":
+        for label, bounds, key, default in (
+            ("lower", lower_bounds, "min_score", 0.0),
+            ("upper", upper_bounds, "max_score", 1.0),
+        ):
+            if bounds:
+                fmt = ", ".join(
+                    f"({b.get('mode', 'apply')}, {b.get(key, default)})"
+                    for b in bounds)
+                out += f", {label} bounds [{fmt}]"
+    return out
+
+
+def describe_combination(
+    technique: str, weights: list[float] | None = None
+) -> str:
+    """Combination technique self-description — "<name>, weights [..]"
+    when weights are configured, bare name otherwise (reference:
+    explain/ExplanationUtils.describeCombinationTechnique:51-58)."""
+    if weights:
+        return f"{technique}, weights [{', '.join(str(float(w)) for w in weights)}]"
+    return technique
+
+
 def _validate_bounds(bounds, kind: str) -> None:
     score_key = "min_score" if kind == "lower_bounds" else "max_score"
     if not isinstance(bounds, (list, tuple)):
@@ -365,6 +404,27 @@ def hybrid_search(
     )
     if min_score is not None:
         combined = combined.where(F.col("score") >= float(min_score))
+    if explain:
+        # per-technique explanation descriptions (reference:
+        # processor/ExplanationResponseProcessor.java via
+        # explain/ExplanationUtils.java:36 "<describe> normalization of:"
+        # and combination/ScoreCombiner.java:479-484 "<describe>
+        # combination of[ filtered by min_score: %.4f]:"); the per-hit
+        # inputs are the nscore_<i> columns already carried by
+        # keep_nscores
+        combined = combined.withColumn(
+            "explain_norm",
+            F.lit(describe_normalization(
+                normalization, rank_constant=rank_constant,
+                lower_bounds=lower_bounds, upper_bounds=upper_bounds)
+                + " normalization of:"),
+        ).withColumn(
+            "explain_comb",
+            F.lit(describe_combination(combination, weights)
+                  + " combination of"
+                  + (f" [filtered by min_score: {float(min_score):.4f}]"
+                     if min_score is not None else "") + ":"),
+        )
     ordered = combined.orderBy(F.desc("score"), F.asc("docID"))
     if from_ > 0:
         ordered = ordered.offset(from_)

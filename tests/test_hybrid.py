@@ -281,12 +281,48 @@ def test_hybrid_explain_columns(spark, tmp_path):
     rows = hybrid.hybrid_search(
         idx, [["def"], ["return"]], k=5, pagination_depth=10, explain=True
     ).collect()
-    assert rows and set(rows[0].asDict()) == {"docID", "score", "nscore_0", "nscore_1"}
+    assert rows and set(rows[0].asDict()) == {
+        "docID", "score", "nscore_0", "nscore_1",
+        "explain_norm", "explain_comb"}
+    assert rows[0]["explain_norm"] == "min_max normalization of:"
+    assert rows[0]["explain_comb"] == "arithmetic_mean combination of:"
     # arithmetic mean of present nscores reproduces the combined score
     for r in rows:
         ns = [r["nscore_0"], r["nscore_1"]]
         present = [x for x in ns if x >= 0.0]
         assert r["score"] == pytest.approx(sum(present) / len(present))
+
+
+def test_hybrid_explain_technique_descriptions(spark, tmp_path):
+    """describe() parity with the reference techniques: rrf rank_constant,
+    min_max bounds, combination weights, min_score filter note."""
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+
+    assert hybrid.describe_normalization("l2") == "l2"
+    assert hybrid.describe_normalization("z_score") == "z_score"
+    assert hybrid.describe_normalization("rrf", rank_constant=42) == \
+        "rrf, rank_constant [42]"
+    assert hybrid.describe_normalization(
+        "min_max",
+        lower_bounds=[{"mode": "clip", "min_score": 0.1}, {}],
+    ) == "min_max, lower bounds [(clip, 0.1), (apply, 0.0)]"
+    assert hybrid.describe_combination("rrf") == "rrf"
+    assert hybrid.describe_combination(
+        "geometric_mean", [0.4, 0.6]) == "geometric_mean, weights [0.4, 0.6]"
+
+    idx = build_index(
+        spark, with_doc_id(generate_corpus(spark, 50, seed=3)),
+        str(tmp_path / "idx-et"), bucket_bits=2,
+    )
+    rows = hybrid.hybrid_search(
+        idx, [["def"], ["return"]], k=5, pagination_depth=10, explain=True,
+        normalization="rrf", combination="rrf", rank_constant=30,
+        min_score=0.001,
+    ).collect()
+    assert rows[0]["explain_norm"] == "rrf, rank_constant [30] normalization of:"
+    assert rows[0]["explain_comb"] == \
+        "rrf combination of [filtered by min_score: 0.0010]:"
 
 
 def test_hybrid_min_score(spark, tmp_path):
