@@ -179,12 +179,18 @@ _R04_FRONT = [
     "semantic_highlight", "sessionize", "simple_query_string_topk",
     "span_first_not_topk", "span_near_topk", "temperature_sample",
     "terms_set_topk", "token_counts", "trending_terms",
+    # new this round, never driver-verified: agentic NL search e2e,
+    # neural_query_enricher (query-text embedding), and the exhaustive
+    # (nprobe = nlist) corners that hard-oracle the IVF machinery
+    "search_request_agentic", "neural_enricher_knn",
+    "ivf_exact_topk", "ann_indexed_exact_topk",
     # never driver-verified rows-only (weak check, pytest-oracled)
     "ann_indexed_topk", "pq_topk", "seismic_ann_topk",
+    # schema changed this round (explain_norm/explain_comb added) — its
+    # r02 green row describes the old shape, so it re-verifies now
+    "hybrid_explain",
     # oldest green rows (r01) fill the remaining slots
-    "cosine_topk", "dedup_exact_groups", "dedup_exact_survivors",
-    "embedding_near_dup_pairs", "multimodal_features",
-    "ngram_jaccard_pairs", "prune_abs_value", "prune_alpha_mass",
+    "dedup_exact_groups", "multimodal_features", "ngram_jaccard_pairs",
 ]
 
 SPARK_QUERIES = {

@@ -1861,6 +1861,39 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=4)
 
 
+def q_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at the exhaustive corner (nprobe = nlist): every list is probed,
+    so the whole IVF machinery (Lloyd-refined centroids, centroid ranking,
+    list union, exact in-list cosine) must reproduce cosine_topk
+    rank-identically — the corner that makes IVF hard-oracle-able, same
+    stance as seismic_ann_sharp. The nprobe<nlist entry stays rows-only
+    (approximate by construction)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = similarity.ivf_topk(
+        emb, _query_vec(spark, sf_dir), k=10, nlist=16, nprobe=16)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_ann_indexed_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index probed exhaustively (nprobe = nlist): the
+    partition-pruned serving path must reproduce cosine_topk
+    rank-identically when every list_id partition is selected — hard
+    oracle for the index build + serve machinery."""
+    from neural_search_spark.operators.ann_index import ann_search, build_ann_index
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"nss-ann-idx-{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        build_ann_index(emb, idx_dir, kind="ivf", nlist=16)
+    res = ann_search(spark, idx_dir, _query_vec(spark, sf_dir), k=10, nprobe=16)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: PQ codebooks come from numpy k-means (approximate by
     construction; recall + exact-rerank-score pytest oracles in
@@ -5301,8 +5334,10 @@ SPARK_QUERIES_EXT = {
     "embedding_near_dup_pairs": q_embedding_near_dup,
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
+    "ivf_exact_topk": q_ivf_exact_topk,
     "pq_topk": q_pq_topk,
     "ann_indexed_topk": q_ann_indexed_topk,
+    "ann_indexed_exact_topk": q_ann_indexed_exact_topk,
     "seismic_exact_topk": _seismic_entry("default", "exact"),
     "seismic_ann_sharp": _seismic_entry("sharp", "ann"),
     "seismic_ann_topk": _seismic_entry("default", "ann"),
@@ -5439,6 +5474,9 @@ ORACLE_SQL_EXT = {
     "minhash_lsh_pairs": _minhash_sql(),
     "simhash_pairs": _simhash_sql(),
     "cosine_topk": COSINE_TOPK_SQL,
+    # nprobe = nlist -> exhaustive -> rank-identical to brute cosine
+    "ivf_exact_topk": COSINE_TOPK_SQL,
+    "ann_indexed_exact_topk": COSINE_TOPK_SQL,
     "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),
     "knn_radial": KNN_RADIAL_SQL,
     # identity oracle: code-analyzing the camel-glued corpus reproduces the

@@ -91,3 +91,22 @@ def test_expr_let_single_evaluation(spark):
         let(toks, lambda x: F.size(x) + F.size(x)).alias("v")
     )._jdf.queryExecution().analyzed().toString()
     assert plan.count("split(") == 1
+
+
+def test_status_totals_in_sync():
+    """STATUS.md's contract-totals line must match the live registry —
+    the r03 verdict caught it stale (said 133/129, actual 151/146)."""
+    import os
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    q_n = len(entry_mod.queries())
+    o_n = len(entry_mod.oracle_sql())
+    status = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "STATUS.md")).read()
+    m = re.search(r"Contract totals: (\d+) `queries\(\)` entries, (\d+) "
+                  r"with DuckDB oracles, (\d+) rows-only", status)
+    assert m, "STATUS.md contract-totals line missing"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == \
+        (q_n, o_n, q_n - o_n)
