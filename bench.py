@@ -32,6 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_SCALING_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json")
 
 # ~4 docs of synthetic corpus per testdata document row; sf0.1 -> 20k files
 CORPUS_MULTIPLIER = 4
@@ -83,6 +85,14 @@ def run_build_only(cpus: int, sf_dir: str, multiplier: int) -> dict:
         spark.stop()
 
 
+def _spin_work(_):
+    # module-level so ProcessPoolExecutor can pickle it
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return x
+
+
 def _cpu_ceiling_probe() -> dict:
     """Measure what THIS machine gives 8 vs 32 independent processes doing
     identical fixed CPU work (pure integer loop — no memory traffic, no
@@ -94,22 +104,61 @@ def _cpu_ceiling_probe() -> dict:
     both raw and normalized by this measured ceiling."""
     import concurrent.futures as cf
 
-    def work(_):
-        x = 0
-        for i in range(20_000_000):
-            x += i
-        return x
+    try:
+        thr = {}
+        for w in (8, 32):
+            with cf.ProcessPoolExecutor(w) as ex:
+                t0 = time.perf_counter()
+                list(ex.map(_spin_work, range(w)))
+                thr[w] = w / (time.perf_counter() - t0)
+        return {
+            "spin_tasks_per_sec": {"8": round(thr[8], 2),
+                                   "32": round(thr[32], 2)},
+            "ceiling_8_to_32": round(thr[32] / thr[8] / 4.0, 3),
+        }
+    except Exception as exc:  # the probe must never kill the report
+        return {"error": str(exc), "ceiling_8_to_32": 1.0}
 
-    thr = {}
-    for w in (8, 32):
-        with cf.ProcessPoolExecutor(w) as ex:
+
+def run_seed_policy_leg(cpus: int) -> dict:
+    """Auto θ-seed evidence (one 500k-doc leg): at the bench sf (20k files)
+    per-bucket matched postings sit under EXACT_THRESHOLD and the auto
+    policy correctly declines to seed (heavy_query_profile.auto shows 0%
+    skip with brute decode winning); at 500k docs the same policy flips ON
+    by itself. Recording both profiles at this scale evidences the DEFAULT
+    path's pruning, not just the forced one."""
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.query.wand import profile_search
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("nss-bench-seed", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        d = tempfile.mkdtemp(prefix="nss-bench-seed-")
+        n = 500_000
+        index = build_index(
+            spark, with_doc_id(generate_corpus(spark, n, seed=42)), d,
+            resume=False)
+        index.warmup()
+        q = ["if", "for", "while", "self"]
+        profile_search(index, q, k=10)  # JIT warm
+        out: dict = {"n_files": n, "query": q}
+        for label, kw in (("auto", {}), ("forced", {"seed_theta": True})):
             t0 = time.perf_counter()
-            list(ex.map(work, range(w)))
-            thr[w] = w / (time.perf_counter() - t0)
-    return {
-        "spin_tasks_per_sec": {"8": round(thr[8], 2), "32": round(thr[32], 2)},
-        "ceiling_8_to_32": round(thr[32] / thr[8] / 4.0, 3),
-    }
+            _, prof = profile_search(index, q, k=10, **kw)
+            out[label] = {
+                "wall_s": round(time.perf_counter() - t0, 3),
+                "postings_decoded": prof["postings_decoded"],
+                "postings_total": prof["postings_total"],
+                "postings_skip_pct": round(100.0 * (
+                    1 - prof["postings_decoded"]
+                    / max(prof["postings_total"], 1)), 1),
+            }
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+    finally:
+        spark.stop()
 
 
 def run_bench(cpus: int, sf_dir: str, multiplier: int = CORPUS_MULTIPLIER,
@@ -495,6 +544,14 @@ def main() -> None:
                 )
                 leg = json.loads(out.stdout.strip().splitlines()[-1])
                 legs_raw[cpus].append(leg["index_files_per_sec"])
+                # persist trials incrementally so a late crash cannot
+                # discard 30 minutes of completed legs
+                try:
+                    os.makedirs("BENCH", exist_ok=True)
+                    with open(_SCALING_CACHE + ".partial", "w") as fh:
+                        json.dump({str(c): v for c, v in legs_raw.items()}, fh)
+                except OSError:
+                    pass
 
         def median(xs: list[float]) -> float:
             s = sorted(xs)
@@ -518,6 +575,24 @@ def main() -> None:
             "criterion": "N=8 vs 4N=32 median efficiency >= 0.8 "
                          "(raw, with measured machine ceiling alongside)",
         }
+        # cache so plain `python bench.py` runs (e.g. the per-round driver
+        # run) embed the most recent scaling evidence
+        try:
+            os.makedirs("BENCH", exist_ok=True)
+            with open(_SCALING_CACHE, "w") as fh:
+                json.dump(extra["scaling"], fh)
+        except OSError:
+            pass
+    elif os.path.exists(_SCALING_CACHE):
+        try:
+            with open(_SCALING_CACHE) as fh:
+                extra["scaling"] = {**json.load(fh),
+                                    "source": "recorded by last --scaling run"}
+        except (OSError, ValueError):
+            pass
+
+    # auto θ-seed policy evidence at a scale where it engages by itself
+    extra["seed_policy_500k"] = run_seed_policy_leg(args.cpus)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

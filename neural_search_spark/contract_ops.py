@@ -3519,6 +3519,41 @@ def _enricher_knn_sql() -> str:
     """
 
 
+PACK_CAPACITY = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk) over the documents
+    table: deterministic doc_id order, 256-token packs, whitespace token
+    budget. Implemented as a two-pass distributed prefix sum
+    (operators/packing.py — no single-partition global Window), oracled by
+    the equivalent window cumsum in DuckDB (fine at sf, a non-starter at
+    10^12 docs — which is the point of the two-pass design)."""
+    from neural_search_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(d, PACK_CAPACITY)
+
+
+PACK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(strt // {PACK_CAPACITY} AS BIGINT) AS first_pack,
+           CAST((strt + greatest(n_tokens - 1, 0)) // {PACK_CAPACITY}
+                AS BIGINT) AS last_pack,
+           CAST(strt % {PACK_CAPACITY} AS BIGINT) AS pack_offset
+    FROM c
+"""
+
+
 PHRASE_SLOP = 2
 
 
@@ -5292,6 +5327,7 @@ SPARK_QUERIES_EXT = {
     "search_request_hybrid": q_search_request_hybrid,
     "search_request_agentic": q_search_request_agentic,
     "neural_enricher_knn": q_neural_enricher_knn,
+    "pack_sequences": q_pack_sequences,
     "search_request_collapse": q_search_request_collapse,
     "hybrid_collapse": q_hybrid_collapse,
     "rerank_by_field": q_rerank_by_field,
@@ -5527,6 +5563,7 @@ ORACLE_SQL_EXT = {
     # hand-written phrase oracle verbatim
     "search_request_agentic": PHRASE_SQL,
     "neural_enricher_knn": _enricher_knn_sql(),
+    "pack_sequences": PACK_SQL,
     "prefix_topk": PREFIX_SQL,
     "phrase_prefix_topk": PHRASE_PREFIX_SQL,
     "fuzzy_topk": FUZZY_SQL,

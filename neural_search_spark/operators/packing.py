@@ -1,0 +1,124 @@
+"""Sequence packing for LLM training batches (GPT-style concat-and-chunk).
+
+Training-data pipelines concatenate documents in a deterministic order and
+cut the token stream every ``capacity`` tokens; a document therefore spans
+packs [first_pack, last_pack] starting at ``pack_offset`` inside its first
+pack. (This is the standard "concat + chunk" packer — the no-straddle
+greedy variant trades determinism headaches for padding waste and is NOT
+what large pretraining runs use.)
+
+Scale note — the naive Spark expression is a window cumsum over a GLOBAL
+ordering, which Catalyst executes as a SINGLE partition (every row through
+one task): a non-starter at 10^12 docs. This module implements the classic
+two-pass distributed prefix sum instead:
+
+  1. range-repartition by the order key (deterministic partition → key
+     ranges), local per-partition token cumsum inside ``mapInPandas``;
+  2. per-partition totals (one tiny collect, #partitions rows) → exclusive
+     partition offsets broadcast back as a literal map.
+
+Every row is touched exactly twice with no global shuffle beyond the one
+range exchange; the per-partition totals frame is the only driver-side
+data (one row per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pack_sequences", "token_counts_col"]
+
+
+def token_counts_col(text_col: str = "text"):
+    """Whitespace token count — the packer's default budget column."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign every document its position in the packed token stream.
+
+    Documents are ordered by ``id_col`` (deterministic at any parallelism);
+    the token stream is cut every ``capacity`` tokens. Returns
+    ``(id_col, n_tokens, first_pack, last_pack, pack_offset)`` where
+    pack ids are 0-based and ``pack_offset`` is the document's start
+    position inside ``first_pack``.
+
+    ``n_tokens_col``: use a precomputed token-count column instead of the
+    whitespace default (e.g. a BPE count from analysis/textstats.py).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    import pandas as pd
+
+    ntok = (F.col(n_tokens_col) if n_tokens_col
+            else token_counts_col(text_col)).cast("long")
+    base = df.select(F.col(id_col), ntok.alias("n_tokens"))
+
+    # pass 1: deterministic range partitioning on the order key, then a
+    # LOCAL cumsum per partition (mapInPandas keeps the range-sort order)
+    spark = df.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranged = base.repartitionByRange(nparts, F.col(id_col)).sortWithinPartitions(id_col)
+
+    local_schema = f"{id_col} {dict(base.dtypes)[id_col]}, " \
+                   "n_tokens long, _local_before long, _pid int"
+
+    def _local_cumsum(batches):
+        pid = None
+        running = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+            before = running + pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+            running = int(before.iloc[-1] + pdf["n_tokens"].iloc[-1])
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "_local_before": before.astype("int64"),
+                "_pid": pid,
+            })
+
+    local = ranged.mapInPandas(_local_cumsum, local_schema)
+    # mapInPandas output feeds two branches (offsets agg + final projection);
+    # persist so the cumsum pass runs once
+    local = local.persist()
+
+    # pass 2: per-partition totals → exclusive offsets (#partitions rows on
+    # the driver — tiny at any scale)
+    totals = (local.groupBy("_pid")
+              .agg(F.sum("n_tokens").alias("_tot")).collect())
+    sums = {int(r["_pid"]): int(r["_tot"]) for r in totals}
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                           for x in kv]),
+            F.col("_pid"),
+        ),
+        F.lit(0),
+    ) if offsets else F.lit(0)
+
+    start = (off + F.col("_local_before")).alias("_start")
+    out = local.select(F.col(id_col), "n_tokens", start).select(
+        id_col,
+        "n_tokens",
+        F.floor(F.col("_start") / capacity).cast("long").alias("first_pack"),
+        # a zero-token doc occupies no span: last_pack = its first_pack
+        F.floor((F.col("_start") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+                / capacity).cast("long").alias("last_pack"),
+        (F.col("_start") % capacity).cast("long").alias("pack_offset"),
+    )
+    return out

@@ -1,0 +1,62 @@
+"""GPT-style sequence packing (distributed prefix sum)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.operators.packing import pack_sequences
+
+
+def _docs(spark, counts):
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in counts]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _oracle(counts, capacity):
+    out, acc = {}, 0
+    for i, n in sorted(counts):
+        first = acc // capacity
+        last = (acc + max(n - 1, 0)) // capacity
+        out[i] = (n, first, last, acc % capacity)
+        acc += n
+    return out
+
+
+class TestPackSequences:
+    def test_matches_sequential_oracle(self, spark):
+        counts = [(i, (i * 7) % 13 + 1) for i in range(200)]
+        got = {r["doc_id"]: (r["n_tokens"], r["first_pack"], r["last_pack"],
+                             r["pack_offset"])
+               for r in pack_sequences(_docs(spark, counts), 32).collect()}
+        assert got == _oracle(counts, 32)
+
+    def test_doc_longer_than_capacity_spans_packs(self, spark):
+        counts = [(0, 5), (1, 25), (2, 3)]
+        got = {r["doc_id"]: (r["first_pack"], r["last_pack"], r["pack_offset"])
+               for r in pack_sequences(_docs(spark, counts), 8).collect()}
+        # stream: doc0 [0,5) pack0; doc1 [5,30) packs 0..3; doc2 [30,33) packs 3..4
+        assert got == {0: (0, 0, 0), 1: (0, 3, 5), 2: (3, 4, 6)}
+
+    def test_parallelism_invariant(self, spark):
+        counts = [(i, (i * 11) % 29 + 1) for i in range(500)]
+        df = _docs(spark, counts)
+        a = sorted(map(tuple, pack_sequences(df, 64).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(17), 64).collect()))
+        assert a == b
+
+    def test_precomputed_count_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10)], "doc_id long, ntok long")
+        got = {r["doc_id"]: r["first_pack"]
+               for r in pack_sequences(df, 16, n_tokens_col="ntok").collect()}
+        assert got == {1: 0, 2: 0, 3: 1}
+
+    def test_capacity_validation(self, spark):
+        with pytest.raises(ValueError, match="capacity"):
+            pack_sequences(_docs(spark, [(1, 3)]), 0)
+
+    def test_no_global_single_partition_window(self, spark):
+        """The scale guard: the plan must not contain a global Window
+        (single-partition sort) — the whole point of the two-pass design."""
+        df = _docs(spark, [(i, 3) for i in range(50)])
+        plan = pack_sequences(df, 16)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
