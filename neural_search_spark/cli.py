@@ -333,6 +333,14 @@ def cmd_prep(spark: SparkSession, args) -> None:
     elif args.op == "repetition":
         out = repetition_stats(docs, args.text_col, args.id_col)
         extra = {"docs": out.count()}
+    elif args.op == "pack":
+        from neural_search_spark.operators.packing import pack_sequences
+
+        out = pack_sequences(docs, args.capacity, id_col=args.id_col,
+                             text_col=args.text_col)
+        last = out.agg(F.max("last_pack").alias("m")).collect()[0]["m"]
+        extra = {"docs": out.count(), "capacity": args.capacity,
+                 "n_packs": int(last) + 1 if last is not None else 0}
     else:  # sample
         out = prep.hash_sample(docs, args.fraction, args.id_col)
         extra = {"kept": out.count()}
@@ -664,15 +672,18 @@ def main(argv: list[str] | None = None) -> None:
 
     pp = sub.add_parser("prep", help="corpus preparation: redact secrets, "
                                      "remove boilerplate, repetition stats, "
-                                     "deterministic sampling")
+                                     "deterministic sampling, sequence packing")
     pp.add_argument("--op", required=True,
-                    choices=["redact", "boilerplate", "repetition", "sample"])
+                    choices=["redact", "boilerplate", "repetition", "sample",
+                             "pack"])
     pp.add_argument("--input", required=True)
     pp.add_argument("--output")
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--id-col", default="doc_id")
     pp.add_argument("--min-df", type=int, default=10)
     pp.add_argument("--fraction", type=float, default=0.1)
+    pp.add_argument("--capacity", type=int, default=2048,
+                    help="pack op: tokens per training pack")
 
     st = sub.add_parser("stats", help="index-level statistics")
     st.add_argument("--index-dir", required=True)

@@ -282,6 +282,13 @@ def test_cli_prep_redact_and_sample(spark, corpus_parquet, capsys):
     out = _json_out(capsys)
     assert 0 < out["kept"] < 60
 
+    cli.cmd_prep(spark, Namespace(
+        op="pack", input=corpus_parquet, output=None,
+        text_col="content", id_col="docID", min_df=10, fraction=0.1,
+        capacity=512))
+    out = _json_out(capsys)
+    assert out["docs"] == 60 and out["n_packs"] >= 1
+
 
 def test_cli_search_wildcard_regexp_bool_mlt(spark, idx_dir, corpus_parquet,
                                              capsys):
