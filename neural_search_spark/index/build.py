@@ -393,6 +393,14 @@ def finalize_postings(raw: DataFrame, n_total: int) -> DataFrame:
             bl["dls"].alias("dls"),
         ),
     )
+    # Layout note: the df join's exchange leaves the final table
+    # termID-ordered (SMJ) rather than the encode's exact
+    # (termID, bucket, dlq) clustering. Measured at 500k docs with
+    # interleaved warm trials: query latency is IDENTICAL between this
+    # layout, an explicitly re-clustered one, and even a randomly
+    # scattered one (the kernel shuffles matched rows by bucket itself),
+    # so no re-clustering pass is spent here — an explicit
+    # repartition+sort cost ~40% extra build wall for zero query win.
     return (
         raw.drop("df")
         .join(dfmap, "termID")
