@@ -184,13 +184,12 @@ _R04_FRONT = [
     # (nprobe = nlist) corners that hard-oracle the IVF machinery
     "search_request_agentic", "neural_enricher_knn",
     "ivf_exact_topk", "ann_indexed_exact_topk", "pack_sequences",
+    "lsh_exact_topk", "pq_exact_topk",
     # never driver-verified rows-only (weak check, pytest-oracled)
     "ann_indexed_topk", "pq_topk", "seismic_ann_topk",
     # schema changed this round (explain_norm/explain_comb added) — its
     # r02 green row describes the old shape, so it re-verifies now
     "hybrid_explain",
-    # oldest green rows (r01) fill the remaining slots
-    "dedup_exact_groups", "multimodal_features",
 ]
 
 SPARK_QUERIES = {

@@ -1894,6 +1894,35 @@ def q_ann_indexed_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_lsh_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH at the exhaustive corner (max_hamming = nbits): every signature
+    is within range, so the hyperplane bucketing + candidate exact-cosine
+    machinery must reproduce cosine_topk rank-identically — hard oracle
+    for the LSH path; the selective entry stays rows-only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = similarity.lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, nbits=16, max_hamming=16)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def q_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at the exhaustive-rerank corner (rerank ≥ corpus size): the
+    ADC pass admits every vector and the exact-cosine rerank must
+    reproduce cosine_topk rank-identically regardless of codebooks — hard
+    oracle for the PQ train/encode/ADC/rerank machinery; the bounded-
+    rerank entry stays rows-only (ADC candidate cut is approximate)."""
+    from neural_search_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = pq.pq_topk(emb, _query_vec(spark, sf_dir), k=10, m=8, nbits=6,
+                     rerank=10_000_000)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: PQ codebooks come from numpy k-means (approximate by
     construction; recall + exact-rerank-score pytest oracles in
@@ -5371,6 +5400,8 @@ SPARK_QUERIES_EXT = {
     "lsh_topk": q_lsh_topk,
     "ivf_topk": q_ivf_topk,
     "ivf_exact_topk": q_ivf_exact_topk,
+    "lsh_exact_topk": q_lsh_exact_topk,
+    "pq_exact_topk": q_pq_exact_topk,
     "pq_topk": q_pq_topk,
     "ann_indexed_topk": q_ann_indexed_topk,
     "ann_indexed_exact_topk": q_ann_indexed_exact_topk,
@@ -5512,6 +5543,8 @@ ORACLE_SQL_EXT = {
     "cosine_topk": COSINE_TOPK_SQL,
     # nprobe = nlist -> exhaustive -> rank-identical to brute cosine
     "ivf_exact_topk": COSINE_TOPK_SQL,
+    "lsh_exact_topk": COSINE_TOPK_SQL,
+    "pq_exact_topk": COSINE_TOPK_SQL,
     "ann_indexed_exact_topk": COSINE_TOPK_SQL,
     "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),
     "knn_radial": KNN_RADIAL_SQL,
