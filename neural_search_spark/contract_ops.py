@@ -4660,32 +4660,45 @@ COMBINED_FIELDS_SQL = f"""
 def q_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_histogram (calendar day) over the events table with a metric
     sub-agg plus the two parent pipelines (derivative over the metric,
-    cumulative_sum over doc_count)."""
+    cumulative_sum over doc_count).
+
+    Exact-integer facts throughout (the repetition_stats medicine, and
+    the r04 verdict's #4): ``value`` is 2-decimal, so the metric sums
+    integer CENTS (BIGINT — a float ``round(sum − lag, 4)`` can emit
+    −0.0 on one engine and +0.0 on the other when the true difference
+    is exactly zero, because partial-sum order differs with partition
+    count), and the bucket key is epoch SECONDS (BIGINT — the one
+    hashed TIMESTAMP in the r04 window that went red; every other
+    hashed type is env-independent)."""
     from neural_search_spark.query import aggs
 
     idx = _get_index(spark, sf_dir)
+    ev = _events(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long"))
     out = aggs.aggregate(idx, {
         "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
-              "aggs": {"v": {"sum": {"field": "value"}},
+              "aggs": {"v": {"sum": {"field": "value_cents"}},
                        "dv": {"derivative": {"buckets_path": "v"}},
                        "cum": {"cumulative_sum":
                                {"buckets_path": "doc_count"}}}},
-    }, query=None, doc_values=_events(spark, sf_dir),
-        doc_values_id="event_id")
+    }, query=None, doc_values=ev, doc_values_id="event_id")
     return out["d"].select(
-        "key", "doc_count", F.round("v", 4).alias("v"),
-        F.round("dv", 4).alias("dv"), "cum")
+        F.unix_timestamp("key").cast("long").alias("key_epoch"),
+        "doc_count", F.col("v").cast("long").alias("v_cents"),
+        F.col("dv").cast("long").alias("dv_cents"), "cum")
 
 
 AGG_DATE_HISTOGRAM_SQL = """
-    WITH b AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key,
-                      count(*) AS doc_count, sum(value) AS v
+    WITH b AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                        AS key_epoch,
+                      count(*) AS doc_count,
+                      sum(CAST(round(value * 100) AS BIGINT)) AS v
                FROM events GROUP BY 1)
-    SELECT key, doc_count, round(v, 4) AS v,
-           round(v - lag(v) OVER (ORDER BY key), 4) AS dv,
-           sum(doc_count) OVER (ORDER BY key
+    SELECT key_epoch, doc_count, CAST(v AS BIGINT) AS v_cents,
+           CAST(v - lag(v) OVER (ORDER BY key_epoch) AS BIGINT) AS dv_cents,
+           sum(doc_count) OVER (ORDER BY key_epoch
                                 ROWS UNBOUNDED PRECEDING) AS cum
-    FROM b ORDER BY key ASC
+    FROM b ORDER BY key_epoch ASC
 """
 
 
@@ -5280,6 +5293,46 @@ AGG_SCRIPTED_METRIC_SQL = f"""
 """
 
 
+def q_agg_scripted_metric_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin for agg_scripted_metric (r04 verdict #5): the same
+    matched set and per-lang buckets, but every input to the scripted
+    metric split out as its own exact-integer column (sum of n_chars, sum
+    of length(source), min/max of each) so a driver-side hash divergence
+    localizes to one fact instead of one opaque composite. Bypasses the
+    aggs scripted_metric machinery deliberately — if THIS entry greens
+    while agg_scripted_metric stays red, the divergence is inside the
+    scripted-metric expression path; if both stay red, it is in the
+    matched set or the lang bucketing."""
+    from neural_search_spark.query import aggs
+
+    idx = _get_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    matched = aggs.matched_docs(idx, AGG_QUERY).select(
+        F.col("docID").cast("long").alias("doc_id"))
+    j = docs.join(matched, "doc_id")
+    return (j.groupBy(F.col("lang").alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"),
+                 F.sum(F.length("source")).cast("long").alias("sum_srclen"),
+                 F.min("n_chars").cast("long").alias("min_chars"),
+                 F.max("n_chars").cast("long").alias("max_chars"),
+                 F.max(F.col("n_chars") % 97).cast("long").alias("mx"))
+            .orderBy(F.desc("doc_count"), F.asc("key")))
+
+
+AGG_SCRIPTED_METRIC_DEBUG_SQL = f"""
+    WITH {_AGG_MATCHED_CTE}
+    SELECT lang AS key, count(*) AS doc_count,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(source)) AS BIGINT) AS sum_srclen,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(max(n_chars % 97) AS BIGINT) AS mx
+    FROM documents JOIN m USING (doc_id)
+    GROUP BY lang ORDER BY doc_count DESC, key ASC
+"""
+
+
 def q_agg_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """terms bucket ordered by a sub-metric (ES terms `order` parameter),
     key-asc tie-break."""
@@ -5306,6 +5359,7 @@ SPARK_QUERIES_EXT = {
     "semantic_highlight": q_semantic_highlight,
     "agg_auto_date_histogram": q_agg_auto_date_histogram,
     "agg_scripted_metric": q_agg_scripted_metric,
+    "agg_scripted_metric_debug": q_agg_scripted_metric_debug,
     "agg_terms_order": q_agg_terms_order,
     "agg_significant_chi2": q_agg_significant_chi2,
     "agg_vwh": q_agg_vwh,
@@ -5461,6 +5515,7 @@ ORACLE_SQL_EXT = {
     "semantic_highlight": _SEM_HL_SQL,
     "agg_auto_date_histogram": AGG_AUTO_DATE_HISTOGRAM_SQL,
     "agg_scripted_metric": AGG_SCRIPTED_METRIC_SQL,
+    "agg_scripted_metric_debug": AGG_SCRIPTED_METRIC_DEBUG_SQL,
     "agg_terms_order": AGG_TERMS_ORDER_SQL,
     "agg_significant_chi2": AGG_SIG_CHI2_SQL,
     "agg_vwh": AGG_VWH_SQL,

@@ -408,6 +408,24 @@ def finalize_postings(raw: DataFrame, n_total: int) -> DataFrame:
     )
 
 
+def dictionary_from_postings(postings: DataFrame) -> DataFrame:
+    """The term dictionary ``(term, termID, df)`` derived from a finalized
+    postings table — df rides every postings row, so this is one
+    column-pruned scan + map-side-combinable distinct (header-scale, not
+    posting-scale). Used once at build time to snapshot the ``dictionary``
+    table, and as the back-compat fallback for indexes built before the
+    dictionary stage existed.
+
+    Why a persisted table: every dictionary-expansion query (prefix /
+    fuzzy / wildcard / regexp / suggest / mlt / query_string) needs
+    (term → df) lookups. Re-deriving that from the postings table is a
+    full postings-file scan per query — at 10^12 docs the postings table
+    is the corpus-scale object while the dictionary is ~10^7-10^8 rows,
+    trivially scannable. Lucene keeps the term dictionary (.tim/.tip) as
+    its own file for exactly this reason."""
+    return postings.select("term", "termID", "df").distinct()
+
+
 def _drop_raw_snapshot(spark: SparkSession, index_dir: str) -> None:
     """Remove the intermediate postings_raw snapshot once the finalized
     postings stage has committed — it exists only as the stage-3a/3b
@@ -536,7 +554,15 @@ def build_index(
             run_stage("postings_raw", {"postings_raw": raw})
         raw_df = snapshot_read(spark, index_dir, "postings_raw")
         run_stage("postings", {"postings": finalize_postings(raw_df, n_total)})
-        _drop_raw_snapshot(spark, index_dir)
+
+    # stage 4 — term dictionary (term, termID, df): the Lucene .tim analog.
+    # Expansion/suggest/mlt df-lookups read THIS, never the postings table.
+    if not (resume and man.stage_done("dictionary", fp)):
+        run_stage("dictionary", {"dictionary": dictionary_from_postings(
+            snapshot_read(spark, index_dir, "postings"))})
+    # unconditional (safe no-op when already dropped): a crash between the
+    # postings commit and the drop must not leave the raw snapshot forever
+    _drop_raw_snapshot(spark, index_dir)
 
     man = Manifest.load(index_dir)
     man.stages.setdefault("_config", {})["fingerprint"] = fp
@@ -545,7 +571,8 @@ def build_index(
         # pin this build's table snapshots: append/merge must read THESE even
         # after its own early stages commit newer snapshots (resume safety)
         "tables": {t: man.current[t] for t in
-                   ("docmap", "doclens", "stats", "postings") if t in man.current},
+                   ("docmap", "doclens", "stats", "postings", "dictionary")
+                   if t in man.current},
     })
     man.commit()
     return load_index(spark, index_dir)
@@ -566,6 +593,16 @@ class Index:
     k1: float = BM25_K1                  # per-index BM25 params (baked into
     b: float = BM25_B                    # block-max scores at encode time)
     analyzer: str = "standard"           # index-level analysis chain name
+    dictionary: DataFrame | None = None  # (term, termID, df) — Lucene .tim
+
+    def dict_table(self) -> DataFrame:
+        """The term dictionary ``(term, termID, df)``. Reads the committed
+        dictionary snapshot when present; derives it from postings block
+        rows for pre-dictionary indexes (back-compat, full postings scan —
+        rebuild to get the fast path)."""
+        if self.dictionary is not None:
+            return self.dictionary
+        return dictionary_from_postings(self.postings)
 
     def warmup(self) -> "Index":
         """Pin postings in executor memory — the analog of the reference's
@@ -685,4 +722,8 @@ def load_index(spark: SparkSession, index_dir: str) -> Index:
         k1=float(cfg.get("k1", BM25_K1)),
         b=float(cfg.get("b", BM25_B)),
         analyzer=str(cfg.get("analyzer", "standard")),
+        dictionary=(
+            snapshot_read(spark, index_dir, "dictionary")
+            if "dictionary" in man.current else None
+        ),
     )

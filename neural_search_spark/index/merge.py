@@ -312,7 +312,11 @@ def append_to_index(
             })
         raw_df = snapshot_read(spark, index_dir, "postings_raw")
         run_stage("postings", {"postings": finalize_postings(raw_df, n_total)})
-        _drop_raw_snapshot(spark, index_dir)
+    if not man.stage_done("dictionary", fp):
+        from neural_search_spark.index.build import dictionary_from_postings
+        run_stage("dictionary", {"dictionary": dictionary_from_postings(
+            snapshot_read(spark, index_dir, "postings"))})
+    _drop_raw_snapshot(spark, index_dir)
 
     man = Manifest.load(index_dir)
     man.stages.setdefault("_config", {})["fingerprint"] = fp
@@ -323,7 +327,8 @@ def append_to_index(
         "stage": "build-complete", "config": cfg, "ts": time.time(),
         "compacted_deletes": n_deleted,
         "tables": {t: man.current[t] for t in
-                   ("docmap", "doclens", "stats", "postings") if t in man.current},
+                   ("docmap", "doclens", "stats", "postings", "dictionary")
+                   if t in man.current},
     })
     man.commit()
     return load_index(spark, index_dir)

@@ -617,9 +617,11 @@ def significant_text_from_index(
     ids = matched_docs(index, query, where=where)
     fg_total = ids.count()
     bg_total = index.n_docs
-    bg = index.postings.groupBy("term").agg(
-        F.sum(F.aggregate("blocks", F.lit(0).cast("long"),
-                          lambda a, b: a + b["n"])).alias("bg_count"))
+    # background df per term from the persisted dictionary (Lucene .tim
+    # analog) — the full-postings header aggregation this replaced was a
+    # corpus-scale scan per significant_* agg
+    bg = index.dict_table().select(
+        "term", F.col("df").alias("bg_count"))
     fg = (
         decode_postings(index.postings)
         .join(ids, "docID", "left_semi")

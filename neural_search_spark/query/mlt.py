@@ -14,9 +14,9 @@ Spark-first shape:
    standard analyzer (``tokens_with_tf``); collected to the driver exactly
    like Lucene materializes the seed's term vector on one node (bounded by
    the seed's doclen, not the corpus);
-2. df per candidate term from posting-block headers (term-pruned postings
-   scan, no decode — the same TermEnum-style aggregate the other expansion
-   queries use);
+2. df per candidate term from the persisted term dictionary (the same
+   TermEnum-style lookup the other expansion queries use — never a
+   postings-table scan);
 3. interestingness = tf_seed · idf(df) with the engine's BM25 idf
    ln(1 + (N − df + 0.5)/(df + 0.5)) (divergence from Lucene's classic
    ``1 + log(N/(df+1))`` — monotone-equivalent in df, so the selected SET

@@ -81,15 +81,11 @@ def semi_join_candidates(
 
 
 def _term_dfs(index: Index, terms: list[str]) -> dict[str, int]:
-    """df per term from posting-block headers (no decode)."""
+    """df per term from the persisted term dictionary (Lucene .tim analog
+    — never a postings-table scan; see build.dictionary_from_postings)."""
     rows = (
-        index.postings.where(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(
-            F.sum(
-                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
-            ).alias("df")
-        )
+        index.dict_table().where(F.col("term").isin(terms))
+        .select("term", "df")
         .collect()
     )
     return {r["term"]: int(r["df"]) for r in rows}
@@ -288,13 +284,7 @@ def expand_prefix(
     if not prefix:
         raise ValueError("empty prefix")
     rows = (
-        index.postings.where(F.col("term").startswith(prefix))
-        .groupBy("term")
-        .agg(
-            F.sum(
-                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
-            ).alias("df")
-        )
+        index.dict_table().where(F.col("term").startswith(prefix))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansions)
         .collect()
@@ -329,12 +319,28 @@ def phrase_prefix_search(
             F.col(index.id_col).cast("long").alias("docID"),
             F.lit(0.0).alias("score"),
         ).limit(0)
-    # df of the prefix slot = docs matched by ANY expansion; cheap exact
-    # count from the dictionary-pruned postings (distinct docs)
-    pref_df = (
-        decode_postings(index.postings.where(F.col("term").startswith(prefix)))
-        .select("docID").distinct().count()
-    )
+    # df of the prefix slot = docs matched by ANY expansion; exact count
+    # from postings pruned to the dictionary's expansion termIDs (the
+    # dictionary scan is tiny; the termID equality set prunes postings
+    # row-groups — the finalize output is termID-ordered)
+    pref_ids = [
+        r["termID"]
+        for r in index.dict_table()
+        .where(F.col("term").startswith(prefix)).select("termID").collect()
+    ]
+    if not pref_ids:
+        pref_df = 0
+    else:
+        # huge expansion sets would bloat the isin literal — fall back to
+        # the pushdown-able startswith filter (same result, full-scan cost)
+        pruned = (
+            index.postings.where(F.col("termID").isin(pref_ids))
+            if len(pref_ids) <= 4096
+            else index.postings.where(F.col("term").startswith(prefix))
+        )
+        pref_df = (
+            decode_postings(pruned).select("docID").distinct().count()
+        )
     if pref_df == 0:
         return index.docmap.select(
             F.col(index.id_col).cast("long").alias("docID"),
@@ -406,12 +412,7 @@ def expand_fuzzy(
     if not term:
         raise ValueError("empty fuzzy term")
     rows = (
-        index.postings.groupBy("term")
-        .agg(
-            F.sum(
-                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
-            ).alias("df")
-        )
+        index.dict_table()
         .withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
         .where(F.col("dist") <= fuzziness)
         .withColumn(
@@ -482,13 +483,7 @@ def expand_regex(
         raise ValueError("empty regexp pattern")
     anchored = f"^(?:{pattern})$"
     rows = (
-        index.postings.where(F.col("term").rlike(anchored))
-        .groupBy("term")
-        .agg(
-            F.sum(
-                F.aggregate("blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"])
-            ).alias("df")
-        )
+        index.dict_table().where(F.col("term").rlike(anchored))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(max_expansions)
         .collect()

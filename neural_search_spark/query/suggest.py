@@ -68,14 +68,10 @@ def term_suggest(
         [(t, t[:prefix_length]) for t in tokens],
         "input_term string, _pfx string")
 
-    # dictionary (term → df) from block headers: no posting decode, and
-    # Parquet column pruning keeps the scan to (term, blocks.n)
+    # (term → df) from the persisted term dictionary — the postings table
+    # is never touched until/unless the caller runs the suggested terms
     dic = (
-        index.postings
-        .groupBy("term")
-        .agg(F.sum(F.aggregate(
-            "blocks", F.lit(0).cast("long"), lambda a, b: a + b["n"]
-        )).alias("df"))
+        index.dict_table().select("term", "df")
         .withColumn("_pfx", F.substring("term", 1, prefix_length))
     )
 

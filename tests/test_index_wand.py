@@ -143,6 +143,22 @@ def test_index_invariants(index):
         assert df_sum[(r["termID"],)] == r["df"]
 
 
+def test_dictionary_snapshot_matches_postings(index):
+    """The persisted dictionary table (Lucene .tim analog) is exactly the
+    (term, termID, df) set the postings table implies — one row per term,
+    same dfs — so every expansion/suggest/mlt lookup routed through it is
+    equivalent to the old full-postings header aggregation."""
+    from neural_search_spark.index.build import dictionary_from_postings
+
+    assert index.dictionary is not None, "build must commit a dictionary"
+    got = {(r["term"], r["termID"], r["df"])
+           for r in index.dictionary.collect()}
+    want = {(r["term"], r["termID"], r["df"])
+            for r in dictionary_from_postings(index.postings).collect()}
+    assert got == want
+    assert len(got) == len({t for t, _, _ in got})  # one row per term
+
+
 def test_stats_avgdl(index):
     dl = index.doclens
     total, n = dl.groupBy().sum("doclen").collect()[0][0], dl.count()
