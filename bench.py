@@ -612,7 +612,7 @@ def main() -> None:
     if "seismic" in res:
         queries["seismic_build"] = res["seismic"]["build_s"]
         queries["seismic_ann_p50"] = res["seismic"]["ann_query_p50_s"]
-    report = {
+    full_report = {
         "metric": "index_build_plus_query_wall",
         "value": headline,
         "unit": "sec",
@@ -633,7 +633,36 @@ def main() -> None:
             **extra,
         },
     }
-    print(json.dumps(report))
+    # the full report (trials arrays, ceiling probe, seed policy, …) goes
+    # to a file — the driver's stdout tail-capture is finite and an
+    # oversized final line left round 4 with "parsed": null. The FINAL
+    # stdout line stays a compact headline-only JSON (≲2 KB).
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_full_latest.json", "w") as fh:
+            json.dump(full_report, fh, indent=1)
+    except OSError:
+        pass
+    scal = extra.get("scaling", {})
+    compact = {
+        "metric": "index_build_plus_query_wall",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_val,
+        "extra": {
+            "cpus": res["cpus"],
+            "n_files": res["n_files"],
+            "index_files_per_sec": res["index_files_per_sec"],
+            "query_p50_s": res["query_p50_s"],
+            "query_p99_s": res["query_p99_s"],
+            **({k: scal[k] for k in
+                ("efficiency_2_to_8", "efficiency_8_to_32",
+                 "efficiency_8_to_32_vs_ceiling") if k in scal}),
+            "full_report": "BENCH/bench_full_latest.json",
+        },
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -223,6 +223,10 @@ def _proc_semantic_field(df: DataFrame, params: dict) -> DataFrame:
         F.lit(model_type).alias("type"),
     )
     chunk_cfg = params.get("chunking", False)
+    # declared-mapping type (SemanticInfoConfigBuilder analog) — the
+    # output casts to it so the sink schema equals the declaration
+    # regardless of per-expression Catalyst nullability inference
+    declared = semantic_info_field_type(params)
     for src, dst in params["field_map"].items():
         c = F.col(src)
         if chunk_cfg:
@@ -233,10 +237,12 @@ def _proc_semantic_field(df: DataFrame, params: dict) -> DataFrame:
                 lambda t: F.struct(t.alias("text"), emb(t).alias("embedding")),
             )
             df = df.withColumn(dst, F.struct(
-                chunk_structs.alias("chunks"), model_struct.alias("model")))
+                chunk_structs.alias("chunks"),
+                model_struct.alias("model")).cast(declared))
         else:
             df = df.withColumn(dst, F.struct(
-                emb(c).alias("embedding"), model_struct.alias("model")))
+                emb(c).alias("embedding"),
+                model_struct.alias("model")).cast(declared))
     return df
 
 
@@ -249,6 +255,111 @@ PROCESSORS = {
 }
 
 
+def semantic_info_field_type(params: dict):
+    """Derive the Spark type of a ``<field>_semantic_info`` struct from a
+    semantic-field declaration WITHOUT running the processor — the analog
+    of the reference's SemanticInfoConfigBuilder
+    (main/mappingtransformer/SemanticInfoConfigBuilder.java), which builds
+    the ``_semantic_info`` sub-mapping (chunks/embedding + model
+    {id,name,type}) from the declared semantic field's model config.
+
+    Equality with the schema `_proc_semantic_field` actually produces is
+    pytest-gated (test_pipeline::test_semantic_mapping_schema_derivation),
+    so the declared mapping can never drift from the ingest output."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, MapType, StringType, StructField, StructType,
+    )
+
+    if "model_id" not in params:
+        raise ValueError("semantic_field requires model_id")
+    model_type = params.get("model_type", "dense")
+    if model_type not in ("dense", "sparse"):
+        raise ValueError("model_type must be dense|sparse")
+    emb_t = (MapType(StringType(), DoubleType())
+             if model_type == "sparse" else ArrayType(DoubleType()))
+    model_t = StructType([
+        StructField("id", StringType(), True),
+        StructField("name", StringType(), True),
+        StructField("type", StringType(), True),
+    ])
+    # all-nullable on purpose: the DECLARED type is authoritative and the
+    # ingest processor casts its output to it (stable sink schema across
+    # Catalyst nullability-inference quirks per expression path)
+    if params.get("chunking", False):
+        chunk_t = ArrayType(StructType([
+            StructField("text", StringType(), True),
+            StructField("embedding", emb_t, True),
+        ]))
+        return StructType([
+            StructField("chunks", chunk_t, True),
+            StructField("model", model_t, True),
+        ])
+    return StructType([
+        StructField("embedding", emb_t, True),
+        StructField("model", model_t, True),
+    ])
+
+
+def transform_semantic_mapping(mapping: dict) -> dict:
+    """Auto-inject the ``<field>_semantic_info`` sub-mapping for every
+    declared semantic field — the analog of the reference's
+    SemanticMappingTransformer
+    (main/mappingtransformer/SemanticMappingTransformer.java), which
+    rewrites an index mapping at creation time so users declare only
+    ``{"type": "semantic", "model_id": ...}`` and the info struct appears.
+
+    ``mapping``: ``{"properties": {field: {"type": ..., ...}}}``. Returns
+    a NEW mapping where each ``{"type": "semantic"}`` field gains a
+    sibling ``<field>_semantic_info`` (or the declared
+    ``semantic_info_field_name``) entry carrying the derived Spark
+    StructType plus the normalized semantic params the ingest processor
+    needs. Pure config-level code — no Spark session required."""
+    props = mapping.get("properties")
+    if not isinstance(props, dict):
+        raise ValueError("mapping requires a properties dict")
+    out = dict(props)
+    for field, decl in props.items():
+        if not (isinstance(decl, dict) and decl.get("type") == "semantic"):
+            continue
+        params = {k: v for k, v in decl.items() if k != "type"}
+        dst = params.pop("semantic_info_field_name",
+                         f"{field}_semantic_info")
+        if dst in props:
+            raise ValueError(
+                f"semantic info field {dst!r} collides with a declared "
+                "field (reference rejects this too)")
+        out[dst] = {
+            "type": "semantic_info",
+            "spark_type": semantic_info_field_type(params),
+            "source_field": field,
+            "model_id": params["model_id"],
+            "model_name": params.get("model_name", params["model_id"]),
+            "model_type": params.get("model_type", "dense"),
+            "chunking": params.get("chunking", False),
+        }
+    return {**mapping, "properties": out}
+
+
+def semantic_processors_from_mapping(mapping: dict) -> list[dict]:
+    """The ingest pipeline implied by a transformed mapping: one
+    ``semantic_field`` processor per injected ``semantic_info`` entry,
+    with the field_map routing source → info field. Feed the result to
+    :func:`run_pipeline` — declaration and ingest share one source of
+    truth, like the reference's mapper-driven SemanticFieldProcessorFactory
+    (main/processor/semantic/SemanticFieldProcessorFactory.java)."""
+    procs: list[dict] = []
+    for dst, decl in mapping.get("properties", {}).items():
+        if not (isinstance(decl, dict)
+                and decl.get("type") == "semantic_info"):
+            continue
+        src_decl = mapping["properties"][decl["source_field"]]
+        params = {k: v for k, v in src_decl.items()
+                  if k not in ("type", "semantic_info_field_name")}
+        params["field_map"] = {decl["source_field"]: dst}
+        procs.append({"semantic_field": params})
+    return procs
+
+
 def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
     """Apply an ordered processor chain (the ingest pipeline definition).
 
@@ -257,6 +368,8 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
     processors fuse into one projection — the whole pipeline is a single
     narrow stage over the document scan.
     """
+    from neural_search_spark.stats import record_event
+
     for spec in processors:
         if len(spec) != 1:
             raise ValueError("each pipeline entry must be {processor: params}")
@@ -265,6 +378,15 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             raise ValueError(f"unknown processor: {name}")
         if "field_map" not in params or not params["field_map"]:
             raise ValueError(f"processor '{name}' requires a field_map")
+        # per-event counters (reference EventStatName.java:16-80 — counts
+        # processor EXECUTIONS; ours count chain invocations: one column
+        # rewrite per invocation, documented divergence from per-doc)
+        record_event(f"{name}_executions")
+        if name == "text_chunking":
+            (algo, _), = params.get("algorithm", {"delimiter": {}}).items()
+            record_event(f"text_chunking_{algo}_executions")
+        elif name == "semantic_field" and params.get("chunking", False):
+            record_event("semantic_field_chunking_executions")
         df = PROCESSORS[name](df, params)
     return df
 
@@ -345,6 +467,10 @@ def run_pipeline_incremental(
             fresh = PROCESSORS[name](
                 j.where(~reuse | reuse.isNull()).drop(*drop_cols), sub_params)
             df = reused.unionByName(fresh)
+            # reference EventStatName SKIP_EXISTING_EXECUTIONS: the reuse
+            # branch engaged for this (src, dst) pair
+            from neural_search_spark.stats import record_event
+            record_event("skip_existing_executions")
     return df
 
 

@@ -190,6 +190,52 @@ INDEX_STATS_SQL = f"""
 """
 
 
+def q_engine_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event stats counters (reference:
+    main/stats/events/EventStatName.java:16-286 +
+    main/stats/NeuralStats.java — ~45 named event counters behind the
+    stats API). The entry resets the registry, replays a FIXED request
+    script through the real engine entry points (two hybrid searches with
+    distinct techniques, one ingest pipeline with chunking + sparse
+    encoding + a semantic field), and returns the full counter table —
+    exact integers, oracled against the literal expected counts."""
+    from neural_search_spark import stats
+    from neural_search_spark.analysis import pipeline as pl
+    from neural_search_spark.query.hybrid import hybrid_search
+
+    idx = _get_index(spark, sf_dir)
+    stats.reset_engine_stats()
+    hybrid_search(idx, [["data"], ["query"]], k=3).collect()
+    hybrid_search(idx, [["data"], ["merge"]], k=3,
+                  normalization="z_score",
+                  combination="harmonic_mean").collect()
+    docs = _docs(spark, sf_dir).limit(5)
+    pl.run_pipeline(docs, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"delimiter": {}}}},
+        {"sparse_encoding": {"field_map": {"chunks": "sparse"}}},
+        {"semantic_field": {"field_map": {"text": "si"},
+                            "model_id": "m1"}},
+    ]).collect()
+    return stats.stats_frame(spark).orderBy("event")
+
+
+ENGINE_EVENT_STATS_SQL = """
+    SELECT * FROM (VALUES
+        ('comb_arithmetic_executions',        CAST(1 AS BIGINT)),
+        ('comb_harmonic_executions',          CAST(1 AS BIGINT)),
+        ('hybrid_query_requests',             CAST(2 AS BIGINT)),
+        ('norm_minmax_executions',            CAST(1 AS BIGINT)),
+        ('norm_zscore_executions',            CAST(1 AS BIGINT)),
+        ('normalization_processor_executions', CAST(2 AS BIGINT)),
+        ('semantic_field_executions',         CAST(1 AS BIGINT)),
+        ('sparse_encoding_executions',        CAST(1 AS BIGINT)),
+        ('text_chunking_delimiter_executions', CAST(1 AS BIGINT)),
+        ('text_chunking_executions',          CAST(1 AS BIGINT))
+    ) AS t(event, count) ORDER BY event
+"""
+
+
 # batched multi-search: one rare, one multi-term mid, one heavy query —
 # all three run in ONE Spark job sharing the postings scan + decode cache
 MSEARCH_BATCH = {
@@ -1876,6 +1922,24 @@ def q_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def _ann_cache_tag(sf_dir: str) -> str:
+    """Cache tag for the persisted ANN index, keyed on the embeddings
+    DATA (file names + sizes + mtimes), not just the sf_dir path: a
+    regenerated embeddings.parquet at the same path must invalidate the
+    cached index — it feeds a HARD oracle (ann_indexed_exact_topk), so a
+    stale index would produce a false red/green."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    parts = [sf_dir]
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
 def q_ann_indexed_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF index probed exhaustively (nprobe = nlist): the
     partition-pruned serving path must reproduce cosine_topk
@@ -1883,7 +1947,7 @@ def q_ann_indexed_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle for the index build + serve machinery."""
     from neural_search_spark.operators.ann_index import ann_search, build_ann_index
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = _ann_cache_tag(sf_dir)
     idx_dir = os.path.join(tempfile.gettempdir(), f"nss-ann-idx-{tag}")
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -1943,7 +2007,7 @@ def q_ann_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_dedup_similarity.py)."""
     from neural_search_spark.operators.ann_index import ann_search, build_ann_index
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    tag = _ann_cache_tag(sf_dir)
     idx_dir = os.path.join(tempfile.gettempdir(), f"nss-ann-idx-{tag}")
     if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -5378,6 +5442,7 @@ SPARK_QUERIES_EXT = {
     "wand_topk_weighted": q_wand_weighted,
     "wand_topk_tuned": q_wand_tuned,
     "index_stats": q_index_stats,
+    "engine_event_stats": q_engine_event_stats,
     "msearch_topk": q_msearch_topk,
     "wand_search_after": q_wand_search_after,
     "wand_filtered": q_wand_filtered,
@@ -5534,6 +5599,7 @@ ORACLE_SQL_EXT = {
     "wand_topk_weighted": _bm25_weighted_sql(WAND_WEIGHTS, 10),
     "wand_topk_tuned": _bm25_exact_sql(WAND_TERMS_MULTI, 10, TUNED_K1, TUNED_B),
     "index_stats": INDEX_STATS_SQL,
+    "engine_event_stats": ENGINE_EVENT_STATS_SQL,
     "msearch_topk": _msearch_sql(MSEARCH_BATCH, 10),
     "wand_search_after": _bm25_page2_sql(WAND_TERMS_MULTI, 10),
     "wand_filtered": _bm25_filtered_sql(WAND_TERMS_MULTI, 10, FILTER_MIN_DOCLEN),

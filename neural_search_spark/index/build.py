@@ -341,7 +341,11 @@ def encode_postings_raw(
     # merged the ~5 MB-per-partition exchange down to a handful of Python
     # workers. An explicit count keeps the user's shuffle sizing and is
     # left untouched by AQE.
-    nparts = int(runs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        nparts = int(
+            runs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:  # e.g. "auto" on AQE-managed distributions
+        nparts = runs.sparkSession.sparkContext.defaultParallelism
     return (
         enriched.repartition(nparts, "termID", "bucket")
         .sortWithinPartitions("termID", "bucket", "docID")

@@ -849,6 +849,8 @@ def seismic_search(
     therefore degrades for ranks > 10 exactly as the reference's does;
     raise ``heap_factor`` (the reference's own knob) or use mode="exact".
     """
+    from neural_search_spark.stats import record_event
+    record_event("seismic_query_requests")
     spark = index.spark
     p = index.params or {}
     modulus = p.get("modulus", MODULUS_FOR_SHORT)

@@ -90,8 +90,12 @@ def pack_sequences(
 
     local = ranged.mapInPandas(_local_cumsum, local_schema)
     # mapInPandas output feeds two branches (offsets agg + final projection);
-    # persist so the cumsum pass runs once
-    local = local.persist()
+    # an eager localCheckpoint runs the cumsum exactly once AND pins the
+    # range-partitioner's sampled boundaries (re-evaluation could resample),
+    # while its blocks are released by the ContextCleaner once the caller
+    # drops the result — a bare .persist() here accumulated cached
+    # partitions across repeated pack_sequences calls in one session
+    local = local.localCheckpoint(eager=True)
 
     # pass 2: per-partition totals → exclusive offsets (#partitions rows on
     # the driver — tiny at any scale)

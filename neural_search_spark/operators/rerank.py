@@ -54,6 +54,8 @@ def rerank_by_field(
     requested, sorted (score desc, id asc) — the reference re-sorts rescored
     hits by the new score.
     """
+    from neural_search_spark.stats import record_event
+    record_event("rerank_by_field_executions")
     if target_field not in docmap.columns:
         raise ValueError(f"target_field {target_field!r} not in docmap")
     payload_cols = [
@@ -236,6 +238,8 @@ def rerank_by_similarity(
     Spark shape: one broadcast-friendly equi-join of the candidate-window-
     sized hit set against the doc table — the big table never shuffles.
     """
+    from neural_search_spark.stats import record_event
+    record_event("rerank_ml_executions")
     fn = similarity_fn or similarity_double
     sim = fn(query_text, F.col(text_field))
     checked = F.when(

@@ -163,6 +163,11 @@ def normalize_scores(
     """
     if technique not in NORMALIZATION_TECHNIQUES:
         raise ValueError(f"unknown normalization technique {technique!r}")
+    from neural_search_spark.stats import record_event
+    # reference EventStatName norm_* (min_max→minmax, z_score→zscore)
+    record_event("norm_"
+                 + technique.replace("min_max", "minmax")
+                 .replace("z_score", "zscore") + "_executions")
     if not (1 <= rank_constant <= 10_000):
         # reference: RRFNormalizationTechnique.java MIN/MAX_RANK_CONSTANT
         raise ValueError("rank_constant must be in [1, 10000]")
@@ -232,6 +237,9 @@ def combine_scores(
     """
     if technique not in COMBINATION_TECHNIQUES:
         raise ValueError(f"unknown combination technique {technique!r}")
+    from neural_search_spark.stats import record_event
+    # reference EventStatName comb_* (arithmetic_mean→arithmetic, …)
+    record_event("comb_" + technique.replace("_mean", "") + "_executions")
     if weights is None:
         weights = [1.0] * n_subqueries
     if len(weights) != n_subqueries:
@@ -346,6 +354,19 @@ def hybrid_search(
                 "matching the number of sub-queries, but found a mismatch"
             )
     depth = pagination_depth or k
+
+    # per-event counters (reference EventStatName HYBRID_QUERY_*_REQUESTS
+    # + NORMALIZATION_PROCESSOR_EXECUTIONS / RANK_BASED_NORMALIZATION_…)
+    from neural_search_spark.stats import record_event
+    record_event("hybrid_query_requests")
+    if from_ > 0 or pagination_depth is not None:
+        record_event("hybrid_query_with_pagination_requests")
+    if any(isinstance(q, dict) and q.get("where") is not None
+           for q in subqueries):
+        record_event("hybrid_query_with_filter_requests")
+    record_event("rank_based_normalization_processor_executions"
+                 if normalization == "rrf"
+                 else "normalization_processor_executions")
 
     # plain sub-queries (no per-term weights, no filter) batch through the
     # msearch kernel: ONE postings scan + ONE bucket pass + ONE θ-seeding

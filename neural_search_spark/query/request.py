@@ -507,6 +507,9 @@ def _apply_request_processors(body: dict) -> tuple[dict, dict]:
             q = body.get("query") or {}
             if "agentic" not in q:
                 continue
+            from neural_search_spark.stats import record_event
+            record_event("agentic_query_translator_executions")
+            record_event("agentic_query_requests")
             spec = agm.validate_agentic(q["agentic"])
             translate = pbody.get("translate_fn") or agm.default_translate
             resp = translate(spec["query_text"], spec["query_fields"],
@@ -526,6 +529,8 @@ def _apply_request_processors(body: dict) -> tuple[dict, dict]:
                 "dsl_query": dsl,
             }.items() if v}
         elif pkind == "neural_query_enricher":
+            from neural_search_spark.stats import record_event
+            record_event("neural_query_enricher_executions")
             default_model = pbody.get("default_model_id")
             per_field = pbody.get("neural_field_default_id") or {}
             if default_model is None and not per_field:
@@ -926,8 +931,13 @@ def search_request(
             idc = doc_values_id or sub_idx.id_col
             corpus = (doc_values if idc == sub_idx.id_col
                       else doc_values.withColumnRenamed(idc, sub_idx.id_col))
+            # default the forward-text column to the QUERIED field (like
+            # the intervals branch): on a multi-field index a match_phrase
+            # on "title" must verify adjacency against the title column,
+            # not a hardcoded "text"
             fr = phrase_scores(sub_idx, corpus, b["query"],
-                               text_col=b.get("text_col", "text"),
+                               text_col=b.get("text_col",
+                                              s.get("field") or "text"),
                                slop=b["slop"])
             if s.get("where") is not None:
                 fr = fr.join(_frame_filter(s), "docID", "left_semi")
@@ -1269,6 +1279,8 @@ def search_request(
         hits = out["hits"]
         for field, fopts in hl["fields"].items():
             if (fopts or {}).get("type") == "semantic":
+                from neural_search_spark.stats import record_event
+                record_event("semantic_highlighting_request_count")
                 # sentence-level highlighting (the reference's own
                 # highlighter type, main/highlight/SemanticHighlighter.java
                 # + single/SemanticHighlighterEngine.java): the deterministic
@@ -1405,6 +1417,8 @@ def search_request(
     for proc in rprocs:
         (pkind, pbody), = proc.items()
         if pkind == "agentic_context":
+            from neural_search_spark.stats import record_event
+            record_event("agentic_context_executions")
             # response ext from the agentic translation (reference:
             # main/processor/AgenticContextResponseProcessor.java:39-121 +
             # query/ext/AgentStepsSearchExtBuilder.java:24-26):

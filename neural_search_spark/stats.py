@@ -1,0 +1,60 @@
+"""Per-event engine stats counters.
+
+Reference: main/stats/events/EventStatName.java:16-286 registers ~45 named
+event counters (processor executions, query counts by type) behind
+main/stats/NeuralStats.java and the stats transport API. This module is
+the Spark-side analog: a process-local registry of named monotonic
+counters incremented at the engine's driver-side entry points (every
+query/request/processor dispatch runs on the driver here, so plain
+counters are the honest equivalent of the reference's node-level
+counters; executor-side kernel internals are already covered by the
+accumulator-based ``wand.profile_search`` machinery).
+
+Counter names mirror the reference enum where the surfaces map
+(``hybrid_query_requests``, ``norm_minmax_executions``,
+``text_embedding_executions``, …). Counts are exact integers — the
+contract entry ``engine_event_stats`` replays a fixed request script and
+oracles the full counter table against literal expected values.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import Counter
+
+__all__ = [
+    "record_event", "engine_stats", "reset_engine_stats", "stats_frame",
+]
+
+_LOCK = threading.Lock()
+_EVENTS: Counter = Counter()
+
+
+def record_event(name: str, n: int = 1) -> None:
+    """Increment the named event counter (thread-safe, driver-local)."""
+    with _LOCK:
+        _EVENTS[name] += int(n)
+
+
+def engine_stats() -> dict[str, int]:
+    """Snapshot of every recorded counter, name-sorted — the analog of the
+    reference's stats API response (main/stats/NeuralStats.java)."""
+    with _LOCK:
+        return {k: int(_EVENTS[k]) for k in sorted(_EVENTS)}
+
+
+def reset_engine_stats() -> None:
+    """Zero all counters (test isolation; the reference's counters are
+    node-lifetime monotonic — resets here exist for deterministic
+    replay, not parity)."""
+    with _LOCK:
+        _EVENTS.clear()
+
+
+def stats_frame(spark):
+    """The counter table as DataFrame(event, count) ordered by event —
+    the query-shaped surface the contract entry returns."""
+    snap = engine_stats()
+    rows = [(k, v) for k, v in snap.items()]
+    return spark.createDataFrame(rows or [("_none", 0)],
+                                 "event string, count long")

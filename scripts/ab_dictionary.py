@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Interleaved warm A/B: persisted dictionary table vs postings-derived
+fallback for the dictionary-expansion query family (r04 verdict item 2).
+
+Builds ONE 500k index, then times each expansion-family query with
+``index.dictionary`` present (new path) and with it forced to None (the
+pre-r05 behavior: every df lookup re-aggregates the postings table), in
+interleaved A/B/A/B order so VM window drift hits both arms equally.
+Medians over ``trials`` warm trials per arm.
+
+    python scripts/ab_dictionary.py [n_docs] [trials]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from statistics import median
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from neural_search_spark.corpus import generate_corpus, with_doc_id  # noqa: E402
+from neural_search_spark.index.build import build_index  # noqa: E402
+from neural_search_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("nss-ab-dict", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = tempfile.mkdtemp(prefix="nss-ab-dict-")
+    out = {"n_docs": n_docs, "trials": trials}
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_docs, seed=42))
+        corpus = corpus.persist()
+        corpus.count()
+        t0 = time.perf_counter()
+        idx = build_index(spark, corpus, d, resume=False)
+        out["build_s"] = round(time.perf_counter() - t0, 1)
+        idx.warmup()
+        docs_tbl = corpus.select("docID", "content")
+
+        from neural_search_spark.query import phrase as ph
+        from neural_search_spark.query.feature import pinned_search
+        from neural_search_spark.query.mlt import more_like_this
+        from neural_search_spark.query.qstring import (
+            query_string_search, simple_query_string_search,
+        )
+        from neural_search_spark.query.suggest import term_suggest
+        from neural_search_spark.query import wand
+
+        seed_id = int(corpus.select("docID").orderBy("docID").first()["docID"])
+        runs = {
+            "query_string": lambda: query_string_search(
+                idx, docs_tbl, '+def "def return" -uniq_17 re*', k=10,
+                text_col="content").collect(),
+            "simple_query_string": lambda: simple_query_string_search(
+                idx, docs_tbl, 'def + "def return" + -uniq_17 | re*', k=10,
+                text_col="content").collect(),
+            "prefix": lambda: ph.prefix_search(idx, "re", k=10).collect(),
+            "fuzzy": lambda: ph.fuzzy_search(idx, "retrun", k=10).collect(),
+            "wildcard": lambda: ph.wildcard_search(
+                idx, "re*rn", k=10).collect(),
+            "suggest": lambda: term_suggest(
+                idx, ["retrun", "whlie"]).collect(),
+            "mlt": lambda: more_like_this(
+                idx, docs_tbl, seed_id, k=10, text_col="content").collect(),
+            "pinned": lambda: pinned_search(
+                idx, [seed_id, seed_id + 1], ["def", "return"],
+                k=10).collect(),
+            "bm25_control": lambda: wand.search(
+                idx, ["if", "for", "while", "self"], k=10).collect(),
+        }
+        dict_df = idx.dictionary
+        assert dict_df is not None, "build must commit a dictionary"
+
+        # three arms:
+        #   dict     — the persisted dictionary table (r05 path)
+        #   fallback — derive (term, termID, df) from postings' THIN
+        #              columns (back-compat path, still no blocks read)
+        #   header   — the PRE-r05 shape: full-postings groupBy with the
+        #              fat `blocks` column aggregated per row (what every
+        #              expansion/suggest/mlt df lookup used to run)
+        import types
+        from pyspark.sql import functions as F
+
+        def header_dict(self):
+            row_n = F.aggregate("blocks", F.lit(0).cast("long"),
+                                lambda a, b: a + b["n"])
+            return (self.postings.groupBy("term", "termID")
+                    .agg(F.sum(row_n).alias("df")))
+
+        arms = {
+            "dict": lambda: setattr(idx, "dictionary", dict_df),
+            "fallback": lambda: setattr(idx, "dictionary", None),
+        }
+
+        def set_header():
+            idx.dictionary = None
+            idx.dict_table = types.MethodType(header_dict, idx)
+
+        def unset_header():
+            try:
+                del idx.dict_table
+            except AttributeError:
+                pass
+
+        # warm every arm once (plan compile + JIT)
+        for fn in runs.values():
+            for setup in arms.values():
+                unset_header()
+                setup()
+                fn()
+            set_header()
+            fn()
+            unset_header()
+        res = {k: {"dict": [], "fallback": [], "header": []} for k in runs}
+        for _ in range(trials):
+            for name, fn in runs.items():
+                for arm, setup in arms.items():
+                    unset_header()
+                    setup()
+                    t0 = time.perf_counter()
+                    fn()
+                    res[name][arm].append(
+                        round(time.perf_counter() - t0, 3))
+                set_header()
+                t0 = time.perf_counter()
+                fn()
+                res[name]["header"].append(
+                    round(time.perf_counter() - t0, 3))
+                unset_header()
+        out["ab"] = {
+            name: {
+                "dict_median_s": round(median(v["dict"]), 3),
+                "fallback_median_s": round(median(v["fallback"]), 3),
+                "header_median_s": round(median(v["header"]), 3),
+                "speedup_vs_header": round(
+                    median(v["header"]) / max(median(v["dict"]), 1e-9), 2),
+                "trials": v,
+            }
+            for name, v in res.items()
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

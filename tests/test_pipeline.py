@@ -298,3 +298,51 @@ def test_semantic_field_incremental_model_id_gate(spark):
     out2 = {r["docID"]: r["si"] for r in
             pl.run_pipeline_incremental(v2, mk("m2"), stored).collect()}
     assert out2[1]["model"]["id"] == "m2"
+
+
+def test_semantic_mapping_schema_derivation(spark, docs):
+    """SemanticMappingTransformer analog (r04 verdict #9): the
+    ``<field>_semantic_info`` struct type DERIVED from the declaration
+    (semantic_info_field_type, no Spark involved) equals the schema the
+    ingest processor ACTUALLY produces, for every model_type × chunking
+    combination — declaration and ingest cannot drift."""
+    combos = [
+        {"model_id": "m1"},                                    # dense flat
+        {"model_id": "m2", "model_type": "sparse"},            # sparse flat
+        {"model_id": "m3", "chunking": {"delimiter": {}}},     # dense chunks
+        {"model_id": "m4", "model_type": "sparse",
+         "chunking": {"delimiter": {}}, "prune_ratio": 0.2},   # sparse chunks
+    ]
+    for decl in combos:
+        mapping = pl.transform_semantic_mapping(
+            {"properties": {"text": {"type": "semantic", **decl}}})
+        info = mapping["properties"]["text_semantic_info"]
+        assert info["type"] == "semantic_info"
+        procs = pl.semantic_processors_from_mapping(mapping)
+        out = pl.run_pipeline(docs, procs)
+        actual = out.schema["text_semantic_info"].dataType
+        assert actual == info["spark_type"], (decl, actual)
+
+
+def test_semantic_mapping_transformer_shape(spark):
+    """Mapping-level guarantees: non-semantic fields pass through
+    untouched, custom semantic_info_field_name is honored, and a name
+    collision with a declared field is rejected (the reference's
+    validation)."""
+    mapping = {"properties": {
+        "title": {"type": "text"},
+        "body": {"type": "semantic", "model_id": "m",
+                 "semantic_info_field_name": "body_info"},
+    }}
+    got = pl.transform_semantic_mapping(mapping)
+    assert got["properties"]["title"] == {"type": "text"}
+    assert got["properties"]["body_info"]["source_field"] == "body"
+    assert "body_semantic_info" not in got["properties"]
+    procs = pl.semantic_processors_from_mapping(got)
+    assert procs == [{"semantic_field": {
+        "model_id": "m", "field_map": {"body": "body_info"}}}]
+    with pytest.raises(ValueError, match="collides"):
+        pl.transform_semantic_mapping({"properties": {
+            "a": {"type": "semantic", "model_id": "m"},
+            "a_semantic_info": {"type": "text"},
+        }})

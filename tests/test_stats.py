@@ -1,0 +1,102 @@
+"""Per-event stats counters (neural_search_spark/stats.py).
+
+Reference: main/stats/events/EventStatName.java:16-286 (named event
+counters for processor executions and query counts by type) behind
+main/stats/NeuralStats.java. Counters are driver-side monotonic ints;
+names mirror the reference enum where surfaces map.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark import stats
+from neural_search_spark.analysis import pipeline as pl
+from neural_search_spark.index.build import build_index
+from neural_search_spark.query.hybrid import hybrid_search
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    rows = [(i, f"alpha beta doc{i} gamma" + (" alpha" * (i % 3)))
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, "docID long, content string")
+    return build_index(
+        spark, corpus, str(tmp_path_factory.mktemp("statsidx")),
+        resume=False)
+
+
+def test_record_and_reset():
+    stats.reset_engine_stats()
+    assert stats.engine_stats() == {}
+    stats.record_event("x")
+    stats.record_event("x", 2)
+    stats.record_event("y")
+    assert stats.engine_stats() == {"x": 3, "y": 1}
+    stats.reset_engine_stats()
+    assert stats.engine_stats() == {}
+
+
+def test_hybrid_query_counters(idx):
+    """EventStatName HYBRID_QUERY_REQUESTS + norm_*/comb_* executions +
+    NORMALIZATION_PROCESSOR vs RANK_BASED split."""
+    stats.reset_engine_stats()
+    hybrid_search(idx, [["alpha"], ["beta"]], k=3).collect()
+    hybrid_search(idx, [["alpha"], ["gamma"]], k=3,
+                  normalization="rrf", combination="rrf").collect()
+    hybrid_search(idx, [["alpha"],
+                        {"terms": ["beta"],
+                         "where": F.col("docID") < 20}], k=3,
+                  pagination_depth=10).collect()
+    got = stats.engine_stats()
+    assert got["hybrid_query_requests"] == 3
+    assert got["norm_minmax_executions"] == 2
+    assert got["norm_rrf_executions"] == 1
+    assert got["comb_arithmetic_executions"] == 2
+    assert got["comb_rrf_executions"] == 1
+    assert got["normalization_processor_executions"] == 2
+    assert got["rank_based_normalization_processor_executions"] == 1
+    assert got["hybrid_query_with_filter_requests"] == 1
+    assert got["hybrid_query_with_pagination_requests"] == 1
+
+
+def test_pipeline_processor_counters(spark):
+    """Processor-execution counters ride the run_pipeline dispatch, one
+    per chain invocation (documented divergence from the reference's
+    per-document counting)."""
+    stats.reset_engine_stats()
+    docs = spark.createDataFrame([(1, "a b. c d")], "doc_id long, text string")
+    pl.run_pipeline(docs, [
+        {"text_chunking": {"field_map": {"text": "chunks"},
+                           "algorithm": {"delimiter": {}}}},
+        {"sparse_encoding": {"field_map": {"chunks": "sparse"}}},
+        {"text_embedding": {"field_map": {"text": "emb"}}},
+        {"semantic_field": {"field_map": {"text": "si"}, "model_id": "m",
+                            "chunking": {"delimiter": {}}}},
+    ]).collect()
+    got = stats.engine_stats()
+    assert got["text_chunking_executions"] == 1
+    assert got["text_chunking_delimiter_executions"] == 1
+    assert got["sparse_encoding_executions"] == 1
+    assert got["text_embedding_executions"] == 1
+    assert got["semantic_field_executions"] == 1
+    assert got["semantic_field_chunking_executions"] == 1
+
+
+def test_skip_existing_counter(spark):
+    """SKIP_EXISTING_EXECUTIONS: the incremental reuse branch records."""
+    stats.reset_engine_stats()
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    existing = pl.run_pipeline(
+        docs, [{"text_embedding": {"field_map": {"text": "emb"}}}])
+    pl.run_pipeline_incremental(
+        docs, [{"text_embedding": {"field_map": {"text": "emb"}}}],
+        existing, id_col="doc_id").collect()
+    assert stats.engine_stats()["skip_existing_executions"] == 1
+
+
+def test_stats_frame_shape(spark):
+    stats.reset_engine_stats()
+    stats.record_event("b")
+    stats.record_event("a", 5)
+    rows = stats.stats_frame(spark).orderBy("event").collect()
+    assert [(r["event"], r["count"]) for r in rows] == [("a", 5), ("b", 1)]
