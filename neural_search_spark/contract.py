@@ -155,46 +155,44 @@ SPARK_QUERIES.update(_ext().SPARK_QUERIES_EXT)
 # The external driver verifies a prefix window of queries() (50 entries in
 # rounds 1-2), so dict order decides which entries get a hard oracle row
 # each round.  Rotate per round: entries that have never had a driver row
-# come first (oracled before rows-only), then entries whose last green row
-# is oldest, then the most-recently-verified.  r04 front window below;
-# recompute next round from CORRECTNESS_r{N}.json.
-_R04_FRONT = [
-    # never driver-verified, DuckDB-oracled (session-4/5 r03 surface:
-    # 11 agg kinds, span/intervals, rank/distance_feature, ids/pinned/
-    # terms_set/match_bool_prefix, simple_query_string, combined_fields,
-    # semantic_highlight, trending_terms/sessionize, percolate,
-    # temperature_sample, gopher_filter, token_counts) plus the one red
-    # r03 row (repetition_stats, now integer-facts) and the four
-    # deliberately-deferred redundant entries from the r03 note
-    "agg_auto_date_histogram", "agg_bucket_pipeline", "agg_date_histogram",
-    "agg_diversified_sampler", "agg_matrix_stats", "agg_missing_en",
-    "agg_moving_stats", "agg_multi_terms", "agg_percentile_ranks",
-    "agg_percentiles_bucket", "agg_rare_terms", "agg_scripted_metric",
-    "agg_significant_chi2", "agg_terms_order", "agg_vwh",
-    "agg_weighted_topmetrics", "analyzer_code_tokens",
-    "combined_fields_topk", "constant_score_topk", "distance_feature_topk",
-    "gopher_filter", "ids_lookup", "intervals_topk",
-    "match_bool_prefix_topk", "match_operator_and", "percolate",
-    "pinned_topk", "prefix_topk", "rank_feature_topk", "repetition_stats",
-    "semantic_highlight", "sessionize", "simple_query_string_topk",
-    "span_first_not_topk", "span_near_topk", "temperature_sample",
-    "terms_set_topk", "token_counts", "trending_terms",
-    # new this round, never driver-verified: agentic NL search e2e,
-    # neural_query_enricher (query-text embedding), and the exhaustive
-    # (nprobe = nlist) corners that hard-oracle the IVF machinery
-    "search_request_agentic", "neural_enricher_knn",
-    "ivf_exact_topk", "ann_indexed_exact_topk", "pack_sequences",
-    "lsh_exact_topk", "pq_exact_topk",
-    # never driver-verified rows-only (weak check, pytest-oracled)
-    "ann_indexed_topk", "pq_topk", "seismic_ann_topk",
-    # schema changed this round (explain_norm/explain_comb added) — its
-    # r02 green row describes the old shape, so it re-verifies now
-    "hybrid_explain",
+# come first (oracled before rows-only), then entries whose CODE PATH
+# changed since their last green row, then entries whose last green row is
+# oldest.  r05 front window below; recompute next round from
+# CORRECTNESS_r{N}.json (scripts/rotate_window.py).
+_R05_FRONT = [
+    # never driver-verified: the two r04 hash-reds (date_histogram rebuilt
+    # on exact integer facts — epoch-seconds keys, cent sums; the
+    # scripted_metric diagnostic twin splits its composite expression into
+    # separate exact-integer columns) and the new per-event stats registry
+    "agg_date_histogram", "agg_scripted_metric", "agg_scripted_metric_debug",
+    "engine_event_stats",
+    # code path changed this round (r05 commits eb0d356/32252a1): every
+    # dictionary-expansion lookup now reads the persisted (term, termID,
+    # df) dictionary table instead of re-aggregating postings block
+    # headers; merge/append also snapshot the dictionary; packing uses
+    # localCheckpoint; the ANN index cache is keyed on the data
+    "prefix_topk", "fuzzy_topk", "wildcard_topk", "regexp_topk",
+    "phrase_topk", "phrase_slop_topk", "phrase_prefix_topk",
+    "match_bool_prefix_topk", "term_suggest_missing", "mlt_topk",
+    "agg_significant_terms", "agg_significant_text", "agg_significant_chi2",
+    "agg_significant_index", "query_string_topk", "simple_query_string_topk",
+    "pack_sequences", "ann_indexed_exact_topk",
+    "append_then_topk", "compact_then_topk", "upsert_then_topk",
+    # oldest driver-green (r01) — stale-evidence refresh
+    "cosine_topk", "dedup_exact_groups", "dedup_exact_survivors",
+    "embedding_near_dup_pairs", "multimodal_features", "ngram_jaccard_pairs",
+    "prune_abs_value", "prune_alpha_mass", "text_stats",
+    # next-oldest (r02) fill to 50
+    "agg_extended_stats", "agg_filters", "agg_global_langs", "agg_histogram",
+    "agg_percentiles", "agg_pipeline_stats", "agg_range_overlap",
+    "agg_terms_metrics", "agg_top_hits", "bm25_topk_multi",
+    "bm25_topk_single", "chunk_delimiter", "chunk_fixed_char",
+    "collapse_top2_lang", "corpus_stats", "doclens",
 ]
 
 SPARK_QUERIES = {
-    **{k: SPARK_QUERIES[k] for k in _R04_FRONT if k in SPARK_QUERIES},
-    **{k: v for k, v in SPARK_QUERIES.items() if k not in _R04_FRONT},
+    **{k: SPARK_QUERIES[k] for k in _R05_FRONT if k in SPARK_QUERIES},
+    **{k: v for k, v in SPARK_QUERIES.items() if k not in _R05_FRONT},
 }
 
 ORACLE_SQL = {
