@@ -1,0 +1,133 @@
+"""A/B the postings_raw encode stage under candidate session knobs.
+
+Usage: python scripts/ab_encode_knobs.py [--files N] [--cpus C] [--trials K]
+       python scripts/ab_encode_knobs.py --child '<json conf>' --files N --cpus C
+
+Times ONLY stage 3a (token_runs -> shuffle -> mapInArrow encode -> parquet
+write to /dev/shm), fresh pinned process per trial, configs interleaved so
+the VM's window drift hits all arms equally. Prints one JSON line per trial
+and a median summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ARMS: dict[str, dict[str, str]] = {
+    "base": {},
+    "arrow128k": {"spark.sql.execution.arrow.maxRecordsPerBatch": "131072"},
+    "arrow128k_g1region": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        "spark.driver.extraJavaOptions": "-XX:G1HeapRegionSize=16m",
+    },
+    "arrow128k_mem24": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        "spark.driver.memory": "24g",
+    },
+    "arrow128k_gclog": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+        "spark.driver.extraJavaOptions": "-Xlog:gc*:file=/tmp/nss-gc.log::filecount=1,filesize=50m",
+    },
+    "base_gclog": {
+        "spark.driver.extraJavaOptions": "-Xlog:gc*:file=/tmp/nss-gc-base.log::filecount=1,filesize=50m",
+    },
+}
+
+
+def run_child(conf: dict[str, str], n_files: int, cpus: int) -> dict:
+    from neural_search_spark.session import get_spark
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import (
+        default_bucket_bits, encode_postings_raw,
+    )
+    from neural_search_spark.analysis.tokenizer import token_runs
+
+    spark = get_spark("nss-ab-encode", master=f"local[{cpus}]",
+                      extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_files, seed=42))
+        # fixed avgdl close to the corpus's true value: stage-2 is not under
+        # test and this keeps the arms byte-comparable
+        avgdl = 98.0
+        bits = default_bucket_bits(n_files)
+        # JIT warmup on a small slice
+        warm = encode_postings_raw(
+            token_runs(with_doc_id(generate_corpus(spark, 5000, seed=1)),
+                       "content", "docID").withColumnRenamed("docID", "docID"),
+            avgdl, bits)
+        warm.write.mode("overwrite").parquet("/dev/shm/nss-ab-warm")
+        shutil.rmtree("/dev/shm/nss-ab-warm", ignore_errors=True)
+
+        runs = token_runs(corpus, "content", "docID")
+        raw = encode_postings_raw(runs, avgdl, bits)
+        out = tempfile.mkdtemp(prefix="nss-ab-raw-", dir="/dev/shm")
+        t0 = time.perf_counter()
+        raw.write.mode("overwrite").parquet(out)
+        wall = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        return {"cpus": cpus, "n_files": n_files,
+                "stage3a_s": round(wall, 3),
+                "files_per_sec": round(n_files / wall, 1)}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=500_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--child", default=None)
+    args = ap.parse_args()
+
+    if args.child is not None:
+        print(json.dumps(run_child(json.loads(args.child), args.files,
+                                   args.cpus)))
+        return
+
+    arms = {k: ARMS[k] for k in args.arms.split(",")}
+    have_taskset = shutil.which("taskset") is not None
+    env = dict(os.environ)
+    os.makedirs("/dev/shm/nss-ab-tmp", exist_ok=True)
+    env["TMPDIR"] = "/dev/shm/nss-ab-tmp"
+    res: dict[str, list[float]] = {k: [] for k in arms}
+    for _ in range(args.trials):
+        for name, conf in arms.items():
+            prefix = (["taskset", "-c", f"0-{args.cpus - 1}"]
+                      if have_taskset else [])
+            out = subprocess.run(
+                prefix + [sys.executable, os.path.abspath(__file__),
+                          "--files", str(args.files),
+                          "--cpus", str(args.cpus),
+                          "--child", json.dumps(conf)],
+                capture_output=True, text=True, check=True, env=env)
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            rec["arm"] = name
+            res[name].append(rec["stage3a_s"])
+            print(json.dumps(rec), flush=True)
+
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    print(json.dumps({
+        "files": args.files, "cpus": args.cpus,
+        "median_s": {k: med(v) for k, v in res.items()},
+        "trials": res,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Per-stage scaling profile of the index build at two parallelism levels.
+
+Usage: python scripts/profile_build_stages.py [--files N] [--legs 8,32]
+       [--trials K]
+
+Runs the same 1M-file (default) build as the bench scaling legs — fresh
+taskset-pinned process per leg, index dir on /dev/shm — but reads back the
+manifest's per-stage wall_s so the 8→32 efficiency can be attributed to a
+stage instead of guessed. Prints one JSON line per trial plus a final
+summary with per-stage medians and efficiencies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_leg(cpus: int, n_files: int) -> dict:
+    """Executed in a child process (taskset-pinned by the parent)."""
+    from neural_search_spark.session import get_spark
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import build_index
+    from neural_search_spark.index.catalog import Manifest
+
+    spark = get_spark("nss-stage-profile", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_files, seed=42))
+        warm = tempfile.mkdtemp(prefix="nss-prof-warm-")
+        build_index(spark, with_doc_id(generate_corpus(spark, 5000, seed=1)),
+                    warm, resume=False)
+        shutil.rmtree(warm, ignore_errors=True)
+
+        base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+        idx = tempfile.mkdtemp(prefix="nss-prof-idx-", dir=base)
+        t0 = time.perf_counter()
+        build_index(spark, corpus, idx, resume=False)
+        total = time.perf_counter() - t0
+        man = Manifest.load(idx)
+        stage_wall = {
+            h["stage"]: h["wall_s"] for h in man.history if "wall_s" in h
+        }
+        shutil.rmtree(idx, ignore_errors=True)
+        other = round(total - sum(stage_wall.values()), 3)
+        return {
+            "cpus": cpus, "n_files": n_files,
+            "total_s": round(total, 3),
+            "files_per_sec": round(n_files / total, 1),
+            "stages": stage_wall,
+            "outside_stages_s": other,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=1_000_000)
+    ap.add_argument("--legs", default="8,32")
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--leg-child", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.leg_child:
+        print(json.dumps(run_leg(args.leg_child, args.files)))
+        return
+
+    legs = [int(x) for x in args.legs.split(",")]
+    have_taskset = shutil.which("taskset") is not None
+    results: dict[int, list[dict]] = {c: [] for c in legs}
+    env = dict(os.environ)
+    if os.access("/dev/shm", os.W_OK):
+        tmp = "/dev/shm/nss-prof-tmp"
+        os.makedirs(tmp, exist_ok=True)
+        env["TMPDIR"] = tmp
+    for _ in range(args.trials):
+        for cpus in legs:
+            prefix = (["taskset", "-c", f"0-{cpus - 1}"]
+                      if have_taskset else [])
+            out = subprocess.run(
+                prefix + [sys.executable, os.path.abspath(__file__),
+                          "--files", str(args.files),
+                          "--leg-child", str(cpus)],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            results[cpus].append(rec)
+            print(json.dumps(rec), flush=True)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    summary: dict = {"n_files": args.files, "trials": args.trials,
+                     "stage_medians": {}, "stage_efficiency": {}}
+    stages = sorted({s for recs in results.values()
+                     for r in recs for s in r["stages"]})
+    for c in legs:
+        summary["stage_medians"][f"local[{c}]"] = {
+            s: med([r["stages"].get(s, 0.0) for r in results[c]])
+            for s in stages
+        }
+        summary["stage_medians"][f"local[{c}]"]["outside_stages"] = med(
+            [r["outside_stages_s"] for r in results[c]])
+        summary["stage_medians"][f"local[{c}]"]["total"] = med(
+            [r["total_s"] for r in results[c]])
+    if len(legs) == 2:
+        lo, hi = legs
+        ratio = hi / lo
+        for s in stages + ["outside_stages", "total"]:
+            a = summary["stage_medians"][f"local[{lo}]"][s]
+            b = summary["stage_medians"][f"local[{hi}]"][s]
+            summary["stage_efficiency"][s] = (
+                round(a / b / ratio, 3) if b > 0 else None
+            )
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
