@@ -555,7 +555,21 @@ def build_index(
             raw = encode_postings_raw(
                 runs, avgdl, bucket_bits, block_size, blocks_per_row, k1, b
             )
-            run_stage("postings_raw", {"postings_raw": raw})
+            # Run rows are ~30 bytes, so the global 10k-row Arrow batch
+            # default frames the encode kernel's input into ~300 KB
+            # batches — per-batch overhead (struct vector setValueCount,
+            # flush, IPC framing) dominates. 128k rows/batch measured 1.27x
+            # faster on the 500k-doc encode (interleaved A/B, medians
+            # 44.5 s vs 56.7 s). Scoped to this stage: other mapInPandas
+            # consumers carry wide content strings where 128k rows/batch
+            # would be hundreds of MB.
+            bconf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            prev_batch = spark.conf.get(bconf)
+            spark.conf.set(bconf, "131072")
+            try:
+                run_stage("postings_raw", {"postings_raw": raw})
+            finally:
+                spark.conf.set(bconf, prev_batch)
         raw_df = snapshot_read(spark, index_dir, "postings_raw")
         run_stage("postings", {"postings": finalize_postings(raw_df, n_total)})
 

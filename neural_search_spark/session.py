@@ -49,12 +49,46 @@ def get_spark(
 
     is_local = (effective or "").startswith("local")
 
+    # Local-mode heap sizing: a local[N] leg simulates an N-executor
+    # cluster, and a 4N-executor cluster has 4x the total executor memory.
+    # Keeping the heap fixed while quadrupling task threads starves the
+    # unified memory pool (per-task execution memory drops 4x -> extra
+    # sort spills), which is NOT how a real cluster scales out. Measured
+    # on the 300k-file encode stage: 32 threads on an 8g heap burn 1.9x
+    # the user CPU of 32 threads on a 32g heap. Env override still wins.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY")
+    if driver_mem is None and is_local:
+        m = effective or ""
+        inner = m[m.find("[") + 1 : m.find("]")] if "[" in m else ""
+        try:
+            cores = int(inner)
+        except ValueError:
+            cores = os.cpu_count() or 8
+        driver_mem = f"{min(max(8, cores), 48)}g"
+    elif driver_mem is None:
+        driver_mem = "8g"
+
     # Local mode writes shuffle/spill files to spark.local.dir; on this
     # sandbox the root disk is the bottleneck (measured: shuffle-heavy
     # stages stop scaling past ~8 threads on /tmp, scale again on tmpfs).
     # Gated to local mode with ample free space: on a cluster each executor
     # has its own local disks, and a small /dev/shm (typically half of RAM)
     # can ENOSPC on large builds where /tmp would succeed.
+    # Commit + fault the whole heap at JVM start (-Xms=Xmx + AlwaysPreTouch):
+    # growing the heap lazily mid-stage triggers page-fault storms on this
+    # VM's slow memory-provision path, which land INSIDE timed stages and
+    # serialized the wide legs (measured on the 1M-file build: 8->32 scaling
+    # efficiency 0.345 without pretouch, 0.59-0.76 with; the storms hit the
+    # docmap/encode stages as multi-second stalls with sys-time spikes).
+    # On a real cluster the same flag is standard executor hygiene
+    # (spark.executor.extraJavaOptions). -Xmx itself must stay in
+    # spark.driver.memory (Spark rejects it inside extraJavaOptions).
+    java_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch" if is_local else ""
+    if extra_conf and "spark.driver.extraJavaOptions" in extra_conf:
+        extra_conf = dict(extra_conf)
+        java_opts = (java_opts + " "
+                     + extra_conf.pop("spark.driver.extraJavaOptions")).strip()
+
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if (local_dir is None and is_local
             and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)):
@@ -75,8 +109,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", driver_mem)
     )
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     if effective is not None:
         builder = builder.master(effective)
     if local_dir:

@@ -1,0 +1,188 @@
+"""Where do the CPU-seconds go? Encode-stage probe at two widths.
+
+Usage: python scripts/cpu_probe_encode.py [--files N] [--legs 8,32]
+       [--trials K] [--conf '{"spark.x":"y"}']
+
+For each leg (taskset-pinned to that many cores) runs ONLY stage 3a
+(token_runs -> shuffle -> mapInArrow encode -> parquet to /dev/shm) and
+reports, for the timed region only:
+  - wall seconds and files/sec
+  - global /proc/stat deltas (user/system/idle/iowait/steal jiffies)
+  - the JVM process's utime+stime delta (user vs sys)
+  - python-worker CPU (= global user - jvm user, box otherwise idle)
+  - GC pause total parsed from -Xlog:gc
+This splits "the 32-wide leg burns 2x CPU-seconds" into GC vs kernel vs
+python vs steal vs genuine idle (serialization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HZ = os.sysconf("SC_CLK_TCK")
+
+
+def read_proc_stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(x) for x in f.readline().split()[1:]]
+
+
+def find_java_pid() -> int | None:
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as f:
+                if f.read().strip() == "java":
+                    return int(pid)
+        except OSError:
+            continue
+    return None
+
+
+def proc_cpu(pid: int) -> tuple[float, float, int, int]:
+    with open(f"/proc/{pid}/stat") as f:
+        parts = f.read().rsplit(")", 1)[1].split()
+    # after comm: state=parts[0]; minflt=7, majflt=9, utime=11, stime=12
+    return (int(parts[11]) / HZ, int(parts[12]) / HZ,
+            int(parts[7]), int(parts[9]))
+
+
+def read_ctxt() -> int:
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("ctxt"):
+                return int(line.split()[1])
+    return 0
+
+
+def run_child(conf: dict[str, str], n_files: int, cpus: int,
+              gclog: str) -> dict:
+    from neural_search_spark.session import get_spark
+    from neural_search_spark.corpus import generate_corpus, with_doc_id
+    from neural_search_spark.index.build import (
+        default_bucket_bits, encode_postings_raw,
+    )
+    from neural_search_spark.analysis.tokenizer import token_runs
+
+    conf = dict(conf)
+    conf.setdefault(
+        "spark.driver.extraJavaOptions",
+        f"-Xlog:gc:file={gclog}::filecount=1,filesize=100m",
+    )
+    if os.environ.get("NSS_SCALE_HEAP"):
+        # N->4N executors means 4x total memory; mirror that in local mode
+        conf.setdefault("spark.driver.memory", f"{max(8, cpus)}g")
+    spark = get_spark("nss-cpu-probe", master=f"local[{cpus}]",
+                      extra_conf=conf)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = with_doc_id(generate_corpus(spark, n_files, seed=42))
+        avgdl = 98.0
+        bits = default_bucket_bits(n_files)
+        warm = encode_postings_raw(
+            token_runs(with_doc_id(generate_corpus(spark, 5000, seed=1)),
+                       "content", "docID"), avgdl, bits)
+        warm.write.mode("overwrite").parquet("/dev/shm/nss-probe-warm")
+        shutil.rmtree("/dev/shm/nss-probe-warm", ignore_errors=True)
+
+        jvm = find_java_pid()
+        runs = token_runs(corpus, "content", "docID")
+        raw = encode_postings_raw(runs, avgdl, bits)
+        out = tempfile.mkdtemp(prefix="nss-probe-raw-", dir="/dev/shm")
+
+        s0 = read_proc_stat()
+        j0 = proc_cpu(jvm) if jvm else (0.0, 0.0, 0, 0)
+        c0 = read_ctxt()
+        g0 = os.path.getsize(gclog) if os.path.exists(gclog) else 0
+        t0 = time.perf_counter()
+        raw.write.mode("overwrite").parquet(out)
+        wall = time.perf_counter() - t0
+        s1 = read_proc_stat()
+        j1 = proc_cpu(jvm) if jvm else (0.0, 0.0, 0, 0)
+        c1 = read_ctxt()
+        shutil.rmtree(out, ignore_errors=True)
+
+        d = [(b - a) / HZ for a, b in zip(s0, s1)]
+        user, nice, system, idle, iowait = d[0], d[1], d[2], d[3], d[4]
+        steal = d[7] if len(d) > 7 else 0.0
+        gc_pause = 0.0
+        gc_count = 0
+        if os.path.exists(gclog):
+            with open(gclog) as f:
+                f.seek(g0)
+                for line in f:
+                    m = re.search(r"Pause[^)]*\)[^0-9]*(\d+(?:\.\d+)?)ms",
+                                  line)
+                    if m:
+                        gc_pause += float(m.group(1)) / 1000.0
+                        gc_count += 1
+        return {
+            "cpus": cpus, "n_files": n_files, "wall_s": round(wall, 3),
+            "files_per_sec": round(n_files / wall, 1),
+            "cpu_sec": {
+                "user": round(user, 1), "system": round(system, 1),
+                "idle": round(idle, 1), "iowait": round(iowait, 1),
+                "steal": round(steal, 1),
+            },
+            "jvm_cpu_sec": {"user": round(j1[0] - j0[0], 1),
+                            "sys": round(j1[1] - j0[1], 1)},
+            "jvm_minflt_k": round((j1[2] - j0[2]) / 1000.0, 1),
+            "jvm_majflt": j1[3] - j0[3],
+            "ctxt_per_sec_k": round((c1 - c0) / wall / 1000.0, 1),
+            "py_user_approx": round(user - (j1[0] - j0[0]), 1),
+            "gc_pause_s": round(gc_pause, 2), "gc_events": gc_count,
+            "busy_frac": round((user + system) / (cpus * wall), 3),
+            "cpu_sec_per_kfile": round((user + system) / (n_files / 1000), 3),
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=300_000)
+    ap.add_argument("--legs", default="8,32")
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--conf", default="{}")
+    ap.add_argument("--child", default=None)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--gclog", default="/tmp/nss-probe-gc.log")
+    args = ap.parse_args()
+
+    if args.child is not None:
+        print(json.dumps(run_child(json.loads(args.child), args.files,
+                                   args.cpus, args.gclog)))
+        return
+
+    legs = [int(x) for x in args.legs.split(",")]
+    env = dict(os.environ)
+    os.makedirs("/dev/shm/nss-probe-tmp", exist_ok=True)
+    env["TMPDIR"] = "/dev/shm/nss-probe-tmp"
+    for t in range(args.trials):
+        for cpus in legs:
+            gclog = f"/tmp/nss-probe-gc-{cpus}-{t}.log"
+            if os.path.exists(gclog):
+                os.unlink(gclog)
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                 os.path.abspath(__file__), "--files", str(args.files),
+                 "--cpus", str(cpus), "--child", args.conf,
+                 "--gclog", gclog],
+                capture_output=True, text=True, env=env)
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else out.stderr[-2000:]
+            print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

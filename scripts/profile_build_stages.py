@@ -31,6 +31,7 @@ def run_leg(cpus: int, n_files: int) -> dict:
     from neural_search_spark.index.build import build_index
     from neural_search_spark.index.catalog import Manifest
 
+    # heap pretouch + core-scaled sizing now default in get_spark
     spark = get_spark("nss-stage-profile", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     try:
