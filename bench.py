@@ -93,31 +93,53 @@ def _spin_work(_):
     return x
 
 
+def _mem_work(_):
+    # fixed memory-BANDWIDTH-bound work: stream over an array far larger
+    # than L3 so every pass hits DRAM (numpy copy+sum ≈ read+write streams)
+    import numpy as np
+
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB per worker
+    s = 0.0
+    for _i in range(6):
+        b = a * 1.0000001
+        s += float(b[::1024].sum())
+        a = b
+    return s
+
+
 def _cpu_ceiling_probe() -> dict:
     """Measure what THIS machine gives 8 vs 32 independent processes doing
-    identical fixed CPU work (pure integer loop — no memory traffic, no
-    Spark). On this sandbox the per-task time inflates ~25-50% at 32
-    workers (hypervisor-level; steal accounting reads ~0), so even a
-    perfectly parallel job cannot show 4× from 8→32 cores here. A real
-    N→4N-executor cluster adds machines, not threads on one oversubscribed
-    VM, so the ceiling does not apply there; we report engine efficiency
-    both raw and normalized by this measured ceiling."""
+    identical fixed work, for TWO kernels: a pure register spin loop (no
+    memory traffic) and a DRAM-streaming numpy loop. On this sandbox the
+    spin kernel scales near-linearly (ceiling ≈ 0.93) but the memory kernel
+    does not — 32 concurrent DRAM streams saturate the VM's memory
+    bandwidth, inflating per-task user time with zero kernel/GC/steal
+    component. The index-build encode stage is Arrow/numpy streaming, i.e.
+    bandwidth-bound, so its honest machine ceiling is the memory one. A
+    real N→4N-executor cluster adds MACHINES (4× memory controllers), not
+    threads on one socket, so neither ceiling applies there; we report
+    engine efficiency raw and normalized by both."""
     import concurrent.futures as cf
 
-    try:
-        thr = {}
-        for w in (8, 32):
-            with cf.ProcessPoolExecutor(w) as ex:
-                t0 = time.perf_counter()
-                list(ex.map(_spin_work, range(w)))
-                thr[w] = w / (time.perf_counter() - t0)
-        return {
-            "spin_tasks_per_sec": {"8": round(thr[8], 2),
-                                   "32": round(thr[32], 2)},
-            "ceiling_8_to_32": round(thr[32] / thr[8] / 4.0, 3),
-        }
-    except Exception as exc:  # the probe must never kill the report
-        return {"error": str(exc), "ceiling_8_to_32": 1.0}
+    out: dict = {}
+    for name, fn in (("spin", _spin_work), ("membw", _mem_work)):
+        try:
+            thr = {}
+            for w in (8, 32):
+                with cf.ProcessPoolExecutor(w) as ex:
+                    list(ex.map(fn, range(w)))  # warm pool + JIT/alloc
+                    t0 = time.perf_counter()
+                    list(ex.map(fn, range(w)))
+                    thr[w] = w / (time.perf_counter() - t0)
+            out[f"{name}_tasks_per_sec"] = {"8": round(thr[8], 2),
+                                            "32": round(thr[32], 2)}
+            out[f"ceiling_8_to_32_{name}"] = round(thr[32] / thr[8] / 4.0, 3)
+        except Exception as exc:  # the probe must never kill the report
+            out[f"ceiling_8_to_32_{name}"] = 1.0
+            out["error"] = str(exc)
+    # back-compat key (r03/r04 reports): the scalar-CPU ceiling
+    out["ceiling_8_to_32"] = out.get("ceiling_8_to_32_spin", 1.0)
+    return out
 
 
 def run_seed_policy_leg(cpus: int) -> dict:
@@ -155,6 +177,72 @@ def run_seed_policy_leg(cpus: int) -> dict:
                     1 - prof["postings_decoded"]
                     / max(prof["postings_total"], 1)), 1),
             }
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+    finally:
+        spark.stop()
+
+
+def run_ann_recall_leg(cpus: int, sf_dir: str) -> dict:
+    """recall@10 per approximate-ANN family vs its exact oracle, so
+    approximation quality is tracked round-over-round (not just the
+    exact-corner pass/fail rows): lsh/ivf/pq over embeddings.parquet
+    (5 deterministic query vectors, mean recall), SEISMIC ANN (default
+    reference params, heap_factor=2) over the documents tf features."""
+    import pyspark.sql.functions as F
+
+    from neural_search_spark.operators import similarity
+    from neural_search_spark.operators.pq import pq_encode, pq_topk, train_pq
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("nss-bench-recall", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).cache()
+        qrows = emb.orderBy("vec_id").limit(5).collect()
+        queries = [(r["vec_id"], [float(x) for x in r["embedding"]])
+                   for r in qrows]
+        books = train_pq(emb, m=8, nbits=8, seed=42)
+        codes = pq_encode(emb, books).cache()
+        hits = {"lsh": 0, "ivf": 0, "pq": 0}
+        total = 0
+        for _qid, q in queries:
+            exact = {r["vec_id"] for r in
+                     similarity.cosine_topk(emb, q, k=10).collect()}
+            total += len(exact)
+            got = {
+                "lsh": similarity.lsh_topk(emb, q, k=10, max_hamming=4),
+                "ivf": similarity.ivf_topk(emb, q, k=10, nlist=16, nprobe=4),
+                "pq": pq_topk(emb, q, k=10, books=books, codes=codes,
+                              rerank=50),
+            }
+            for fam, df in got.items():
+                hits[fam] += len({r["vec_id"] for r in df.collect()} & exact)
+        out = {f"recall_at_10_{fam}": round(h / max(total, 1), 3)
+               for fam, h in hits.items()}
+        out["n_queries"] = len(queries)
+
+        # SEISMIC: default reference params over the sf documents
+        from neural_search_spark.analysis.pipeline import tf_map_col
+        from neural_search_spark.index.seismic import (
+            build_seismic_index, seismic_search,
+        )
+
+        d = tempfile.mkdtemp(prefix="nss-bench-seis-recall-")
+        feats = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", tf_map_col("text").alias("features")))
+        idx = build_seismic_index(
+            spark, feats, d, id_col="doc_id", modulus=None,
+            quant_ceil_ingest=16.0, quant_ceil_search=16.0, resume=False)
+        squery = {"dup": 3.0, "vector": 2.0, "hash": 1.5, "join": 1.0}
+        ex = {r["docID"] for r in
+              seismic_search(idx, squery, k=10, mode="exact").collect()}
+        ann = {r["docID"] for r in
+               seismic_search(idx, squery, k=10, mode="ann",
+                              heap_factor=2.0).collect()}
+        out["recall_at_10_seismic"] = round(len(ann & ex) / max(len(ex), 1), 3)
         shutil.rmtree(d, ignore_errors=True)
         return out
     finally:
@@ -572,6 +660,9 @@ def main() -> None:
             "machine_ceiling": ceiling,
             "efficiency_8_to_32_vs_ceiling": round(
                 eff_raw / max(ceiling["ceiling_8_to_32"], 1e-9), 3),
+            "efficiency_8_to_32_vs_membw_ceiling": round(
+                eff_raw / max(ceiling.get("ceiling_8_to_32_membw", 1.0),
+                              1e-9), 3),
             "criterion": "N=8 vs 4N=32 median efficiency >= 0.8 "
                          "(raw, with measured machine ceiling alongside)",
         }
@@ -593,6 +684,13 @@ def main() -> None:
 
     # auto θ-seed policy evidence at a scale where it engages by itself
     extra["seed_policy_500k"] = run_seed_policy_leg(args.cpus)
+
+    # ANN approximation quality (verdict r04 item 8) — must never kill
+    # the report
+    try:
+        extra["ann_recall"] = run_ann_recall_leg(args.cpus, SF_DIR)
+    except Exception as exc:
+        extra["ann_recall"] = {"error": str(exc)[:200]}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -658,7 +756,10 @@ def main() -> None:
             "query_p99_s": res["query_p99_s"],
             **({k: scal[k] for k in
                 ("efficiency_2_to_8", "efficiency_8_to_32",
-                 "efficiency_8_to_32_vs_ceiling") if k in scal}),
+                 "efficiency_8_to_32_vs_ceiling",
+                 "efficiency_8_to_32_vs_membw_ceiling") if k in scal}),
+            **({"ann_recall": extra["ann_recall"]}
+               if "ann_recall" in extra else {}),
             "full_report": "BENCH/bench_full_latest.json",
         },
     }
