@@ -107,6 +107,24 @@ def _mem_work(_):
     return s
 
 
+def _membw_ceiling_once() -> float:
+    """One quick in-window membw-ceiling sample (8 vs 32 workers on the
+    DRAM-streaming kernel), for pairing with a scaling-trial round."""
+    import concurrent.futures as cf
+
+    try:
+        thr = {}
+        for w in (8, 32):
+            with cf.ProcessPoolExecutor(w) as ex:
+                list(ex.map(_mem_work, range(w)))
+                t0 = time.perf_counter()
+                list(ex.map(_mem_work, range(w)))
+                thr[w] = w / (time.perf_counter() - t0)
+        return round(thr[32] / thr[8] / 4.0, 3)
+    except Exception:
+        return 1.0
+
+
 def _cpu_ceiling_probe() -> dict:
     """Measure what THIS machine gives 8 vs 32 independent processes doing
     identical fixed work, for TWO kernels: a pure register spin loop (no
@@ -612,6 +630,7 @@ def main() -> None:
         trials_per_leg = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
         legs = (2, 8, 32)
         legs_raw: dict[int, list[float]] = {c: [] for c in legs}
+        ceil_trials: list[float] = []
         # big enough that parallel work dominates fixed stage/commit costs
         scale_mult = max(args.multiplier, 200)
         leg_env = {**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR}
@@ -621,6 +640,12 @@ def main() -> None:
             leg_env["TMPDIR"] = tmp
         have_taskset = shutil.which("taskset") is not None
         for _ in range(trials_per_leg):
+            # membw ceiling measured INSIDE this round's host window: the
+            # VM's deliverable memory bandwidth at 32 workers drifts ±30%
+            # with co-tenant load, and it caps job and probe alike — a
+            # ceiling from a different window under- or over-normalizes
+            # (measured: probe ceilings 0.55 → 0.72 an hour apart).
+            ceil_trials.append(_membw_ceiling_once())
             for cpus in legs:  # interleaved: drift hits all legs equally
                 prefix = (["taskset", "-c", f"0-{cpus - 1}"]
                           if have_taskset else [])
@@ -649,6 +674,16 @@ def main() -> None:
         fps = {c: median(v) for c, v in legs_raw.items()}
         ceiling = _cpu_ceiling_probe()
         eff_raw = round(fps[32] / fps[8] / 4.0, 3)
+        # paired per-round efficiency: each round's 8 and 32 legs ran in
+        # the same host window as that round's ceiling sample, so the
+        # normalized ratio is window-invariant where the pooled median
+        # is hostage to which windows the 32-legs happened to land in
+        paired = [
+            {"eff_raw": round(e32 / e8 / 4.0, 3), "membw_ceiling": cw,
+             "eff_vs_membw": round(e32 / e8 / 4.0 / max(cw, 1e-9), 3)}
+            for e8, e32, cw in zip(legs_raw[8], legs_raw[32], ceil_trials)
+        ]
+        eff_paired_median = median([p["eff_vs_membw"] for p in paired])
         extra["scaling"] = {
             "files_per_sec_median": {f"local[{c}]": fps[c] for c in fps},
             "files_per_sec_trials": {f"local[{c}]": v for c, v in legs_raw.items()},
@@ -663,6 +698,8 @@ def main() -> None:
             "efficiency_8_to_32_vs_membw_ceiling": round(
                 eff_raw / max(ceiling.get("ceiling_8_to_32_membw", 1.0),
                               1e-9), 3),
+            "paired_rounds": paired,
+            "efficiency_8_to_32_paired_vs_membw_median": eff_paired_median,
             "criterion": "N=8 vs 4N=32 median efficiency >= 0.8 "
                          "(raw, with measured machine ceiling alongside)",
         }
@@ -757,7 +794,9 @@ def main() -> None:
             **({k: scal[k] for k in
                 ("efficiency_2_to_8", "efficiency_8_to_32",
                  "efficiency_8_to_32_vs_ceiling",
-                 "efficiency_8_to_32_vs_membw_ceiling") if k in scal}),
+                 "efficiency_8_to_32_vs_membw_ceiling",
+                 "efficiency_8_to_32_paired_vs_membw_median")
+                if k in scal}),
             **({"ann_recall": extra["ann_recall"]}
                if "ann_recall" in extra else {}),
             "full_report": "BENCH/bench_full_latest.json",

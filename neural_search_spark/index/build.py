@@ -152,7 +152,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], avgdl: float,
     if not np.array_equal(order, np.arange(n)):
         tid, bkt, docs, tfs = tid[order], bkt[order], docs[order], tfs[order]
         dls, dlq, biased = dls[order], dlq[order], biased[order]
-        cols = {**cols, "term": cols["term"][order]}
+        cols = {**cols, "term": cols["term"].take(pa.array(order))}
 
     # group structure: one group per (termID, bucket)
     change = np.empty(n, dtype=bool)
@@ -236,7 +236,7 @@ def _encode_chunk(cols: dict[str, np.ndarray], avgdl: float,
     return pa.RecordBatch.from_arrays(
         [
             pa.array(tid[rsrc], type=pa.int64()),
-            pa.array(cols["term"][rsrc], type=pa.string()),
+            cols["term"].take(pa.array(rsrc)).cast(pa.string()),
             pa.array(np.zeros(nrows, dtype=np.int64), type=pa.int64()),
             pa.array(bkt[rsrc].astype(np.int32), type=pa.int32()),
             blocks_col,
@@ -254,17 +254,29 @@ def _make_partition_builder(avgdl: float, block_size: int,
     rows of the last (termID, bucket) key are carried into the next chunk so
     groups never straddle an encode."""
 
-    def _colmajor(batches: list) -> dict[str, np.ndarray]:
+    def _colmajor(batches: list) -> dict:
+        import pyarrow as pa
+
         out = {}
         for c in _IN_COLS:
             arrs = [b.column(c) for b in batches]
             if c == "term":
-                out[c] = np.concatenate(
-                    [a.to_numpy(zero_copy_only=False) for a in arrs]
-                )
+                # stay in Arrow: to_numpy() on a string column materializes
+                # one Python str PER RUN ROW (~95/doc — tens of millions of
+                # object allocations per 1M-doc build, pure memory churn);
+                # the kernel only gathers one term per OUTPUT row
+                out[c] = (pa.concat_arrays(arrs)
+                          if len(arrs) > 1 else arrs[0])
             else:
                 out[c] = np.concatenate([a.to_numpy() for a in arrs])
         return out
+
+    def _cat(c: str, a, b):
+        if c == "term":
+            import pyarrow as pa
+
+            return pa.concat_arrays([a, b])
+        return np.concatenate([a, b])
 
     def build_partition(batches) -> "Iterator":
         pending: list = []
@@ -277,7 +289,7 @@ def _make_partition_builder(avgdl: float, block_size: int,
             pending, pending_rows = [], 0
             if carry is not None:
                 cols = (
-                    {c: np.concatenate([carry[c], cols[c]]) for c in _IN_COLS}
+                    {c: _cat(c, carry[c], cols[c]) for c in _IN_COLS}
                     if cols is not None else carry
                 )
                 carry = None
