@@ -383,8 +383,11 @@ def run_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
         # rewrite per invocation, documented divergence from per-doc)
         record_event(f"{name}_executions")
         if name == "text_chunking":
-            (algo, _), = params.get("algorithm", {"delimiter": {}}).items()
-            record_event(f"text_chunking_{algo}_executions")
+            algos = list(params.get("algorithm", {"delimiter": {}}))
+            # malformed algorithm dicts fall through to the processor's own
+            # "exactly one entry" validation — never unpack-error here
+            if len(algos) == 1:
+                record_event(f"text_chunking_{algos[0]}_executions")
         elif name == "semantic_field" and params.get("chunking", False):
             record_event("semantic_field_chunking_executions")
         df = PROCESSORS[name](df, params)
