@@ -224,7 +224,7 @@ def run_ann_recall_leg(cpus: int, sf_dir: str) -> dict:
                    for r in qrows]
         books = train_pq(emb, m=8, nbits=8, seed=42)
         codes = pq_encode(emb, books).cache()
-        hits = {"lsh": 0, "ivf": 0, "pq": 0}
+        hits = {"lsh": 0, "lsh_mt4": 0, "ivf": 0, "pq": 0}
         total = 0
         for _qid, q in queries:
             exact = {r["vec_id"] for r in
@@ -232,6 +232,8 @@ def run_ann_recall_leg(cpus: int, sf_dir: str) -> dict:
             total += len(exact)
             got = {
                 "lsh": similarity.lsh_topk(emb, q, k=10, max_hamming=4),
+                "lsh_mt4": similarity.lsh_topk(emb, q, k=10, max_hamming=4,
+                                               n_tables=4),
                 "ivf": similarity.ivf_topk(emb, q, k=10, nlist=16, nprobe=4),
                 "pq": pq_topk(emb, q, k=10, books=books, codes=codes,
                               rerank=50),

@@ -1971,6 +1971,22 @@ def q_lsh_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("vec_id", F.round("score", 4).alias("score"))
 
 
+def q_lsh_multitable_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH (n_tables=4) at the exhaustive corner
+    (max_hamming = nbits): every table admits everything, so the stacked
+    multi-signature matmul + OR-of-tables candidate union + exact-cosine
+    re-score must reproduce cosine_topk rank-identically — hard oracle for
+    the multi-table path (the selective recall lift, 0.22 -> 0.46 @ L=4 on
+    the iid-random sf embeddings, is tracked in bench extra.ann_recall)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = similarity.lsh_topk(
+        emb, _query_vec(spark, sf_dir), k=10, nbits=16, max_hamming=16,
+        n_tables=4)
+    return res.select("vec_id", F.round("score", 4).alias("score"))
+
+
 def q_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ at the exhaustive-rerank corner (rerank ≥ corpus size): the
     ADC pass admits every vector and the exact-cosine rerank must
@@ -5520,6 +5536,7 @@ SPARK_QUERIES_EXT = {
     "ivf_topk": q_ivf_topk,
     "ivf_exact_topk": q_ivf_exact_topk,
     "lsh_exact_topk": q_lsh_exact_topk,
+    "lsh_multitable_exact_topk": q_lsh_multitable_exact_topk,
     "pq_exact_topk": q_pq_exact_topk,
     "pq_topk": q_pq_topk,
     "ann_indexed_topk": q_ann_indexed_topk,
@@ -5665,6 +5682,7 @@ ORACLE_SQL_EXT = {
     # nprobe = nlist -> exhaustive -> rank-identical to brute cosine
     "ivf_exact_topk": COSINE_TOPK_SQL,
     "lsh_exact_topk": COSINE_TOPK_SQL,
+    "lsh_multitable_exact_topk": COSINE_TOPK_SQL,
     "pq_exact_topk": COSINE_TOPK_SQL,
     "ann_indexed_exact_topk": COSINE_TOPK_SQL,
     "cosine_topk_batch": _cosine_batch_sql(BATCH_QUERY_IDS, 10),

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 __all__ = [
     "cosine_topk", "cosine_topk_batch", "cosine_radial", "lsh_topk",
@@ -216,6 +216,27 @@ def query_signature(planes: np.ndarray, query_vec) -> int:
     )
 
 
+def _make_multi_signer(planes_list: list[np.ndarray]):
+    """pandas UDF array<float> → array<long>: one signature per table via a
+    single stacked matmul (L tables cost one pass, not L)."""
+    stacked = np.concatenate(planes_list, axis=0)  # (L*nbits, dim)
+    nbits = planes_list[0].shape[0]
+    L = len(planes_list)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())
+        bits = (mat @ stacked.T) > 0  # (batch, L*nbits)
+        weights = (1 << np.arange(nbits, dtype=np.uint64))
+        sigs = np.empty((mat.shape[0], L), dtype=np.int64)
+        for t in range(L):
+            chunk = bits[:, t * nbits:(t + 1) * nbits].astype(np.uint64)
+            sigs[:, t] = (chunk * weights).sum(axis=1).view(np.int64)
+        return pd.Series(list(sigs))
+
+    return sign
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -225,18 +246,40 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only vectors whose hyperplane signature is within
-    ``max_hamming`` bits of the query's, then exact cosine on candidates."""
+    ``max_hamming`` bits of the query's, then exact cosine on candidates.
+
+    ``n_tables > 1`` is classic multi-table LSH: L independent hyperplane
+    sets (seeds seed..seed+L-1), a vector is a candidate if ANY table
+    matches. Recall grows ≈ 1-(1-p)^L for per-table recall p at ~L× the
+    candidate cost; all L signatures come from ONE stacked matmul in a
+    single scan — no extra pass, no shuffle either way."""
     dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((nbits, dim))
-    qsig = query_signature(planes, query_vec)
-    signed = lsh_signatures(emb, dim, nbits, seed, id_col, vec_col)
-    cand = signed.where(
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
-    )
-    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    if n_tables <= 1:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((nbits, dim))
+        qsig = query_signature(planes, query_vec)
+        signed = lsh_signatures(emb, dim, nbits, seed, id_col, vec_col)
+        cand = signed.where(
+            F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+        )
+        return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    planes_list = [
+        np.random.default_rng(seed + t).standard_normal((nbits, dim))
+        for t in range(n_tables)
+    ]
+    qsigs = [query_signature(p, query_vec) for p in planes_list]
+    signed = emb.select(
+        id_col, vec_col,
+        _make_multi_signer(planes_list)(F.col(vec_col)).alias("sigs"))
+    hit = None
+    for t, qs in enumerate(qsigs):
+        c = (F.bit_count(F.col("sigs")[t].bitwiseXOR(F.lit(qs)))
+             <= max_hamming)
+        hit = c if hit is None else (hit | c)
+    return cosine_topk(signed.where(hit), query_vec, k, id_col, vec_col)
 
 
 def _make_assigner(centroids: np.ndarray):
