@@ -2380,6 +2380,53 @@ AGG_TERMS_SQL = f"""
 """
 
 
+def q_agg_bucket_script_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_script (per-bucket SQL-scripted column from buckets_path
+    aliases — ES BucketScriptPipelineAggregator analog) + normalize
+    (percent_of_sum / rescale_0_1 — ES NormalizePipelineAggregator) over
+    a terms bucket, both running on the already-bucket-sized frame.
+
+    Exact facts: ``chars`` sums integer n_chars (BIGINT); the scripted
+    and normalized columns are single IEEE divisions of exact integers
+    (no float accumulation), so 4dp rounding is environment-stable."""
+    aggs, idx, docs = _agg_docs(spark, sf_dir)
+    out = aggs.aggregate(idx, {
+        "langs": {"terms": {"field": "lang", "size": 10},
+                  "aggs": {
+                      "chars": {"sum": {"field": "n_chars"}},
+                      "cpd": {"bucket_script": {
+                          "buckets_path": {"s": "chars", "c": "_count"},
+                          "script": "s / c"}},
+                      "pct": {"normalize": {"buckets_path": "_count",
+                                            "method": "percent_of_sum"}},
+                      "r01": {"normalize": {"buckets_path": "_count",
+                                            "method": "rescale_0_1"}}}},
+    }, query=AGG_QUERY, doc_values=docs, doc_values_id="doc_id")
+    return out["langs"].select(
+        "key", "doc_count", F.col("chars").cast("long").alias("chars"),
+        F.round("cpd", 4).alias("cpd"), F.round("pct", 4).alias("pct"),
+        F.round("r01", 4).alias("r01"))
+
+
+AGG_BUCKET_SCRIPT_NORMALIZE_SQL = f"""
+    WITH {_AGG_MATCHED_CTE},
+    b AS (SELECT lang AS key, count(*) AS doc_count,
+                 sum(n_chars) AS chars
+          FROM documents JOIN m USING (doc_id)
+          GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10)
+    SELECT key, doc_count, CAST(chars AS BIGINT) AS chars,
+           round(CAST(chars AS DOUBLE) / CAST(doc_count AS DOUBLE), 4)
+               AS cpd,
+           round(CAST(doc_count AS DOUBLE)
+                 / CAST(sum(doc_count) OVER () AS DOUBLE), 4) AS pct,
+           round((CAST(doc_count AS DOUBLE)
+                  - CAST(min(doc_count) OVER () AS DOUBLE))
+                 / (CAST(max(doc_count) OVER () AS DOUBLE)
+                    - CAST(min(doc_count) OVER () AS DOUBLE)), 4) AS r01
+    FROM b
+"""
+
+
 def q_agg_composite_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """composite agg, SECOND page: keyset pagination over the full
     (lang, source) bucket space with an after-key that crosses the first
@@ -5473,6 +5520,7 @@ SPARK_QUERIES_EXT = {
     "hybrid_explain": q_hybrid_explain,
     "hybrid_min_score": q_hybrid_min_score,
     "agg_terms_metrics": q_agg_terms_metrics,
+    "agg_bucket_script_normalize": q_agg_bucket_script_normalize,
     "agg_composite_page2": q_agg_composite_page2,
     "agg_sampler_langs": q_agg_sampler_langs,
     "agg_histogram": q_agg_histogram,
@@ -5637,6 +5685,7 @@ ORACLE_SQL_EXT = {
     "hybrid_min_score": _hybrid_bounded_sql(
         HYBRID_SUBS, None, None, min_score=HYBRID_MIN_SCORE),
     "agg_terms_metrics": AGG_TERMS_SQL,
+    "agg_bucket_script_normalize": AGG_BUCKET_SCRIPT_NORMALIZE_SQL,
     "agg_composite_page2": AGG_COMPOSITE_SQL,
     "agg_sampler_langs": _sampler_sql(),
     "agg_histogram": AGG_HIST_SQL,

@@ -69,7 +69,7 @@ PIPELINE_KINDS = frozenset({
 # frame itself (ES derivative/cumulative_sum/bucket_selector/bucket_sort)
 PARENT_PIPELINE_KINDS = frozenset({
     "derivative", "cumulative_sum", "bucket_selector", "bucket_sort",
-    "moving_fn", "serial_diff",
+    "moving_fn", "serial_diff", "bucket_script", "normalize",
 })
 SIGNIFICANT_KINDS = frozenset({"significant_terms", "significant_text"})
 
@@ -777,7 +777,7 @@ def _parent_pipeline(
             hi = -1 + shift
             col = fns[fn_name](src).over(w.rowsBetween(lo, hi))
         return grouped.withColumn(name, col)
-    if kind == "bucket_selector":
+    if kind in ("bucket_selector", "bucket_script"):
         paths = body.get("buckets_path") or {}
         script = str(body["script"])
         tmp = grouped
@@ -790,8 +790,42 @@ def _parent_pipeline(
         for alias in paths:
             script = _re.sub(rf"\b{_re.escape(alias)}\b",
                              f"_bs_{alias}", script)
-        tmp = tmp.where(F.expr(script))
+        # bucket_script emits the expression as a new per-bucket column
+        # (ES BucketScriptPipelineAggregator; same SQL-scripting stance as
+        # bucket_selector — the script is Spark SQL, not painless). Null
+        # inputs yield a null value; the bucket row stays (ES gap_policy
+        # "skip" drops it from the response — documented divergence, the
+        # bucket frame stays rectangular).
+        tmp = (tmp.where(F.expr(script)) if kind == "bucket_selector"
+               else tmp.withColumn(name, F.expr(script)))
         return tmp.drop(*[f"_bs_{a}" for a in paths])
+    if kind == "normalize":
+        # ES NormalizePipelineAggregator: rescale one bucket metric across
+        # the buckets of this level (per enclosing bucket when nested).
+        # Reference formulas from the ES normalize agg docs; all methods
+        # are whole-window aggregates over the bucket-cardinality frame —
+        # never doc-cardinality data.
+        path = body.get("buckets_path", "doc_count")
+        src = F.col("doc_count" if path == "_count" else path).cast("double")
+        w = (Window.partitionBy(*outer_cols) if outer_cols
+             else Window.partitionBy(F.lit(0)))
+        method = str(body["method"])
+        mn, mx = F.min(src).over(w), F.max(src).over(w)
+        if method == "rescale_0_1":
+            col = (src - mn) / (mx - mn)
+        elif method == "rescale_0_100":
+            col = (src - mn) / (mx - mn) * F.lit(100.0)
+        elif method == "percent_of_sum":
+            col = src / F.sum(src).over(w)
+        elif method == "mean":
+            col = (src - F.avg(src).over(w)) / (mx - mn)
+        elif method in ("z-score", "zscore"):
+            col = (src - F.avg(src).over(w)) / F.stddev_pop(src).over(w)
+        elif method == "softmax":
+            col = F.exp(src) / F.sum(F.exp(src)).over(w)
+        else:
+            raise ValueError(f"unknown normalize method {method!r}")
+        return grouped.withColumn(name, col)
     if kind == "bucket_sort":
         sorts = body.get("sort") or []
         order = []

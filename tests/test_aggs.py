@@ -626,6 +626,71 @@ class TestMorePipelines:
                           "script": "holtWinters"}}}},
             }, query=None, doc_values=docvals, doc_values_id="doc_id")
 
+    def test_bucket_script_column(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "langs": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {
+                          "avg_n": {"avg": {"field": "n"}},
+                          "sc": {"bucket_script": {
+                              "buckets_path": {"a": "avg_n", "c": "_count"},
+                              "script": "a * 2 + c"}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        got = {r["key"]: r["sc"] for r in _rows(out["langs"])}
+        # en avg 15 c 2 -> 32; de 30,1 -> 61; fr 60,1 -> 121
+        assert got == {"en": pytest.approx(32.0), "de": pytest.approx(61.0),
+                       "fr": pytest.approx(121.0)}
+
+    def test_normalize_methods(self, idx, docvals):
+        out = aggs.aggregate(idx, {
+            "langs": {"terms": {"field": "lang", "size": 10},
+                      "aggs": {
+                          "avg_n": {"avg": {"field": "n"}},
+                          "pct": {"normalize": {
+                              "buckets_path": "_count",
+                              "method": "percent_of_sum"}},
+                          "r01": {"normalize": {
+                              "buckets_path": "avg_n",
+                              "method": "rescale_0_1"}}}},
+        }, query=["alpha"], doc_values=docvals, doc_values_id="doc_id")
+        rows = {r["key"]: r for r in _rows(out["langs"])}
+        # doc_counts en 2, de 1, fr 1 -> percent_of_sum 0.5/0.25/0.25
+        assert rows["en"]["pct"] == pytest.approx(0.5)
+        assert rows["de"]["pct"] == pytest.approx(0.25)
+        assert rows["fr"]["pct"] == pytest.approx(0.25)
+        # avg_n en 15, de 30, fr 60 -> rescale_0_1 over [15, 60]
+        assert rows["en"]["r01"] == pytest.approx(0.0)
+        assert rows["de"]["r01"] == pytest.approx(15 / 45)
+        assert rows["fr"]["r01"] == pytest.approx(1.0)
+
+    def test_normalize_zscore_softmax(self, idx, docvals):
+        import math
+
+        out = aggs.aggregate(idx, {
+            "h": {"histogram": {"field": "n", "interval": 20},
+                  "aggs": {
+                      "z": {"normalize": {"buckets_path": "_count",
+                                          "method": "z-score"}},
+                      "sm": {"normalize": {"buckets_path": "_count",
+                                           "method": "softmax"}}}},
+        }, query=None, doc_values=docvals, doc_values_id="doc_id")
+        rows = _rows(out["h"])
+        counts = [1, 2, 2, 1]
+        mean = sum(counts) / 4
+        sd = math.sqrt(sum((c - mean) ** 2 for c in counts) / 4)
+        sm_z = sum(math.exp(c) for c in counts)
+        for r, c in zip(rows, counts):
+            assert r["z"] == pytest.approx((c - mean) / sd)
+            assert r["sm"] == pytest.approx(math.exp(c) / sm_z)
+
+    def test_normalize_unknown_method(self, idx, docvals):
+        with pytest.raises(ValueError, match="unknown normalize method"):
+            aggs.aggregate(idx, {
+                "langs": {"terms": {"field": "lang"},
+                          "aggs": {"x": {"normalize": {
+                              "buckets_path": "_count",
+                              "method": "sigmoid"}}}},
+            }, query=None, doc_values=docvals, doc_values_id="doc_id")
+
     def test_diversified_sampler_caps_per_key(self, idx, docvals):
         out = aggs.aggregate(idx, {
             "div": {"diversified_sampler": {"shard_size": 3, "field": "lang",
