@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def _load_input(spark: SparkSession, args) -> tuple[DataFrame, str]:
-    df = spark.read.parquet(args.input)
+    from neural_search_spark.sources import read_corpus
+
+    df = read_corpus(spark, args.input, fmt=getattr(args, "format", None))
     if args.id_col == "auto":
         from neural_search_spark.corpus import with_doc_id
 
@@ -593,7 +595,13 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common_input(p):
-        p.add_argument("--input", required=True, help="parquet path of the corpus/delta")
+        p.add_argument("--input", required=True,
+                       help="corpus/delta source: parquet/orc/jsonl/csv "
+                            "path, Iceberg table identifier, or a raw "
+                            "source-file tree (--format files)")
+        p.add_argument("--format", default=None,
+                       help="input format (parquet|orc|json|csv|iceberg|"
+                            "files); inferred from the path when omitted")
         p.add_argument("--text-col", default="content")
         p.add_argument("--id-col", default="auto",
                        help="'auto' = xxhash64(repo,path,commit), else a column name")

@@ -1,0 +1,168 @@
+"""Corpus source readers: one entry point for every input format.
+
+The north-rule input is an Iceberg table of source-code repositories with
+columns ``(repo, path, commit, lang, content)``. On a real cluster that is
+``spark.read.format("iceberg").load("catalog.db.tbl")`` (or
+``spark.table``) with the Iceberg runtime jars and a catalog configured on
+the session; this sandbox ships no Iceberg jars, so ``fmt="iceberg"`` is a
+thin, gated pass-through here (its error path is tested), while the
+parquet / orc / json(l) / csv / raw-file-tree paths are fully exercised.
+Everything downstream (build_index, pipelines, operators) is
+reader-agnostic — it consumes a DataFrame — so adding a format never
+touches the engine.
+
+All readers are plain ``spark.read`` plans: scans stay distributed,
+formats with pushdown (parquet/orc/iceberg) keep predicate pushdown and
+column pruning, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+# extension → corpus lang tag for raw file trees (bounded, extend freely)
+_EXT_LANG = {
+    "py": "python", "java": "java", "js": "javascript", "ts": "typescript",
+    "go": "go", "rs": "rust", "c": "c", "h": "c", "cc": "cpp",
+    "cpp": "cpp", "hpp": "cpp", "rb": "ruby", "scala": "scala",
+    "kt": "kotlin", "cs": "csharp", "php": "php", "sh": "shell",
+    "sql": "sql", "md": "markdown", "txt": "text",
+}
+
+
+def _infer_format(source: str) -> str:
+    low = source.rstrip("/").lower()
+    for ext, fmt in ((".parquet", "parquet"), (".orc", "orc"),
+                     (".jsonl", "json"), (".json", "json"),
+                     (".csv.gz", "csv"), (".csv", "csv")):
+        if low.endswith(ext):
+            return fmt
+    if "://" not in source and os.path.sep not in source and "." in source:
+        # dotted identifier with no path separators → catalog table
+        return "iceberg"
+    return "parquet"
+
+
+def read_corpus(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Load a corpus frame from ``source``.
+
+    ``fmt``: ``parquet`` | ``orc`` | ``json`` (incl. JSONL) | ``csv`` |
+    ``iceberg`` (catalog table identifier) | ``files`` (a raw source-code
+    file tree → one row per file with the north-rule columns). Inferred
+    from the path when None (dotted identifiers with no path separator
+    read as catalog tables).
+    """
+    fmt = (fmt or _infer_format(source)).lower()
+    opts = dict(options or {})
+    if fmt == "parquet":
+        return spark.read.options(**opts).parquet(source)
+    if fmt == "orc":
+        return spark.read.options(**opts).orc(source)
+    if fmt in ("json", "jsonl"):
+        return spark.read.options(**opts).json(source)
+    if fmt == "csv":
+        opts.setdefault("header", "true")
+        opts.setdefault("multiLine", "true")
+        opts.setdefault("escape", '"')
+        return spark.read.options(**opts).csv(source)
+    if fmt == "iceberg":
+        # needs iceberg-spark-runtime jars + a configured catalog on the
+        # session; spark.table handles both catalog.db.tbl identifiers and
+        # session-registered views
+        try:
+            return spark.table(source)
+        except Exception as exc:  # noqa: BLE001 - surface a usable hint
+            raise RuntimeError(
+                f"cannot read Iceberg table {source!r}: an Iceberg catalog "
+                "must be configured on the SparkSession "
+                "(spark.sql.catalog.<name> = org.apache.iceberg.spark."
+                "SparkCatalog + iceberg-spark-runtime on the classpath)"
+            ) from exc
+    if fmt == "files":
+        return read_file_tree(spark, source, **opts)
+    raise ValueError(f"unknown corpus format {fmt!r}")
+
+
+def read_file_tree(
+    spark: SparkSession, root: str, repo: str | None = None,
+    commit: str = "HEAD", pathGlobFilter: str | None = None,
+) -> DataFrame:
+    """Read a raw source-code file tree into the north-rule corpus shape:
+    one row per file, ``content`` = whole file text, ``path`` relative to
+    ``root``, ``lang`` inferred from the extension.
+
+    Plan shape: the ``binaryFile`` source — a distributed file scan (the
+    driver lists files, executors read them) that preserves content
+    byte-exactly (the ``text`` source strips a trailing newline, which
+    would break the per-row sha256(content) identity invariant), projected
+    with pure Catalyst column ops.
+    """
+    reader = (spark.read.format("binaryFile")
+              .option("recursiveFileLookup", "true"))
+    if pathGlobFilter:
+        reader = reader.option("pathGlobFilter", pathGlobFilter)
+    # `path` is a URI (file:///... locally); strip the scheme, then cut
+    # the root prefix when it matches (a non-local scheme keeps the full
+    # path — still unique per file)
+    dec = F.regexp_replace(F.col("path"), r"^[a-z0-9.+-]+:/+", "/")
+    prefix = os.path.abspath(root).rstrip("/") + "/"
+    raw = reader.load(root).select(
+        F.decode(F.col("content"), "UTF-8").alias("content"),
+        dec.alias("_p"))
+    rel = F.when(F.col("_p").startswith(F.lit(prefix)),
+                 F.expr(f"substring(_p, {len(prefix) + 1})")
+                 ).otherwise(F.col("_p"))
+    lang_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_LANG.items() for x in kv])
+    ext = F.lower(F.regexp_extract(rel, r"\.([A-Za-z0-9]+)$", 1))
+    return raw.select(
+        F.lit(repo or os.path.basename(os.path.abspath(root))).alias("repo"),
+        rel.alias("path"),
+        F.lit(commit).alias("commit"),
+        F.coalesce(lang_map[ext], F.lit("unknown")).alias("lang"),
+        "content",
+    )
+
+
+def normalize_corpus(
+    df: DataFrame, mapping: dict[str, str] | None = None,
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Rename/concoct columns into the canonical corpus shape.
+
+    ``mapping``: {canonical: source_column}; unmapped canonical columns
+    take ``defaults`` (commit defaults to HEAD, lang to unknown).
+    ``content`` must resolve to a real column.
+    """
+    mapping = dict(mapping or {})
+    defaults = {"commit": "HEAD", "lang": "unknown", **(defaults or {})}
+    for canon, src in mapping.items():
+        if src not in df.columns:
+            raise ValueError(
+                f"mapped column {src!r} (for {canon!r}) not in frame "
+                f"(have {df.columns})")
+    if "content" not in mapping and "content" not in df.columns:
+        raise ValueError(
+            f"corpus column 'content' missing (have {df.columns}; pass "
+            "mapping={'content': <col>})")
+    cols = []
+    for name in CORPUS_COLUMNS:
+        src = mapping.get(name, name if name in df.columns else None)
+        if src is not None:
+            cols.append(F.col(src).cast("string").alias(name))
+        elif name in defaults:
+            cols.append(F.lit(defaults[name]).alias(name))
+        else:
+            raise ValueError(
+                f"corpus column {name!r} missing and has no default "
+                f"(have {df.columns}; pass mapping={{{name!r}: <col>}})")
+    return df.select(*cols)

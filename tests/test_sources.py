@@ -1,0 +1,144 @@
+"""Source readers: format inference, every reader path, file-tree ingest
+end-to-end into the index, corpus normalization."""
+
+import json
+import os
+
+import pytest
+
+from neural_search_spark import sources
+from neural_search_spark.sources import (
+    normalize_corpus,
+    read_corpus,
+    read_file_tree,
+)
+
+
+class TestInferFormat:
+    @pytest.mark.parametrize("src,fmt", [
+        ("/data/docs.parquet", "parquet"),
+        ("/data/docs.ORC", "orc"),
+        ("/data/docs.jsonl", "json"),
+        ("/data/docs.json", "json"),
+        ("/data/docs.csv", "csv"),
+        ("/data/docs.csv.gz", "csv"),
+        ("warehouse.code.files", "iceberg"),
+        ("/data/some_dir", "parquet"),
+        ("s3://bucket/prefix", "parquet"),
+    ])
+    def test_inference(self, src, fmt):
+        assert sources._infer_format(src) == fmt
+
+
+ROWS = [
+    {"repo": "r1", "path": "a.py", "commit": "c1", "lang": "python",
+     "content": "def main():\n    return 1\n"},
+    {"repo": "r1", "path": "b.java", "commit": "c1", "lang": "java",
+     "content": "class B { int x; }\n"},
+]
+
+
+class TestReaders:
+    def test_parquet_roundtrip(self, spark, tmp_path):
+        p = str(tmp_path / "c.parquet")
+        spark.createDataFrame(ROWS).write.parquet(p)
+        got = read_corpus(spark, p)
+        assert {r["path"] for r in got.collect()} == {"a.py", "b.java"}
+
+    def test_jsonl(self, spark, tmp_path):
+        p = str(tmp_path / "c.jsonl")
+        with open(p, "w") as fh:
+            for r in ROWS:
+                fh.write(json.dumps(r) + "\n")
+        got = {r["path"]: r["content"] for r in read_corpus(spark, p).collect()}
+        assert got == {r["path"]: r["content"] for r in ROWS}
+
+    def test_csv_multiline_content(self, spark, tmp_path):
+        p = str(tmp_path / "c.csv")
+        with open(p, "w") as fh:
+            fh.write("repo,path,commit,lang,content\n")
+            for r in ROWS:
+                quoted = '"' + r["content"].replace('"', '""') + '"'
+                fh.write(f"{r['repo']},{r['path']},{r['commit']},"
+                         f"{r['lang']},{quoted}\n")
+        got = {r["path"]: r["content"] for r in read_corpus(spark, p).collect()}
+        # newlines inside the quoted content column survive (multiLine)
+        assert got == {r["path"]: r["content"] for r in ROWS}
+
+    def test_iceberg_missing_catalog_hint(self, spark):
+        with pytest.raises(RuntimeError, match="Iceberg catalog"):
+            read_corpus(spark, "nss_no_such_catalog.db.tbl")
+
+    def test_unknown_format(self, spark):
+        with pytest.raises(ValueError, match="unknown corpus format"):
+            read_corpus(spark, "/x", fmt="avro-ish")
+
+
+class TestFileTree:
+    @pytest.fixture()
+    def tree(self, tmp_path):
+        (tmp_path / "sub").mkdir()
+        files = {
+            "main.py": "import os\n\nprint('hello index')\n",
+            "sub/util.java": "class Util { static int add(int a) "
+                             "{ return a; } }\n",
+            "notes.weird": "free text no extension mapping\n",
+        }
+        for rel, content in files.items():
+            (tmp_path / rel).write_text(content)
+        return str(tmp_path), files
+
+    def test_north_rule_shape_and_langs(self, spark, tree):
+        root, files = tree
+        df = read_file_tree(spark, root, repo="myrepo", commit="abc123")
+        assert df.columns == list(sources.CORPUS_COLUMNS)
+        rows = {r["path"]: r for r in df.collect()}
+        assert set(rows) == set(files)
+        for rel, content in files.items():
+            assert rows[rel]["content"] == content
+            assert rows[rel]["repo"] == "myrepo"
+            assert rows[rel]["commit"] == "abc123"
+        assert rows["main.py"]["lang"] == "python"
+        assert rows["sub/util.java"]["lang"] == "java"
+        assert rows["notes.weird"]["lang"] == "unknown"
+
+    def test_glob_filter(self, spark, tree):
+        root, _ = tree
+        df = read_corpus(spark, root, fmt="files",
+                         options={"pathGlobFilter": "*.py"})
+        assert [r["path"] for r in df.collect()] == ["main.py"]
+
+    def test_file_tree_builds_and_queries(self, spark, tree, tmp_path):
+        from neural_search_spark.corpus import with_doc_id
+        from neural_search_spark.index.build import build_index
+        from neural_search_spark.query import wand
+
+        root, _ = tree
+        corpus = with_doc_id(read_file_tree(spark, root))
+        idx = build_index(spark, corpus, str(tmp_path / "idx"),
+                          text_col="content", id_col="docID")
+        hits = wand.search(idx, ["index"], k=5).collect()
+        assert len(hits) == 1  # only main.py contains "index"
+
+
+class TestNormalize:
+    def test_mapping_and_defaults(self, spark):
+        df = spark.createDataFrame(
+            [("f1", "hello world")], "fname string, body string")
+        out = normalize_corpus(df, mapping={"path": "fname",
+                                            "content": "body",
+                                            "repo": "fname"})
+        row = out.collect()[0]
+        assert out.columns == list(sources.CORPUS_COLUMNS)
+        assert (row["path"], row["content"]) == ("f1", "hello world")
+        assert row["commit"] == "HEAD" and row["lang"] == "unknown"
+
+    def test_missing_content_raises(self, spark):
+        df = spark.createDataFrame([("x",)], "a string")
+        with pytest.raises(ValueError, match="content"):
+            normalize_corpus(df)
+
+    def test_bad_mapping_raises(self, spark):
+        df = spark.createDataFrame([("x",)], "content string")
+        with pytest.raises(ValueError, match="not in frame"):
+            normalize_corpus(df, mapping={"lang": "nope"})
