@@ -39,6 +39,12 @@ def _load_input(spark: SparkSession, args) -> tuple[DataFrame, str]:
     return df, args.id_col
 
 
+def _read_input(spark: SparkSession, args) -> DataFrame:
+    from neural_search_spark.sources import read_corpus
+
+    return read_corpus(spark, args.input, fmt=getattr(args, "format", None))
+
+
 def cmd_build(spark: SparkSession, args) -> None:
     from neural_search_spark.index.build import build_index
     from neural_search_spark.index.multifield import build_multi_field_index
@@ -94,7 +100,7 @@ def cmd_search(spark: SparkSession, args) -> None:
 
         if not args.input:
             raise SystemExit(f"search --mode {mode} requires --input (source corpus)")
-        corpus = spark.read.parquet(args.input)
+        corpus = _read_input(spark, args)
         kw = {}
         if mode == "phrase" and getattr(args, "slop", 0):
             kw["slop"] = args.slop
@@ -131,7 +137,7 @@ def cmd_search(spark: SparkSession, args) -> None:
 
         if not args.input:
             raise SystemExit("search --mode mlt requires --input (source corpus)")
-        corpus = spark.read.parquet(args.input)
+        corpus = _read_input(spark, args)
         rows = more_like_this(
             idx, corpus, int(args.query), k=args.k,
             text_col=args.text_col).collect()
@@ -168,7 +174,7 @@ def cmd_search(spark: SparkSession, args) -> None:
         if not args.input:
             raise SystemExit(f"search --mode {mode} requires --input "
                              "(source corpus: forward-text verify)")
-        corpus = spark.read.parquet(args.input)
+        corpus = _read_input(spark, args)
         body = json.loads(args.query)
         if mode == "span":
             sp = parse_span_query(body)
@@ -188,7 +194,7 @@ def cmd_search(spark: SparkSession, args) -> None:
     elif mode == "query_string":
         from neural_search_spark.query.qstring import query_string_search
 
-        corpus = spark.read.parquet(args.input) if args.input else None
+        corpus = _read_input(spark, args) if args.input else None
         rows = query_string_search(
             idx, corpus, args.query, k=args.k,
             default_operator=getattr(args, "default_operator", "or"),
@@ -200,7 +206,7 @@ def cmd_search(spark: SparkSession, args) -> None:
         )
 
         body = json.loads(args.query)
-        dv = spark.read.parquet(args.input) if args.input else None
+        dv = _read_input(spark, args) if args.input else None
         rows = function_score_search(
             idx, body["query"], body.get("functions", []), k=args.k,
             score_mode=body.get("score_mode", "sum"),
@@ -214,7 +220,7 @@ def cmd_search(spark: SparkSession, args) -> None:
             simple_query_string_search,
         )
 
-        corpus = spark.read.parquet(args.input) if args.input else None
+        corpus = _read_input(spark, args) if args.input else None
         rows = simple_query_string_search(
             idx, corpus, args.query, k=args.k,
             default_operator=getattr(args, "default_operator", "or"),
@@ -229,7 +235,7 @@ def cmd_search(spark: SparkSession, args) -> None:
     elif mode in ("terms_set", "rank_feature", "distance_feature",
                   "ids", "pinned"):
         body = json.loads(args.query)
-        dv = spark.read.parquet(args.input) if args.input else None
+        dv = _read_input(spark, args) if args.input else None
         dvkw = ({"doc_values": dv, "doc_values_id": args.id_col}
                 if dv is not None else {})
         if mode == "terms_set":
@@ -295,7 +301,7 @@ def cmd_search(spark: SparkSession, args) -> None:
 def cmd_cluster(spark: SparkSession, args) -> None:
     from neural_search_spark.operators import cluster, dedup
 
-    docs = spark.read.parquet(args.input)
+    docs = _read_input(spark, args)
     pair_fn = {
         "ngram": lambda d: dedup.ngram_jaccard_pairs(
             d, args.text_col, args.id_col, threshold=args.threshold),
@@ -320,7 +326,7 @@ def cmd_prep(spark: SparkSession, args) -> None:
     from neural_search_spark.analysis.repetition import repetition_stats
     from neural_search_spark.operators import prep
 
-    docs = spark.read.parquet(args.input)
+    docs = _read_input(spark, args)
     if args.op == "redact":
         out = prep.redact_secrets(docs, args.text_col, args.id_col)
         summary = out.agg(
@@ -509,7 +515,7 @@ def cmd_ann(spark: SparkSession, args) -> None:
     from neural_search_spark.operators.ann_index import ann_search, build_ann_index
 
     if args.ann_cmd == "build":
-        emb = spark.read.parquet(args.input)
+        emb = _read_input(spark, args)
         man = build_ann_index(
             emb, args.index_dir, kind=args.kind, nlist=args.nlist,
             nbits=args.nbits, refine_iters=args.refine_iters,
@@ -653,6 +659,8 @@ def main(argv: list[str] | None = None) -> None:
                         "(QUERY = JSON {field: rule} or bare rule)")
     s.add_argument("--input", help="source corpus parquet (phrase/mlt/"
                                    "query_string/function_score modes)")
+    s.add_argument("--format", default=None,
+                   help="input format (parquet|orc|json|csv|iceberg|files); inferred when omitted")
     s.add_argument("--text-col", default="text")
     s.add_argument("--id-col", default="doc_id",
                    help="doc-values id column (function_score --input)")
@@ -671,6 +679,8 @@ def main(argv: list[str] | None = None) -> None:
     cl = sub.add_parser("cluster", help="near-dup clustering: pair graph → "
                                         "connected components → survivors")
     cl.add_argument("--input", required=True)
+    cl.add_argument("--format", default=None,
+                    help="input format (parquet|orc|json|csv|iceberg|files); inferred when omitted")
     cl.add_argument("--output")
     cl.add_argument("--method", default="ngram",
                     choices=["ngram", "minhash", "simhash"])
@@ -685,6 +695,9 @@ def main(argv: list[str] | None = None) -> None:
                     choices=["redact", "boilerplate", "repetition", "sample",
                              "pack"])
     pp.add_argument("--input", required=True)
+    pp.add_argument("--format", default=None,
+                    help="input format (parquet|orc|json|csv|iceberg|files); "
+                         "inferred when omitted")
     pp.add_argument("--output")
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--id-col", default="doc_id")
@@ -756,6 +769,8 @@ def main(argv: list[str] | None = None) -> None:
     se.add_argument("seismic_cmd", choices=["build", "append", "search"])
     se.add_argument("--index-dir", required=True)
     se.add_argument("--input", help="corpus/features parquet (build)")
+    se.add_argument("--format", default=None,
+                    help="input format (parquet|orc|json|csv|iceberg|files); inferred when omitted")
     se.add_argument("--text-col", default="content")
     se.add_argument("--id-col", default="auto",
                     help="'auto' = xxhash64(repo,path,commit), else a column")
@@ -784,6 +799,8 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("ann_cmd", choices=["build", "search"])
     an.add_argument("--index-dir", required=True)
     an.add_argument("--input", help="embeddings parquet (build)")
+    an.add_argument("--format", default=None,
+                    help="input format (parquet|orc|json|csv|iceberg|files); inferred when omitted")
     an.add_argument("--kind", default="ivf", choices=["ivf", "lsh"])
     an.add_argument("--nlist", type=int, default=16)
     an.add_argument("--nbits", type=int, default=16)
