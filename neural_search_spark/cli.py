@@ -289,6 +289,22 @@ def cmd_search(spark: SparkSession, args) -> None:
              "distance": r["distance"], "df": r["df"]} for r in srows]
         print(json.dumps(out))
         return
+    elif mode == "phrase_suggest":
+        from neural_search_spark.query.suggest import phrase_suggest
+
+        if not args.input:
+            raise SystemExit("search --mode phrase_suggest requires "
+                             "--input (LM corpus)")
+        corpus = _read_input(spark, args)
+        srows = phrase_suggest(
+            idx, corpus, args.query, size=args.k,
+            max_edits=args.fuzziness,
+            text_col=args.text_col).collect()
+        out["suggestions"] = [
+            {"suggestion": r["suggestion"], "n_errors": r["n_errors"],
+             "score": r["score"]} for r in srows]
+        print(json.dumps(out))
+        return
     elif args.profile:
         rows, prof = wand.profile_search(idx, args.query, k=args.k)
         out["profile"] = prof
@@ -641,7 +657,7 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["terms", "phrase", "phrase_prefix", "prefix",
                             "fuzzy", "wildcard", "regexp", "mlt", "bool",
                             "dis_max", "boosting", "query_string",
-                            "function_score", "suggest",
+                            "function_score", "suggest", "phrase_suggest",
                             "simple_query_string", "match_bool_prefix",
                             "terms_set", "rank_feature", "distance_feature",
                             "ids", "pinned", "span", "intervals"],

@@ -166,9 +166,11 @@ _R05_FRONT = [
     # separate exact-integer columns) and the new per-event stats registry
     "agg_date_histogram", "agg_scripted_metric", "agg_scripted_metric_debug",
     "engine_event_stats",
-    # new in r05: multi-table LSH exhaustive corner (hard oracle) + the
-    # bucket_script/normalize parent pipelines
+    # new in r05: multi-table LSH exhaustive corner (hard oracle), the
+    # bucket_script/normalize parent pipelines, and the phrase suggester
+    # (noisy-channel bigram LM — full SQL model oracle)
     "lsh_multitable_exact_topk", "agg_bucket_script_normalize",
+    "phrase_suggest",
     # code path changed this round (r05 commits eb0d356/32252a1): every
     # dictionary-expansion lookup now reads the persisted (term, termID,
     # df) dictionary table instead of re-aggregating postings block

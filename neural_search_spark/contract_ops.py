@@ -1803,6 +1803,85 @@ TERM_SUGGEST_SQL = f"""
 """
 
 
+PHRASE_SUGGEST_INPUT = ["quary", "tabel"]  # both misspelled
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester (ES phrase suggester / Lucene
+    NoisyChannelSpellChecker analog, query/suggest.py phrase_suggest):
+    per-position dictionary corrections ranked by the Stupid-Backoff
+    bigram LM × channel prior, max_errors=1. The oracle re-derives the
+    whole model in SQL: candidate generation (distance/df ranking, cap
+    5), unigram/adjacent-bigram counts with the engine's tokenization,
+    the 1/(2T) unseen floor, 0.4-discount backoff, and the
+    1−d/(maxlen+1) channel."""
+    from neural_search_spark.query.suggest import phrase_suggest
+
+    idx = _get_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return phrase_suggest(idx, docs, " ".join(PHRASE_SUGGEST_INPUT), size=5)
+
+
+def _phrase_suggest_sql() -> str:
+    t1, t2 = PHRASE_SUGGEST_INPUT
+    cand = """
+         cand{i} AS (
+           SELECT d.term, d.df,
+                  CAST(levenshtein(d.term, '{t}') AS INT) AS dist
+           FROM dic d
+           WHERE substr(d.term, 1, 1) = substr('{t}', 1, 1)
+             AND d.term <> '{t}'
+             AND levenshtein(d.term, '{t}') <= 2
+           ORDER BY dist ASC, df DESC, term ASC LIMIT 5)"""
+    return f"""
+    WITH tf AS ({_TF_SQL}),
+         dic AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         uni AS (SELECT term, sum(tf) AS c1 FROM tf GROUP BY term),
+         tok AS (SELECT list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9_]+'),
+                   t -> t <> '') AS toks FROM documents),
+         tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS t FROM tok),
+         big AS (SELECT w1, w2, count(*) AS c2 FROM (
+                   SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                          unnest(toks[2:len(toks)]) AS w2
+                   FROM tok WHERE len(toks) >= 2)
+                 GROUP BY w1, w2),
+         {cand.format(i=1, t=t1)},
+         {cand.format(i=2, t=t2)},
+         combo AS (
+           SELECT term AS w1, '{t2}' AS w2, dist, 1 AS err_pos FROM cand1
+           UNION ALL
+           SELECT '{t1}', term, dist, 2 FROM cand2),
+         scored AS (
+           SELECT c.w1 || ' ' || c.w2 AS suggestion, 1 AS n_errors,
+                  (CASE WHEN c.err_pos = 1
+                        THEN ln(1 - c.dist /
+                                (greatest(length(c.w1), {len(t1)}) + 1.0))
+                        ELSE ln(1 - c.dist /
+                                (greatest(length(c.w2), {len(t2)}) + 1.0))
+                   END) + ln(0.95)
+                  + (CASE WHEN u1.c1 IS NOT NULL
+                          THEN ln(u1.c1 / tot.t)
+                          ELSE ln(1 / (2 * tot.t)) END)
+                  + (CASE WHEN b.c2 IS NOT NULL AND u1.c1 IS NOT NULL
+                          THEN ln(b.c2 * 1.0 / u1.c1)
+                          ELSE ln(0.4 * (CASE WHEN u2.c1 IS NOT NULL
+                                              THEN u2.c1 / tot.t
+                                              ELSE 1 / (2 * tot.t) END))
+                     END) AS score
+           FROM combo c CROSS JOIN tot
+           LEFT JOIN uni u1 ON u1.term = c.w1
+           LEFT JOIN uni u2 ON u2.term = c.w2
+           LEFT JOIN big b ON b.w1 = c.w1 AND b.w2 = c.w2)
+    SELECT suggestion, n_errors, round(score, 4) AS score
+    FROM scored
+    ORDER BY round(score, 4) DESC, suggestion ASC LIMIT 5
+"""
+
+
+PHRASE_SUGGEST_SQL = _phrase_suggest_sql()
+
+
 QS_QUERY = '+data "table hash" -merge quer*'
 QS_MAX_EXPANSIONS = 50
 
@@ -5575,6 +5654,7 @@ SPARK_QUERIES_EXT = {
     "query_string_topk": q_query_string_topk,
     "function_score_topk": q_function_score_topk,
     "term_suggest_missing": q_term_suggest_missing,
+    "phrase_suggest": q_phrase_suggest,
     "match_operator_and": q_match_operator_and,
     "rescore_phrase": q_rescore_phrase,
     "agg_adjacency_matrix": q_agg_adjacency_matrix,
@@ -5747,6 +5827,7 @@ ORACLE_SQL_EXT = {
     "query_string_topk": QUERY_STRING_SQL,
     "function_score_topk": FUNCTION_SCORE_SQL,
     "term_suggest_missing": TERM_SUGGEST_SQL,
+    "phrase_suggest": PHRASE_SUGGEST_SQL,
     "match_operator_and": MATCH_AND_SQL,
     "rescore_phrase": RESCORE_SQL,
     "agg_adjacency_matrix": AGG_ADJACENCY_SQL,

@@ -1391,14 +1391,33 @@ def search_request(
         # exactly like the reference's _search body:
         # {"suggest": {name: {"text": ..., "term": {size, suggest_mode,
         # max_edits, prefix_length, min_doc_freq}}}}
-        from neural_search_spark.query.suggest import term_suggest
+        from neural_search_spark.query.suggest import (
+            phrase_suggest,
+            term_suggest,
+        )
 
         out["suggest"] = {}
         for sname, sspec in body["suggest"].items():
+            if "phrase" in sspec:
+                p = sspec["phrase"]
+                if doc_values is None:
+                    raise ValueError(
+                        f"suggest entry {sname!r}: the phrase suggester "
+                        "needs doc_values (the LM corpus)")
+                out["suggest"][sname] = phrase_suggest(
+                    base_index, doc_values, sspec["text"],
+                    size=int(p.get("size", 5)),
+                    max_edits=int(p.get("max_edits", 2)),
+                    prefix_length=int(p.get("prefix_length", 1)),
+                    max_errors=float(p.get("max_errors", 1.0)),
+                    real_word_error_likelihood=float(
+                        p.get("real_word_error_likelihood", 0.95)),
+                    text_col=p.get("text_col", "text"))
+                continue
             if "term" not in sspec:
                 raise ValueError(
-                    f"suggest entry {sname!r}: only the 'term' suggester "
-                    "is supported")
+                    f"suggest entry {sname!r}: only the 'term' and "
+                    "'phrase' suggesters are supported")
             t = sspec["term"]
             out["suggest"][sname] = term_suggest(
                 base_index, sspec["text"],

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from neural_search_spark.analysis.tokenizer import tokenize_query
 from neural_search_spark.index.build import Index
 
-__all__ = ["term_suggest"]
+__all__ = ["phrase_suggest", "term_suggest"]
 
 
 def term_suggest(
@@ -111,3 +111,156 @@ def term_suggest(
         .orderBy(F.asc("input_term"), F.asc("distance"),
                  F.desc("df"), F.asc("suggestion"))
     )
+
+
+def phrase_suggest(
+    index: Index,
+    corpus: DataFrame,
+    text: str,
+    size: int = 5,
+    candidate_size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+    max_errors: float = 1.0,
+    real_word_error_likelihood: float = 0.95,
+    discount: float = 0.4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phrase suggester — whole-phrase "did you mean" (the ES/OpenSearch
+    ``phrase`` suggester / Lucene NoisyChannelSpellChecker analog).
+
+    Per input position, correction candidates come from the dictionary
+    (``term_suggest`` machinery: ≤ ``max_edits`` Levenshtein, shared
+    ``prefix_length`` chars, ranked distance asc / df desc, capped at
+    ``candidate_size``). Candidate phrases change between 1 and
+    ``max_errors`` positions (absolute when ≥ 1, else ⌈fraction·n⌉ — the
+    ES convention) and are scored with a Stupid-Backoff bigram language
+    model (Brants et al. 2007; ES's default smoothing ``stupid_backoff``
+    with the same default ``discount`` 0.4) times a channel prior:
+
+    * LM: ``P(w1)·Π P(wi|wi-1)``; ``P(wi|wi-1) = c(wi-1 wi)/c(wi-1)``
+      when the bigram was seen, else ``discount·P(wi)``; unigram
+      ``P(w) = c(w)/T`` with an unseen floor of ``1/(2T)`` (Lidstone-ish
+      half-count — deterministic; documented divergence from ES's
+      configurable smoothing families).
+    * channel: a kept position costs ``real_word_error_likelihood``
+      (ES default 0.95); a corrected position costs
+      ``1 − d/(max(|orig|, |cand|)+1)`` — the engine's fuzzy-boost
+      shape, strictly positive (documented divergence from Lucene's
+      internal string-distance mix).
+
+    Scale shape: TWO bounded distributed jobs — the dictionary candidate
+    join (block-header scan, no posting decode) and one tokenize pass
+    over the corpus filtered to the candidate vocabulary (unigram counts,
+    adjacent-pair counts, total-token count; at production scale persist
+    these as LM tables next to the dictionary). Enumeration and scoring
+    run driver-side over ≤ ``candidate_size·n`` combinations at
+    ``max_errors=1`` (ES evaluates its beam per shard the same way),
+    hard-capped at 10,000 combos.
+
+    Returns DataFrame(suggestion, n_errors, score) ordered by
+    (round(score, 4) desc, suggestion asc), ≤ ``size`` rows; ``score``
+    is the natural-log model score.
+    """
+    import itertools
+    import math
+
+    from neural_search_spark.analysis.tokenizer import tokens_col
+
+    tokens = tokenize_query(text, index.analyzer)
+    if not tokens:
+        raise ValueError("empty phrase_suggest input")
+    n = len(tokens)
+    max_err = (int(max_errors) if max_errors >= 1
+               else max(1, math.ceil(max_errors * n)))
+    max_err = min(max_err, n)
+
+    # distributed job 1: per-distinct-token correction candidates
+    cand_rows = term_suggest(
+        index, sorted(set(tokens)), size=candidate_size,
+        max_edits=max_edits, prefix_length=prefix_length,
+        suggest_mode="always").collect()
+    cands: dict[str, list[tuple[str, int]]] = {}
+    for r in cand_rows:
+        cands.setdefault(r["input_term"], []).append(
+            (r["suggestion"], r["distance"]))
+
+    # distributed job 2: LM counts over the candidate vocabulary only
+    vocab = sorted({t for t in tokens} | {c for cs in cands.values()
+                                          for c, _ in cs})
+    toks = tokens_col(F.col(text_col), index.analyzer)
+    base = corpus.select(toks.alias("_toks")).persist()
+    try:
+        total = base.select(
+            F.sum(F.size("_toks")).alias("t")).first()["t"] or 0
+        uni = {
+            r["term"]: r["c"]
+            for r in base.select(F.explode("_toks").alias("term"))
+            .where(F.col("term").isin(vocab))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        pairs = base.select(F.explode(F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN transform("
+            "sequence(1, size(_toks) - 1), "
+            "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2)) "
+            "ELSE array() END")).alias("p")).select("p.w1", "p.w2")
+        big = {
+            (r["w1"], r["w2"]): r["c"]
+            for r in pairs.where(F.col("w1").isin(vocab)
+                                 & F.col("w2").isin(vocab))
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+    finally:
+        base.unpersist()
+
+    if total <= 0:
+        raise ValueError("empty corpus for phrase_suggest LM")
+
+    def p_uni(w: str) -> float:
+        c = uni.get(w, 0)
+        return c / total if c > 0 else 1.0 / (2.0 * total)
+
+    def lm_log(words: list[str]) -> float:
+        s = math.log(p_uni(words[0]))
+        for a, b in zip(words, words[1:]):
+            c2 = big.get((a, b), 0)
+            c1 = uni.get(a, 0)
+            if c2 > 0 and c1 > 0:
+                s += math.log(c2 / c1)
+            else:
+                s += math.log(discount * p_uni(b))
+        return s
+
+    # driver-side enumeration: choose k positions to correct, product of
+    # their candidate lists (bounded; ES's per-shard beam equivalent)
+    out: list[tuple[str, int, float]] = []
+    combos = 0
+    for k in range(1, max_err + 1):
+        for posset in itertools.combinations(range(n), k):
+            lists = [cands.get(tokens[p], []) for p in posset]
+            if any(not lst for lst in lists):
+                continue
+            for choice in itertools.product(*lists):
+                combos += 1
+                if combos > 10_000:
+                    break
+                words = list(tokens)
+                chan = (n - k) * math.log(real_word_error_likelihood)
+                for p, (cand, dist) in zip(posset, choice):
+                    orig = tokens[p]
+                    words[p] = cand
+                    chan += math.log(
+                        1.0 - dist / (max(len(orig), len(cand)) + 1.0))
+                out.append((" ".join(words), k, chan + lm_log(words)))
+            if combos > 10_000:
+                break
+        if combos > 10_000:
+            break
+
+    spark = corpus.sparkSession
+    df = spark.createDataFrame(
+        out or [], "suggestion string, n_errors int, score double")
+    return (df.select("suggestion", "n_errors",
+                      F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("suggestion"))
+            .limit(int(size)))

@@ -751,6 +751,22 @@ def test_suggest_section(idx):
     assert not any(t == "zeta" for t, _ in rows)  # exists → missing mode
 
 
+def test_phrase_suggest_section(idx, docvals):
+    out = request.search_request(idx, {
+        "suggest": {"fix": {"text": "alpho beta",
+                            "phrase": {"size": 3}}},
+    }, doc_values=docvals)
+    rows = out["suggest"]["fix"].collect()
+    assert any(r["suggestion"].startswith("alpha ") for r in rows)
+    assert all(r["n_errors"] >= 1 for r in rows)
+
+
+def test_phrase_suggest_needs_doc_values(idx):
+    with pytest.raises(ValueError, match="LM corpus"):
+        request.search_request(idx, {
+            "suggest": {"fix": {"text": "alpho beta", "phrase": {}}}})
+
+
 def test_highlight_fragments(idx, docvals, spark):
     # long doc: matches in windows 0 and 2 of fragment_size=20
     dv = spark.createDataFrame(

@@ -84,3 +84,60 @@ class TestTermSuggest:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "WindowGroupLimit" in plan  # partial per-partition top-size
+
+
+class TestPhraseSuggest:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def test_single_correction_exact_score(self, spark, idx, docs):
+        import math
+
+        from neural_search_spark.query.suggest import phrase_suggest
+
+        got = phrase_suggest(idx, docs, "spork shuffle", size=5).collect()
+        # only pos-0 has candidates within 2 edits sharing 's' prefix
+        assert [r["suggestion"] for r in got] == ["spark shuffle"]
+        assert got[0]["n_errors"] == 1
+        # hand-computed: channel ln(.95)+ln(1-1/6); LM ln P(spark)=4/25,
+        # ln P(shuffle|spark)=c(spark shuffle)/c(spark)=3/4
+        want = (math.log(0.95) + math.log(1 - 1 / 6)
+                + math.log(4 / 25) + math.log(3 / 4))
+        assert got[0]["score"] == pytest.approx(round(want, 4))
+
+    def test_backoff_and_unseen_floor(self, spark, idx, docs):
+        import math
+
+        from neural_search_spark.query.suggest import phrase_suggest
+
+        # "spork jion", max_errors=2: double correction "spark join"
+        # (seen bigram c=1) must beat single corrections that keep an
+        # out-of-dictionary token (unigram floor 1/(2T) + backoff)
+        got = {r["suggestion"]: r for r in phrase_suggest(
+            idx, docs, "spork jion", size=10, max_errors=2).collect()}
+        assert "spark join" in got and got["spark join"]["n_errors"] == 2
+        # "spark jion": kept OOV token -> floor path
+        row = got["spark jion"]
+        chan = (math.log(0.95)
+                + math.log(1 - 1 / 6))
+        floor = 1 / (2 * 25)
+        lm = math.log(4 / 25) + math.log(0.4 * floor)
+        assert row["score"] == pytest.approx(round(chan + lm, 4))
+        assert got["spark join"]["score"] > row["score"]
+
+    def test_max_errors_fraction_and_order(self, spark, idx, docs):
+        from neural_search_spark.query.suggest import phrase_suggest
+
+        # fraction 0.5 of 2 tokens -> ceil = 1 correction max
+        got = phrase_suggest(idx, docs, "spork jion",
+                             size=10, max_errors=0.5).collect()
+        assert all(r["n_errors"] == 1 for r in got)
+        scores = [r["score"] for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_empty_input_raises(self, idx, docs):
+        from neural_search_spark.query.suggest import phrase_suggest
+
+        with pytest.raises(ValueError, match="empty phrase_suggest"):
+            phrase_suggest(idx, docs, "  ")
