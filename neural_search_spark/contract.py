@@ -170,7 +170,7 @@ _R05_FRONT = [
     # bucket_script/normalize parent pipelines, and the phrase suggester
     # (noisy-channel bigram LM — full SQL model oracle)
     "lsh_multitable_exact_topk", "agg_bucket_script_normalize",
-    "phrase_suggest",
+    "phrase_suggest", "completion_suggest",
     # code path changed this round (r05 commits eb0d356/32252a1): every
     # dictionary-expansion lookup now reads the persisted (term, termID,
     # df) dictionary table instead of re-aggregating postings block

@@ -1882,6 +1882,36 @@ def _phrase_suggest_sql() -> str:
 PHRASE_SUGGEST_SQL = _phrase_suggest_sql()
 
 
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester (ES completion suggester analog,
+    query/suggest.py completion_suggest): exact-prefix completion of
+    's' (6 dictionary terms, the df-ranked size-5 cut exercised) plus
+    FUZZY completion of the misspelled prefix 'quar' (fuzziness 1, first
+    char exact), both df-ranked from the persisted dictionary — one
+    two-column scan, no posting decode."""
+    from neural_search_spark.query.suggest import completion_suggest
+
+    idx = _get_index(spark, sf_dir)
+    exact = completion_suggest(idx, "s", size=5)
+    fuzzy = completion_suggest(idx, "quar", size=5, fuzziness=1)
+    return exact.unionAll(fuzzy)
+
+
+COMPLETION_SUGGEST_SQL = f"""
+    WITH tf AS ({_TF_SQL}),
+         dic AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         exact AS (SELECT 's' AS prefix, term AS suggestion, df
+                   FROM dic WHERE term LIKE 's%'
+                   ORDER BY df DESC, term ASC LIMIT 5),
+         fz AS (SELECT 'quar' AS prefix, term AS suggestion, df
+                FROM dic
+                WHERE substr(term, 1, 1) = 'q' AND length(term) >= 4
+                  AND levenshtein(substr(term, 1, 4), 'quar') <= 1
+                ORDER BY df DESC, term ASC LIMIT 5)
+    SELECT * FROM exact UNION ALL SELECT * FROM fz
+"""
+
+
 QS_QUERY = '+data "table hash" -merge quer*'
 QS_MAX_EXPANSIONS = 50
 
@@ -5655,6 +5685,7 @@ SPARK_QUERIES_EXT = {
     "function_score_topk": q_function_score_topk,
     "term_suggest_missing": q_term_suggest_missing,
     "phrase_suggest": q_phrase_suggest,
+    "completion_suggest": q_completion_suggest,
     "match_operator_and": q_match_operator_and,
     "rescore_phrase": q_rescore_phrase,
     "agg_adjacency_matrix": q_agg_adjacency_matrix,
@@ -5828,6 +5859,7 @@ ORACLE_SQL_EXT = {
     "function_score_topk": FUNCTION_SCORE_SQL,
     "term_suggest_missing": TERM_SUGGEST_SQL,
     "phrase_suggest": PHRASE_SUGGEST_SQL,
+    "completion_suggest": COMPLETION_SUGGEST_SQL,
     "match_operator_and": MATCH_AND_SQL,
     "rescore_phrase": RESCORE_SQL,
     "agg_adjacency_matrix": AGG_ADJACENCY_SQL,

@@ -1392,12 +1392,25 @@ def search_request(
         # {"suggest": {name: {"text": ..., "term": {size, suggest_mode,
         # max_edits, prefix_length, min_doc_freq}}}}
         from neural_search_spark.query.suggest import (
+            completion_suggest,
             phrase_suggest,
             term_suggest,
         )
 
         out["suggest"] = {}
         for sname, sspec in body["suggest"].items():
+            if "completion" in sspec:
+                # ES shape: {name: {"prefix": ..., "completion":
+                # {size, fuzzy: {fuzziness}}}}
+                c = sspec["completion"]
+                fz = c.get("fuzzy") or {}
+                out["suggest"][sname] = completion_suggest(
+                    base_index, sspec.get("prefix") or sspec.get("text"),
+                    size=int(c.get("size", 5)),
+                    fuzziness=int(fz.get("fuzziness", 0))
+                    if isinstance(fz, dict) else 1,
+                    min_doc_freq=int(c.get("min_doc_freq", 0)))
+                continue
             if "phrase" in sspec:
                 p = sspec["phrase"]
                 if doc_values is None:

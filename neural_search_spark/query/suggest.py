@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from neural_search_spark.analysis.tokenizer import tokenize_query
 from neural_search_spark.index.build import Index
 
-__all__ = ["phrase_suggest", "term_suggest"]
+__all__ = ["completion_suggest", "phrase_suggest", "term_suggest"]
 
 
 def term_suggest(
@@ -263,4 +263,50 @@ def phrase_suggest(
     return (df.select("suggestion", "n_errors",
                       F.round("score", 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("suggestion"))
+            .limit(int(size)))
+
+
+def completion_suggest(
+    index: Index,
+    prefix: str,
+    size: int = 5,
+    fuzziness: int = 0,
+    min_doc_freq: int = 0,
+) -> DataFrame:
+    """Completion suggester — type-ahead term completion from the
+    dictionary (the ES ``completion`` suggester's role; ES serves it from
+    a dedicated FST field with stored weights, this engine serves it from
+    the persisted term dictionary with df as the weight — documented
+    divergence: no per-document weights/contexts, the corpus frequency IS
+    the weight).
+
+    ``fuzziness`` > 0 enables fuzzy completion (ES fuzzy completion
+    options): a term matches when the Levenshtein distance between its
+    first ``len(prefix)`` characters and the prefix is ≤ ``fuzziness``,
+    with the first character required to match exactly (ES
+    fuzzy.prefix_length default 1 — and this engine's pruning key).
+
+    Plan: ONE scan of the two-column dictionary table (term, df) —
+    postings are never touched — ranked df desc / term asc,
+    TakeOrderedAndProject cut.
+    """
+    p = str(prefix).lower()
+    if not p:
+        raise ValueError("empty completion prefix")
+    if fuzziness < 0 or fuzziness > 2:
+        raise ValueError("fuzziness must be 0..2")
+    dic = index.dict_table().select("term", "df")
+    if fuzziness == 0:
+        cand = dic.where(F.col("term").startswith(p))
+    else:
+        cand = (dic.where(F.substring("term", 1, 1) == p[0])
+                .where(F.length("term") >= F.lit(len(p)))
+                .where(F.levenshtein(
+                    F.substring("term", 1, len(p)), F.lit(p))
+                    <= int(fuzziness)))
+    if min_doc_freq > 0:
+        cand = cand.where(F.col("df") >= int(min_doc_freq))
+    return (cand.select(F.lit(p).alias("prefix"),
+                        F.col("term").alias("suggestion"), "df")
+            .orderBy(F.desc("df"), F.asc("suggestion"))
             .limit(int(size)))

@@ -761,6 +761,16 @@ def test_phrase_suggest_section(idx, docvals):
     assert all(r["n_errors"] >= 1 for r in rows)
 
 
+def test_completion_suggest_section(idx):
+    out = request.search_request(idx, {
+        "suggest": {"c": {"prefix": "alp",
+                          "completion": {"size": 3}}},
+    })
+    rows = out["suggest"]["c"].collect()
+    assert [r["suggestion"] for r in rows][:1] == ["alpha"]
+    assert all(r["prefix"] == "alp" for r in rows)
+
+
 def test_phrase_suggest_needs_doc_values(idx):
     with pytest.raises(ValueError, match="LM corpus"):
         request.search_request(idx, {

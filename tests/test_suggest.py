@@ -141,3 +141,39 @@ class TestPhraseSuggest:
 
         with pytest.raises(ValueError, match="empty phrase_suggest"):
             phrase_suggest(idx, docs, "  ")
+
+
+class TestCompletionSuggest:
+    def test_prefix_ranked_by_df(self, idx):
+        from neural_search_spark.query.suggest import completion_suggest
+
+        got = [(r["suggestion"], r["df"]) for r in
+               completion_suggest(idx, "jo", size=5).collect()]
+        assert got == [("join", 4), ("joins", 1)]
+
+    def test_df_tie_breaks_by_term(self, idx):
+        from neural_search_spark.query.suggest import completion_suggest
+
+        got = [r["suggestion"] for r in
+               completion_suggest(idx, "s", size=2).collect()]
+        # spark df=4 and shuffle df=4 tie -> term asc
+        assert got == ["shuffle", "spark"]
+
+    def test_fuzzy_completion(self, idx):
+        from neural_search_spark.query.suggest import completion_suggest
+
+        got = [r["suggestion"] for r in
+               completion_suggest(idx, "jion", size=5,
+                                  fuzziness=2).collect()]
+        assert got == ["join", "joins"]
+        # exact prefix 'jion' matches nothing
+        from neural_search_spark.query.suggest import completion_suggest as cs
+        assert cs(idx, "jion", size=5).collect() == []
+
+    def test_validation(self, idx):
+        from neural_search_spark.query.suggest import completion_suggest
+
+        with pytest.raises(ValueError, match="empty completion"):
+            completion_suggest(idx, "")
+        with pytest.raises(ValueError, match="fuzziness"):
+            completion_suggest(idx, "jo", fuzziness=3)
