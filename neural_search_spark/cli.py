@@ -292,14 +292,15 @@ def cmd_search(spark: SparkSession, args) -> None:
     elif mode == "phrase_suggest":
         from neural_search_spark.query.suggest import phrase_suggest
 
-        if not args.input:
+        lm_dir = getattr(args, "lm_dir", None)
+        if not args.input and not lm_dir:
             raise SystemExit("search --mode phrase_suggest requires "
-                             "--input (LM corpus)")
-        corpus = _read_input(spark, args)
+                             "--input (LM corpus) or --lm-dir")
+        corpus = _read_input(spark, args) if args.input else None
         srows = phrase_suggest(
             idx, corpus, args.query, size=args.k,
             max_edits=args.fuzziness,
-            text_col=args.text_col).collect()
+            text_col=args.text_col, lm_dir=lm_dir).collect()
         out["suggestions"] = [
             {"suggestion": r["suggestion"], "n_errors": r["n_errors"],
              "score": r["score"]} for r in srows]
@@ -336,6 +337,18 @@ def cmd_cluster(spark: SparkSession, args) -> None:
         "duplicates_removed": n_docs - n_comp,
         "output": args.output,
     }))
+
+
+def cmd_lm(spark: SparkSession, args) -> None:
+    from neural_search_spark.index.build import load_index
+    from neural_search_spark.query.suggest import build_phrase_lm
+
+    idx = load_index(spark, args.index_dir)
+    corpus = _read_input(spark, args)
+    t0 = time.perf_counter()
+    meta = build_phrase_lm(idx, corpus, args.lm_dir, text_col=args.text_col)
+    print(json.dumps({"action": "lm", "lm_dir": args.lm_dir,
+                      "wall_s": round(time.perf_counter() - t0, 2), **meta}))
 
 
 def cmd_prep(spark: SparkSession, args) -> None:
@@ -691,6 +704,10 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--suggest-mode", default="missing",
                    choices=["missing", "popular", "always"],
                    dest="suggest_mode")
+    s.add_argument("--lm-dir", default=None, dest="lm_dir",
+                   help="persisted phrase-suggest LM tables (build with "
+                        "the 'lm' subcommand); replaces --input for "
+                        "--mode phrase_suggest")
 
     cl = sub.add_parser("cluster", help="near-dup clustering: pair graph → "
                                         "connected components → survivors")
@@ -703,6 +720,17 @@ def main(argv: list[str] | None = None) -> None:
     cl.add_argument("--threshold", type=float, default=0.8)
     cl.add_argument("--text-col", default="text")
     cl.add_argument("--id-col", default="doc_id")
+
+    lm = sub.add_parser("lm", help="persist the phrase-suggester bigram "
+                                   "LM tables (unigrams/bigrams/meta) "
+                                   "next to an index")
+    lm.add_argument("--index-dir", required=True)
+    lm.add_argument("--input", required=True, help="LM corpus source")
+    lm.add_argument("--format", default=None,
+                    help="input format (parquet|orc|json|csv|iceberg|"
+                         "files); inferred when omitted")
+    lm.add_argument("--lm-dir", required=True, dest="lm_dir")
+    lm.add_argument("--text-col", default="text")
 
     pp = sub.add_parser("prep", help="corpus preparation: redact secrets, "
                                      "remove boilerplate, repetition stats, "
@@ -854,7 +882,8 @@ def main(argv: list[str] | None = None) -> None:
          "msearch": cmd_msearch, "hybrid": cmd_hybrid, "rerank": cmd_rerank,
          "ann": cmd_ann, "stats": cmd_stats, "request": cmd_request,
          "compact": cmd_compact, "seismic": cmd_seismic,
-         "cluster": cmd_cluster, "prep": cmd_prep}[args.cmd](spark, args)
+         "cluster": cmd_cluster, "prep": cmd_prep,
+         "lm": cmd_lm}[args.cmd](spark, args)
     finally:
         spark.stop()
 

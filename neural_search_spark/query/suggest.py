@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from neural_search_spark.analysis.tokenizer import tokenize_query
 from neural_search_spark.index.build import Index
 
-__all__ = ["completion_suggest", "phrase_suggest", "term_suggest"]
+__all__ = ["build_phrase_lm", "completion_suggest", "phrase_suggest",
+           "term_suggest"]
 
 
 def term_suggest(
@@ -115,7 +116,7 @@ def term_suggest(
 
 def phrase_suggest(
     index: Index,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text: str,
     size: int = 5,
     candidate_size: int = 5,
@@ -125,6 +126,7 @@ def phrase_suggest(
     real_word_error_likelihood: float = 0.95,
     discount: float = 0.4,
     text_col: str = "text",
+    lm_dir: str | None = None,
 ) -> DataFrame:
     """Phrase suggester — whole-phrase "did you mean" (the ES/OpenSearch
     ``phrase`` suggester / Lucene NoisyChannelSpellChecker analog).
@@ -185,33 +187,43 @@ def phrase_suggest(
         cands.setdefault(r["input_term"], []).append(
             (r["suggestion"], r["distance"]))
 
-    # distributed job 2: LM counts over the candidate vocabulary only
+    # distributed job 2: LM counts over the candidate vocabulary only —
+    # from the persisted LM tables when available (the production shape:
+    # two vocab-filtered parquet scans), else one tokenize pass over the
+    # given corpus
     vocab = sorted({t for t in tokens} | {c for cs in cands.values()
                                           for c, _ in cs})
-    toks = tokens_col(F.col(text_col), index.analyzer)
-    base = corpus.select(toks.alias("_toks")).persist()
-    try:
-        total = base.select(
-            F.sum(F.size("_toks")).alias("t")).first()["t"] or 0
-        uni = {
-            r["term"]: r["c"]
-            for r in base.select(F.explode("_toks").alias("term"))
-            .where(F.col("term").isin(vocab))
-            .groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
-        }
-        pairs = base.select(F.explode(F.expr(
-            "CASE WHEN size(_toks) >= 2 THEN transform("
-            "sequence(1, size(_toks) - 1), "
-            "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2)) "
-            "ELSE array() END")).alias("p")).select("p.w1", "p.w2")
-        big = {
-            (r["w1"], r["w2"]): r["c"]
-            for r in pairs.where(F.col("w1").isin(vocab)
-                                 & F.col("w2").isin(vocab))
-            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).collect()
-        }
-    finally:
-        base.unpersist()
+    if lm_dir is not None:
+        total, uni, big = _lm_counts_from_dir(
+            index.postings.sparkSession, lm_dir, vocab)
+    elif corpus is None:
+        raise ValueError("phrase_suggest needs a corpus or lm_dir")
+    else:
+        toks = tokens_col(F.col(text_col), index.analyzer)
+        base = corpus.select(toks.alias("_toks")).persist()
+        try:
+            total = base.select(
+                F.sum(F.size("_toks")).alias("t")).first()["t"] or 0
+            uni = {
+                r["term"]: r["c"]
+                for r in base.select(F.explode("_toks").alias("term"))
+                .where(F.col("term").isin(vocab))
+                .groupBy("term").agg(F.count(F.lit(1)).alias("c")).collect()
+            }
+            pairs = base.select(F.explode(F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN transform("
+                "sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2)) "
+                "ELSE array() END")).alias("p")).select("p.w1", "p.w2")
+            big = {
+                (r["w1"], r["w2"]): r["c"]
+                for r in pairs.where(F.col("w1").isin(vocab)
+                                     & F.col("w2").isin(vocab))
+                .groupBy("w1", "w2")
+                .agg(F.count(F.lit(1)).alias("c")).collect()
+            }
+        finally:
+            base.unpersist()
 
     if total <= 0:
         raise ValueError("empty corpus for phrase_suggest LM")
@@ -257,7 +269,7 @@ def phrase_suggest(
         if combos > 10_000:
             break
 
-    spark = corpus.sparkSession
+    spark = index.postings.sparkSession
     df = spark.createDataFrame(
         out or [], "suggestion string, n_errors int, score double")
     return (df.select("suggestion", "n_errors",
@@ -310,3 +322,71 @@ def completion_suggest(
                         F.col("term").alias("suggestion"), "df")
             .orderBy(F.desc("df"), F.asc("suggestion"))
             .limit(int(size)))
+
+
+def build_phrase_lm(
+    index: Index,
+    corpus: DataFrame,
+    lm_dir: str,
+    text_col: str = "text",
+) -> dict:
+    """Persist the phrase-suggester language model next to the index:
+    ``unigrams`` (term, c1), ``bigrams`` (w1, w2, c2) parquet tables and
+    a ``meta.json`` with the total token count — ONE tokenize pass over
+    the corpus (the same pass shape as the index build's stage 1), two
+    keyed counts, vocabulary-sized output. At production scale this runs
+    once per index build/append; ``phrase_suggest(lm_dir=...)`` then
+    touches only the dictionary and these tables (filter pushdown on the
+    candidate vocabulary), never the corpus.
+    """
+    import json as _json
+    import os
+
+    from neural_search_spark.analysis.tokenizer import tokens_col
+
+    toks = tokens_col(F.col(text_col), index.analyzer)
+    base = corpus.select(toks.alias("_toks")).persist()
+    try:
+        total = int(base.select(
+            F.sum(F.size("_toks")).alias("t")).first()["t"] or 0)
+        (base.select(F.explode("_toks").alias("term"))
+         .groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+         .write.mode("overwrite").parquet(os.path.join(lm_dir, "unigrams")))
+        (base.select(F.explode(F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN transform("
+            "sequence(1, size(_toks) - 1), "
+            "i -> struct(_toks[i-1] AS w1, _toks[i] AS w2)) "
+            "ELSE array() END")).alias("p")).select("p.w1", "p.w2")
+         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+         .write.mode("overwrite").parquet(os.path.join(lm_dir, "bigrams")))
+    finally:
+        base.unpersist()
+    meta = {"total_tokens": total, "analyzer": index.analyzer,
+            "text_col": text_col}
+    with open(os.path.join(lm_dir, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    return meta
+
+
+def _lm_counts_from_dir(
+    spark, lm_dir: str, vocab: list[str],
+) -> tuple[int, dict, dict]:
+    """Load (total, unigram counts, bigram counts) for ``vocab`` from a
+    persisted LM directory — two vocabulary-filtered parquet scans
+    (the IN filter pushes down to the scan)."""
+    import json as _json
+    import os
+
+    with open(os.path.join(lm_dir, "meta.json")) as fh:
+        total = int(_json.load(fh)["total_tokens"])
+    uni = {
+        r["term"]: r["c1"]
+        for r in spark.read.parquet(os.path.join(lm_dir, "unigrams"))
+        .where(F.col("term").isin(vocab)).collect()
+    }
+    big = {
+        (r["w1"], r["w2"]): r["c2"]
+        for r in spark.read.parquet(os.path.join(lm_dir, "bigrams"))
+        .where(F.col("w1").isin(vocab) & F.col("w2").isin(vocab)).collect()
+    }
+    return total, uni, big

@@ -177,3 +177,28 @@ class TestCompletionSuggest:
             completion_suggest(idx, "")
         with pytest.raises(ValueError, match="fuzziness"):
             completion_suggest(idx, "jo", fuzziness=3)
+
+
+class TestPhraseLM:
+    def test_persisted_lm_identical_to_corpus_pass(self, spark, idx,
+                                                   tmp_path_factory):
+        from neural_search_spark.query.suggest import (
+            build_phrase_lm,
+            phrase_suggest,
+        )
+
+        docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+        lm = str(tmp_path_factory.mktemp("lm"))
+        meta = build_phrase_lm(idx, docs, lm)
+        assert meta["total_tokens"] == 25
+        live = phrase_suggest(idx, docs, "spork jion", size=10,
+                              max_errors=2).collect()
+        persisted = phrase_suggest(idx, None, "spork jion", size=10,
+                                   max_errors=2, lm_dir=lm).collect()
+        assert [tuple(r) for r in persisted] == [tuple(r) for r in live]
+
+    def test_lm_dir_or_corpus_required(self, idx):
+        from neural_search_spark.query.suggest import phrase_suggest
+
+        with pytest.raises(ValueError, match="corpus or lm_dir"):
+            phrase_suggest(idx, None, "spork jion")
