@@ -4215,16 +4215,17 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "ts", F.col("event_type").alias("text"))
     out = trending_terms(ev, window="1 day", watermark="0 seconds")
+    # epoch BIGINT key (session-timezone-proof: a TIMESTAMP here rendered
+    # in session-local time on collect — the r05 TZ sweep caught it)
     return out.select(
-        F.col("window_start").cast("timestamp").alias("window_start"),
-        "term", "doc_count").orderBy("window_start", "term")
+        F.unix_timestamp("window_start").cast("long").alias("ws_epoch"),
+        "term", "doc_count").orderBy("ws_epoch", "term")
 
 
 TRENDING_TERMS_SQL = """
-    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
-                             * 86400) AS TIMESTAMP) AS window_start,
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS ws_epoch,
            event_type AS term, count(*) AS doc_count
-    FROM events GROUP BY 1, 2 ORDER BY window_start, term
+    FROM events GROUP BY 1, 2 ORDER BY ws_epoch, term
 """
 
 
@@ -4903,16 +4904,23 @@ def q_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer CENTS (BIGINT — a float ``round(sum − lag, 4)`` can emit
     −0.0 on one engine and +0.0 on the other when the true difference
     is exactly zero, because partial-sum order differs with partition
-    count), and the bucket key is epoch SECONDS (BIGINT — the one
-    hashed TIMESTAMP in the r04 window that went red; every other
-    hashed type is env-independent)."""
+    count), and the bucket key is epoch SECONDS (BIGINT) from a
+    ``fixed_interval`` day bucket — epoch flooring on the timestamp's
+    internal UTC instant, so the bucketing itself is
+    session-timezone-independent. (The r05 TZ sweep showed the earlier
+    ``calendar_interval: day`` form still diverged under a non-UTC
+    session timezone: Spark's date_trunc truncates at SESSION-local
+    midnight — the ES ``time_zone`` parameter analog — while DuckDB's
+    is tz-naive; that, not the TIMESTAMP rendering alone, is the
+    plausible r04 driver-red mechanism. The calendar path stays
+    pytest-covered with its session-tz semantics documented.)"""
     from neural_search_spark.query import aggs
 
     idx = _get_index(spark, sf_dir)
     ev = _events(spark, sf_dir).withColumn(
         "value_cents", F.round(F.col("value") * 100).cast("long"))
     out = aggs.aggregate(idx, {
-        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
               "aggs": {"v": {"sum": {"field": "value_cents"}},
                        "dv": {"derivative": {"buckets_path": "v"}},
                        "cum": {"cumulative_sum":
@@ -4925,7 +4933,7 @@ def q_agg_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AGG_DATE_HISTOGRAM_SQL = """
-    WITH b AS (SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+    WITH b AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
                         AS key_epoch,
                       count(*) AS doc_count,
                       sum(CAST(round(value * 100) AS BIGINT)) AS v

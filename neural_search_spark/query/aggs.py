@@ -151,6 +151,25 @@ def _field(body: dict) -> Column:
     return F.expr(str(body["field"]))
 
 
+def _ts_field(base: DataFrame, body: dict) -> Column:
+    """The date-agg field as a timestamp WITHOUT re-interpreting wall
+    times. Spark 4 reads tz-naive parquet timestamps as TIMESTAMP_NTZ; a
+    blind ``.cast("timestamp")`` converts NTZ → LTZ through the SESSION
+    timezone, silently shifting every instant (a non-UTC driver session
+    would bucket the same data differently — the r05 TZ sweep caught
+    this). ``unix_timestamp``/``date_trunc`` operate tz-free on NTZ
+    (wall time treated as UTC — the ES default time zone), so timestamp
+    types pass through untouched; only non-timestamp inputs (strings,
+    epochs) get the cast."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    f = _field(body)
+    dtype = base.select(f).schema[0].dataType
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return f
+    return f.cast("timestamp")
+
+
 def _metric_cols(name: str, kind: str, body: dict) -> list[tuple[str, Column]]:
     """(alias, Column) pairs one metric agg contributes to the shared
     ``.agg()`` pass."""
@@ -360,7 +379,7 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
         # bucket of docs whose field is absent/null (ES missing agg)
         return base.where(_field(body).isNull()), []
     if kind == "date_histogram":
-        f = _field(body).cast("timestamp")
+        f = _ts_field(base, body)
         cal = body.get("calendar_interval")
         if cal is not None:
             if cal not in _CAL_UNITS:
@@ -385,7 +404,7 @@ def _bucket_frame(base: DataFrame, kind: str, body: dict,
         target = int(body.get("buckets", 10))
         if target <= 0:
             raise ValueError("auto_date_histogram buckets must be > 0")
-        f = _field(body).cast("timestamp")
+        f = _ts_field(base, body)
         epoch = F.unix_timestamp(f).cast("double")
         row = base.select(F.min(epoch).alias("lo"),
                           F.max(epoch).alias("hi")).collect()[0]
